@@ -1,0 +1,424 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, all as single declarative plans:
+
+- exact          md5(text) groupBy — one shuffle on the digest
+- minhash        word-shingle MinHash (32 perms) → 8-band LSH → candidate pairs
+- simhash        64-bit SimHash over word hashes → 16-bit band buckets → pairs
+- ngram_jaccard  exact Jaccard verification of the MinHash candidates
+- embedding      cosine near-dup pairs over the embeddings table
+
+Portability design: every probabilistic primitive is built from ``md5`` over
+seeded strings (identical in Spark and DuckDB) so the correctness oracles
+replay the *exact* signatures in SQL — no "close enough" comparisons.
+
+Scale posture (100 TB):
+- exact/minhash/simhash never materialize the cross product: candidates come
+  from equality joins on (band_idx, band_hash) whose bucket sizes are bounded
+  by construction (b·r tuning);
+- signature computation is embarrassingly parallel codegen over the scan;
+- the only all-pairs plan is ``dedup_embedding`` (kept exact for the oracle;
+  the scale path for vectors is the LSH variant in ``similarity.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import sql_minhash_signature
+from ..functions.text import shingles, sql_shingles, sql_tokens, tokens
+from ..functions.vectors import cosine_similarity, sql_cosine, sql_double_array, to_double_array
+from ..sources.tables import load_table
+
+NUM_PERM = 32
+N_BANDS = 8
+ROWS_PER_BAND = NUM_PERM // N_BANDS
+SHINGLE_N = 3
+SIMHASH_HAMMING_MAX = 8
+# testdata embeddings are isotropic-random (pairwise cos ∈ [-0.5, 0.5]);
+# 0.35 marks the far tail = "near-duplicate" for this corpus
+EMBED_COS_MIN = 0.35
+
+# 4-bit binary rendering of hex digits 0..f, used to expand md5 hex into a
+# bit string identically in Spark and DuckDB (no shift operators needed).
+_BIN4 = "".join(format(i, "04b") for i in range(16))
+_HEX = "0123456789abcdef"
+
+
+# --------------------------------------------------------------------- exact
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content digest, keep the smallest doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("digest"))
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count("*").alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")), lambda d: d.cast("string")
+                ),
+                ",",
+            ).alias("doc_ids"),
+        )
+    )
+
+
+# ------------------------------------------------------------------- minhash
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures as an explode → min-aggregate plan.
+
+    The closed-form nested-HOF variant (``functions.hashing.minhash_signature``)
+    computes the same values but higher-order functions are *interpreted*
+    expressions in Spark — and every self-join reference re-evaluates them.
+    This shape keeps everything in whole-stage codegen with map-side combine:
+    (doc, seed, shingle) rows → min(md5) per (doc, seed) → ordered array.
+    The result is persisted because the LSH pipeline reuses it three times.
+    """
+    # the test corpus is a single parquet file → one input split; spread the
+    # CPU-heavy shingling across cores (a real 100 TB table has many splits
+    # and would not need this)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), SHINGLE_N)).alias("shingle")
+    )
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(NUM_PERM - 1))).alias("seed"),
+        "shingle",
+    ).select(
+        "doc_id",
+        "seed",
+        F.md5(
+            F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
+        ).alias("h"),
+    )
+    sigs = (
+        seeded.groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                lambda s: s["mh"],
+            ).alias("sig")
+        )
+    )
+    return sigs.persist()
+
+
+def _band_pairs(sigs: DataFrame) -> DataFrame:
+    """LSH band grouping → distinct candidate (doc_a < doc_b) pairs."""
+    bands = sigs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band_idx"),
+        "sig",
+    ).select(
+        "doc_id",
+        "band_idx",
+        F.md5(
+            F.concat(
+                F.col("band_idx").cast("string"),
+                F.lit("|"),
+                F.array_join(
+                    F.slice("sig", F.col("band_idx") * ROWS_PER_BAND + 1, ROWS_PER_BAND),
+                    ",",
+                ),
+            )
+        ).alias("band_hash"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs with signature agreement counts."""
+    sigs = _signatures(spark, sf_dir)
+    pairs = _band_pairs(sigs)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                f"size(filter(sequence(1, {NUM_PERM}), "
+                "i -> element_at(sig_a, i) = element_at(sig_b, i)))"
+            ).alias("n_match"),
+        )
+    )
+
+
+# ------------------------------------------------------------------- simhash
+
+_BITS64_EXPR = (
+    "array_join(transform(sequence(1, 32), i -> "
+    f"substr('{_BIN4}', (instr('{_HEX}', substr(h, i, 1)) - 1) * 4 + 1, 4)), '')"
+)
+
+
+def _simhashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    words = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    ).distinct()
+    wb = words.withColumn("h", F.md5("word")).withColumn("bits64", F.expr(_BITS64_EXPR))
+    bitrows = wb.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j"),
+        "bits64",
+    ).select(
+        "doc_id",
+        "j",
+        F.when(F.expr("substr(bits64, j + 1, 1)") == "1", 1).otherwise(-1).alias("c"),
+    )
+    return (
+        bitrows.groupBy("doc_id", "j")
+        .agg(F.sum("c").alias("s"))
+        .withColumn("bit", F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "bit"))),
+                    lambda st: st["bit"],
+                ),
+                "",
+            ).alias("simhash")
+        )
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit band collision + Hamming filter."""
+    sh = _simhashes(spark, sf_dir)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "chunk",
+        F.expr("substr(simhash, chunk * 16 + 1, 16)").alias("band"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.expr(
+                "size(filter(sequence(1, 64), "
+                "i -> substr(sim_a, i, 1) != substr(sim_b, i, 1)))"
+            ),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ------------------------------------------------------------- ngram jaccard
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard over 3-gram shingle sets for the MinHash candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    shd = (
+        docs.select("doc_id", F.explode(shingles(F.col("text"), SHINGLE_N)).alias("sh"))
+        .distinct()
+    )
+    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pairs = _band_pairs(_signatures(spark, sf_dir)).persist()
+    sa = shd.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = shd.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("sh_b"))
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- embeddings
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vector pairs: cosine ≥ threshold (exact, all pairs).
+
+    Exact-by-design so the oracle is exact; the sublinear path for the same
+    semantics at 100 TB is ``similarity.ann_lsh`` (bucketed candidates).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("e")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("e_a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("e_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos", F.round(cosine_similarity(F.col("e_a"), F.col("e_b")), 6)
+        )
+        .filter(F.col("cos") >= EMBED_COS_MIN)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
+# ------------------------------------------------------------------- oracles
+
+_TOK = sql_tokens("text")
+_SH = sql_shingles("toks", SHINGLE_N)
+_MINHASH_CTES = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK} AS toks FROM documents
+), shing AS (
+  SELECT doc_id, {_SH} AS sh FROM toks
+), shing2 AS (
+  SELECT doc_id, sh FROM shing WHERE len(sh) > 0
+), sigs AS (
+  SELECT doc_id, {sql_minhash_signature('sh', NUM_PERM)} AS sig FROM shing2
+), bands AS (
+  SELECT doc_id, t.b AS band_idx,
+         md5(CAST(t.b AS VARCHAR) || '|' ||
+             array_to_string(sig[t.b*{ROWS_PER_BAND}+1 : t.b*{ROWS_PER_BAND}+{ROWS_PER_BAND}], ',')) AS band_hash
+  FROM sigs CROSS JOIN (SELECT unnest(range(0, {N_BANDS})) AS b) t
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+"""
+
+_SIMHASH_CTES = f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, unnest({_TOK}) AS word FROM documents
+), wb AS (
+  SELECT doc_id,
+         array_to_string(list_transform(range(1, 33), i ->
+           substr('{_BIN4}', (instr('{_HEX}', substr(md5(word), i, 1)) - 1) * 4 + 1, 4)), '') AS bits64
+  FROM words
+), bitrows AS (
+  SELECT doc_id, t.j AS j,
+         CASE WHEN substr(bits64, t.j + 1, 1) = '1' THEN 1 ELSE -1 END AS c
+  FROM wb CROSS JOIN (SELECT unnest(range(0, 64)) AS j) t
+), docbits AS (
+  SELECT doc_id, j, CASE WHEN sum(c) > 0 THEN '1' ELSE '0' END AS bit
+  FROM bitrows GROUP BY doc_id, j
+), simhashes AS (
+  SELECT doc_id, string_agg(bit, '' ORDER BY j) AS simhash
+  FROM docbits GROUP BY doc_id
+), sbands AS (
+  SELECT doc_id, simhash, t.c AS chunk, substr(simhash, t.c * 16 + 1, 16) AS band
+  FROM simhashes CROSS JOIN (SELECT unnest(range(0, 4)) AS c) t
+), spairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM sbands a JOIN sbands b
+    ON a.chunk = b.chunk AND a.band = b.band AND a.doc_id < b.doc_id
+)
+"""
+
+ORACLES: dict[str, str] = {
+    "dedup_exact": """
+    SELECT md5(text) AS digest,
+           min(doc_id) AS keeper,
+           count(*) AS n_docs,
+           array_to_string(list_transform(list_sort(list(doc_id)),
+                                          d -> CAST(d AS VARCHAR)), ',') AS doc_ids
+    FROM documents GROUP BY md5(text)
+    """,
+    "dedup_minhash": _MINHASH_CTES
+    + f"""
+    SELECT p.doc_a, p.doc_b,
+           CAST(len(list_filter(range(1, {NUM_PERM + 1}),
+                i -> sa.sig[i] = sb.sig[i])) AS INTEGER) AS n_match
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.doc_a
+    JOIN sigs sb ON sb.doc_id = p.doc_b
+    """,
+    "dedup_simhash": _SIMHASH_CTES
+    + f"""
+    SELECT doc_a, doc_b,
+           CAST(len(list_filter(range(1, 65),
+                i -> substr(sim_a, CAST(i AS INTEGER), 1) <> substr(sim_b, CAST(i AS INTEGER), 1))) AS INTEGER) AS hamming
+    FROM spairs
+    WHERE len(list_filter(range(1, 65),
+          i -> substr(sim_a, CAST(i AS INTEGER), 1) <> substr(sim_b, CAST(i AS INTEGER), 1))) <= {SIMHASH_HAMMING_MAX}
+    """,
+    "dedup_ngram_jaccard": _MINHASH_CTES
+    + """
+    , shd AS (
+      SELECT DISTINCT doc_id, unnest(sh) AS sh1 FROM shing2
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id
+    ), inter AS (
+      SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+      FROM pairs p
+      JOIN shd a ON a.doc_id = p.doc_a
+      JOIN shd b ON b.doc_id = p.doc_b AND b.sh1 = a.sh1
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(COALESCE(i.n_inter, 0) / (na.n_sh + nb.n_sh - COALESCE(i.n_inter, 0)), 6) AS jaccard
+    FROM pairs p
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    JOIN sizes na ON na.doc_id = p.doc_a
+    JOIN sizes nb ON nb.doc_id = p.doc_b
+    """,
+    "dedup_embedding": f"""
+    WITH e AS (
+      SELECT vec_id, {sql_double_array('embedding')} AS ed FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({sql_cosine('a.ed', 'b.ed')}, 6) AS cos
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id
+      AND round({sql_cosine('a.ed', 'b.ed')}, 6) >= {EMBED_COS_MIN}
+    """,
+}

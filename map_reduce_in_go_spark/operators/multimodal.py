@@ -1,0 +1,126 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Pattern for image/audio/video at 100 TB: store the raw bytes as a ``binary``
+column (or a pointer + byte-range into an object store), keep typed metadata
+columns alongside, and run decode/feature kernels as Arrow-batched Python
+(``mapInPandas``) — one Python invocation per batch, zero-copy via Arrow.
+
+The decode libraries (PIL/ffmpeg/etc.) are not in this container, so
+:func:`decode_image_stub` is a clearly-marked deterministic fake behind an
+import-try; the Spark-side plumbing (schema, batching, partitioning) is real
+and tested. ``multimodal_meta`` routes the documents corpus through the
+binary path end-to-end and emits SQL-checkable metadata, so the oracle gate
+covers the plumbing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+META_SCHEMA = (
+    "doc_id long, n_bytes long, digest string, fake_width long, fake_height long"
+)
+FEATURE_DIM = 8
+FEATURE_SCHEMA = f"doc_id long, n_bytes long, features array<double>"
+
+
+def decode_image_stub(payload: bytes) -> dict:
+    """Deterministic stand-in for an image decoder.
+
+    Real deployments replace this body with e.g. PIL decode + resize; the
+    call signature and the Arrow batch shape around it do not change.
+    """
+    try:
+        import PIL.Image  # noqa: F401  # pragma: no cover
+
+        raise NotImplementedError(
+            "real decode path not wired in this container build"
+        )
+    except ImportError:
+        pass
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "fake_width": n % 640 + 64,
+        "fake_height": (n * 7) % 480 + 64,
+    }
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """Attach a binary payload column (UTF-8 bytes of the text stand in for
+    an encoded image)."""
+    return docs.withColumn("payload", F.encode(F.col("text"), "UTF-8"))
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: payload → mapInPandas decode-stub → metadata."""
+    docs = with_payload(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "payload"
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                meta = decode_image_stub(payload)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_bytes": meta["n_bytes"],
+                        "digest": hashlib.md5(payload).hexdigest(),
+                        "fake_width": meta["fake_width"],
+                        "fake_height": meta["fake_height"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_bytes", "digest", "fake_width", "fake_height"],
+            )
+
+    return docs.mapInPandas(_extract, schema=META_SCHEMA)
+
+
+def extract_features(docs_with_payload: DataFrame) -> DataFrame:
+    """Feature-extraction plumbing: payload → fixed-dim double vector.
+
+    Deterministic fake features (byte histogram moments); the Arrow batch
+    shape is exactly what a real embedding model would use.
+    """
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                feats = [
+                    float(sum(payload[i::FEATURE_DIM]) % 1000)
+                    for i in range(FEATURE_DIM)
+                ]
+                out.append(
+                    {"doc_id": int(doc_id), "n_bytes": len(payload), "features": feats}
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "n_bytes", "features"])
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        _feat, schema=FEATURE_SCHEMA
+    )
+
+
+ORACLES: dict[str, str] = {
+    "multimodal_meta": """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest,
+           CAST(octet_length(encode(text)) % 640 + 64 AS BIGINT) AS fake_width,
+           CAST((octet_length(encode(text)) * 7) % 480 + 64 AS BIGINT) AS fake_height
+    FROM documents
+    """,
+}

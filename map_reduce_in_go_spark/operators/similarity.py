@@ -1,0 +1,183 @@
+"""Similarity search over the ``embeddings`` table (64-dim array<float>).
+
+- ``ann_bruteforce``  exact cosine top-k for a query subset. The query side
+  is tiny and broadcast, so the plan is scan×broadcast → local top-k per
+  partition → global top-k: no shuffle of the corpus. This is the
+  correctness baseline.
+- ``ann_lsh``         random-hyperplane LSH (16 bits, deterministic seed):
+  corpus and queries are bucketed by sign pattern, candidates come from an
+  equality join on the bucket key. This is the 100 TB path: the corpus is
+  hash-partitioned by bucket, each query touches one bucket.
+- ``vector_norms``    basic vector hygiene ops (dim, L2, sum) — pure codegen.
+
+All vector math is Catalyst expressions on double arrays (see
+``functions/vectors.py``); no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import (
+    cosine_similarity,
+    l2_norm,
+    sql_cosine,
+    sql_double_array,
+    sql_l2_norm,
+    to_double_array,
+)
+from ..sources.tables import load_table
+
+TOP_K = 10
+QUERY_MOD = 100  # vec_id % 100 == 0 → the query subset
+# Multi-table LSH: L tables × B sign bits. B controls bucket granularity
+# (2^6 = 64 buckets per table), L controls recall (union of candidates).
+LSH_TABLES = 4
+LSH_BITS = 6
+PLANE_SEED = 42
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("e"), "label"
+    )
+
+
+def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector."""
+    vecs = _vectors(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = (
+        vecs.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine_similarity(F.col("qe"), F.col("e")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos", "rank")
+    )
+
+
+def _hyperplanes() -> list[list[float]]:
+    rng = np.random.RandomState(PLANE_SEED)
+    return rng.randn(LSH_TABLES * LSH_BITS, 64).tolist()
+
+
+def _sign_bit(col: Column, plane: list[float]) -> Column:
+    return F.when(
+        F.aggregate(
+            F.zip_with(
+                col,
+                F.array(*[F.lit(float(v)) for v in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        >= 0,
+        F.lit("1"),
+    ).otherwise(F.lit("0"))
+
+
+def _with_buckets(vecs: DataFrame) -> DataFrame:
+    """Explode each vector into (tbl, bucket) rows, one per LSH table."""
+    planes = _hyperplanes()
+    buckets = [
+        F.concat(
+            *[_sign_bit(F.col("e"), planes[t * LSH_BITS + b]) for b in range(LSH_BITS)]
+        )
+        for t in range(LSH_TABLES)
+    ]
+    tb = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(t).alias("tbl"), buckets[t].alias("bucket"))
+                for t in range(LSH_TABLES)
+            ]
+        )
+    ).alias("tb")
+    return vecs.select("vec_id", "e", tb).select(
+        "vec_id", "e", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH ANN: candidates share a (table, sign-bucket) cell.
+
+    The 100 TB plan: corpus hash-partitioned by (tbl, bucket); each query
+    touches L buckets; candidates deduped then scored; local top-k per
+    partition then global top-k. Recall is partial by design (ANN) — the
+    driver records a rows-only check; tests assert determinism and that
+    reported neighbors carry true cosine scores.
+    """
+    vt = _with_buckets(_vectors(spark, sf_dir))
+    queries = vt.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("tbl").alias("qtbl"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cands = (
+        vt.join(
+            F.broadcast(queries),
+            (F.col("tbl") == F.col("qtbl"))
+            & (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "qe", "vec_id", "e")
+        .distinct()  # a pair can collide in several tables
+        .withColumn("cos", F.round(cosine_similarity(F.col("qe"), F.col("e")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos", "rank")
+    )
+
+
+def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vectors(spark, sf_dir)
+    return vecs.select(
+        "vec_id",
+        "label",
+        F.size("e").alias("dim"),
+        F.round(l2_norm(F.col("e")), 6).alias("l2"),
+        F.round(
+            F.aggregate(F.col("e"), F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("vsum"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "ann_bruteforce": f"""
+    WITH e AS (
+      SELECT vec_id, {sql_double_array('embedding')} AS ed FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, ed AS qe FROM e WHERE vec_id % {QUERY_MOD} = 0
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round({sql_cosine('q.qe', 'e.ed')}, 6) AS cos
+      FROM q JOIN e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= {TOP_K}
+    """,
+    "vector_norms": f"""
+    WITH e AS (
+      SELECT vec_id, label, {sql_double_array('embedding')} AS ed FROM embeddings
+    )
+    SELECT vec_id, label, CAST(len(ed) AS INTEGER) AS dim,
+           round({sql_l2_norm('ed')}, 6) AS l2,
+           round(list_sum(ed), 6) AS vsum
+    FROM e
+    """,
+}

@@ -1,0 +1,212 @@
+"""Text-analysis operators for training-data pipelines.
+
+All four are pure Catalyst column plans over ``documents`` — no Python, no
+shuffle except the final (tiny) aggregations. Formulas are written so the
+DuckDB oracles compute bit-identical doubles: ratios are exact int/int
+divisions, every emitted float is rounded, and any constant that multiplies
+a ratio appears with a DOUBLE operand on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import sql_tokens, tokens
+from ..sources.tables import load_table
+
+# Tiny per-language stopword lists for the n-gram/stopword langid heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "den"],
+    "es": ["el", "los", "las", "y", "es", "un", "una", "por", "como", "pero"],
+    "fr": ["le", "les", "des", "et", "est", "dans", "que", "pour", "sur", "avec"],
+}
+LANG_ORDER = ["en", "de", "es", "fr"]
+
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+PUNCT_RE = "[.,!?;:]"
+
+
+def _sql_list(words: list[str]) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def _score_expr(lang: str) -> str:
+    """share of tokens that are <lang> stopwords, as an exact int/int divide."""
+    return (
+        f"size(filter(toks, t -> t in {_sql_list(STOPWORDS[lang])})) / size(toks)"
+    )
+
+
+def _toks(col: str = "text") -> Column:
+    return tokens(F.col(col))
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predict language by max stopword-hit ratio (deterministic tiebreak)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
+    docs = docs.filter(F.size("toks") > 0)
+    for lang in LANG_ORDER:
+        docs = docs.withColumn(f"score_{lang}", F.expr(_score_expr(lang)))
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_ORDER])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_ORDER:  # first max wins — same order as the SQL CASE
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return docs.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        F.round(best, 6).alias("score"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score from length/punctuation/stopword/uniq ratios."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
+    docs = docs.filter(F.size("toks") > 0)
+    n_tokens = F.size("toks")
+    n_chars = F.length("text")
+    punct = n_chars - F.length(F.regexp_replace(F.col("text"), PUNCT_RE, ""))
+    stop_ratio = F.expr(_score_expr("en"))
+    uniq_ratio = F.size(F.array_distinct("toks")) / n_tokens
+    punct_ratio = punct / n_chars
+    len_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    score = F.round(
+        len_score * 0.4 + uniq_ratio * 0.3 + (F.lit(1.0) - punct_ratio) * 0.3, 6
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        score.alias("quality"),
+    )
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens vs BPE-ish regex tokens vs chars, per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_toks()).alias("ws_tokens"),
+        # NB: built with the PySpark API, not F.expr — Spark SQL string
+        # literals would eat the \s backslash in the pattern.
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), F.lit(0))).alias(
+            "bpe_tokens"
+        ),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprints: min shingle-md5 per 4-shingle window.
+
+    Classic local document fingerprinting (Schleimer et al., MOSS): the set
+    of windowed minima is position-robust; we emit its size and overall min
+    per doc as a stable summary.
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 2, 1)), "
+                "i -> md5(array_join(slice(toks, i, 3), ' ')))"
+            )
+        ).alias("pos", "h"),
+    ).filter(F.expr("size(toks) >= 3"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, 3)
+    )
+    fp = sh.withColumn("winmin", F.min("h").over(w))
+    return fp.groupBy("doc_id").agg(
+        F.countDistinct("winmin").alias("n_fp"),
+        F.min("winmin").alias("min_fp"),
+    )
+
+
+_TOK = sql_tokens("text")
+
+
+def _sql_score(lang: str) -> str:
+    return (
+        f"len(list_filter(toks, t -> t in {_sql_list(STOPWORDS[lang])})) / len(toks)"
+    )
+
+
+_LANG_CASE = (
+    "CASE WHEN " + " <= 0 AND ".join(f"score_{lang}" for lang in LANG_ORDER) + " <= 0 THEN 'und' "
+    + " ".join(
+        f"WHEN score_{lang} = greatest(score_en, score_de, score_es, score_fr) THEN '{lang}'"
+        for lang in LANG_ORDER
+    )
+    + " END"
+)
+
+ORACLES: dict[str, str] = {
+    "text_langid": f"""
+    WITH t AS (
+      SELECT doc_id, {_TOK} AS toks FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             {_sql_score('en')} AS score_en,
+             {_sql_score('de')} AS score_de,
+             {_sql_score('es')} AS score_es,
+             {_sql_score('fr')} AS score_fr
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, {_LANG_CASE} AS pred_lang,
+           round(greatest(score_en, score_de, score_es, score_fr), 6) AS score
+    FROM scored
+    """,
+    "text_quality": f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOK} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             {_sql_score('en')} AS stop_ratio,
+             len(list_distinct(toks)) / len(toks) AS uniq_ratio,
+             (length(text) - length(regexp_replace(text, '{PUNCT_RE}', '', 'g')))
+               / length(text) AS punct_ratio
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           round(stop_ratio, 6) AS stopword_ratio,
+           round(uniq_ratio, 6) AS uniq_ratio,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                 + uniq_ratio * 0.3 + (1.0 - punct_ratio) * 0.3, 6) AS quality
+    FROM m
+    """,
+    "token_count": f"""
+    SELECT doc_id,
+           CAST(len({_TOK}) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_RE}', 0)) AS INTEGER) AS bpe_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_actual
+    FROM documents
+    """,
+    "doc_fingerprint": f"""
+    WITH t AS (
+      SELECT doc_id, {_TOK} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, t2.i - 1 AS pos,
+             md5(array_to_string(toks[t2.i : t2.i + 2], ' ')) AS h
+      FROM t CROSS JOIN (SELECT unnest(range(1, 2000)) AS i) t2
+      WHERE t2.i <= len(toks) - 2 AND len(toks) >= 3
+    ), fp AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS winmin
+      FROM sh
+    )
+    SELECT doc_id, count(DISTINCT winmin) AS n_fp, min(winmin) AS min_fp
+    FROM fp GROUP BY doc_id
+    """,
+}

@@ -1,0 +1,148 @@
+"""Core MapReduce-parity operators over the ``documents`` corpus.
+
+These re-express the reference's application surface (WordCount —
+map_reduce/wordcount.go — plus the classic MapReduce companions: distributed
+grep, inverted index, top-k) as native DataFrame plans:
+
+- tokenize = ``split`` + ``transform`` + ``filter`` (whole-stage codegen)
+- count    = ``groupBy().count()`` → map-side partial aggregation, one
+  shuffle keyed by word. At 100 TB word keys are near-uniform (Zipf head is
+  handled by partial agg: each task pre-counts its own "the"s), so no salting
+  is needed — AQE coalesces the tail.
+
+Each public function is a ``queries()`` entry; ``ORACLES`` holds the DuckDB
+equivalent run by the driver's correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..engine import WordCountMapper, WordCountReducer, run_mapreduce
+from ..functions.text import sql_tokens, tokens
+from ..sources.tables import load_table
+
+
+def _doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("word")
+    )
+
+
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference flagship: word → count over the whole corpus."""
+    return (
+        _doc_words(spark, sf_dir)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def wordcount_topk(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
+    """Top-k words (count desc, word asc) — deterministic boundary."""
+    return (
+        wordcount(spark, sf_dir)
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(k)
+    )
+
+
+def distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct token count per source (distinct = one more shuffle; at scale
+    prefer approx_count_distinct — exact kept here for the oracle)."""
+    return (
+        _doc_words(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.countDistinct("word").alias("n_distinct"))
+    )
+
+
+def grep_count(spark: SparkSession, sf_dir: str, pattern: str = "spark") -> DataFrame:
+    """Distributed grep: docs matching a regex, counted per source.
+
+    The filter is a pushed-down-friendly predicate over the scan; classic
+    MapReduce example #2 from the original paper.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").rlike(pattern))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word → sorted doc_id list (classic MapReduce example #3).
+
+    Emitted as a comma-joined string so the oracle compare is
+    representation-stable across engines.
+    """
+    return (
+        _doc_words(spark, sf_dir)
+        .groupBy("word")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_set("doc_id")), lambda d: d.cast("string")
+                ),
+                ",",
+            ).alias("doc_ids"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+def mapreduce_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordCount through the *generic* Arrow Mapper/Reducer path.
+
+    Proves reference users can run unmodified map/reduce logic: the
+    documents table stands in for the file corpus (doc_id → filename).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("filename"),
+        F.col("text").alias("contents"),
+    )
+    out = run_mapreduce(docs, WordCountMapper(), WordCountReducer())
+    return out.select(F.col("key").alias("word"), F.col("value").alias("cnt_str"))
+
+
+_TOK = sql_tokens("text")
+
+_WORDS_CTE = f"""
+WITH words AS (
+  SELECT doc_id, source, unnest({_TOK}) AS word
+  FROM documents
+)
+"""
+
+ORACLES: dict[str, str] = {
+    "wordcount": _WORDS_CTE
+    + "SELECT word, count(*) AS cnt FROM words GROUP BY word",
+    "wordcount_topk": _WORDS_CTE
+    + """
+    SELECT word, count(*) AS cnt FROM words GROUP BY word
+    ORDER BY cnt DESC, word ASC LIMIT 100
+    """,
+    "distinct_words": _WORDS_CTE
+    + "SELECT source, count(DISTINCT word) AS n_distinct FROM words GROUP BY source",
+    "grep_count": """
+    SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE regexp_matches(text, 'spark')
+    GROUP BY source
+    """,
+    "inverted_index": _WORDS_CTE
+    + """
+    SELECT word,
+           array_to_string(list_transform(list_sort(list(DISTINCT doc_id)),
+                                          d -> CAST(d AS VARCHAR)), ',') AS doc_ids,
+           count(DISTINCT doc_id) AS n_docs
+    FROM words GROUP BY word
+    """,
+    "mapreduce_generic": _WORDS_CTE
+    + "SELECT word, CAST(count(*) AS VARCHAR) AS cnt_str FROM words GROUP BY word",
+}

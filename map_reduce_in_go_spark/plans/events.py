@@ -1,0 +1,166 @@
+"""Event-stream analytics (batch form; streaming twins live in
+``streaming/events.py``).
+
+Determinism notes:
+- orderings always break ties on ``event_id`` (unique);
+- durations are integer microseconds (``unix_micros``) — no float time math;
+- running sums are rounded after accumulation in a fixed frame order.
+
+Scale: all four plans shuffle once on ``user_id`` (or the window key); at
+100 TB the events table would be date-partitioned so window queries prune,
+and the sessionize/funnel shuffles are the classic "fits because it's
+per-user state" shape (max per-user event counts are bounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregates per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            # formatted string, not timestamp: keeps the compared dtype
+            # identical across Spark(us) and DuckDB(ns→us) readers
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization via window functions, session stats."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    with_flag = ev.withColumn("us", F.col("ts_us")).withColumn(
+        "is_new",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    with_session = with_flag.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return (
+        with_session.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max("us") - F.min("us")).alias("duration_us"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel (strictly ordered per user)."""
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    return (
+        views.agg(F.count("*").alias("n_view"))
+        .crossJoin(clicks.agg(F.count("*").alias("n_click")))
+        .crossJoin(purchases.agg(F.count("*").alias("n_purchase")))
+    )
+
+
+def events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running value sum + sequence number (cumulative window)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seq_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+        F.row_number().over(seq_w).alias("seq"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "events_windowed": """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+    "events_sessionize": """
+    WITH flagged AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           max(us) - min(us) AS duration_us,
+           round(sum(value), 2) AS sum_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+    "events_funnel": """
+    WITH v AS (
+      SELECT user_id, min(ts) AS vt FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS ct
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.vt
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS pt
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.ct
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click,
+           (SELECT count(*) FROM p) AS n_purchase
+    """,
+    "events_running": """
+    SELECT event_id, user_id, event_type,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING), 2) AS running_value,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS INTEGER) AS seq
+    FROM events
+    """,
+}

@@ -1,0 +1,101 @@
+"""Central registry: query name → (spark, sf_dir) callable, and DuckDB oracle.
+
+``__spark_entry__.py`` (the driver contract) is a thin shim over this.
+Every operator module contributes its public queries plus an ``ORACLES``
+dict; keys must match SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(module, names: list[str]) -> None:
+    for n in names:
+        _QUERIES[n] = getattr(module, n)
+    for k, v in getattr(module, "ORACLES", {}).items():
+        _ORACLES[k] = v
+
+
+def _build() -> None:
+    if _QUERIES:
+        return
+    from .operators import wordcount as _wc
+
+    _register(_wc, [
+        "wordcount",
+        "wordcount_topk",
+        "distinct_words",
+        "grep_count",
+        "inverted_index",
+        "mapreduce_generic",
+    ])
+
+    from .plans import tpch as _tpch
+
+    _register(_tpch, [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q4_order_priority",
+        "q5_local_supplier",
+        "q6_forecast_revenue",
+        "q10_returned_items",
+        "top_customers",
+    ])
+
+    from .plans import events as _events
+
+    _register(_events, [
+        "events_windowed",
+        "events_sessionize",
+        "events_funnel",
+        "events_running",
+    ])
+
+    from .operators import dedup as _dedup
+
+    _register(_dedup, [
+        "dedup_exact",
+        "dedup_minhash",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "dedup_embedding",
+    ])
+
+    from .operators import similarity as _sim
+
+    _register(_sim, [
+        "ann_bruteforce",
+        "ann_lsh",
+        "vector_norms",
+    ])
+
+    from .operators import text_analysis as _ta
+
+    _register(_ta, [
+        "text_langid",
+        "text_quality",
+        "token_count",
+        "doc_fingerprint",
+    ])
+
+    from .operators import multimodal as _mm
+
+    _register(_mm, ["multimodal_meta"])
+
+
+def queries() -> dict[str, QueryFn]:
+    _build()
+    return dict(_QUERIES)
+
+
+def oracles() -> dict[str, str]:
+    _build()
+    return dict(_ORACLES)

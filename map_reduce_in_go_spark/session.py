@@ -1,0 +1,72 @@
+"""SparkSession factory.
+
+The reference implements its own fault tolerance (retry with maxAttempts=3 —
+distributed/task.go:11, heartbeats — distributed/worker.go:247, straggler
+replication at 1.5x the average task time — distributed/task.go:13,264).
+Spark ships all of that; we only set the knobs so the behavior matches:
+
+- ``spark.task.maxFailures=3``            <-> maxAttempts = 3
+- ``spark.speculation=true, multiplier=1.5`` <-> straggler replication @ 1.5x
+- executor heartbeats are built in         <-> worker heartbeat loop
+
+Scale posture (100 TB / 1000 executors): AQE on (partition coalescing + skew
+join splitting), Arrow for every Python exchange, broadcast threshold sized
+for dimension tables, shuffle partitions overridable per deployment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "map-reduce-in-go-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local SparkSession tuned for this engine.
+
+    On a real cluster the same configs apply; only ``master`` changes.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.task.maxFailures", "3")
+        .config("spark.speculation.multiplier", "1.5")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune_runtime(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable configs to an externally provided session.
+
+    The driver passes us its own SparkSession in ``__spark_entry__``; these
+    are the settings that matter for determinism and Arrow transfer and are
+    safe to set post-launch.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark

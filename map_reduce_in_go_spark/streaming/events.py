@@ -1,0 +1,126 @@
+"""Structured Streaming twins of the batch event analytics.
+
+The reference is batch-only; this is the "streams" half of the north star.
+Patterns shown (all file-source driven so tests run hermetically):
+
+- :func:`windowed_counts` — tumbling event-time window + watermark for late
+  data. At scale: state store is keyed by (window, event_type); watermark
+  bounds state size.
+- :func:`sessionize_stateful` — custom per-user session state via
+  ``applyInPandasWithState`` (the Spark-native form of a custom stateful
+  MapReduce reducer with timeout semantics).
+
+Streaming sources use the same schema as the batch ``events`` table; any
+parquet/json drop directory works as input. Outputs go to the ``memory``
+sink in tests; in production they'd be a Delta/Kafka/parquet sink with
+checkpointing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = StructType(
+    [StructField("n_events", LongType()), StructField("sum_value", DoubleType())]
+)
+
+
+def read_event_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream with the canonical event schema (json drops)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .json(input_dir)
+    )
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling window counts with a late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_stateful(events: DataFrame) -> DataFrame:
+    """Running per-user totals via explicit group state (+30 min idle timeout).
+
+    The stateful analog of a custom Reducer: state lives per key, updates
+    per micro-batch, emits the running aggregate.
+    """
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        state.setTimeoutDuration(30 * 60 * 1000)
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "sum_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, timeout_sec: float = 60.0):
+    """Start a memory-sink query and block until the source is drained."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q

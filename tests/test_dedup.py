@@ -1,0 +1,77 @@
+"""Dedup invariants beyond the oracle gate (which checks exact equality)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from map_reduce_in_go_spark.operators import dedup
+
+
+def test_exact_dedup_groups_identical_texts(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="same text"),
+            Row(doc_id=2, text="same text"),
+            Row(doc_id=3, text="other"),
+        ]
+    )
+    docs.createOrReplaceTempView("_tmp")
+    out = (
+        docs.groupBy(F.md5("text").alias("digest"))
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n"))
+        .collect()
+    )
+    by_n = sorted((r["n"], r["keeper"]) for r in out)
+    assert by_n == [(1, 3), (2, 1)]
+
+
+def test_minhash_identical_docs_collide(spark, sf_dir):
+    """Two identical shingle sets must produce identical signatures and be
+    paired by every band."""
+    from map_reduce_in_go_spark.functions.hashing import minhash_signature
+    from map_reduce_in_go_spark.functions.text import shingles
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=2, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=3, text="one two three four five six"),
+        ]
+    )
+    sigs = df.select(
+        "doc_id", minhash_signature(shingles(F.col("text")), 32).alias("sig")
+    ).collect()
+    by_id = {r["doc_id"]: r["sig"] for r in sigs}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+    for v in by_id.values():
+        assert len(v) == 32 and all(len(h) == 32 for h in v)
+
+
+def test_minhash_pairs_symmetric_bounds(spark, sf_dir):
+    pairs = dedup.dedup_minhash(spark, sf_dir).collect()
+    for r in pairs:
+        assert r["doc_a"] < r["doc_b"]
+        assert 1 <= r["n_match"] <= 32
+
+
+def test_simhash_hamming_bounds(spark, sf_dir):
+    out = dedup.dedup_simhash(spark, sf_dir).collect()
+    for r in out:
+        assert 0 <= r["hamming"] <= dedup.SIMHASH_HAMMING_MAX
+        assert r["doc_a"] < r["doc_b"]
+
+
+def test_ngram_jaccard_range(spark, sf_dir):
+    out = dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
+    assert out, "LSH candidates expected on this corpus"
+    for r in out:
+        assert 0.0 <= r["jaccard"] <= 1.0
+
+
+def test_embedding_pairs_above_threshold(spark, sf_dir):
+    out = dedup.dedup_embedding(spark, sf_dir).collect()
+    for r in out:
+        assert r["cos"] >= dedup.EMBED_COS_MIN
+        assert r["vec_a"] < r["vec_b"]

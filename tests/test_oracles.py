@@ -1,0 +1,44 @@
+"""Every SQL-oracle query cross-checked against DuckDB at sf0.001 —
+the same compare the driver runs at sf0.01."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from tools.check_correctness import TABLES, compare
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    yield c
+    c.close()
+
+
+ALL_KEYS = sorted(entry_mod.oracle_sql())
+
+
+@pytest.mark.parametrize("key", ALL_KEYS)
+def test_oracle_match(spark, sf_dir, con, key):
+    sdf = entry_mod.queries()[key](spark, sf_dir).toPandas()
+    odf = con.execute(entry_mod.oracle_sql()[key]).df()
+    problems = compare(key, sdf, odf)
+    assert not problems, problems
+
+
+def test_every_query_has_oracle_or_is_declared():
+    qs = set(entry_mod.queries())
+    oracles = set(entry_mod.oracle_sql())
+    rows_only = {"ann_lsh"}  # ANN: recall is approximate by design
+    assert oracles <= qs
+    assert qs - oracles == rows_only
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["word", "cnt"]

@@ -1,0 +1,69 @@
+"""Physical-plan assertions: the optimizations we promise actually appear.
+
+These guard the 100 TB design claims: filters reach the parquet scan,
+dimension joins broadcast, wordcount partial-aggregates before its shuffle.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from map_reduce_in_go_spark.operators.wordcount import wordcount
+from map_reduce_in_go_spark.plans.tpch import (
+    q1_pricing_summary,
+    q5_local_supplier,
+    q6_forecast_revenue,
+)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_filter_pushdown(spark, sf_dir):
+    plan = _plan(q6_forecast_revenue(spark, sf_dir))
+    assert "PushedFilters:" in plan
+    # shipdate range + discount + quantity predicates reach the scan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].splitlines()[0]
+
+
+def test_q6_column_pruning(spark, sf_dir):
+    plan = _plan(q6_forecast_revenue(spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # only the 4 needed columns are read, not all 11
+    assert "l_extendedprice" in read_schema and "l_returnflag" not in read_schema
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(q5_local_supplier(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    plan = _plan(q1_pricing_summary(spark, sf_dir))
+    assert "HashAggregate" in plan
+    # partial agg before the exchange: two HashAggregate nodes
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_wordcount_stays_jvm_side(spark, sf_dir):
+    # no Python eval nodes: tokenization must be pure Catalyst expressions
+    plan = _plan(wordcount(spark, sf_dir))
+    assert "HashAggregate" in plan and "Exchange" in plan
+    assert "BatchScan" in plan or "Scan parquet" in plan
+    assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
+
+
+def test_wordcount_wholestage_codegen(spark, sf_dir):
+    # WholeStageCodegen only shows on the executed plan under AQE; collect
+    # this exact DataFrame so its own QueryExecution is the one finalized
+    df = wordcount(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # "*(n)" prefixes mark WholeStageCodegen stages in the final AQE plan
+    assert "== Final Plan ==" in executed
+    assert "*(" in executed

@@ -1,0 +1,64 @@
+from __future__ import annotations
+
+import math
+
+from map_reduce_in_go_spark.operators import similarity
+
+
+def test_bruteforce_topk_shape(spark, sf_dir):
+    out = similarity.ann_bruteforce(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert by_q, "query subset must be non-empty"
+    for q, rows in by_q.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        cs = [r["cos"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert cs == sorted(cs, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rows)
+
+
+def test_bruteforce_matches_numpy(spark, sf_dir):
+    """Exact top-1 agrees with a NumPy reference computation."""
+    import numpy as np
+
+    from map_reduce_in_go_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb}
+    out = similarity.ann_bruteforce(spark, sf_dir).filter("rank = 1").collect()
+    for r in out:
+        q = vecs[r["query_id"]]
+        best_id, best_cos = None, -2.0
+        for vid, v in vecs.items():
+            if vid == r["query_id"]:
+                continue
+            c = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+            c = round(c, 6)
+            if c > best_cos or (c == best_cos and vid < best_id):
+                best_id, best_cos = vid, c
+        assert r["neighbor_id"] == best_id
+        assert math.isclose(r["cos"], best_cos, abs_tol=1e-6)
+
+
+def test_lsh_neighbors_are_true_cosines(spark, sf_dir):
+    """Every LSH-reported neighbor must carry its true (rounded) cosine."""
+    import numpy as np
+
+    from map_reduce_in_go_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb}
+    out = similarity.ann_lsh(spark, sf_dir).collect()
+    assert out, "multi-table LSH should yield candidates on this corpus"
+    for r in out:
+        q, v = vecs[r["query_id"]], vecs[r["neighbor_id"]]
+        c = round(float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))), 6)
+        assert math.isclose(r["cos"], c, abs_tol=2e-6)
+
+
+def test_lsh_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, similarity.ann_lsh(spark, sf_dir).collect()))
+    b = sorted(map(tuple, similarity.ann_lsh(spark, sf_dir).collect()))
+    assert a == b

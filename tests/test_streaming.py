@@ -1,0 +1,66 @@
+"""Structured Streaming: windowed counts w/ watermark + stateful sessionize.
+
+Hermetic: events are dumped to a temp json drop-dir, the stream reads with
+availableNow and lands in a memory sink.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from map_reduce_in_go_spark.streaming.events import (
+    read_event_stream,
+    run_to_memory,
+    sessionize_stateful,
+    windowed_counts,
+)
+
+EVENTS = [
+    {"event_id": 1, "ts": "2024-01-01T00:05:00.000Z", "user_id": 1, "event_type": "view", "value": 1.0, "props": "{}"},
+    {"event_id": 2, "ts": "2024-01-01T00:15:00.000Z", "user_id": 1, "event_type": "view", "value": 2.0, "props": "{}"},
+    {"event_id": 3, "ts": "2024-01-01T01:05:00.000Z", "user_id": 2, "event_type": "click", "value": 3.0, "props": "{}"},
+    {"event_id": 4, "ts": "2024-01-01T01:10:00.000Z", "user_id": 1, "event_type": "view", "value": 4.0, "props": "{}"},
+]
+
+
+@pytest.fixture
+def drop_dir(tmp_path):
+    p = tmp_path / "drops"
+    p.mkdir()
+    for i, ev in enumerate(EVENTS):
+        (p / f"part-{i}.json").write_text(json.dumps(ev) + "\n")
+    return str(p)
+
+
+def test_windowed_counts_stream(spark, drop_dir):
+    stream = read_event_stream(spark, drop_dir)
+    assert stream.isStreaming
+    q = run_to_memory(windowed_counts(stream), "win_test")
+    try:
+        rows = spark.sql(
+            "SELECT window_start, event_type, n_events, sum_value "
+            "FROM win_test ORDER BY window_start, event_type"
+        ).collect()
+        got = {(str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"]) for r in rows}
+        assert got[("2024-01-01 00:00:00", "view")] == (2, 3.0)
+        assert got[("2024-01-01 01:00:00", "view")] == (1, 4.0)
+        assert got[("2024-01-01 01:00:00", "click")] == (1, 3.0)
+    finally:
+        q.stop()
+
+
+def test_stateful_sessionize_stream(spark, drop_dir):
+    stream = read_event_stream(spark, drop_dir)
+    q = run_to_memory(sessionize_stateful(stream), "sess_test")
+    try:
+        rows = spark.sql(
+            "SELECT user_id, max(n_events) AS n, max(sum_value) AS v "
+            "FROM sess_test GROUP BY user_id"
+        ).collect()
+        got = {r["user_id"]: (r["n"], r["v"]) for r in rows}
+        assert got[1] == (3, 7.0)
+        assert got[2] == (1, 3.0)
+    finally:
+        q.stop()
