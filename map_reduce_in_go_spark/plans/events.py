@@ -17,7 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.money import money, sql_sum_exact, sum_exact
 from ..sources.tables import load_table
+
+_VAL = "CAST(value AS DECIMAL(12,2))"
 
 
 def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -32,7 +35,7 @@ def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            sum_exact(money("value")).alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )
@@ -60,7 +63,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             (F.max("us") - F.min("us")).alias("duration_us"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            sum_exact(money("value")).alias("sum_value"),
         )
     )
 
@@ -107,7 +110,7 @@ def events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "event_type",
-        F.round(F.sum("value").over(w), 2).alias("running_value"),
+        F.round(F.sum(money("value")).over(w), 2).cast("double").alias("running_value"),
         F.row_number().over(seq_w).alias("seq"),
     )
 
@@ -116,10 +119,10 @@ ORACLES: dict[str, str] = {
     "events_windowed": """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
            count(*) AS n_events,
-           round(sum(value), 2) AS sum_value,
+           {sum_value} AS sum_value,
            count(DISTINCT user_id) AS n_users
     FROM events GROUP BY 1, 2
-    """,
+    """.replace("{sum_value}", sql_sum_exact(_VAL)),
     "events_sessionize": """
     WITH flagged AS (
       SELECT user_id, event_id, value, epoch_us(ts) AS us,
@@ -135,9 +138,9 @@ ORACLES: dict[str, str] = {
     )
     SELECT user_id, session_id, count(*) AS n_events,
            max(us) - min(us) AS duration_us,
-           round(sum(value), 2) AS sum_value
+           {sum_value} AS sum_value
     FROM sess GROUP BY user_id, session_id
-    """,
+    """.replace("{sum_value}", sql_sum_exact(_VAL)),
     "events_funnel": """
     WITH v AS (
       SELECT user_id, min(ts) AS vt FROM events
@@ -157,10 +160,10 @@ ORACLES: dict[str, str] = {
     """,
     "events_running": """
     SELECT event_id, user_id, event_type,
-           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS UNBOUNDED PRECEDING), 2) AS running_value,
+           CAST(round(sum({val}) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_value,
            CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
                 AS INTEGER) AS seq
     FROM events
-    """,
+    """.replace("{val}", _VAL),
 }

@@ -1,0 +1,139 @@
+"""OLAP surface: rollups, exact quantiles, window analytics.
+
+Determinism contract as elsewhere: floats rounded before ordering/compare,
+ties broken on unique keys, ROLLUP null-markers coalesced to 'ALL' strings
+so both engines emit identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.money import SQL_DISC_PRICE, disc_price, money, sql_sum_exact, sum_exact
+from ..sources.tables import load_table
+
+
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue ROLLUP over (nation, order-year): subtotals + grand total.
+
+    Catalyst expands rollup into a single expand+aggregate — one shuffle
+    regardless of grouping-set count.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    base = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            F.year("o_orderdate").cast("string").alias("yr"),
+            "o_totalprice",
+        )
+    )
+    return (
+        base.rollup("n_name", "yr")
+        .agg(
+            sum_exact(money("o_totalprice")).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("yr", F.lit("ALL")).alias("yr"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+def events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per type."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-event moving average per user (fixed ROWS frame)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    # exact decimal frame-sum / exact frame-count: order-independent double.
+    # Rounded at 6dp, not 2: sum/4 of 2-decimal values lands on exact .xx5
+    # half-boundaries at 2dp, where the engines' rounding modes disagree;
+    # at 6dp every reachable value is far from a boundary.
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum(money("value")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("ma4"),
+    )
+
+
+def top_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 revenue parts per supplier: two-level agg + window rank."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_suppkey", "l_partkey").agg(
+        sum_exact(disc_price()).alias("revenue")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(F.desc("revenue"), F.asc("l_partkey"))
+    return (
+        per.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("l_suppkey", "l_partkey", "revenue", "rnk")
+    )
+
+
+ORACLES: dict[str, str] = {
+    "sales_rollup": """
+    WITH base AS (
+      SELECT n_name, CAST(year(o_orderdate) AS VARCHAR) AS yr, o_totalprice
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT COALESCE(n_name, 'ALL') AS nation, COALESCE(yr, 'ALL') AS yr,
+           {rev} AS revenue, count(*) AS n_orders
+    FROM base GROUP BY ROLLUP(n_name, yr)
+    """.replace("{rev}", sql_sum_exact("CAST(o_totalprice AS DECIMAL(12,2))")),
+    "events_quantiles": """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    "events_moving_avg": """
+    SELECT event_id, user_id,
+           round(CAST(sum(CAST(value AS DECIMAL(12,2)))
+                      OVER w AS DOUBLE)
+                 / count(*) OVER w, 6) AS ma4
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+    "top_parts_per_supplier": """
+    WITH per AS (
+      SELECT l_suppkey, l_partkey,
+             {rev} AS revenue
+      FROM lineitem GROUP BY l_suppkey, l_partkey
+    )
+    SELECT l_suppkey, l_partkey, revenue,
+           CAST(row_number() OVER (PARTITION BY l_suppkey
+                ORDER BY revenue DESC, l_partkey ASC) AS INTEGER) AS rnk
+    FROM per
+    QUALIFY rnk <= 3
+    """.replace("{rev}", sql_sum_exact(f"({SQL_DISC_PRICE})")),
+}

@@ -6,9 +6,9 @@ DataFrame code — Catalyst handles pushdown/pruning/reordering; we add only
 the hints it can't infer (broadcast for dimension tables).
 
 Determinism rules shared with the DuckDB oracles:
-- every float aggregate is ``round``-ed (2dp money, 4-6dp ratios) in BOTH
-  engines before any ORDER BY / LIMIT / filter touches it;
-- every top-k orders by (rounded value, unique key) so the cut is stable.
+- money aggregates use exact DECIMAL sums (see ``functions/money.py``) so
+  results are independent of partial-aggregation order, then cast to double;
+- every top-k orders by (exact value, unique key) so the cut is stable.
 
 Scale notes (100 TB): lineitem⋈orders shuffles on orderkey (co-partition or
 bucket both facts on orderkey in a real deployment); region/nation/supplier
@@ -21,6 +21,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.money import (
+    SQL_DISC_PRICE,
+    avg_exact,
+    disc_price,
+    money,
+    rate,
+    sql_avg_exact,
+    sql_sum_exact,
+    sum_exact,
+)
 from ..sources.tables import load_table
 
 
@@ -31,19 +41,18 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (returnflag, linestatus) partials — 6 groups regardless of input size.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    charge = disc_price() * (1 + rate("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            sum_exact(money("l_quantity")).alias("sum_qty"),
+            sum_exact(money("l_extendedprice")).alias("sum_base_price"),
+            sum_exact(disc_price()).alias("sum_disc_price"),
+            sum_exact(charge).alias("sum_charge"),
+            avg_exact(money("l_quantity")).alias("avg_qty"),
+            avg_exact(money("l_extendedprice")).alias("avg_price"),
+            avg_exact(rate("l_discount")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -64,11 +73,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(sum_exact(disc_price()).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -115,11 +120,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(sum_exact(disc_price()).alias("revenue"))
     )
 
 
@@ -135,11 +136,38 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            sum_exact(money("l_extendedprice") * rate("l_discount")).alias("revenue"),
             F.count("*").alias("n_items"),
         )
+    )
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade volume between two nations per year (4-way join + broadcast)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(sum_exact(disc_price()).alias("volume"))
     )
 
 
@@ -158,13 +186,86 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            sum_exact(disc_price()).alias("revenue"),
             F.round(F.max("c_acctbal"), 2).alias("acctbal"),
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share: conditional aggregation over a broadcast join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", disc_price()).otherwise(
+            F.lit(0).cast("decimal(12,2)")
+        )
+    ).cast("double")
+    total = F.sum(disc_price()).cast("double")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(F.lit(100.0) * promo / total, 4).alias("promo_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds a threshold (agg → semi-join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(sum_exact(money("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round(F.col("o_totalprice"), 2).alias("o_total"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs predicate pushed through a broadcast part join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(1, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(10, 20))
+            & (F.col("l_quantity").between(10, 30))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(20, 30))
+            & (F.col("l_quantity").between(20, 40))
+        )
+    )
+    return joined.filter(cond).agg(
+        sum_exact(disc_price()).alias("revenue"),
+        F.count("*").alias("n_items"),
     )
 
 
@@ -173,7 +274,7 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        sum_exact(money("o_totalprice")).alias("total_spent"),
         F.count("*").alias("n_orders"),
     )
     return (
@@ -184,24 +285,28 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DP = SQL_DISC_PRICE
+_CHARGE = f"({_DP}) * (1 + CAST(l_tax AS DECIMAL(4,2)))"
+_QTY = "CAST(l_quantity AS DECIMAL(12,2))"
+_PRICE = "CAST(l_extendedprice AS DECIMAL(12,2))"
+
 ORACLES: dict[str, str] = {
-    "q1_pricing_summary": """
+    "q1_pricing_summary": f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                   AS sum_qty,
-           round(sum(l_extendedprice), 2)                              AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 2)                                   AS avg_qty,
-           round(avg(l_extendedprice), 2)                              AS avg_price,
-           round(avg(l_discount), 4)                                   AS avg_disc,
-           count(*)                                                    AS count_order
+           {sql_sum_exact(_QTY)}                                AS sum_qty,
+           {sql_sum_exact(_PRICE)}                              AS sum_base_price,
+           {sql_sum_exact(_DP)}                                 AS sum_disc_price,
+           {sql_sum_exact(_CHARGE)}                             AS sum_charge,
+           {sql_avg_exact(_QTY)}                                AS avg_qty,
+           {sql_avg_exact(_PRICE)}                              AS avg_price,
+           {sql_avg_exact("CAST(l_discount AS DECIMAL(4,2))")} AS avg_disc,
+           count(*)                                             AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01'
     GROUP BY l_returnflag, l_linestatus
     """,
-    "q3_shipping_priority": """
-    SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    "q3_shipping_priority": f"""
+    SELECT l_orderkey, {sql_sum_exact(_DP)} AS revenue
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
       AND c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -222,9 +327,8 @@ ORACLES: dict[str, str] = {
       )
     GROUP BY o_orderpriority
     """,
-    "q5_local_supplier": """
-    SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    "q5_local_supplier": f"""
+    SELECT n_name, {sql_sum_exact(_DP)} AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -234,8 +338,8 @@ ORACLES: dict[str, str] = {
       AND o_orderdate <  TIMESTAMP '1998-01-01'
     GROUP BY n_name
     """,
-    "q6_forecast_revenue": """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    "q6_forecast_revenue": f"""
+    SELECT {sql_sum_exact(_PRICE + " * CAST(l_discount AS DECIMAL(4,2))")} AS revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -243,9 +347,26 @@ ORACLES: dict[str, str] = {
       AND l_discount >= 0.05 AND l_discount <= 0.07
       AND l_quantity < 24
     """,
-    "q10_returned_items": """
+    "q7_volume_shipping": f"""
+    SELECT supp_nation, cust_nation, CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           {sql_sum_exact(_DP)} AS volume
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             l_shipdate, l_extendedprice, l_discount
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN supplier ON l_suppkey  = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, year(l_shipdate)
+    """,
+    "q10_returned_items": f"""
     SELECT c_custkey, c_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {sql_sum_exact(_DP)} AS revenue,
            round(max(c_acctbal), 2) AS acctbal
     FROM customer, orders, lineitem, nation
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -256,9 +377,44 @@ ORACLES: dict[str, str] = {
     ORDER BY revenue DESC, c_custkey ASC
     LIMIT 20
     """,
-    "top_customers": """
+    "q14_promo_revenue": f"""
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_DP}
+                                       ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                 / CAST(sum({_DP}) AS DOUBLE), 4) AS promo_pct,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-07-01'
+    """,
+    "q18_large_orders": f"""
+    WITH big AS (
+      SELECT l_orderkey, {sql_sum_exact(_QTY)} AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING {sql_sum_exact(_QTY)} > 300
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           round(o_totalprice, 2) AS o_total, total_qty
+    FROM big
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    ORDER BY total_qty DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+    "q19_discounted_revenue": f"""
+    SELECT {sql_sum_exact(_DP)} AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 20
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 30
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+    "top_customers": f"""
     WITH per_cust AS (
-      SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spent,
+      SELECT o_custkey,
+             {sql_sum_exact("CAST(o_totalprice AS DECIMAL(12,2))")} AS total_spent,
              count(*) AS n_orders
       FROM orders GROUP BY o_custkey
     )

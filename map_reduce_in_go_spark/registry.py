@@ -31,10 +31,12 @@ def _build() -> None:
 
     _register(_wc, [
         "wordcount",
+        "wordcount_salted",
         "wordcount_topk",
         "distinct_words",
         "grep_count",
         "inverted_index",
+        "bigram_topk",
         "mapreduce_generic",
     ])
 
@@ -46,8 +48,21 @@ def _build() -> None:
         "q4_order_priority",
         "q5_local_supplier",
         "q6_forecast_revenue",
+        "q7_volume_shipping",
         "q10_returned_items",
+        "q14_promo_revenue",
+        "q18_large_orders",
+        "q19_discounted_revenue",
         "top_customers",
+    ])
+
+    from .plans import olap as _olap
+
+    _register(_olap, [
+        "sales_rollup",
+        "events_quantiles",
+        "events_moving_avg",
+        "top_parts_per_supplier",
     ])
 
     from .plans import events as _events
@@ -63,6 +78,7 @@ def _build() -> None:
 
     _register(_dedup, [
         "dedup_exact",
+        "dedup_exact_norm",
         "dedup_minhash",
         "dedup_simhash",
         "dedup_ngram_jaccard",

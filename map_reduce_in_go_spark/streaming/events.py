@@ -113,6 +113,16 @@ def sessionize_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id with bounded state.
+
+    ``dropDuplicates`` + watermark = the streaming form of the batch
+    ``dedup_exact`` operator: state holds only ids newer than the watermark,
+    so memory is bounded no matter how long the stream runs.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
 def run_to_memory(stream_df: DataFrame, name: str, timeout_sec: float = 60.0):
     """Start a memory-sink query and block until the source is drained."""
     q = (

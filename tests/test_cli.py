@@ -1,0 +1,56 @@
+"""CLI end-to-end: the reference's main.go workflow on text files."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from map_reduce_in_go_spark.cli import main
+
+
+def _read_all(path: str) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for f in glob.glob(os.path.join(path, "bucket=*", "*.csv")):
+        with open(f) as fh:
+            for line in fh:
+                k, v = line.rstrip("\n").split("\t")
+                assert k not in out, f"key {k} appears in two buckets"
+                out[k] = int(v)
+    return out
+
+
+def test_cli_wordcount_native(tmp_path, spark):
+    src = tmp_path / "in.txt"
+    src.write_text("The fox. THE FOX!\nfox?\n")
+    out = str(tmp_path / "out")
+    assert main(["--input", str(src), "--output", out, "--reduce", "3"]) == 0
+    assert _read_all(out) == {"the": 2, "fox": 3}
+
+
+def test_cli_wordcount_generic_matches_native(tmp_path, spark):
+    src = tmp_path / "in.txt"
+    src.write_text("alpha beta beta Gamma; gamma GAMMA\n")
+    out_n = str(tmp_path / "native")
+    out_g = str(tmp_path / "generic")
+    main(["--input", str(src), "--output", out_n, "--reduce", "2"])
+    main(["--input", str(src), "--output", out_g, "--reduce", "2", "--generic"])
+    assert _read_all(out_n) == _read_all(out_g) == {
+        "alpha": 1,
+        "beta": 2,
+        "gamma": 3,
+    }
+
+
+def test_cli_grep(tmp_path, spark):
+    a = tmp_path / "a.txt"
+    a.write_text("spark line\nno match\nspark again\n")
+    b = tmp_path / "b.txt"
+    b.write_text("nothing here\n")
+    out = str(tmp_path / "out")
+    assert (
+        main(["--input", f"{a},{b}", "--output", out, "--app", "grep",
+              "--pattern", "spark", "--reduce", "2"])
+        == 0
+    )
+    got = _read_all(out)
+    assert len(got) == 1 and next(iter(got.values())) == 2

@@ -11,6 +11,7 @@ import json
 import pytest
 
 from map_reduce_in_go_spark.streaming.events import (
+    dedup_stream,
     read_event_stream,
     run_to_memory,
     sessionize_stateful,
@@ -47,6 +48,22 @@ def test_windowed_counts_stream(spark, drop_dir):
         assert got[("2024-01-01 00:00:00", "view")] == (2, 3.0)
         assert got[("2024-01-01 01:00:00", "view")] == (1, 4.0)
         assert got[("2024-01-01 01:00:00", "click")] == (1, 3.0)
+    finally:
+        q.stop()
+
+
+def test_dedup_stream(spark, tmp_path):
+    p = tmp_path / "dups"
+    p.mkdir()
+    dup = dict(EVENTS[0])
+    for i, ev in enumerate([*EVENTS, dup, dup]):
+        (p / f"part-{i}.json").write_text(json.dumps(ev) + "\n")
+    stream = read_event_stream(spark, str(p))
+    q = run_to_memory(dedup_stream(stream), "dedup_test")
+    try:
+        n = spark.sql("SELECT count(DISTINCT event_id) c, count(*) n FROM dedup_test").first()
+        assert n["n"] == len(EVENTS)  # duplicates of event 1 dropped
+        assert n["c"] == n["n"]
     finally:
         q.stop()
 
