@@ -299,6 +299,60 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- clustering
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over MinHash candidate pairs → cluster ids.
+
+    The "pick one representative per duplicate group" step: each doc in a
+    candidate pair gets the minimum doc_id reachable through the pair graph.
+    Spark side: iterative min-label propagation (loop of join+groupBy until
+    fixpoint — the Pregel pattern on DataFrames; iterations ≤ graph
+    diameter, and LSH duplicate clusters are shallow). Oracle side: a
+    recursive CTE computing the same transitive closure.
+
+    At 100 TB this is the alternating large-star/small-star algorithm; the
+    propagation loop here is the same join shape.
+    """
+    pairs = _band_pairs(_signatures(spark, sf_dir)).persist()
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(20):  # diameter bound; LSH dup clusters are shallow
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", "cluster_id")
+
+
 # ---------------------------------------------------------------- embeddings
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -459,6 +513,20 @@ ORACLES: dict[str, str] = {
     LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
     JOIN sizes na ON na.doc_id = p.doc_a
     JOIN sizes nb ON nb.doc_id = p.doc_b
+    """,
+    "dedup_clusters": _MINHASH_CTES.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+    , edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach AS (
+      SELECT src AS doc_id, src AS r FROM edges
+      UNION
+      SELECT e.src AS doc_id, reach.r
+      FROM edges e JOIN reach ON reach.doc_id = e.dst
+    )
+    SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
     """,
     "dedup_embedding": f"""
     WITH e AS (

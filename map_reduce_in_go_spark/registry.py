@@ -82,8 +82,17 @@ def _build() -> None:
         "dedup_minhash",
         "dedup_simhash",
         "dedup_ngram_jaccard",
+        "dedup_clusters",
         "dedup_embedding",
     ])
+
+    from .operators import tfidf as _tfidf
+
+    _register(_tfidf, ["tfidf_top_terms"])
+
+    from .operators import approx as _approx
+
+    _register(_approx, ["distinct_words_approx", "events_quantiles_approx"])
 
     from .operators import similarity as _sim
 

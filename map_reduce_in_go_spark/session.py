@@ -69,4 +69,12 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # a vanilla session defaults to 200 shuffle partitions — far too many
+    # for local mode; AQE coalesces, but the initial number still costs
+    try:
+        cores = spark.sparkContext.defaultParallelism
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
+    except Exception:  # noqa: BLE001 — conf may be fixed on some deployments
+        pass
     return spark

@@ -33,7 +33,11 @@ def test_oracle_match(spark, sf_dir, con, key):
 def test_every_query_has_oracle_or_is_declared():
     qs = set(entry_mod.queries())
     oracles = set(entry_mod.oracle_sql())
-    rows_only = {"ann_lsh"}  # ANN: recall is approximate by design
+    rows_only = {
+        "ann_lsh",  # ANN: recall is approximate by design
+        "distinct_words_approx",  # HLL sketch values are engine-specific
+        "events_quantiles_approx",  # t-digest-style estimates likewise
+    }
     assert oracles <= qs
     assert qs - oracles == rows_only
 
