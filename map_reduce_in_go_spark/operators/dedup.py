@@ -101,27 +101,18 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id", F.explode(shingles(F.col("text"), SHINGLE_N)).alias("shingle")
     )
-    seeded = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(NUM_PERM - 1))).alias("seed"),
-        "shingle",
-    ).select(
-        "doc_id",
-        "seed",
-        F.md5(
-            F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
-        ).alias("h"),
+    # one min() aggregate per permutation instead of a 32× seed explode:
+    # the 32 md5s are projected per shingle row inside codegen, partial
+    # aggregation collapses them map-side, and the shuffle carries just
+    # 32 strings per doc instead of 32× the shingle rows.
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"s{s}")
+            for s in range(NUM_PERM)
+        ]
     )
-    sigs = (
-        seeded.groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
-        .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                lambda s: s["mh"],
-            ).alias("sig")
-        )
+    sigs = mins.select(
+        "doc_id", F.array(*[F.col(f"s{s}") for s in range(NUM_PERM)]).alias("sig")
     )
     return sigs.persist()
 
