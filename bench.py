@@ -41,8 +41,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
 
-    # JVM/codegen warmup on the smallest sf
+    # JVM/codegen warmup on the smallest sf (agg path + tokenizer/HOF path)
     qs["q6_forecast_revenue"](spark, "/root/testdata/sf0.001").count()
+    qs["wordcount"](spark, "/root/testdata/sf0.001").count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

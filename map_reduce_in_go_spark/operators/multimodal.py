@@ -114,6 +114,42 @@ def extract_features(docs_with_payload: DataFrame) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_bytes long, frame_digest string"
+
+
+def sample_frames(docs_with_payload: DataFrame, every: int = 64, frame: int = 32) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads.
+
+    Treats the binary payload as a frame container: every ``every`` bytes a
+    ``frame``-byte window is cut and fingerprinted. A real decoder (ffmpeg)
+    would replace the slicing; the batching, schema and fan-out (one row in
+    → N frame rows out) are exactly what production needs.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                for idx, off in enumerate(range(0, len(payload), every)):
+                    chunk = payload[off : off + frame]
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_idx": idx,
+                            "frame_bytes": len(chunk),
+                            "frame_digest": hashlib.md5(chunk).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_bytes", "frame_digest"]
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        _sample, schema=FRAME_SCHEMA
+    )
+
+
 ORACLES: dict[str, str] = {
     "multimodal_meta": """
     SELECT doc_id,

@@ -131,6 +131,42 @@ def bigram_topk(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
     )
 
 
+def cooccurrence_topk(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
+    """Top-k co-occurring word pairs within a ±2 token window.
+
+    The MapReduce "pairs" pattern (Lin & Dyer) as window functions: lead()
+    over document order emits each (word, neighbor) pair once per position,
+    then one aggregation counts them. Pairs are canonicalized (a ≤ b) so
+    direction doesn't split counts.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    words = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "word")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = None
+    for d in (1, 2):
+        nxt = words.select(
+            "doc_id",
+            "word",
+            F.lead("word", d).over(w).alias("nbr"),
+        ).filter(F.col("nbr").isNotNull())
+        canon = nxt.select(
+            F.least("word", "nbr").alias("w1"), F.greatest("word", "nbr").alias("w2")
+        )
+        pairs = canon if pairs is None else pairs.unionAll(canon)
+    return (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )
+
+
 def mapreduce_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordCount through the *generic* Arrow Mapper/Reducer path.
 
@@ -181,6 +217,23 @@ ORACLES: dict[str, str] = {
     """,
     "mapreduce_generic": _WORDS_CTE
     + "SELECT word, CAST(count(*) AS VARCHAR) AS cnt_str FROM words GROUP BY word",
+    "cooccurrence_topk": f"""
+    WITH t AS (
+      SELECT doc_id, {_TOK} AS toks FROM documents
+    ), pos AS (
+      SELECT doc_id, t2.i AS pos, toks[t2.i] AS word
+      FROM t CROSS JOIN (SELECT unnest(range(1, 2000)) AS i) t2
+      WHERE t2.i <= len(toks)
+    ), pairs AS (
+      SELECT least(a.word, b.word) AS w1, greatest(a.word, b.word) AS w2
+      FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      UNION ALL
+      SELECT least(a.word, b.word) AS w1, greatest(a.word, b.word) AS w2
+      FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 2
+    )
+    SELECT w1, w2, count(*) AS cnt FROM pairs GROUP BY w1, w2
+    ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 50
+    """,
     "bigram_topk": f"""
     WITH t AS (
       SELECT doc_id, {_TOK} AS toks FROM documents

@@ -115,7 +115,48 @@ def events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score anomaly flags via exact decimal moments.
+
+    mean and variance come from exact DECIMAL Σx and Σx² (order-independent),
+    so every engine computes identical doubles; sqrt/division are IEEE
+    correctly-rounded, making the z-scores deterministic too. Emits events
+    with |z| ≥ 2.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    vd = money("value")
+    stats = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(vd).cast("double").alias("s1"),
+        F.sum(vd * vd).cast("double").alias("s2"),
+    )
+    joined = ev.join(F.broadcast(stats), "user_id").filter(F.col("n") >= 2)
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        joined.filter(var > 0)
+        .withColumn("z", F.round(z, 4))
+        .filter(F.abs(F.col("z")) >= 2.0)
+        .select("event_id", "user_id", F.round(mean, 6).alias("user_mean"), "z")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "events_zscore": """
+    WITH stats AS (
+      SELECT user_id, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s2
+      FROM events GROUP BY user_id
+    )
+    SELECT event_id, e.user_id,
+           round(s1 / n, 6) AS user_mean,
+           round((value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 4) AS z
+    FROM events e JOIN stats USING (user_id)
+    WHERE n >= 2 AND s2 / n - (s1 / n) * (s1 / n) > 0
+      AND abs(round((value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 4)) >= 2.0
+    """,
     "events_windowed": """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
            count(*) AS n_events,

@@ -37,6 +37,7 @@ def _build() -> None:
         "grep_count",
         "inverted_index",
         "bigram_topk",
+        "cooccurrence_topk",
         "mapreduce_generic",
     ])
 
@@ -72,6 +73,7 @@ def _build() -> None:
         "events_sessionize",
         "events_funnel",
         "events_running",
+        "events_zscore",
     ])
 
     from .operators import dedup as _dedup

@@ -123,6 +123,16 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static join: enrich the event stream with a dimension table.
+
+    The static side is planned as a broadcast per micro-batch — the
+    canonical "decorate the stream with reference data" pattern; no state
+    store involved.
+    """
+    return events.join(F.broadcast(dim), on, "left")
+
+
 def run_to_memory(stream_df: DataFrame, name: str, timeout_sec: float = 60.0):
     """Start a memory-sink query and block until the source is drained."""
     q = (

@@ -7,6 +7,7 @@ from map_reduce_in_go_spark.operators.multimodal import (
     decode_image_stub,
     extract_features,
     multimodal_meta,
+    sample_frames,
     with_payload,
 )
 from map_reduce_in_go_spark.sources.tables import load_table
@@ -41,6 +42,24 @@ def test_meta_matches_direct_compute(spark, sf_dir):
         assert r["n_bytes"] == len(payload)
         assert r["digest"] == hashlib.md5(payload).hexdigest()
         assert r["fake_width"] == len(payload) % 640 + 64
+
+
+def test_frame_sampling_fanout(spark, sf_dir):
+    import hashlib
+    import math
+
+    docs = with_payload(load_table(spark, sf_dir, "documents")).limit(10)
+    frames = sample_frames(docs, every=64, frame=32).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(texts)
+    for doc_id, rows in by_doc.items():
+        payload = texts[doc_id].encode()
+        assert len(rows) == math.ceil(len(payload) / 64)
+        first = min(rows, key=lambda r: r["frame_idx"])
+        assert first["frame_digest"] == hashlib.md5(payload[:32]).hexdigest()
 
 
 def test_feature_extraction_shape(spark, sf_dir):

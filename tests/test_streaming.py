@@ -12,6 +12,7 @@ import pytest
 
 from map_reduce_in_go_spark.streaming.events import (
     dedup_stream,
+    enrich_stream,
     read_event_stream,
     run_to_memory,
     sessionize_stateful,
@@ -64,6 +65,22 @@ def test_dedup_stream(spark, tmp_path):
         n = spark.sql("SELECT count(DISTINCT event_id) c, count(*) n FROM dedup_test").first()
         assert n["n"] == len(EVENTS)  # duplicates of event 1 dropped
         assert n["c"] == n["n"]
+    finally:
+        q.stop()
+
+
+def test_stream_static_enrich(spark, drop_dir):
+    from pyspark.sql import Row
+
+    dim = spark.createDataFrame(
+        [Row(user_id=1, segment="gold"), Row(user_id=2, segment="silver")]
+    )
+    stream = read_event_stream(spark, drop_dir)
+    q = run_to_memory(enrich_stream(stream, dim), "enrich_test")
+    try:
+        rows = spark.sql("SELECT user_id, segment, count(*) n FROM enrich_test GROUP BY 1,2").collect()
+        got = {r["user_id"]: (r["segment"], r["n"]) for r in rows}
+        assert got[1] == ("gold", 3) and got[2] == ("silver", 1)
     finally:
         q.stop()
 
