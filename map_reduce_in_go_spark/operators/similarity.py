@@ -32,10 +32,15 @@ from ..sources.tables import load_table
 
 TOP_K = 10
 QUERY_MOD = 100  # vec_id % 100 == 0 → the query subset
-# Multi-table LSH: L tables × B sign bits. B controls bucket granularity
-# (2^6 = 64 buckets per table), L controls recall (union of candidates).
-LSH_TABLES = 4
-LSH_BITS = 6
+# Multi-table LSH: L tables × B sign bits. B controls bucket granularity,
+# L controls recall (union of candidates). Measured on this corpus
+# (isotropic vectors — the hard case for LSH) at sf0.01:
+#   4×6 → recall@10 0.14 touching ~6% of corpus
+#   8×5 → recall@10 0.48 touching ~22%   ← default
+#  16×4 → recall@10 0.84 touching ~64%
+# Clustered real-world embeddings sit far above these floors.
+LSH_TABLES = 8
+LSH_BITS = 5
 PLANE_SEED = 42
 
 
@@ -115,22 +120,32 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver records a rows-only check; tests assert determinism and that
     reported neighbors carry true cosine scores.
     """
-    vt = _with_buckets(_vectors(spark, sf_dir))
+    vecs = _vectors(spark, sf_dir)
+    # bucket exprs are 40 interpreted hyperplane dots per vector — compute
+    # once (vt feeds both the corpus side and the query side of the join)
+    vt = _with_buckets(vecs).select("vec_id", "tbl", "bucket").persist()
     queries = vt.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
         F.col("tbl").alias("qtbl"),
         F.col("bucket").alias("qbucket"),
     )
-    cands = (
+    # dedup collisions on the (query, candidate) id pair BEFORE re-attaching
+    # vectors — distinct over rows carrying two 64-float arrays is needless
+    # shuffle weight
+    pair_ids = (
         vt.join(
             F.broadcast(queries),
             (F.col("tbl") == F.col("qtbl"))
             & (F.col("bucket") == F.col("qbucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
-        .select("query_id", "qe", "vec_id", "e")
-        .distinct()  # a pair can collide in several tables
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    qv = vecs.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    cands = (
+        pair_ids.join(F.broadcast(qv), "query_id")
+        .join(vecs.select("vec_id", "e"), "vec_id")
         .withColumn("cos", F.round(cosine_similarity(F.col("qe"), F.col("e")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))

@@ -58,6 +58,20 @@ def test_lsh_neighbors_are_true_cosines(spark, sf_dir):
         assert math.isclose(r["cos"], c, abs_tol=2e-6)
 
 
+def test_lsh_recall_floor(spark, sf_dir):
+    """Deterministic recall@10 vs brute force; 8×5 config measured ≈0.5 on
+    this isotropic corpus — assert a conservative floor."""
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_bruteforce(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_lsh(spark, sf_dir).collect()
+    }
+    assert len(bf & lsh) / len(bf) >= 0.3
+
+
 def test_lsh_deterministic(spark, sf_dir):
     a = sorted(map(tuple, similarity.ann_lsh(spark, sf_dir).collect()))
     b = sorted(map(tuple, similarity.ann_lsh(spark, sf_dir).collect()))
