@@ -4,13 +4,16 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS  (default all cores).
 
 Each query is executed with a count() action (forces full computation,
-no driver collect overhead) after a warmup of the session JVM.
+no driver collect overhead) after a warmup of the session JVM. Every query
+runs REPS times and the reported number is the median — Python-worker-heavy
+queries have 2-3x run-to-run variance that a single sample hides.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -45,11 +48,15 @@ def main() -> None:
     qs["q6_forecast_revenue"](spark, "/root/testdata/sf0.001").count()
     qs["wordcount"](spark, "/root/testdata/sf0.001").count()
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        times[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            samples.append(time.time() - t0)
+        times[name] = round(statistics.median(samples), 3)
 
     total = round(sum(times.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -35,6 +35,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--reduce", type=int, default=5, help="number of output buckets")
     p.add_argument("--workers", type=int, default=None, help="local cores to use")
     p.add_argument(
+        "--master",
+        default=None,
+        help="Spark master URL (spark://host:port, yarn, k8s://...); "
+        "defaults to local[--workers] — the reference's -addr flag",
+    )
+    p.add_argument(
         "--app",
         choices=["wordcount", "grep"],
         default="wordcount",
@@ -57,7 +63,7 @@ def main(argv: list[str] | None = None) -> int:
     from .session import get_spark
     from .sources.text import read_lines, read_text_files
 
-    spark = get_spark("mr-cli", cpus=args.workers)
+    spark = get_spark("mr-cli", cpus=args.workers, master=args.master)
     spark.sparkContext.setLogLevel("WARN")
     paths = args.input.split(",")
 
@@ -80,8 +86,14 @@ def main(argv: list[str] | None = None) -> int:
             .agg(F.count("*").cast("string").alias("value"))
         )
 
-    write_output(result, args.output, n_reduce=args.reduce)
-    n = result.count()
+    # persist so the write action populates the cache and the key count
+    # reads it back — the job computes once, not twice
+    result = result.persist()
+    try:
+        write_output(result, args.output, n_reduce=args.reduce)
+        n = result.count()
+    finally:
+        result.unpersist()
     print(f"wrote {n} keys to {args.output} in {args.reduce} buckets")
     # no spark.stop(): getOrCreate may have joined a caller's session
     # (tests, notebooks); process exit tears down a CLI-owned one anyway

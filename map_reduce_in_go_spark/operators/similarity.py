@@ -116,30 +116,30 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The 100 TB plan: corpus hash-partitioned by (tbl, bucket); each query
     touches L buckets; candidates deduped then scored; local top-k per
-    partition then global top-k. Recall is partial by design (ANN) — the
-    driver records a rows-only check; tests assert determinism and that
-    reported neighbors carry true cosine scores.
+    partition then global top-k. Recall is partial by design (ANN), but the
+    construction is fully deterministic (seeded hyperplanes), so the DuckDB
+    oracle replays the exact bucket assignment — plane vectors inlined as
+    SQL literals — and must reproduce every reported neighbor bit-for-bit.
     """
     vecs = _vectors(spark, sf_dir)
-    # bucket exprs are 40 interpreted hyperplane dots per vector — compute
-    # once (vt feeds both the corpus side and the query side of the join)
-    vt = _with_buckets(vecs).select("vec_id", "tbl", "bucket").persist()
-    queries = vt.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("tbl").alias("qtbl"),
-        F.col("bucket").alias("qbucket"),
-    )
+    # bucket exprs are 40 interpreted hyperplane dots per vector — the plan
+    # gives vt a SINGLE consumer (one groupBy on the cell key) so they are
+    # computed exactly once, with no persist() to leak executor memory in a
+    # long-lived session. Each (tbl, bucket) cell emits query×member pairs
+    # locally; bucket sizes are bounded by construction (B sign bits), so
+    # the collect_list per cell is bounded too.
+    vt = _with_buckets(vecs).select("vec_id", "tbl", "bucket")
+    cells = vt.groupBy("tbl", "bucket").agg(F.collect_list("vec_id").alias("ids"))
     # dedup collisions on the (query, candidate) id pair BEFORE re-attaching
     # vectors — distinct over rows carrying two 64-float arrays is needless
     # shuffle weight
     pair_ids = (
-        vt.join(
-            F.broadcast(queries),
-            (F.col("tbl") == F.col("qtbl"))
-            & (F.col("bucket") == F.col("qbucket"))
-            & (F.col("vec_id") != F.col("query_id")),
+        cells.select(
+            F.explode(F.filter("ids", lambda v: v % QUERY_MOD == 0)).alias("query_id"),
+            "ids",
         )
-        .select("query_id", "vec_id")
+        .select("query_id", F.explode("ids").alias("vec_id"))
+        .filter(F.col("vec_id") != F.col("query_id"))
         .distinct()
     )
     qv = vecs.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
@@ -169,7 +169,64 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_planes_values() -> str:
+    """The 40 seeded hyperplanes as DuckDB VALUES rows (tbl, bit, pv).
+
+    ``repr(float)`` is the shortest round-trip rendering, so DuckDB parses
+    back the exact double Spark uses in ``F.lit(float(v))``.
+    """
+    planes = _hyperplanes()
+    rows = []
+    for t in range(LSH_TABLES):
+        for b in range(LSH_BITS):
+            lits = ", ".join(repr(v) for v in planes[t * LSH_BITS + b])
+            rows.append(f"({t}, {b}, [{lits}]::DOUBLE[])")
+    return ",\n      ".join(rows)
+
+
+# Replays ann_lsh end-to-end: sign-bit bucketing per (table, bit) plane,
+# bucket-equality candidate pairs, exact cosine, per-query top-k. The dot
+# products on both engines are sequential left-to-right folds over the same
+# 64 doubles; a sign flip would need |dot| within float-error of 0, which
+# the isotropic test vectors never approach.
+_ANN_LSH_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, {sql_double_array('embedding')} AS ed FROM embeddings
+    ), planes(tbl, bit, pv) AS (
+      VALUES {{planes}}
+    ), sb AS (
+      SELECT e.vec_id, p.tbl, p.bit,
+             CASE WHEN list_sum(list_transform(range(1, len(e.ed) + 1),
+                                i -> e.ed[i] * p.pv[i])) >= 0
+                  THEN '1' ELSE '0' END AS ch
+      FROM e CROSS JOIN planes p
+    ), bt AS (
+      SELECT vec_id, tbl, string_agg(ch, '' ORDER BY bit) AS bucket
+      FROM sb GROUP BY vec_id, tbl
+    ), q AS (
+      SELECT vec_id AS query_id, tbl, bucket FROM bt
+      WHERE vec_id % {QUERY_MOD} = 0
+    ), pair_ids AS (
+      SELECT DISTINCT q.query_id, bt.vec_id
+      FROM bt JOIN q ON bt.tbl = q.tbl AND bt.bucket = q.bucket
+                    AND bt.vec_id <> q.query_id
+    ), scored AS (
+      SELECT p.query_id, p.vec_id AS neighbor_id,
+             round({sql_cosine('qa.ed', 'ca.ed')}, 6) AS cos
+      FROM pair_ids p
+      JOIN e qa ON qa.vec_id = p.query_id
+      JOIN e ca ON ca.vec_id = p.vec_id
+    )
+    SELECT query_id, neighbor_id, cos,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= {TOP_K}
+    """
+
+
 ORACLES: dict[str, str] = {
+    "ann_lsh": _ANN_LSH_ORACLE.format(planes=_sql_planes_values()),
     "ann_bruteforce": f"""
     WITH e AS (
       SELECT vec_id, {sql_double_array('embedding')} AS ed FROM embeddings

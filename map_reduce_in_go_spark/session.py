@@ -28,10 +28,14 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
-    """Build (or reuse) a local SparkSession tuned for this engine.
+    """Build (or reuse) a SparkSession tuned for this engine.
 
-    On a real cluster the same configs apply; only ``master`` changes.
+    ``master`` defaults to ``local[cpus]``; pass a cluster URL
+    (``spark://...``, ``yarn``, ``k8s://...``) to deploy the same configs
+    against a real cluster — the reference's coordinator address flag
+    (main.go:20-29 ``-addr``) maps here.
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -39,9 +43,11 @@ def get_spark(
         shuffle_partitions = int(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
         )
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -50,6 +56,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.task.maxFailures", "3")
+        # straggler replication parity (task.go:13,264-304): speculative
+        # re-launch at 1.5x the median task time. The speculation scheduler
+        # thread only starts on cluster masters (local mode has no separate
+        # executors to replicate onto), so this is inert-but-harmless under
+        # local[N] and active on a real deployment.
+        .config("spark.speculation", "true")
         .config("spark.speculation.multiplier", "1.5")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

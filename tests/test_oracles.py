@@ -34,7 +34,6 @@ def test_every_query_has_oracle_or_is_declared():
     qs = set(entry_mod.queries())
     oracles = set(entry_mod.oracle_sql())
     rows_only = {
-        "ann_lsh",  # ANN: recall is approximate by design
         "distinct_words_approx",  # HLL sketch values are engine-specific
         "events_quantiles_approx",  # t-digest-style estimates likewise
     }
