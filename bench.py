@@ -48,6 +48,8 @@ def main() -> None:
     qs["q6_forecast_revenue"](spark, "/root/testdata/sf0.001").count()
     qs["wordcount"](spark, "/root/testdata/sf0.001").count()
 
+    from map_reduce_in_go_spark.functions.caching import release_persisted
+
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     times: dict[str, float] = {}
     for name in HEADLINE:
@@ -56,6 +58,8 @@ def main() -> None:
             t0 = time.time()
             qs[name](spark, sf_dir).count()
             samples.append(time.time() - t0)
+            # drop scoped caches so every rep is a cold, comparable run
+            release_persisted()
         times[name] = round(statistics.median(samples), 3)
 
     total = round(sum(times.values()), 3)

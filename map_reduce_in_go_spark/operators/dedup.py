@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.caching import free_local_checkpoint, scoped_persist
 from ..functions.hashing import sql_minhash_signature
 from ..functions.text import shingles, sql_shingles, sql_tokens, tokens
 from ..functions.vectors import sql_cosine, sql_double_array
@@ -114,7 +115,7 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = mins.select(
         "doc_id", F.array(*[F.col(f"s{s}") for s in range(NUM_PERM)]).alias("sig")
     )
-    return sigs.persist()
+    return scoped_persist(sigs)
 
 
 def _band_pairs(sigs: DataFrame) -> DataFrame:
@@ -264,7 +265,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = shd.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    pairs = _band_pairs(_signatures(spark, sf_dir)).persist()
+    pairs = scoped_persist(_band_pairs(_signatures(spark, sf_dir)))
     sa = shd.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = shd.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("sh_b"))
     inter = (
@@ -292,31 +293,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- clustering
 
+CLUSTER_MAX_ITERS = 25
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over MinHash candidate pairs → cluster ids.
 
     The "pick one representative per duplicate group" step: each doc in a
     candidate pair gets the minimum doc_id reachable through the pair graph.
-    Spark side: iterative min-label propagation (loop of join+groupBy until
-    fixpoint — the Pregel pattern on DataFrames; iterations ≤ graph
-    diameter, and LSH duplicate clusters are shallow). Oracle side: a
-    recursive CTE computing the same transitive closure.
+    Spark side: iterative min-label propagation (the Pregel pattern on
+    DataFrames; iterations ≤ graph diameter, and LSH duplicate clusters are
+    shallow). Oracle side: a recursive CTE computing the same transitive
+    closure.
 
-    At 100 TB this is the alternating large-star/small-star algorithm; the
-    propagation loop here is the same join shape.
+    Iteration discipline (this is what survives 100×): every loop round
+    ``localCheckpoint``\\ s the new labels — the physical plan stays one
+    ``LogicalRDD`` scan deep instead of growing geometrically, and a lost
+    executor replays one round, not the whole chain — then explicitly frees
+    the superseded round's blocks. Edges are checkpointed once up front so
+    the signature/band lineage is released before the loop starts. A graph
+    whose diameter exceeds ``CLUSTER_MAX_ITERS`` raises instead of silently
+    returning half-propagated labels.
+
+    At 100 TB the iteration count drops further with alternating
+    large-star/small-star rounds; the join shape per round is identical.
     """
-    pairs = _band_pairs(_signatures(spark, sf_dir)).persist()
+    pairs = scoped_persist(_band_pairs(_signatures(spark, sf_dir)))
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = fwd.union(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    for _ in range(20):  # diameter bound; LSH dup clusters are shallow
+    changed = 0
+    for _ in range(CLUSTER_MAX_ITERS):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
@@ -330,7 +344,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -338,9 +352,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
+        free_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {CLUSTER_MAX_ITERS} iterations "
+            f"({changed} labels still moving) — raise CLUSTER_MAX_ITERS or use "
+            "large-star/small-star for this graph"
+        )
+    free_local_checkpoint(edges)
     return labels.select("doc_id", "cluster_id")
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.caching import scoped_persist
 from .wordcount import _doc_words
 
 TOP_TERMS = 5
@@ -23,8 +24,9 @@ TOP_TERMS = 5
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document."""
     words = _doc_words(spark, sf_dir)
-    # tf feeds three consumers (df, n_docs, scoring) — materialize once
-    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf")).persist()
+    # tf feeds three consumers (df, n_docs, scoring) — materialize once;
+    # the host releases the handle via caching.release_persisted()
+    tf = scoped_persist(words.groupBy("doc_id", "word").agg(F.count("*").alias("tf")))
     df = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = tf.select("doc_id").distinct().count()
     scored = (

@@ -90,3 +90,12 @@ def test_write_output_layout(spark, tmp_path):
                 if any(line.split("\t")[0] == word for line in fh):
                     hits.append(os.path.basename(os.path.dirname(f)))
         assert hits == [f"bucket={bucket}"], (word, hits)
+
+
+def test_fault_tolerance_confs(spark):
+    """Reference parity (task.go:11,13,264-304): retry cap + straggler
+    speculation must both be SET — a multiplier without the enable flag is
+    a no-op."""
+    assert spark.conf.get("spark.task.maxFailures") == "3"
+    assert spark.conf.get("spark.speculation") == "true"
+    assert spark.conf.get("spark.speculation.multiplier") == "1.5"
