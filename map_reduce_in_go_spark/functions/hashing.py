@@ -23,20 +23,30 @@ from pyspark.sql import functions as F
 
 
 def fnv1a_32(col: Column) -> Column:
-    """FNV-1a 32-bit hash of an ASCII/UTF-8-codepoint string, as bigint.
+    """FNV-1a 32-bit hash over the string's UTF-8 *bytes*, as bigint.
 
-    Matches Go's ``fnv.New32a`` for ASCII keys (the reference word domain).
+    Matches Go's ``fnv.New32a`` (which hashes ``[]byte(key)``) for any
+    string, not just ASCII — Gutenberg corpora carry accented characters.
+    The bytes are walked as hex pairs of ``encode(col, 'UTF-8')``.
     offset=2166136261, prime=16777619, arithmetic mod 2^32.
     """
-    chars = F.filter(F.split(col, ""), lambda c: c != F.lit(""))
-    return F.aggregate(
-        chars,
+    hx = F.lower(F.hex(F.encode(col, "UTF-8")))
+    n_bytes = (F.length(hx) / F.lit(2)).cast("int")
+    fold = F.aggregate(
+        F.sequence(F.lit(1), n_bytes),
         F.lit(2166136261).cast("long"),
-        lambda h, c: F.pmod(
-            (h.bitwiseXOR(F.ascii(c).cast("long"))) * F.lit(16777619).cast("long"),
+        lambda h, i: F.pmod(
+            (
+                h.bitwiseXOR(
+                    F.conv(F.substr(hx, i * 2 - 1, F.lit(2)), 16, 10).cast("long")
+                )
+            )
+            * F.lit(16777619).cast("long"),
             F.lit(4294967296).cast("long"),
         ),
     )
+    # sequence(1, 0) counts *down* — guard the empty string explicitly
+    return F.when(n_bytes == 0, F.lit(2166136261).cast("long")).otherwise(fold)
 
 
 def reduce_bucket(col: Column, n_reduce: int) -> Column:

@@ -368,6 +368,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- embeddings
 
+# dedup_embedding collects one side to the driver to build the broadcast
+# matrix; 2M 64-dim float64 rows ≈ 1 GB — beyond that the guard points at
+# the distributed variant instead of letting the driver OOM mid-job.
+EMBED_EXACT_MAX_ROWS = 2_000_000
+
+
+def _duck_round6(x):
+    """DuckDB ``round(x, 6)`` (half-away on x*1e6), vectorized.
+
+    Verified element-identical to DuckDB over 200k random doubles; numpy's
+    own ``np.round`` is half-even and disagrees on boundary values.
+    """
+    import numpy as np
+
+    return np.trunc(x * 1e6 + np.copysign(0.5, x)) / 1e6
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate vector pairs: cosine ≥ threshold (exact, all pairs).
 
@@ -376,48 +393,107 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (higher-order functions don't codegen) — 30 s at sf0.1. Instead the
     (small) matrix is broadcast once and each partition computes a
     block × matrix GEMM via ``mapInPandas`` + NumPy, emitting only pairs
-    over the threshold. Same exact semantics (verified against the DuckDB
-    all-pairs oracle); ~15× faster.
+    over the threshold.
 
-    Scale: one side must fit in executor memory (64-dim floats: ~256 MB per
-    1M vectors — fine). For corpora where it doesn't, the sublinear path is
-    LSH blocking (``similarity.ann_lsh``) feeding this verifier per bucket.
+    Determinism: the GEMM is only a *prefilter* (threshold minus a 1e-4
+    margin, far wider than any BLAS-vs-sequential summation drift).
+    Surviving pairs are re-scored with the oracle's exact float recipe —
+    sequential left-fold dots via ``np.cumsum`` (bit-identical to DuckDB
+    ``list_sum``), ``dot/(|a|·|b|)`` in the same association, half-away
+    rounding — so the 6dp values cannot flip on a rounding boundary.
+
+    Scale: the broadcast side is guarded at ``EMBED_EXACT_MAX_ROWS``; past
+    that the job refuses and points at :func:`dedup_embedding_blocked`,
+    which keeps the same semantics without any driver-side materialization.
     """
     import numpy as np
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # one small toPandas to build the broadcast payload (N×64 float64)
+    n_rows = emb.count()
+    if n_rows > EMBED_EXACT_MAX_ROWS:
+        raise ValueError(
+            f"dedup_embedding broadcasts the full matrix ({n_rows} rows > "
+            f"{EMBED_EXACT_MAX_ROWS}); use dedup_embedding_blocked for "
+            "corpora that do not fit on the driver"
+        )
+    # one size-guarded toPandas of the two pruned columns (N×64 float64)
     local = emb.toPandas()
     ids = local["vec_id"].to_numpy()
     mat = np.array([np.asarray(v, dtype=np.float64) for v in local["embedding"]])
     unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, unit))
+    # exact per-vector norms, sequential-fold like the oracle computes them
+    norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+    bc = spark.sparkContext.broadcast((ids, unit, mat, norms))
 
     def _block(batches):
-        b_ids, b_unit = bc.value
+        b_ids, b_unit, b_raw, b_norm = bc.value
         order = {int(v): i for i, v in enumerate(b_ids)}
         for pdf in batches:
-            rows_idx = [order[int(v)] for v in pdf["vec_id"]]
-            block = b_unit[rows_idx]  # m×d
-            sims = np.round(block @ b_unit.T, 6)  # m×N
-            a_ids = pdf["vec_id"].to_numpy()
-            out_a, out_b, out_c = [], [], []
-            for r, aid in enumerate(a_ids):
-                hits = np.where(sims[r] >= EMBED_COS_MIN)[0]
-                for h in hits:
-                    bid = int(b_ids[h])
-                    if int(aid) < bid:
-                        out_a.append(int(aid))
-                        out_b.append(bid)
-                        out_c.append(float(sims[r, h]))
-            yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cos": out_c})
+            rows_idx = np.array([order[int(v)] for v in pdf["vec_id"]], dtype=np.int64)
+            sims = b_unit[rows_idx] @ b_unit.T  # m×N prefilter GEMM
+            cand_a, cand_b = np.nonzero(sims >= EMBED_COS_MIN - 1e-4)
+            ai = rows_idx[cand_a]
+            bi = cand_b.astype(np.int64)
+            lower = b_ids[ai] < b_ids[bi]
+            ai, bi = ai[lower], bi[lower]
+            if len(ai):
+                dots = np.cumsum(b_raw[ai] * b_raw[bi], axis=1)[:, -1]
+                cos = _duck_round6(dots / (b_norm[ai] * b_norm[bi]))
+                keep = cos >= EMBED_COS_MIN
+                ai, bi, cos = ai[keep], bi[keep], cos[keep]
+            else:
+                cos = np.empty(0, dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "vec_a": b_ids[ai].astype(np.int64),
+                    "vec_b": b_ids[bi].astype(np.int64),
+                    "cos": cos,
+                }
+            )
 
     # a handful of fat blocks beats one-per-core: each task is one GEMM and
     # Python-worker startup dominates below ~250 rows per block
     n_blocks = max(2, min(8, len(ids) // 250))
     part = emb.select("vec_id").repartition(n_blocks)
     return part.mapInPandas(_block, schema="vec_a long, vec_b long, cos double")
+
+
+def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vector pairs via LSH blocking — the 100 TB path.
+
+    No driver-side materialization anywhere: vectors are bucketed by the
+    same seeded sign-plane LSH as ``similarity.ann_lsh`` (8 tables × 5
+    bits), each (table, bucket) cell emits its member pairs locally from one
+    groupBy, pairs are deduped across tables on the bare id pair, and only
+    then are the two vectors re-attached for an exact cosine check. Every
+    stage is a bounded shuffle; recall is that of the LSH blocking (union
+    over 8 tables), which is the standard trade against the all-pairs scan.
+
+    The oracle replays the identical construction in DuckDB (same plane
+    literals), so reported pairs are hash-verified, not "close enough".
+    """
+    from ..functions.vectors import cosine_similarity
+    from .similarity import _vectors, _with_buckets
+
+    vecs = _vectors(spark, sf_dir)
+    vt = _with_buckets(vecs).select("vec_id", "tbl", "bucket")
+    cells = vt.groupBy("tbl", "bucket").agg(F.collect_list("vec_id").alias("ids"))
+    pair_ids = (
+        cells.select(F.explode("ids").alias("vec_a"), "ids")
+        .select("vec_a", F.explode("ids").alias("vec_b"))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .distinct()
+    )
+    ea = vecs.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("e_a"))
+    eb = vecs.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("e_b"))
+    return (
+        pair_ids.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos", F.round(cosine_similarity(F.col("e_a"), F.col("e_b")), 6))
+        .filter(F.col("cos") >= EMBED_COS_MIN)
+        .select("vec_a", "vec_b", "cos")
+    )
 
 
 # ------------------------------------------------------------------- oracles
@@ -552,3 +628,24 @@ ORACLES: dict[str, str] = {
       AND round({sql_cosine('a.ed', 'b.ed')}, 6) >= {EMBED_COS_MIN}
     """,
 }
+
+
+def _blocked_oracle() -> str:
+    # deferred: the plane literals come from similarity's seeded generator
+    from .similarity import sql_bucket_ctes
+
+    return sql_bucket_ctes() + f"""
+    , pair_ids AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bt a JOIN bt b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT p.vec_a, p.vec_b, round({sql_cosine('ea.ed', 'eb.ed')}, 6) AS cos
+    FROM pair_ids p
+    JOIN e ea ON ea.vec_id = p.vec_a
+    JOIN e eb ON eb.vec_id = p.vec_b
+    WHERE round({sql_cosine('ea.ed', 'eb.ed')}, 6) >= {EMBED_COS_MIN}
+    """
+
+
+ORACLES["dedup_embedding_blocked"] = _blocked_oracle()

@@ -184,16 +184,19 @@ def _sql_planes_values() -> str:
     return ",\n      ".join(rows)
 
 
-# Replays ann_lsh end-to-end: sign-bit bucketing per (table, bit) plane,
-# bucket-equality candidate pairs, exact cosine, per-query top-k. The dot
-# products on both engines are sequential left-to-right folds over the same
-# 64 doubles; a sign flip would need |dot| within float-error of 0, which
-# the isotropic test vectors never approach.
-_ANN_LSH_ORACLE = f"""
+def sql_bucket_ctes() -> str:
+    """Shared oracle preamble: e (double vectors) + bt (vec_id, tbl, bucket).
+
+    Replays the sign-bit bucketing per (table, bit) plane. The dot products
+    on both engines are sequential left-to-right folds over the same 64
+    doubles; a sign flip would need |dot| within float-error of 0, which
+    the isotropic test vectors never approach.
+    """
+    return f"""
     WITH e AS (
       SELECT vec_id, {sql_double_array('embedding')} AS ed FROM embeddings
     ), planes(tbl, bit, pv) AS (
-      VALUES {{planes}}
+      VALUES {_sql_planes_values()}
     ), sb AS (
       SELECT e.vec_id, p.tbl, p.bit,
              CASE WHEN list_sum(list_transform(range(1, len(e.ed) + 1),
@@ -203,7 +206,13 @@ _ANN_LSH_ORACLE = f"""
     ), bt AS (
       SELECT vec_id, tbl, string_agg(ch, '' ORDER BY bit) AS bucket
       FROM sb GROUP BY vec_id, tbl
-    ), q AS (
+    )"""
+
+
+# ann_lsh end-to-end: bucket-equality candidate pairs for the query subset,
+# exact cosine, per-query top-k.
+_ANN_LSH_ORACLE = sql_bucket_ctes() + f"""
+    , q AS (
       SELECT vec_id AS query_id, tbl, bucket FROM bt
       WHERE vec_id % {QUERY_MOD} = 0
     ), pair_ids AS (
@@ -226,7 +235,7 @@ _ANN_LSH_ORACLE = f"""
 
 
 ORACLES: dict[str, str] = {
-    "ann_lsh": _ANN_LSH_ORACLE.format(planes=_sql_planes_values()),
+    "ann_lsh": _ANN_LSH_ORACLE,
     "ann_bruteforce": f"""
     WITH e AS (
       SELECT vec_id, {sql_double_array('embedding')} AS ed FROM embeddings

@@ -198,7 +198,7 @@ ORACLES: dict[str, str] = {
     ), sh AS (
       SELECT doc_id, t2.i - 1 AS pos,
              md5(array_to_string(toks[t2.i : t2.i + 2], ' ')) AS h
-      FROM t CROSS JOIN (SELECT unnest(range(1, 2000)) AS i) t2
+      FROM t CROSS JOIN (SELECT unnest(range(1, (SELECT max(len(toks)) + 1 FROM t))) AS i) t2
       WHERE t2.i <= len(toks) - 2 AND len(toks) >= 3
     ), fp AS (
       SELECT doc_id,

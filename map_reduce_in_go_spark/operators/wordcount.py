@@ -222,7 +222,7 @@ ORACLES: dict[str, str] = {
       SELECT doc_id, {_TOK} AS toks FROM documents
     ), pos AS (
       SELECT doc_id, t2.i AS pos, toks[t2.i] AS word
-      FROM t CROSS JOIN (SELECT unnest(range(1, 2000)) AS i) t2
+      FROM t CROSS JOIN (SELECT unnest(range(1, (SELECT max(len(toks)) + 1 FROM t))) AS i) t2
       WHERE t2.i <= len(toks)
     ), pairs AS (
       SELECT least(a.word, b.word) AS w1, greatest(a.word, b.word) AS w2

@@ -86,6 +86,7 @@ def _build() -> None:
         "dedup_ngram_jaccard",
         "dedup_clusters",
         "dedup_embedding",
+        "dedup_embedding_blocked",
     ])
 
     from .operators import tfidf as _tfidf

@@ -28,7 +28,9 @@ def _fnv1a_py(s: str) -> int:
 
 
 def test_fnv1a_bit_parity(spark):
-    words = ["the", "quick", "brown", "fox", "a", "spark", "zebra!"]
+    # includes multi-byte UTF-8 (Go's ihash hashes []byte, not codepoints)
+    words = ["the", "quick", "brown", "fox", "a", "spark", "zebra!",
+             "café", "naïve", "Åland", "źdźbło", "日本語", "", "résumé"]
     df = spark.createDataFrame([Row(w=w) for w in words])
     got = {r["w"]: r["h"] for r in df.select("w", fnv1a_32(F.col("w")).alias("h")).collect()}
     for w in words:
