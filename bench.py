@@ -29,7 +29,11 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_embedding",
+    "dedup_embedding_blocked",
     "ann_bruteforce",
+    "ann_lsh",
+    "q21_late_supplier",
+    "events_asof_join",
     "text_quality",
     "doc_fingerprint",
 ]

@@ -208,3 +208,116 @@ ORACLES: dict[str, str] = {
     FROM events
     """.replace("{val}", _VAL),
 }
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the latest strictly-prior click.
+
+    Spark has no ASOF JOIN operator; the standard composition is a tagged
+    union + one window pass: clicks and purchases interleave per user in
+    (ts, kind, id) order and ``last(click_info, ignorenulls)`` over the
+    strictly-preceding frame carries the most recent click forward. One
+    shuffle on user_id, no range self-join blowup — at 100 TB this is the
+    shape that survives (the naive inequality join is quadratic per user).
+
+    Tie discipline: purchases sort *before* clicks at equal ts, so
+    "strictly prior" is exact; among equal-ts clicks the largest event_id
+    wins (frame order), matching the oracle's max()-at-max-ts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", "event_id", F.lit(1).alias("is_click")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "event_id", F.lit(0).alias("is_click")
+    )
+    un = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "is_click", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_info = F.when(
+        F.col("is_click") == 1, F.struct(F.col("ts_us"), F.col("event_id"))
+    )
+    return (
+        un.withColumn("prev_click", F.last(click_info, ignorenulls=True).over(w))
+        .filter(F.col("is_click") == 0)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts_us").alias("purchase_ts_us"),
+            F.col("prev_click.ts_us").alias("click_ts_us"),
+            F.col("prev_click.event_id").alias("click_id"),
+        )
+    )
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: events bucketed against value intervals.
+
+    The bands side is a 5-row literal table: broadcast + inequality join
+    (BroadcastNestedLoopJoin is exactly right for a tiny interval dim —
+    each event probes 5 intervals, no shuffle of the fact)."""
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [
+            ("b0_small", 0.0, 25.0),
+            ("b1_mid", 25.0, 50.0),
+            ("b2_large", 50.0, 100.0),
+            ("b3_xl", 100.0, 250.0),
+            ("b4_huge", 250.0, 1000.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (ev.value >= bands.lo) & (ev.value < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_events"),
+            sum_exact(money("value")).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+ORACLES.update(
+    {
+        "events_asof_join": """
+        WITH c AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+          WHERE event_type = 'click'
+        ), p AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+          WHERE event_type = 'purchase'
+        ), g1 AS (
+          SELECT p.event_id AS purchase_id, p.user_id,
+                 p.ts_us AS purchase_ts_us, max(c.ts_us) AS click_ts_us
+          FROM p LEFT JOIN c
+            ON c.user_id = p.user_id AND c.ts_us < p.ts_us
+          GROUP BY 1, 2, 3
+        )
+        SELECT g1.purchase_id, g1.user_id, g1.purchase_ts_us, g1.click_ts_us,
+               max(c.event_id) AS click_id
+        FROM g1 LEFT JOIN c
+          ON c.user_id = g1.user_id AND c.ts_us = g1.click_ts_us
+        GROUP BY 1, 2, 3, 4
+        """,
+        "events_range_join": """
+        SELECT band, count(*) AS n_events,
+               {sum_value} AS sum_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        JOIN (VALUES ('b0_small', 0.0, 25.0),
+                     ('b1_mid', 25.0, 50.0),
+                     ('b2_large', 50.0, 100.0),
+                     ('b3_xl', 100.0, 250.0),
+                     ('b4_huge', 250.0, 1000.0)) AS bands(band, lo, hi)
+          ON value >= lo AND value < hi
+        GROUP BY band
+        """.replace("{sum_value}", sql_sum_exact(_VAL)),
+    }
+)

@@ -54,6 +54,12 @@ def _build() -> None:
         "q14_promo_revenue",
         "q18_large_orders",
         "q19_discounted_revenue",
+        "q12_late_priority",
+        "q13_customer_distribution",
+        "q16_parts_supplier_cnt",
+        "q17_small_qty_revenue",
+        "q21_late_supplier",
+        "q22_idle_customers",
         "top_customers",
     ])
 
@@ -74,6 +80,8 @@ def _build() -> None:
         "events_funnel",
         "events_running",
         "events_zscore",
+        "events_asof_join",
+        "events_range_join",
     ])
 
     from .operators import dedup as _dedup

@@ -67,3 +67,29 @@ def test_wordcount_wholestage_codegen(spark, sf_dir):
     # "*(n)" prefixes mark WholeStageCodegen stages in the final AQE plan
     assert "== Final Plan ==" in executed
     assert "*(" in executed
+
+
+def test_asof_join_strictly_prior(spark, sf_dir):
+    from map_reduce_in_go_spark.plans.events import events_asof_join
+
+    rows = events_asof_join(spark, sf_dir).collect()
+    assert rows  # purchases exist in every sf
+    for r in rows:
+        if r["click_ts_us"] is not None:
+            assert r["click_ts_us"] < r["purchase_ts_us"]
+        assert r["purchase_id"] is not None
+
+
+def test_anti_join_plans_have_no_cartesian(spark, sf_dir):
+    """q16/q21/q22 anti/semi joins must plan as hash/broadcast joins, not
+    nested-loop cartesians."""
+    from map_reduce_in_go_spark.plans.tpch import (
+        q16_parts_supplier_cnt,
+        q21_late_supplier,
+        q22_idle_customers,
+    )
+
+    for fn in (q16_parts_supplier_cnt, q21_late_supplier, q22_idle_customers):
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, fn.__name__
