@@ -464,36 +464,60 @@ def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No driver-side materialization anywhere: vectors are bucketed by the
     same seeded sign-plane LSH as ``similarity.ann_lsh`` (8 tables × 5
-    bits), each (table, bucket) cell emits its member pairs locally from one
-    groupBy, pairs are deduped across tables on the bare id pair, and only
-    then are the two vectors re-attached for an exact cosine check. Every
-    stage is a bounded shuffle; recall is that of the LSH blocking (union
-    over 8 tables), which is the standard trade against the all-pairs scan.
+    bits), then ``applyInPandas`` runs one GEMM per (table, bucket) cell —
+    prefilter at threshold minus a float-drift margin, exact sequential-fold
+    rescore for survivors (the identical recipe ``dedup_embedding`` uses,
+    so the 6dp values are engine-exact) — and a final distinct dedupes the
+    bit-identical triples across tables. One bounded shuffle on the cell
+    key (vector payload ×L tables), one on the pair output; cell sizes are
+    capped by the B sign bits, so no task ever sees the whole corpus.
 
-    The oracle replays the identical construction in DuckDB (same plane
-    literals), so reported pairs are hash-verified, not "close enough".
+    Recall is that of the LSH blocking (union over 8 tables) — the
+    standard trade against the quadratic all-pairs scan. The oracle replays
+    the identical construction in DuckDB (same plane literals), so reported
+    pairs are hash-verified, not "close enough".
     """
-    from ..functions.vectors import cosine_similarity
+    import numpy as np
+    import pandas as pd
+
     from .similarity import _vectors, _with_buckets
 
     vecs = _vectors(spark, sf_dir)
-    vt = _with_buckets(vecs).select("vec_id", "tbl", "bucket")
-    cells = vt.groupBy("tbl", "bucket").agg(F.collect_list("vec_id").alias("ids"))
-    pair_ids = (
-        cells.select(F.explode("ids").alias("vec_a"), "ids")
-        .select("vec_a", F.explode("ids").alias("vec_b"))
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .distinct()
+    vt = _with_buckets(vecs, with_vec=True)
+
+    def _cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos": "float64"}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["e"]])
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+        sims = unit @ unit.T
+        ia, ib = np.nonzero(sims >= EMBED_COS_MIN - 1e-4)
+        lower = ids[ia] < ids[ib]
+        ia, ib = ia[lower], ib[lower]
+        if len(ia):
+            dots = np.cumsum(mat[ia] * mat[ib], axis=1)[:, -1]
+            cos = _duck_round6(dots / (norms[ia] * norms[ib]))
+            keep = cos >= EMBED_COS_MIN
+            ia, ib, cos = ia[keep], ib[keep], cos[keep]
+        else:
+            cos = np.empty(0, dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia].astype(np.int64),
+                "vec_b": ids[ib].astype(np.int64),
+                "cos": cos,
+            }
+        )
+
+    pairs = vt.groupBy("tbl", "bucket").applyInPandas(
+        _cell, schema="vec_a long, vec_b long, cos double"
     )
-    ea = vecs.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("e_a"))
-    eb = vecs.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("e_b"))
-    return (
-        pair_ids.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .withColumn("cos", F.round(cosine_similarity(F.col("e_a"), F.col("e_b")), 6))
-        .filter(F.col("cos") >= EMBED_COS_MIN)
-        .select("vec_a", "vec_b", "cos")
-    )
+    return pairs.distinct()
 
 
 # ------------------------------------------------------------------- oracles
