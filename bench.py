@@ -68,6 +68,10 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(sf)
+    except ValueError:
+        pass  # non-standard dir name (e.g. a scale-replica path): keep the string
     print(
         json.dumps(
             {
@@ -75,7 +79,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
-                "sf": float(sf) if sf else None,
+                "sf": sf or None,
             }
         )
     )

@@ -51,18 +51,83 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-k cosine neighbors for every query vector."""
+    """Exact top-k cosine neighbors for every query vector.
+
+    Physical strategy: the query side (1% of the corpus) is broadcast as a
+    NumPy matrix; each corpus partition runs one block GEMM against it and
+    emits only its block-local top-k candidates (GEMM cutoff minus a 2e-6
+    margin — wider than both the BLAS-vs-sequential float drift ~1e-13 and
+    the 6dp rounding grain, so no true top-k member or 6dp tie can be cut).
+    Survivors are re-scored with the oracle's exact sequential-fold recipe,
+    then one tiny window pass ranks ~(partitions × k) rows per query. The
+    previous per-pair interpreted `aggregate(zip_with(...))` plan was
+    O(Q·N·d) in the expression interpreter — 50 s at 10× sf0.1; this is
+    the same exact semantics at GEMM speed.
+    """
+    import pandas as pd
+
     vecs = _vectors(spark, sf_dir)
-    queries = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    n_queries = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).count()
+    if n_queries > 500_000:
+        raise ValueError(
+            f"ann_bruteforce broadcasts the query matrix ({n_queries} rows > "
+            "500000); shrink the query subset or use ann_lsh for bulk sweeps"
+        )
+    qdf = (
+        vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select("vec_id", "e")
+        .toPandas()
     )
-    scored = (
-        vecs.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", F.round(cosine_similarity(F.col("qe"), F.col("e")), 6))
+    q_ids = qdf["vec_id"].to_numpy()
+    q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["e"]])
+    q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_norms = np.sqrt(np.cumsum(q_mat * q_mat, axis=1)[:, -1])
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_unit, q_norms))
+
+    def _duck_round6(x):
+        return np.trunc(x * 1e6 + np.copysign(0.5, x)) / 1e6
+
+    def _block(batches):
+        b_qids, b_qmat, b_qunit, b_qnorms = bc.value
+        nq = len(b_qids)
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["e"]])
+            unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+            sims = b_qunit @ unit.T  # nq × m GEMM prefilter
+            sims[b_qids[:, None] == ids[None, :]] = -np.inf  # self-pairs out
+            out_q, out_v, out_c = [], [], []
+            for qi in range(nq):
+                row = sims[qi]
+                k = min(TOP_K, m)
+                kth = np.partition(row, -k)[-k]
+                cand = np.nonzero(row >= kth - 2e-6)[0]
+                dots = np.cumsum(b_qmat[qi] * mat[cand], axis=1)[:, -1]
+                cos = _duck_round6(dots / (b_qnorms[qi] * norms[cand]))
+                out_q.append(np.full(len(cand), b_qids[qi]))
+                out_v.append(ids[cand])
+                out_c.append(cos)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "cos": np.concatenate(out_c),
+                }
+            )
+
+    # single-file test corpus → single split; spread the GEMM blocks
+    cands = (
+        vecs.select("vec_id", "e")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(_block, schema="query_id long, vec_id long, cos double")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos", "rank")
     )
