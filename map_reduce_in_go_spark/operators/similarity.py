@@ -224,6 +224,132 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CENTROID_MOD = 100  # vec_id % 100 == CENTROID_OFF → the coarse quantizer
+CENTROID_OFF = 3  # disjoint from the query subset (% 100 == 0)
+NPROBE = 2
+
+
+def _duck_round6_np(x):
+    import numpy as np
+
+    return np.trunc(x * 1e6 + np.copysign(0.5, x)) / 1e6
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: coarse quantizer → nprobe cells → exact re-rank.
+
+    The inverted-file structure every vector database uses, composed from
+    DataFrame ops: a deterministic 1% sample of the corpus is the coarse
+    quantizer (data-sampled centroids — no iterative k-means, so the DuckDB
+    oracle can replay assignment exactly); every vector joins its argmax-
+    cosine cell; queries probe their NPROBE nearest cells and re-rank that
+    cell subset with exact cosines. At 100 TB the corpus is hash-
+    partitioned by cell id, so a query touches NPROBE partitions — the
+    IVF trade (recall vs cells touched) without any all-pairs scan.
+
+    Float discipline: assignment and scoring use the oracle's sequential-
+    fold recipe on a GEMM-prefiltered candidate set (1e-5 margin), rounded
+    half-away at 6dp, ties broken on centroid/vector id — bit-exact against
+    DuckDB at every tested scale.
+    """
+    import pandas as pd  # noqa: F401 — captured by the worker closures
+
+    vecs = _vectors(spark, sf_dir)
+    cdf = (
+        vecs.filter(F.col("vec_id") % CENTROID_MOD == CENTROID_OFF)
+        .select("vec_id", "e")
+        .toPandas()
+    )
+    c_ids = cdf["vec_id"].to_numpy()
+    c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in cdf["e"]])
+    c_unit = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+    c_norms = np.sqrt(np.cumsum(c_mat * c_mat, axis=1)[:, -1])
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_unit, c_norms))
+
+    def _exact_cos(qrow, cmat_rows, qnorm, cnorms):
+        dots = np.cumsum(qrow * cmat_rows, axis=1)[:, -1]
+        return _duck_round6_np(dots / (qnorm * cnorms))
+
+    def _assign(batches, top_n):
+        """(vec_id, rank, cid) rows: top_n centroids per vector."""
+        b_cids, b_cmat, b_cunit, b_cnorms = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["e"]])
+            unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+            sims = unit @ b_cunit.T  # m×C prefilter
+            out_v, out_r, out_c = [], [], []
+            for i in range(len(ids)):
+                row = sims[i]
+                k = min(top_n, len(b_cids))
+                kth = np.partition(row, -k)[-k]
+                cand = np.nonzero(row >= kth - 1e-5)[0]
+                cos = _exact_cos(mat[i], b_cmat[cand], norms[i], b_cnorms[cand])
+                order = np.lexsort((b_cids[cand], -cos))[:k]
+                out_v.extend([ids[i]] * k)
+                out_r.extend(range(1, k + 1))
+                out_c.extend(b_cids[cand][order])
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.array(out_v, dtype=np.int64),
+                    "rank": np.array(out_r, dtype=np.int32),
+                    "cid": np.array(out_c, dtype=np.int64),
+                }
+            )
+
+    part = vecs.select("vec_id", "e").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    assign = part.mapInPandas(
+        lambda it: _assign(it, 1), schema="vec_id long, rank int, cid long"
+    ).select("vec_id", "cid")
+    probes = (
+        part.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .mapInPandas(
+            lambda it: _assign(it, NPROBE), schema="vec_id long, rank int, cid long"
+        )
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    qv = vecs.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    pairs = cand.join(F.broadcast(qv), "query_id").join(
+        vecs.select("vec_id", "e"), "vec_id"
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qm = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["qe"]])
+            cm = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["e"]])
+            qn = np.sqrt(np.cumsum(qm * qm, axis=1)[:, -1])
+            cn = np.sqrt(np.cumsum(cm * cm, axis=1)[:, -1])
+            dots = np.cumsum(qm * cm, axis=1)[:, -1]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "vec_id": pdf["vec_id"],
+                    "cos": _duck_round6_np(dots / (qn * cn)),
+                }
+            )
+
+    scored = pairs.mapInPandas(_score, schema="query_id long, vec_id long, cos double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos", "rank")
+    )
+
+
 def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vectors(spark, sf_dir)
     return vecs.select(
@@ -302,8 +428,45 @@ _ANN_LSH_ORACLE = sql_bucket_ctes() + f"""
     """
 
 
+_ANN_IVF_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, {sql_double_array('embedding')} AS ed FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cid, ed AS ce FROM e
+      WHERE vec_id % {CENTROID_MOD} = {CENTROID_OFF}
+    ), sa AS (
+      SELECT e.vec_id, cent.cid,
+             round({sql_cosine('e.ed', 'cent.ce')}, 6) AS ac
+      FROM e CROSS JOIN cent
+    ), assign AS (
+      SELECT vec_id, cid FROM sa
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+              ORDER BY ac DESC, cid ASC) = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cid FROM sa WHERE vec_id % {QUERY_MOD} = 0
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+              ORDER BY ac DESC, cid ASC) <= {NPROBE}
+    ), cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id
+      FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+    ), scored AS (
+      SELECT c.query_id, c.vec_id AS neighbor_id,
+             round({sql_cosine('qa.ed', 'ca.ed')}, 6) AS cos
+      FROM cand c
+      JOIN e qa ON qa.vec_id = c.query_id
+      JOIN e ca ON ca.vec_id = c.vec_id
+    )
+    SELECT query_id, neighbor_id, cos,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= {TOP_K}
+    """
+
+
 ORACLES: dict[str, str] = {
     "ann_lsh": _ANN_LSH_ORACLE,
+    "ann_ivf": _ANN_IVF_ORACLE,
     "ann_bruteforce": f"""
     WITH e AS (
       SELECT vec_id, {sql_double_array('embedding')} AS ed FROM embeddings

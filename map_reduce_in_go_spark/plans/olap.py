@@ -137,3 +137,42 @@ ORACLES: dict[str, str] = {
     QUALIFY rnk <= 3
     """.replace("{rev}", sql_sum_exact(f"({SQL_DISC_PRICE})")),
 }
+
+
+def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue CUBE over (market segment, order-year): all 4 grouping sets.
+
+    Same one-expand-one-shuffle plan as ROLLUP but with the cross-
+    dimensional (segment-only and year-only) subtotals a rollup omits.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    base = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment",
+        F.year("o_orderdate").cast("string").alias("yr"),
+        "o_totalprice",
+    )
+    return (
+        base.cube("c_mktsegment", "yr")
+        .agg(
+            sum_exact(money("o_totalprice")).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            F.coalesce("yr", F.lit("ALL")).alias("yr"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+ORACLES["sales_cube"] = """
+WITH base AS (
+  SELECT c_mktsegment, CAST(year(o_orderdate) AS VARCHAR) AS yr, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT COALESCE(c_mktsegment, 'ALL') AS segment, COALESCE(yr, 'ALL') AS yr,
+       {rev} AS revenue, count(*) AS n_orders
+FROM base GROUP BY CUBE(c_mktsegment, yr)
+""".replace("{rev}", sql_sum_exact("CAST(o_totalprice AS DECIMAL(12,2))"))

@@ -677,3 +677,57 @@ ORACLES.update(
         """,
     }
 )
+
+
+def q2_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q2 shape: correlated `= (SELECT max ...)` — best supplier per part.
+
+    The part-supplier relation comes from lineitem; per part the suppliers
+    tying the max account balance all qualify (exact '=' semantics). Spark
+    side: groupBy max + equijoin back — the decorrelated plan Catalyst
+    would produce for the subquery, written explicitly.
+    """
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    pf = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") < 15)
+    )
+    j = (
+        ps.join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(pf), ps.l_partkey == pf.p_partkey)
+    )
+    mx = j.groupBy(F.col("p_partkey").alias("mx_partkey")).agg(
+        F.max("s_acctbal").alias("max_bal")
+    )
+    return (
+        j.join(
+            F.broadcast(mx),
+            (F.col("p_partkey") == F.col("mx_partkey"))
+            & (F.col("s_acctbal") == F.col("max_bal")),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+        )
+    )
+
+
+ORACLES["q2_top_supplier"] = """
+SELECT p_partkey, p_name, s_name, round(s_acctbal, 2) AS acctbal
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN supplier ON s_suppkey = ps.l_suppkey
+JOIN part ON p_partkey = ps.l_partkey
+WHERE p_type = 'STANDARD' AND p_size < 15
+  AND s_acctbal = (
+    SELECT max(s2.s_acctbal)
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+    WHERE ps2.l_partkey = ps.l_partkey
+  )
+"""

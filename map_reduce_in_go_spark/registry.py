@@ -60,6 +60,7 @@ def _build() -> None:
         "q17_small_qty_revenue",
         "q21_late_supplier",
         "q22_idle_customers",
+        "q2_top_supplier",
         "top_customers",
     ])
 
@@ -67,6 +68,7 @@ def _build() -> None:
 
     _register(_olap, [
         "sales_rollup",
+        "sales_cube",
         "events_quantiles",
         "events_moving_avg",
         "top_parts_per_supplier",
@@ -110,6 +112,7 @@ def _build() -> None:
     _register(_sim, [
         "ann_bruteforce",
         "ann_lsh",
+        "ann_ivf",
         "vector_norms",
     ])
 

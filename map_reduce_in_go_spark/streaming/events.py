@@ -144,3 +144,37 @@ def run_to_memory(stream_df: DataFrame, name: str, timeout_sec: float = 60.0):
     )
     q.awaitTermination(timeout_sec)
     return q
+
+
+def interval_join_streams(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: purchases matched to clicks within a
+    bounded event-time interval.
+
+    Both sides carry watermarks and the join predicate carries a time range
+    (click within ``max_gap`` before the purchase), so Spark can bound the
+    state store on both sides — the streaming analog of the batch
+    ``events_asof_join``'s candidate step. Without the interval bound the
+    state would grow forever; this is the canonical correct shape.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    return p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.click_ts < p.purchase_ts)
+        & (c.click_ts >= p.purchase_ts - F.expr(f"INTERVAL {max_gap}")),
+        "inner",
+    ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")

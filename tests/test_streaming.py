@@ -98,3 +98,38 @@ def test_stateful_sessionize_stream(spark, drop_dir):
         assert got[2] == (1, 3.0)
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    from map_reduce_in_go_spark.streaming.events import interval_join_streams
+
+    p = tmp_path / "ssj"
+    p.mkdir()
+    evs = [
+        # user 1: click at 00:10, purchases at 00:30 (in window) and 02:00 (outside 1h)
+        {"event_id": 10, "ts": "2024-01-01T00:10:00.000Z", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 11, "ts": "2024-01-01T00:30:00.000Z", "user_id": 1, "event_type": "purchase", "value": 5.0, "props": "{}"},
+        {"event_id": 12, "ts": "2024-01-01T02:00:00.000Z", "user_id": 1, "event_type": "purchase", "value": 6.0, "props": "{}"},
+        # user 2: purchase with no prior click
+        {"event_id": 20, "ts": "2024-01-01T00:40:00.000Z", "user_id": 2, "event_type": "purchase", "value": 7.0, "props": "{}"},
+    ]
+    for i, ev in enumerate(evs):
+        (p / f"part-{i}.json").write_text(json.dumps(ev) + "\n")
+    stream = read_event_stream(spark, str(p))
+    clicks = stream.filter(stream.event_type == "click")
+    purchases = stream.filter(stream.event_type == "purchase")
+    joined = interval_join_streams(clicks, purchases)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    try:
+        rows = spark.sql("SELECT purchase_id, click_id FROM ssj_test").collect()
+        got = {(r["purchase_id"], r["click_id"]) for r in rows}
+        assert got == {(11, 10)}  # only the in-window pair joins
+    finally:
+        q.stop()
