@@ -129,6 +129,10 @@ def _build() -> None:
 
     _register(_mm, ["multimodal_meta"])
 
+    from .operators import pipeline as _pl
+
+    _register(_pl, ["corpus_clean"])
+
 
 def queries() -> dict[str, QueryFn]:
     _build()
