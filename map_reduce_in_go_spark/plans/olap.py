@@ -176,3 +176,52 @@ SELECT COALESCE(c_mktsegment, 'ALL') AS segment, COALESCE(yr, 'ALL') AS yr,
        {rev} AS revenue, count(*) AS n_orders
 FROM base GROUP BY CUBE(c_mktsegment, yr)
 """.replace("{rev}", sql_sum_exact("CAST(o_totalprice AS DECIMAL(12,2))"))
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user activity matrix: one column per event type (PIVOT).
+
+    The value list is explicit, so the schema is static and Catalyst plans
+    a single groupBy with conditional aggregates — no second pass to
+    discover the pivot domain (which at 100 TB would be its own job).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["view", "click", "purchase"])
+        .select(
+            "user_id",
+            F.col("view").alias("n_view"),
+            F.col("click").alias("n_click"),
+            F.col("purchase").alias("n_purchase"),
+        )
+    )
+
+
+def events_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile assignment of event values within each type (ntile window)."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+ORACLES["events_pivot"] = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'view') AS n_view,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase
+FROM events GROUP BY user_id
+"""
+
+ORACLES["events_ntile"] = """
+SELECT event_id, event_type,
+       CAST(ntile(10) OVER (PARTITION BY event_type
+            ORDER BY value, event_id) AS INTEGER) AS decile
+FROM events
+"""

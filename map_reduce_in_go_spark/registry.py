@@ -71,6 +71,8 @@ def _build() -> None:
         "sales_cube",
         "events_quantiles",
         "events_moving_avg",
+        "events_pivot",
+        "events_ntile",
         "top_parts_per_supplier",
     ])
 
@@ -97,6 +99,7 @@ def _build() -> None:
         "dedup_clusters",
         "dedup_embedding",
         "dedup_embedding_blocked",
+        "dedup_minhash_fast",
     ])
 
     from .operators import tfidf as _tfidf

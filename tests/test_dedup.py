@@ -75,3 +75,26 @@ def test_embedding_pairs_above_threshold(spark, sf_dir):
     for r in out:
         assert r["cos"] >= dedup.EMBED_COS_MIN
         assert r["vec_a"] < r["vec_b"]
+
+
+def test_minhash_fast_recovers_md5_pairs(spark, sf_dir):
+    """Pinned-corpus recall: the xxhash64 fast path must recover every
+    candidate pair the portable md5 variant reports (this corpus's dup
+    pairs all have J high enough that any 32-perm family catches them),
+    with high signature agreement."""
+    from map_reduce_in_go_spark.operators.dedup import (
+        dedup_minhash,
+        dedup_minhash_fast,
+    )
+
+    md5_pairs = {
+        (r["doc_a"], r["doc_b"]) for r in dedup_minhash(spark, sf_dir).collect()
+    }
+    fast = {
+        (r["doc_a"], r["doc_b"]): r["n_match"]
+        for r in dedup_minhash_fast(spark, sf_dir).collect()
+    }
+    assert md5_pairs, "corpus should contain near-duplicates"
+    for p in md5_pairs:
+        assert p in fast, p
+        assert fast[p] >= 24, (p, fast[p])

@@ -36,6 +36,7 @@ def test_every_query_has_oracle_or_is_declared():
     rows_only = {
         "distinct_words_approx",  # HLL sketch values are engine-specific
         "events_quantiles_approx",  # t-digest-style estimates likewise
+        "dedup_minhash_fast",  # xxhash64 has no DuckDB twin; containment-tested
     }
     assert oracles <= qs
     assert qs - oracles == rows_only
