@@ -32,10 +32,12 @@ HEADLINE = [
     "dedup_embedding_blocked",
     "ann_bruteforce",
     "ann_lsh",
+    "ann_ivf",
     "q21_late_supplier",
     "events_asof_join",
     "text_quality",
     "doc_fingerprint",
+    "corpus_clean",
 ]
 
 

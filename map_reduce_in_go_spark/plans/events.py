@@ -321,3 +321,55 @@ ORACLES.update(
         """.replace("{sum_value}", sql_sum_exact(_VAL)),
     }
 )
+
+
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: hourly per-type counts INCLUDING empty hours.
+
+    The dense hour spine is generated per type with ``sequence()`` between
+    that type's min and max hour (no driver loop, no cross join against a
+    global calendar), then left-joined against the sparse aggregates. The
+    spine side is tiny (types × hours) — at 100 TB the heavy side is the
+    pre-aggregated counts, already one shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "hr", F.date_trunc("hour", F.col("ts"))
+    )
+    agg = ev.groupBy("event_type", "hr").agg(
+        F.count("*").alias("n_events"),
+        sum_exact(money("value")).alias("sum_value"),
+    )
+    bounds = agg.groupBy("event_type").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hr"),
+    )
+    return (
+        spine.join(agg, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
+ORACLES["events_gap_fill"] = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         count(*) AS n_events, {sum_value} AS sum_value
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT event_type, min(hr) AS h0, max(hr) AS h1 FROM agg GROUP BY 1
+), spine AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+  FROM b
+)
+SELECT s.event_type, strftime(s.hr, '%Y-%m-%d %H:%M:%S') AS hour,
+       COALESCE(a.n_events, 0) AS n_events,
+       COALESCE(a.sum_value, 0.0) AS sum_value
+FROM spine s LEFT JOIN agg a ON a.event_type = s.event_type AND a.hr = s.hr
+""".replace("{sum_value}", sql_sum_exact(_VAL))

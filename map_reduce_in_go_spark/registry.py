@@ -86,6 +86,7 @@ def _build() -> None:
         "events_zscore",
         "events_asof_join",
         "events_range_join",
+        "events_gap_fill",
     ])
 
     from .operators import dedup as _dedup

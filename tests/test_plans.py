@@ -93,3 +93,26 @@ def test_anti_join_plans_have_no_cartesian(spark, sf_dir):
         df = fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_new_query_filters_reach_the_scan(spark, sf_dir):
+    """Constant predicates must appear as PushedFilters on the parquet
+    scans, not as post-scan Filter nodes only."""
+    from map_reduce_in_go_spark.plans.tpch import (
+        q16_parts_supplier_cnt,
+        q17_small_qty_revenue,
+        q22_idle_customers,
+    )
+
+    expectations = [
+        (q22_idle_customers, "o_orderpriority"),  # urgent filter on orders scan
+        (q16_parts_supplier_cnt, "s_acctbal"),  # deficit filter on supplier scan
+        (q17_small_qty_revenue, "p_brand"),  # brand filter on part scan
+    ]
+    for fn, col in expectations:
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        pushed = [
+            seg.split("]", 1)[0]
+            for seg in plan.split("PushedFilters: [")[1:]
+        ]
+        assert any(col in seg for seg in pushed), (fn.__name__, col, pushed)
