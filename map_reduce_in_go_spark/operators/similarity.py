@@ -300,18 +300,22 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    # one GEMM pass computes top-NPROBE cells for every vector; corpus
+    # assignment is the rank-1 slice, query probes the rank<=NPROBE slice —
+    # no second scan of the corpus
     part = vecs.select("vec_id", "e").repartition(
         spark.sparkContext.defaultParallelism
     )
-    assign = part.mapInPandas(
-        lambda it: _assign(it, 1), schema="vec_id long, rank int, cid long"
-    ).select("vec_id", "cid")
-    probes = (
-        part.filter(F.col("vec_id") % QUERY_MOD == 0)
-        .mapInPandas(
+    from ..functions.caching import scoped_persist
+
+    ranked = scoped_persist(
+        part.mapInPandas(
             lambda it: _assign(it, NPROBE), schema="vec_id long, rank int, cid long"
         )
-        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    assign = ranked.filter(F.col("rank") == 1).select("vec_id", "cid")
+    probes = ranked.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "cid"
     )
     cand = (
         assign.join(F.broadcast(probes), "cid")
