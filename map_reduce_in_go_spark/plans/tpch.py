@@ -731,3 +731,165 @@ WHERE p_type = 'STANDARD' AND p_size < 15
     WHERE ps2.l_partkey = ps.l_partkey
   )
 """
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q8 shape: one nation's share of a region's revenue per year.
+
+    Ratio of two exact decimal sums, divided in double and rounded — the
+    conditional-aggregation-ratio pattern on a 5-way join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    n_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n_c = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("c_rkey")
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    share_num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_1", disc_price()).otherwise(
+            F.lit(0).cast("decimal(12,2)")
+        )
+    ).cast("double")
+    share_den = F.sum(disc_price()).cast("double")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_s), supp.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(n_c), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("c_rkey") == region.r_regionkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(share_num / share_den, 6).alias("mkt_share"))
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q9 shape: profit by supplier nation × year.
+
+    No partsupp table, so cost is proxied by 90% of retail price × quantity
+    — both factors 2-decimal/integral, so the decimal product and sum stay
+    exact and order-independent.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    cost = (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.lit(0.9).cast("decimal(3,2)")
+        * money("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(sum_exact(disc_price() - cost).alias("profit"))
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q11 shape: parts whose revenue exceeds a fraction of the global sum
+    (HAVING against a scalar subquery — one broadcast row)."""
+    from ..functions.caching import scoped_persist
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # per_part feeds both the total and the HAVING filter — one shuffle
+    per_part = scoped_persist(
+        li.groupBy("l_partkey").agg(sum_exact(disc_price()).alias("part_value"))
+    )
+    total = per_part.agg(
+        F.round(F.sum("part_value"), 2).cast("double").alias("total_value")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("total_value") * 0.0007)
+        .select("l_partkey", "part_value")
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q15 shape: supplier(s) achieving the maximum quarterly revenue
+    (the revenue view + `= (SELECT max ...)` equality)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    from ..functions.caching import scoped_persist
+
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = scoped_persist(
+        li.groupBy("l_suppkey").agg(sum_exact(disc_price()).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+ORACLES.update(
+    {
+        "q8_market_share": f"""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               round(CAST(sum(CASE WHEN n_s.n_name = 'NATION_1'
+                                   THEN {_DP} ELSE CAST(0 AS DECIMAL(12,2)) END)
+                          AS DOUBLE)
+                     / CAST(sum({_DP}) AS DOUBLE), 6) AS mkt_share
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n_s ON s_nationkey = n_s.n_nationkey
+        JOIN nation n_c ON c_nationkey = n_c.n_nationkey
+        JOIN region ON n_c.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        GROUP BY 1
+        """,
+        "q9_product_profit": f"""
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               {sql_sum_exact(f"({_DP}) - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.9 AS DECIMAL(3,2)) * CAST(l_quantity AS DECIMAL(12,2))")} AS profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1, 2
+        """,
+        "q11_important_stock": f"""
+        WITH per_part AS (
+          SELECT l_partkey, {sql_sum_exact(_DP)} AS part_value
+          FROM lineitem GROUP BY l_partkey
+        ), total AS (
+          SELECT CAST(round(sum(part_value), 2) AS DOUBLE) AS total_value
+          FROM per_part
+        )
+        SELECT l_partkey, part_value
+        FROM per_part, total
+        WHERE part_value > total_value * 0.0007
+        """,
+        "q15_top_supplier": f"""
+        WITH rev AS (
+          SELECT l_suppkey, {sql_sum_exact(_DP)} AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON s_suppkey = rev.l_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+    }
+)

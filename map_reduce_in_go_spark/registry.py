@@ -61,6 +61,10 @@ def _build() -> None:
         "q21_late_supplier",
         "q22_idle_customers",
         "q2_top_supplier",
+        "q8_market_share",
+        "q9_product_profit",
+        "q11_important_stock",
+        "q15_top_supplier",
         "top_customers",
     ])
 
