@@ -373,3 +373,38 @@ SELECT s.event_type, strftime(s.hr, '%Y-%m-%d %H:%M:%S') AS hour,
        COALESCE(a.sum_value, 0.0) AS sum_value
 FROM spine s LEFT JOIN agg a ON a.event_type = s.event_type AND a.hr = s.hr
 """.replace("{sum_value}", sql_sum_exact(_VAL))
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads: parse the JSON props column, aggregate a
+    typed field per event type.
+
+    Extraction happens in the scan projection (get_json_object is
+    codegen'd); at 100 TB the right storage answer is parsing once into a
+    typed/VARIANT column at ingest, but the query-side shape is the same.
+    Sums are exact integer arithmetic; the average divides exact sum by
+    exact count at 6dp.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.sum("k").cast("double") / F.count(F.lit(1)), 6).alias("avg_k"),
+        )
+    )
+
+
+ORACLES["events_json_extract"] = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k,
+       round(CAST(sum(CAST(props->>'k' AS BIGINT)) AS DOUBLE) / count(*), 6) AS avg_k
+FROM events GROUP BY event_type
+"""

@@ -91,6 +91,7 @@ def _build() -> None:
         "events_asof_join",
         "events_range_join",
         "events_gap_fill",
+        "events_json_extract",
     ])
 
     from .operators import dedup as _dedup

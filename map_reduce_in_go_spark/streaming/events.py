@@ -178,3 +178,24 @@ def interval_join_streams(
         & (c.click_ts >= p.purchase_ts - F.expr(f"INTERVAL {max_gap}")),
         "inner",
     ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+
+
+def session_window_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Native session windows: Spark's built-in gap-based sessionization.
+
+    The declarative twin of :func:`sessionize_stateful` — state management,
+    gap merging and eviction are the engine's problem, which is exactly
+    what you want at scale (the custom applyInPandasWithState form is for
+    semantics session_window can't express)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

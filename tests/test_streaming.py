@@ -133,3 +133,28 @@ def test_stream_stream_interval_join(spark, tmp_path):
         assert got == {(11, 10)}  # only the in-window pair joins
     finally:
         q.stop()
+
+
+def test_native_session_window_stream(spark, drop_dir):
+    from map_reduce_in_go_spark.streaming.events import session_window_counts
+
+    stream = read_event_stream(spark, drop_dir)
+    q = (
+        session_window_counts(stream)
+        .writeStream.format("memory")
+        .queryName("sw_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    try:
+        rows = spark.sql(
+            "SELECT user_id, n_events, sum_value FROM sw_test ORDER BY user_id, n_events"
+        ).collect()
+        got = [(r["user_id"], r["n_events"], r["sum_value"]) for r in rows]
+        # user 1: events at 00:05/00:15 merge (10 min gap), 01:10 is a new
+        # session (55 min > 30); user 2: one singleton session
+        assert got == [(1, 1, 4.0), (1, 2, 3.0), (2, 1, 3.0)]
+    finally:
+        q.stop()
