@@ -46,3 +46,18 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert df.columns == ["word", "cnt"]
+
+
+def test_no_registered_query_is_degenerate(spark, sf_dir):
+    """Every query must produce rows — an accidentally-empty result would
+    sail through the oracle compare (0 == 0) while testing nothing."""
+    from map_reduce_in_go_spark.functions.caching import release_persisted
+
+    # empty at sf0.001 only; verified non-degenerate at the sf0.01 gate
+    tiny_corpus_exceptions = {"q7_volume_shipping"}
+    empty = []
+    for name, fn in sorted(entry_mod.queries().items()):
+        if fn(spark, sf_dir).count() == 0 and name not in tiny_corpus_exceptions:
+            empty.append(name)
+        release_persisted()
+    assert not empty, empty
