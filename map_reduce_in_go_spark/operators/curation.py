@@ -1,0 +1,391 @@
+"""Training-data curation operators: splits, sampling, contamination,
+repetition quality, shard packing, and domain mixing.
+
+These are the operations a large-scale LLM training-data pipeline runs after
+dedup (operators/dedup.py) and quality scoring (operators/text_analysis.py):
+
+- ``split_train_test``   — deterministic content-keyed train/valid/test split
+- ``sample_stratified``  — language-balanced downsampling at per-lang rates
+- ``contamination_ngram``— benchmark n-gram overlap (test-set contamination)
+- ``quality_repetition`` — Gopher-style repetition filters (top-1-gram /
+  top-2-gram share, duplicate-3-gram share)
+- ``shard_pack``         — token-budget bin packing into training shards
+- ``domain_mix``         — per-domain token shares + uniform resampling weights
+
+Scale notes (100 TB): every operator here is either embarrassingly parallel
+(split/sample: one narrow projection, zero shuffle), a broadcast semi-join
+against a small benchmark set (contamination), or a partial-agg-friendly
+groupBy (repetition/mix). ``shard_pack`` needs a *global* prefix sum — done
+hierarchically (per-block sums → tiny block-level cumsum → within-block
+window), never a single-partition window over the full table.
+
+Splits and samples hash document *keys* (md5-derived buckets), never
+``rand()``: assignment is stable under retries, repartitioning and reruns —
+the property a training pipeline actually needs from a splitter. The same
+construction is expressible in ANSI SQL, so every operator has an exact
+DuckDB oracle (hex-parse parity checked in tests/test_curation.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import sql_shingles, sql_tokens, tokens
+from ..sources.tables import load_table
+
+# -- portable deterministic bucket ------------------------------------------
+# Spark: conv(hex, 16, 10) → decimal string → BIGINT.  DuckDB: '0x…' cast.
+# First 8 md5 hex chars = 32 uniform bits; % 100 → bucket in [0, 100).
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 100
+    )
+
+
+def sql_hash_bucket(key: str, salt: str = "") -> str:
+    return (
+        f"CAST('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 8) "
+        f"AS BIGINT) % 100"
+    )
+
+
+TRAIN_PCT, VALID_PCT = 80, 90  # train < 80 ≤ valid < 90 ≤ test
+
+# Per-language keep rates (percent). The corpus is English-heavy (~44%);
+# downsampling en to 30% roughly equalizes the language mix.
+SAMPLE_RATES = {"en": 30}
+SAMPLE_DEFAULT = 100
+SAMPLE_SALT = "strat:"
+
+BENCH_MOD = 50  # doc_id % 50 == 0 → held-out "benchmark" docs
+# n-gram width for contamination. The literature uses 13-gram overlap
+# (GPT-3/Gopher decontamination); this corpus has a ~40-word vocabulary and
+# ~100-token docs, where 4-grams give the same rare-but-present hit profile
+# a 13-gram check gives on natural text.
+CONTAM_N = 4
+
+SHARD_TOKENS = 1000  # token budget per training shard
+SHARD_BLOCK = 64  # docs per block in the hierarchical prefix sum
+
+
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split: 80/10/10 train/valid/test by doc_id.
+
+    Content-keyed (md5 bucket), so the split survives reruns, retries and
+    repartitioning — unlike ``rand()``-based splits. Zero shuffle: a narrow
+    projection the scanner pipelines; at 100 TB this is a pure map stage.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < TRAIN_PCT, F.lit("train"))
+        .when(bucket < VALID_PCT, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(
+        "doc_id", bucket.alias("bucket"), split.alias("split")
+    )
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced downsampling at fixed per-lang rates.
+
+    A salted bucket (independent of the split bucket) is compared against the
+    language's keep-rate. Deterministic twin of ``df.sampleBy`` — same plan
+    shape (filter over a map stage), but stable across runs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), SAMPLE_SALT)
+    rate = F.lit(SAMPLE_DEFAULT)
+    for lang, pct in SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    return (
+        docs.withColumn("bucket", b)
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: distinct n-gram overlap per corpus doc.
+
+    The "benchmark" is the held-out slice ``doc_id % 50 == 0`` (stand-in for
+    an eval set). Its distinct n-gram set is small → broadcast; the corpus
+    side aggregates per doc with map-side partials. No corpus self-join, no
+    big-side shuffle beyond the per-doc agg — the shape that survives 100 TB
+    (benchmark sets are KBs–MBs even when the corpus is not).
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", tokens(F.col("text"))
+    )
+    grams = F.array_distinct(_ngrams(F.col("toks"), CONTAM_N))
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench = (
+        docs.filter(is_bench)
+        .select(F.explode(grams).alias("g"))
+        .distinct()
+    )
+    corpus = (
+        docs.filter(~is_bench)
+        .filter(F.size("toks") >= CONTAM_N)
+        .select("doc_id", F.explode(grams).alias("g"))
+    )
+    per_doc = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        corpus.join(F.broadcast(bench), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        per_doc.join(hits, "doc_id", "left")
+        .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)).cast("int"))
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("int").alias("n_grams"),
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("contam_ratio"),
+        )
+    )
+
+
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition ratios per doc (Rae et al. 2021, §A1.1).
+
+    - ``top1_ratio``: share of tokens taken by the most frequent token
+    - ``top_bigram_ratio``: share of bigrams taken by the most frequent bigram
+    - ``dup_trigram_ratio``: share of trigram occurrences that are repeats
+
+    Each metric is an explode → two-level aggregate (doc×gram, then doc);
+    both levels combine map-side, and the three per-doc aggregates join on
+    doc_id. At 100 TB all shuffles carry one row per (doc, distinct gram).
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("toks", tokens(F.col("text")))
+        .filter(F.size("toks") >= 3)
+    )
+
+    def top_share(col: Column, name: str) -> DataFrame:
+        per = docs.select("doc_id", F.explode(col).alias("g")).groupBy(
+            "doc_id", "g"
+        ).agg(F.count(F.lit(1)).alias("c"))
+        return per.groupBy("doc_id").agg(
+            F.max("c").alias(f"{name}_max"),
+            F.sum("c").alias(f"{name}_n"),
+        )
+
+    uni = top_share(F.col("toks"), "uni")
+    bi = top_share(_ngrams(F.col("toks"), 2), "bi")
+    tri = (
+        docs.select("doc_id", F.explode(_ngrams(F.col("toks"), 3)).alias("g"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("tri_n"),
+            F.countDistinct("g").alias("tri_d"),
+        )
+    )
+    out = uni.join(bi, "doc_id").join(tri, "doc_id")
+    top1 = F.round(F.col("uni_max") / F.col("uni_n"), 6)
+    topbi = F.round(F.col("bi_max") / F.col("bi_n"), 6)
+    duptri = F.round((F.col("tri_n") - F.col("tri_d")) / F.col("tri_n"), 6)
+    return out.select(
+        "doc_id",
+        top1.alias("top1_ratio"),
+        topbi.alias("top_bigram_ratio"),
+        duptri.alias("dup_trigram_ratio"),
+        # Gopher rejects docs whose most common word covers > 10% of tokens
+        # (we use the rounded value so the flag is engine-deterministic).
+        (top1 <= 0.1).alias("keep"),
+    )
+
+
+def shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack docs (in doc_id order) into ~SHARD_TOKENS-token training shards.
+
+    shard_id = floor(prefix_token_count / budget): a global prefix sum.
+    Computed hierarchically so no single window sees the whole table:
+
+    1. per-block (``doc_id DIV 64``) token sums — one partial-agg shuffle;
+    2. cumsum over *block totals* (64× smaller; recurse again at extreme
+       scale — one more level covers 4096×);
+    3. block offsets broadcast back; within-block window partitioned by
+       block does the per-doc cumsum.
+
+    The oracle is the flat global window — same numbers, different plan.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tok"),
+        F.expr(f"doc_id DIV {SHARD_BLOCK}").alias("blk"),
+    )
+    blk = d.groupBy("blk").agg(F.sum("n_tok").alias("bsum"))
+    wblk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    blk_off = blk.select(
+        "blk", F.coalesce(F.sum("bsum").over(wblk), F.lit(0)).alias("boff")
+    )
+    win = (
+        Window.partitionBy("blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = d.join(F.broadcast(blk_off), "blk").withColumn(
+        "offset", F.col("boff") + F.coalesce(F.sum("n_tok").over(win), F.lit(0))
+    )
+    return packed.select(
+        "doc_id",
+        "n_tok",
+        "offset",
+        F.expr(f"`offset` DIV {SHARD_TOKENS}").alias("shard_id"),
+    )
+
+
+def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (lang, source) doc/token shares + uniform-target resampling weight.
+
+    weight = (1/n_domains) / token_share: multiply into per-domain sampling
+    rates to flatten the mixture. One partial-agg shuffle to (lang, source)
+    grain, then a 1-row global aggregate broadcast back — no second pass over
+    the data.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"),
+    )
+    tot = g.agg(
+        F.sum("n_docs").alias("tot_docs"),
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.count(F.lit(1)).alias("n_domains"),
+    )
+    out = g.crossJoin(F.broadcast(tot))
+    tok_share = F.col("n_tokens") / F.col("tot_tokens")
+    return out.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs") / F.col("tot_docs"), 6).alias("doc_share"),
+        F.round(tok_share, 6).alias("token_share"),
+        F.round((F.lit(1.0) / F.col("n_domains")) / tok_share, 6).alias(
+            "weight"
+        ),
+    )
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    """n-word shingles of a token array (pure Catalyst, document order)."""
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+# --- DuckDB oracles --------------------------------------------------------
+
+_TOK = sql_tokens("text")
+_SPLIT_BUCKET = sql_hash_bucket("doc_id")
+_SAMPLE_BUCKET = sql_hash_bucket("doc_id", SAMPLE_SALT)
+_SAMPLE_RATE = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in SAMPLE_RATES.items()
+) + f" ELSE {SAMPLE_DEFAULT} END"
+
+ORACLES: dict[str, str] = {
+    "split_train_test": f"""
+    SELECT doc_id, {_SPLIT_BUCKET} AS bucket,
+           CASE WHEN {_SPLIT_BUCKET} < {TRAIN_PCT} THEN 'train'
+                WHEN {_SPLIT_BUCKET} < {VALID_PCT} THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    "sample_stratified": f"""
+    SELECT doc_id, lang, {_SAMPLE_BUCKET} AS bucket
+    FROM documents
+    WHERE {_SAMPLE_BUCKET} < {_SAMPLE_RATE}
+    """,
+    "contamination_ngram": f"""
+    WITH t AS (
+      SELECT doc_id, {_TOK} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(list_distinct(
+               {sql_shingles('toks', CONTAM_N)})) AS g
+      FROM t
+    ), bench AS (
+      SELECT DISTINCT g FROM g WHERE doc_id % {BENCH_MOD} = 0
+    ), corpus AS (
+      SELECT doc_id, g FROM g WHERE doc_id % {BENCH_MOD} <> 0
+    ), per_doc AS (
+      SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY doc_id
+    ), hits AS (
+      SELECT doc_id, count(*) AS n_hit
+      FROM corpus WHERE g IN (SELECT g FROM bench) GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(p.n_grams AS INTEGER) AS n_grams,
+           CAST(coalesce(h.n_hit, 0) AS INTEGER) AS n_hit,
+           round(coalesce(h.n_hit, 0) / p.n_grams, 6) AS contam_ratio
+    FROM per_doc p LEFT JOIN hits h ON p.doc_id = h.doc_id
+    """,
+    "quality_repetition": f"""
+    WITH t AS (
+      SELECT doc_id, {_TOK} AS toks FROM documents
+    ), base AS (
+      SELECT doc_id, toks FROM t WHERE len(toks) >= 3
+    ), uni AS (
+      SELECT doc_id, max(c) AS uni_max, sum(c) AS uni_n FROM (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS g FROM base) GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    ), bi AS (
+      SELECT doc_id, max(c) AS bi_max, sum(c) AS bi_n FROM (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest({sql_shingles('toks', 2)}) AS g
+              FROM base) GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    ), tri AS (
+      SELECT doc_id, count(*) AS tri_n, count(DISTINCT g) AS tri_d
+      FROM (SELECT doc_id, unnest({sql_shingles('toks', 3)}) AS g FROM base)
+      GROUP BY doc_id
+    )
+    SELECT u.doc_id,
+           round(uni_max / uni_n, 6) AS top1_ratio,
+           round(bi_max / bi_n, 6) AS top_bigram_ratio,
+           round((tri_n - tri_d) / tri_n, 6) AS dup_trigram_ratio,
+           round(uni_max / uni_n, 6) <= 0.1 AS keep
+    FROM uni u JOIN bi USING (doc_id) JOIN tri USING (doc_id)
+    """,
+    "shard_pack": f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({_TOK}) AS INTEGER) AS n_tok FROM documents
+    ), c AS (
+      SELECT doc_id, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS "offset"
+      FROM t
+    )
+    SELECT doc_id, n_tok, "offset", "offset" // {SHARD_TOKENS} AS shard_id
+    FROM c
+    """,
+    "domain_mix": f"""
+    WITH g AS (
+      SELECT lang, source, count(*) AS n_docs,
+             CAST(sum(len({_TOK})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang, source
+    ), tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+             count(*) AS n_domains
+      FROM g
+    )
+    SELECT lang, source, n_docs, n_tokens,
+           round(n_docs / tot_docs, 6) AS doc_share,
+           round(n_tokens / tot_tokens, 6) AS token_share,
+           round((1.0 / n_domains) / (n_tokens / tot_tokens), 6) AS weight
+    FROM g CROSS JOIN tot
+    """,
+}

@@ -142,6 +142,17 @@ def _build() -> None:
 
     _register(_pl, ["corpus_clean"])
 
+    from .operators import curation as _cur
+
+    _register(_cur, [
+        "split_train_test",
+        "sample_stratified",
+        "contamination_ngram",
+        "quality_repetition",
+        "shard_pack",
+        "domain_mix",
+    ])
+
 
 def queries() -> dict[str, QueryFn]:
     _build()

@@ -1,0 +1,106 @@
+"""Tests for the training-data curation operators (operators/curation.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_in_go_spark.operators import curation as cur
+
+
+def test_hash_bucket_matches_duckdb(spark):
+    """The Spark conv() bucket and the DuckDB '0x' cast parse the same hex."""
+    keys = spark.range(0, 500).select(
+        F.col("id"),
+        cur.hash_bucket(F.col("id")).alias("b"),
+        cur.hash_bucket(F.col("id"), "strat:").alias("bs"),
+    )
+    got = {r["id"]: (r["b"], r["bs"]) for r in keys.collect()}
+    want = duckdb.sql(
+        f"SELECT id, {cur.sql_hash_bucket('id')} AS b,"
+        f" {cur.sql_hash_bucket('id', 'strat:')} AS bs"
+        " FROM range(0, 500) t(id)"
+    ).fetchall()
+    for key, b, bs in want:
+        assert got[key] == (b, bs)
+
+
+def test_split_deterministic_and_complete(spark, sf_dir):
+    a = cur.split_train_test(spark, sf_dir)
+    b = cur.split_train_test(spark, sf_dir).repartition(7)
+    rows_a = {r["doc_id"]: r["split"] for r in a.collect()}
+    rows_b = {r["doc_id"]: r["split"] for r in b.collect()}
+    assert rows_a == rows_b  # content-keyed: stable under repartitioning
+    assert set(rows_a.values()) <= {"train", "valid", "test"}
+    n = len(rows_a)
+    n_train = sum(1 for s in rows_a.values() if s == "train")
+    assert 0.6 * n <= n_train <= 0.95 * n  # ~80% with small-corpus slack
+
+
+def test_split_no_shuffle(spark, sf_dir):
+    plan = cur.split_train_test(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure map stage: survives any scale
+
+
+def test_sample_stratified_respects_rates(spark, sf_dir):
+    kept = cur.sample_stratified(spark, sf_dir).collect()
+    for r in kept:
+        rate = cur.SAMPLE_RATES.get(r["lang"], cur.SAMPLE_DEFAULT)
+        assert r["bucket"] < rate
+
+
+def test_contamination_bounds_and_signal(spark, sf_dir):
+    rows = cur.contamination_ngram(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_hit"] <= r["n_grams"]
+        assert 0.0 <= r["contam_ratio"] <= 1.0
+        assert r["doc_id"] % cur.BENCH_MOD != 0  # benchmark docs excluded
+
+
+def test_quality_repetition_flag_consistent(spark, sf_dir):
+    rows = cur.quality_repetition(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (r["top1_ratio"] <= 0.1) == r["keep"]
+        assert 0.0 <= r["dup_trigram_ratio"] <= 1.0
+        assert r["top1_ratio"] > 0.0
+
+
+def test_shard_pack_matches_flat_prefix_sum(spark, sf_dir):
+    """The hierarchical (block-cumsum) plan equals the flat global window."""
+    rows = sorted(
+        cur.shard_pack(spark, sf_dir).collect(), key=lambda r: r["doc_id"]
+    )
+    run = 0
+    for r in rows:
+        assert r["offset"] == run
+        assert r["shard_id"] == run // cur.SHARD_TOKENS
+        run += r["n_tok"]
+    shards = {r["shard_id"] for r in rows}
+    assert shards == set(range(len(shards)))  # dense shard ids
+
+
+def test_shard_pack_window_is_blockwise(spark, sf_dir):
+    """No single-partition window over the full table: the per-doc running
+    sum must be partitioned by block (only the tiny block-totals cumsum may
+    be global)."""
+    plan = cur.shard_pack(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    windows = re.findall(r"RunningWindowFunction.*|Window \[.*", plan)
+    per_doc = [w for w in windows if "n_tok" in w and "doc_id" in w]
+    assert per_doc and all("blk" in w for w in per_doc)
+
+
+def test_domain_mix_shares_sum_to_one(spark, sf_dir):
+    rows = cur.domain_mix(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert r["weight"] == pytest.approx(
+            (1.0 / len(rows)) / (r["n_tokens"] / sum(x["n_tokens"] for x in rows)),
+            rel=1e-4,
+        )
