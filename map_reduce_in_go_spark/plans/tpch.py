@@ -893,3 +893,68 @@ ORACLES.update(
         """,
     }
 )
+
+
+def q20_excess_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q20 shape: suppliers holding "excess" share of a part family.
+
+    Real q20 (nested semi-join chain over partsupp availqty) has no partsupp
+    here; the same shape is kept: per (part, supplier) shipped quantity in
+    1996 for 'small%' parts, vs 1.5x the part's per-supplier average — the
+    inner aggregate feeding a correlated threshold, decorrelated to a
+    groupBy + equijoin. The part filter broadcasts; both aggregates shuffle
+    on l_partkey only (co-partitioned at scale).
+
+    Decimal sums keep the threshold compare engine-deterministic: the
+    per-supplier qty and the part average both come from exact DECIMAL
+    aggregation (functions/money.py), rounded before the 1.5x compare.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == 1996
+    )
+    small = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("small")
+    ).select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier")
+    ps = (
+        li.join(F.broadcast(small), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(money("l_quantity")).alias("qty_dec"))
+    )
+    pa = ps.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        F.round(F.sum("qty_dec").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_qty"
+        )
+    )
+    excess = (
+        ps.join(pa, ps.l_partkey == F.col("pa_partkey"))
+        .filter(
+            F.round(F.col("qty_dec"), 2).cast("double")
+            > F.lit(1.5) * F.col("avg_qty")
+        )
+    )
+    return (
+        excess.join(F.broadcast(supp), excess.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_excess_parts"))
+    )
+
+
+ORACLES["q20_excess_qty"] = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_dec
+  FROM lineitem JOIN part ON p_partkey = l_partkey AND p_name LIKE 'small%'
+  WHERE year(l_shipdate) = 1996
+  GROUP BY 1, 2
+), pa AS (
+  SELECT l_partkey,
+         round(CAST(sum(qty_dec) AS DOUBLE) / count(*), 6) AS avg_qty
+  FROM ps GROUP BY 1
+)
+SELECT s_suppkey, s_name, count(*) AS n_excess_parts
+FROM ps JOIN pa USING (l_partkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE CAST(round(qty_dec, 2) AS DOUBLE) > 1.5 * avg_qty
+GROUP BY 1, 2
+"""

@@ -65,6 +65,7 @@ def _build() -> None:
         "q9_product_profit",
         "q11_important_stock",
         "q15_top_supplier",
+        "q20_excess_qty",
         "top_customers",
     ])
 
