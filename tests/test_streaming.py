@@ -158,3 +158,31 @@ def test_native_session_window_stream(spark, drop_dir):
         assert got == [(1, 1, 4.0), (1, 2, 3.0), (2, 1, 3.0)]
     finally:
         q.stop()
+
+
+def test_foreach_batch_parquet_sink_idempotent(spark, drop_dir, tmp_path):
+    """foreachBatch parquet sink: all rows land once; a replayed batch
+    (same batch_id re-written) leaves the output unchanged."""
+    from map_reduce_in_go_spark.streaming.sinks import (
+        start_parquet_sink,
+        write_batch_idempotent,
+    )
+
+    out = str(tmp_path / "landing")
+    q = start_parquet_sink(
+        read_event_stream(spark, drop_dir), out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(60)
+    landed = spark.read.parquet(out)
+    assert landed.count() == len(EVENTS)
+    assert sorted(r["event_id"] for r in landed.collect()) == [1, 2, 3, 4]
+    assert "batch_id" in landed.columns  # partition column visible to readers
+
+    # Replay batch 0 (as Spark would after a crash before checkpoint commit):
+    # rewrite the same events under the same batch_id → no duplicates.
+    # (materialize first — a lazy plan would read the files being replaced)
+    batch0_rows = landed.filter("batch_id = 0").drop("batch_id").collect()
+    batch0 = spark.createDataFrame(batch0_rows, landed.drop("batch_id").schema)
+    write_batch_idempotent(batch0, 0, out)
+    again = spark.read.parquet(out)
+    assert again.count() == len(EVENTS)
