@@ -38,6 +38,8 @@ HEADLINE = [
     "text_quality",
     "doc_fingerprint",
     "corpus_clean",
+    "contamination_ngram",
+    "shard_pack",
 ]
 
 

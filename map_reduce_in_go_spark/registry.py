@@ -95,6 +95,15 @@ def _build() -> None:
         "events_json_extract",
     ])
 
+    from .plans import retention as _ret
+
+    _register(_ret, [
+        "events_scd2",
+        "events_weekly_active",
+        "events_value_histogram",
+        "events_hopping",
+    ])
+
     from .operators import dedup as _dedup
 
     _register(_dedup, [
