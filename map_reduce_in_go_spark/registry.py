@@ -120,7 +120,7 @@ def _build() -> None:
 
     from .operators import tfidf as _tfidf
 
-    _register(_tfidf, ["tfidf_top_terms"])
+    _register(_tfidf, ["tfidf_top_terms", "doc_similarity_tfidf"])
 
     from .operators import approx as _approx
 

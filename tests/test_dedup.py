@@ -98,3 +98,17 @@ def test_minhash_fast_recovers_md5_pairs(spark, sf_dir):
     for p in md5_pairs:
         assert p in fast, p
         assert fast[p] >= 24, (p, fast[p])
+
+
+def test_doc_similarity_tfidf_bounds(spark, sf_dir):
+    """TF-IDF cosine over LSH candidates: values in (0, 1]; pairs ordered."""
+    from map_reduce_in_go_spark.operators.tfidf import (
+        SIM_THRESHOLD,
+        doc_similarity_tfidf,
+    )
+
+    rows = doc_similarity_tfidf(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert SIM_THRESHOLD <= r["cos_tfidf"] <= 1.0
