@@ -202,3 +202,123 @@ ORACLES: dict[str, str] = {
     FROM x GROUP BY 1, 2
     """,
 }
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-active week,
+    tracked across subsequent weeks.
+
+    Distinct (user, week) pairs → per-user cohort week (min) → (cohort,
+    week_n) distinct-user counts over cohort size. Two shuffles, both keyed
+    on user_id then the (small) matrix key — the standard cohort plan.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk")
+    )
+    uw = ev.distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    sizes = cohort.groupBy("cw").agg(F.count(F.lit(1)).alias("cohort_size"))
+    mat = (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            "cw",
+            F.expr("CAST(datediff(wk, cw) DIV 7 AS INT)").alias("week_n"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    return (
+        mat.join(F.broadcast(sizes), "cw")
+        .select(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            "week_n",
+            "n_users",
+            F.round(F.col("n_users") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary quintiles per customer.
+
+    The per-customer aggregate collapses orders to one row per customer
+    (the big shuffle); the three ntile windows then run over that reduced
+    set. ntile is a global sort — fine after the reduction (customers ≪
+    orders); at extreme scale the quintile cut-points would come from
+    approx_percentile instead and the scores from a broadcast range join.
+    Tiebreaks on o_custkey keep every tile assignment deterministic.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        sum_exact(money("o_totalprice")).alias("monetary"),
+    )
+    r_w = Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    return per.select(
+        "o_custkey",
+        F.date_format("last_order", "yyyy-MM-dd").alias("last_order"),
+        "frequency",
+        "monetary",
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    ).withColumn(
+        "segment",
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ),
+    )
+
+
+ORACLES.update(
+    {
+        "events_retention_cohorts": """
+        WITH uw AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('week', ts) AS DATE) AS wk
+          FROM events
+        ), cohort AS (
+          SELECT user_id, min(wk) AS cw FROM uw GROUP BY user_id
+        ), sizes AS (
+          SELECT cw, count(*) AS cohort_size FROM cohort GROUP BY cw
+        ), mat AS (
+          SELECT cw,
+                 CAST(date_diff('day', cw, wk) // 7 AS INTEGER) AS week_n,
+                 count(DISTINCT uw.user_id) AS n_users
+          FROM uw JOIN cohort USING (user_id)
+          GROUP BY 1, 2
+        )
+        SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, week_n, n_users,
+               round(n_users / cohort_size, 6) AS retention
+        FROM mat JOIN sizes USING (cw)
+        """,
+        "orders_rfm": f"""
+        WITH per AS (
+          SELECT o_custkey,
+                 max(CAST(o_orderdate AS DATE)) AS last_order,
+                 count(*) AS frequency,
+                 {sql_sum_exact('CAST(o_totalprice AS DECIMAL(12,2))')}
+                   AS monetary
+          FROM orders GROUP BY o_custkey
+        ), scored AS (
+          SELECT *,
+                 CAST(ntile(5) OVER (ORDER BY last_order DESC, o_custkey)
+                      AS INTEGER) AS r_score,
+                 CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey)
+                      AS INTEGER) AS f_score,
+                 CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey)
+                      AS INTEGER) AS m_score
+          FROM per
+        )
+        SELECT o_custkey, strftime(last_order, '%Y-%m-%d') AS last_order,
+               frequency, monetary, r_score, f_score, m_score,
+               CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                 || CAST(m_score AS VARCHAR) AS segment
+        FROM scored
+        """,
+    }
+)

@@ -102,6 +102,8 @@ def _build() -> None:
         "events_weekly_active",
         "events_value_histogram",
         "events_hopping",
+        "events_retention_cohorts",
+        "orders_rfm",
     ])
 
     from .operators import dedup as _dedup

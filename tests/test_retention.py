@@ -44,3 +44,30 @@ def test_hopping_counts_each_event_twice(spark, sf_dir):
     rows = ret.events_hopping(spark, sf_dir).collect()
     # window/slide = 2 → every event contributes to exactly two windows
     assert sum(r["n_events"] for r in rows) == 2 * total
+
+
+def test_retention_cohorts_shape(spark, sf_dir):
+    rows = ret.events_retention_cohorts(spark, sf_dir).collect()
+    assert rows
+    by_cohort = defaultdict(dict)
+    for r in rows:
+        by_cohort[r["cohort_week"]][r["week_n"]] = r["retention"]
+    for weeks in by_cohort.values():
+        assert weeks.get(0) == 1.0  # week 0 = whole cohort active
+        assert all(0.0 < v <= 1.0 for v in weeks.values())
+
+
+def test_orders_rfm_scores(spark, sf_dir):
+    rows = ret.orders_rfm(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["r_score"] <= 5
+        assert 1 <= r["f_score"] <= 5
+        assert 1 <= r["m_score"] <= 5
+        assert r["segment"] == f'{r["r_score"]}{r["f_score"]}{r["m_score"]}'
+    # quintiles are balanced: each m tile within 1 of n/5
+    from collections import Counter
+
+    c = Counter(r["m_score"] for r in rows)
+    n = len(rows)
+    assert all(abs(c[t] - n / 5) <= 1 for t in range(1, 6))
