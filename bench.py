@@ -38,6 +38,7 @@ HEADLINE = [
     "text_quality",
     "doc_fingerprint",
     "corpus_clean",
+    "corpus_clean_fused",
     "contamination_ngram",
     "shard_pack",
 ]

@@ -32,18 +32,26 @@ def tokens(col: Column) -> Column:
     return F.filter(norm, lambda t: t != F.lit(""))
 
 
+def shingles_of(toks: Column, n: int = 3) -> Column:
+    """n-word shingles of an already-tokenized array column.
+
+    Lets fused pipelines tokenize once and reuse the array for shingling,
+    scoring, etc. (one scan, one tokenization).
+    """
+    # sequence(1, 0) would yield a DESCENDING [1, 0] — guard short docs.
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """array<string> of n-word shingles (space-joined), in document order.
 
     Built from :func:`tokens`; used by MinHash / Jaccard / winnowing. The
     construction (slice over a token array) is pure Catalyst.
     """
-    toks = tokens(col)
-    # sequence(1, 0) would yield a DESCENDING [1, 0] — guard short docs.
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return shingles_of(tokens(col), n)
 
 
 # --- matching DuckDB SQL fragments (kept adjacent so they evolve together) --

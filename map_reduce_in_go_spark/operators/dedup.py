@@ -99,8 +99,20 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
+    return scoped_persist(signatures_of(docs.withColumn("toks", tokens(F.col("text")))))
+
+
+def signatures_of(docs: DataFrame) -> DataFrame:
+    """MinHash signatures from a frame carrying ``doc_id`` + ``toks``.
+
+    Split out so fused pipelines (operators/pipeline.py) can tokenize once
+    and feed the same array to scoring and shingling. Not persisted here —
+    callers own the cache scope.
+    """
+    from ..functions.text import shingles_of
+
     sh = docs.select(
-        "doc_id", F.explode(shingles(F.col("text"), SHINGLE_N)).alias("shingle")
+        "doc_id", F.explode(shingles_of(F.col("toks"), SHINGLE_N)).alias("shingle")
     )
     # one min() aggregate per permutation instead of a 32× seed explode:
     # the 32 md5s are projected per shingle row inside codegen, partial
@@ -112,10 +124,9 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in range(NUM_PERM)
         ]
     )
-    sigs = mins.select(
+    return mins.select(
         "doc_id", F.array(*[F.col(f"s{s}") for s in range(NUM_PERM)]).alias("sig")
     )
-    return scoped_persist(sigs)
 
 
 def _band_pairs(sigs: DataFrame) -> DataFrame:

@@ -59,6 +59,78 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_clean_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as :func:`corpus_clean`, one scan.
+
+    The composed form calls four standalone operators, each of which
+    re-reads and re-tokenizes the corpus (independent subtrees share no
+    work across ``load_table`` calls). Here the corpus is tokenized once
+    into a scope-persisted base; language score, quality metrics, the
+    exact-dup keeper hash and the MinHash shingles all derive from that
+    one array column. Lang + quality become inline filters (no joins);
+    only the two dedup probes (window + LSH anti-join) remain. At 100 TB
+    this is the difference between 4 corpus scans and 1 — same oracle,
+    identical output (hash-verified).
+    """
+    from pyspark.sql import Window as W
+
+    from ..functions.caching import scoped_persist
+    from ..functions.text import tokens
+    from .dedup import _band_pairs, signatures_of
+    from .text_analysis import langid_columns, quality_columns
+
+    base = scoped_persist(
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .withColumn("toks", tokens(F.col("text")))
+        .filter(F.size("toks") > 0)
+    )
+    pred, score = langid_columns()
+    qual = quality_columns()
+    scored = base.select(
+        "doc_id",
+        "text",
+        pred.alias("pred_lang"),
+        score.alias("score"),
+        qual["n_tokens"].alias("n_tokens"),
+        qual["quality"].alias("quality"),
+    )
+    survivors = scored.filter(
+        (F.col("pred_lang") == KEEP_LANG) & (F.col("quality") >= QUALITY_MIN)
+    )
+    # The window runs over *survivors*, not the whole corpus like the
+    # composed form — equivalent because exact duplicates share identical
+    # text, hence identical lang/quality scores: a duplicate group passes
+    # or fails the filters as a unit, so its min-id is the same either way.
+    keeper = survivors.select(
+        "doc_id",
+        "n_tokens",
+        "score",
+        "quality",
+        F.min("doc_id").over(W.partitionBy(F.md5("text"))).alias("kid"),
+    ).filter(F.col("doc_id") == F.col("kid"))
+    sigs = scoped_persist(signatures_of(base))
+    pairs = _band_pairs(sigs)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    near_b = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.expr(
+                f"size(filter(sequence(1, {NUM_PERM}), "
+                "i -> element_at(sig_a, i) = element_at(sig_b, i))) "
+                f">= {NEAR_DUP_MIN_MATCH}"
+            )
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return keeper.join(near_b, "doc_id", "left_anti").select(
+        "doc_id", "n_tokens", "score", "quality"
+    )
+
+
 ORACLES: dict[str, str] = {
     "corpus_clean": f"""
     WITH lang AS ({_TA_ORACLES["text_langid"]}),
@@ -81,3 +153,5 @@ ORACLES: dict[str, str] = {
       )
     """,
 }
+
+ORACLES["corpus_clean_fused"] = ORACLES["corpus_clean"]

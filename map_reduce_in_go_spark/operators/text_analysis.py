@@ -43,27 +43,22 @@ def _toks(col: str = "text") -> Column:
     return tokens(F.col(col))
 
 
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Predict language by max stopword-hit ratio (deterministic tiebreak)."""
-    docs = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
-    docs = docs.filter(F.size("toks") > 0)
-    for lang in LANG_ORDER:
-        docs = docs.withColumn(f"score_{lang}", F.expr(_score_expr(lang)))
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_ORDER])
+def langid_columns() -> tuple[Column, Column]:
+    """(pred_lang, score) exprs over a frame that carries ``toks``.
+
+    Shared by :func:`text_langid` and fused pipelines (one tokenization,
+    many scores). First max wins — same order as the oracle's CASE.
+    """
+    scores = {lang: F.expr(_score_expr(lang)) for lang in LANG_ORDER}
+    best = F.greatest(*scores.values())
     pred = F.when(best <= 0, F.lit("und"))
-    for lang in LANG_ORDER:  # first max wins — same order as the SQL CASE
-        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
-    return docs.select(
-        "doc_id",
-        pred.alias("pred_lang"),
-        F.round(best, 6).alias("score"),
-    )
+    for lang in LANG_ORDER:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return pred, F.round(best, 6)
 
 
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality score from length/punctuation/stopword/uniq ratios."""
-    docs = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
-    docs = docs.filter(F.size("toks") > 0)
+def quality_columns() -> dict[str, Column]:
+    """Quality metric exprs over a frame with ``text`` and ``toks``."""
     n_tokens = F.size("toks")
     n_chars = F.length("text")
     punct = n_chars - F.length(F.regexp_replace(F.col("text"), PUNCT_RE, ""))
@@ -71,16 +66,37 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniq_ratio = F.size(F.array_distinct("toks")) / n_tokens
     punct_ratio = punct / n_chars
     len_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
-    score = F.round(
+    quality = F.round(
         len_score * 0.4 + uniq_ratio * 0.3 + (F.lit(1.0) - punct_ratio) * 0.3, 6
     )
+    return {
+        "n_tokens": n_tokens,
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "uniq_ratio": F.round(uniq_ratio, 6),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "quality": quality,
+    }
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predict language by max stopword-hit ratio (deterministic tiebreak)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
+    docs = docs.filter(F.size("toks") > 0)
+    pred, score = langid_columns()
     return docs.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(uniq_ratio, 6).alias("uniq_ratio"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        score.alias("quality"),
+        pred.alias("pred_lang"),
+        score.alias("score"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score from length/punctuation/stopword/uniq ratios."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
+    docs = docs.filter(F.size("toks") > 0)
+    cols = quality_columns()
+    return docs.select(
+        "doc_id", *[expr.alias(name) for name, expr in cols.items()]
     )
 
 

@@ -152,7 +152,7 @@ def _build() -> None:
 
     from .operators import pipeline as _pl
 
-    _register(_pl, ["corpus_clean"])
+    _register(_pl, ["corpus_clean", "corpus_clean_fused"])
 
     from .operators import curation as _cur
 
