@@ -302,6 +302,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character edit-distance verification of the MinHash candidates.
+
+    Levenshtein is O(|a|·|b|) per pair — viable only because the pair set
+    comes from LSH band collisions, never all-pairs (the blocking does the
+    100 TB heavy lifting; the quadratic kernel runs on a tiny survivor set).
+    ``levenshtein`` is JVM-side codegen; similarity normalizes by the longer
+    text so identical docs score 1.0.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _band_pairs(_signatures(spark, sf_dir))
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    lev = F.levenshtein("text_a", "text_b")
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.cast("long").alias("edit_dist"),
+            F.round(
+                F.lit(1.0)
+                - lev / F.greatest(F.length("text_a"), F.length("text_b")),
+                6,
+            ).alias("edit_sim"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- clustering
 
 CLUSTER_MAX_ITERS = 25
@@ -637,6 +667,16 @@ ORACLES: dict[str, str] = {
     LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
     JOIN sizes na ON na.doc_id = p.doc_a
     JOIN sizes nb ON nb.doc_id = p.doc_b
+    """,
+    "dedup_edit_distance": _MINHASH_CTES
+    + """
+    SELECT p.doc_a, p.doc_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+           round(1.0 - levenshtein(a.text, b.text)
+                       / greatest(length(a.text), length(b.text)), 6) AS edit_sim
+    FROM pairs p
+    JOIN documents a ON a.doc_id = p.doc_a
+    JOIN documents b ON b.doc_id = p.doc_b
     """,
     "dedup_clusters": _MINHASH_CTES.replace("WITH toks", "WITH RECURSIVE toks", 1)
     + """

@@ -1,0 +1,136 @@
+"""Iterative graph analytics over the near-duplicate candidate graph.
+
+PageRank is the representative "iterative algorithm" surface the reference's
+MR framework could express as chained map/reduce rounds (wordcount-style
+jobs composed in a driver loop; cf. reference main.go's single-job driver —
+this generalizes it). Spark-first shape: one join+groupBy per iteration,
+``localCheckpoint(eager=True)`` per round so lineage stays one scan deep
+(same discipline as ``dedup_clusters``), superseded rounds freed eagerly.
+
+Determinism: ranks are **fixed-point integers** (scaled by ``PR_SCALE``).
+Every step is integral — ``div`` for contributions, integral damping
+``(15·S + 85·Σ) div 100`` — so Spark and DuckDB agree bit-for-bit with no
+float-summation-order concerns; the oracle unrolls the same recurrence as
+a chained CTE per iteration.
+
+Scale: edges come from LSH band collisions (never all-pairs); each round is
+one shuffle on ``dst`` plus one on ``doc_id``, both keyed and combinable.
+At 100 TB the per-round cost is a fact⋈fact equijoin — partition both sides
+on the join key once and reuse. int64 headroom: Σ in-neighbor contributions
+× 85 must stay under 2^63 — with S=10^6 that allows ~10^11 aggregate rank
+mass per vertex, far past any realistic hub.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.caching import free_local_checkpoint, scoped_persist
+from .dedup import _MINHASH_CTES, _band_pairs, _signatures
+
+PR_SCALE = 1_000_000
+PR_ITERS = 10
+
+
+def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the MinHash candidate-pair graph.
+
+    Undirected edges (each pair contributes both directions), damping 0.85,
+    ``PR_ITERS`` synchronous iterations from a uniform start of ``PR_SCALE``
+    per vertex. Integer recurrence (exact in both engines)::
+
+        contrib(v)  = rank(v) div degree(v)
+        rank'(u)    = (15·PR_SCALE + 85·Σ_{v→u} contrib(v)) div 100
+
+    Every vertex has degree ≥ 1 (it appears in a pair), so there are no
+    dangling nodes.
+    """
+    pairs = scoped_persist(_band_pairs(_signatures(spark, sf_dir)))
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("d"))
+        .select(F.col("src").alias("doc_id"), "d")
+        .localCheckpoint(eager=True)
+    )
+    ranks = deg.select(
+        "doc_id", F.lit(PR_SCALE).cast("long").alias("r")
+    ).localCheckpoint(eager=True)
+    for _ in range(PR_ITERS):
+        src_rank = ranks.select(F.col("doc_id").alias("src"), "r")
+        src_deg = deg.select(F.col("doc_id").alias("src"), "d")
+        agg = (
+            edges.join(src_rank, "src")
+            .join(src_deg, "src")
+            .select(F.col("dst").alias("doc_id"), F.expr("r div d").alias("c"))
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        new_ranks = (
+            deg.select("doc_id")
+            .join(agg, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.expr(
+                    f"(15 * {PR_SCALE}L + 85 * coalesce(contrib, 0L)) div 100"
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        free_local_checkpoint(ranks)
+        ranks = new_ranks
+    free_local_checkpoint(edges)
+    free_local_checkpoint(deg)
+    return ranks.select(
+        "doc_id",
+        F.col("r").alias("rank_scaled"),
+        F.round(F.col("r") / F.lit(float(PR_SCALE)), 6).alias("pagerank"),
+    )
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled CTE chain replaying the integer recurrence, one CTE/round."""
+    ctes = [
+        """
+    , edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), deg AS (
+      SELECT src AS doc_id, count(*) AS d FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT doc_id, CAST({S} AS BIGINT) AS r FROM deg
+    )""".replace("{S}", str(PR_SCALE))
+    ]
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(
+            """
+    , r{i} AS (
+      SELECT d.doc_id,
+             (15 * {S} + 85 * COALESCE(s.contrib, 0)) // 100 AS r
+      FROM deg d LEFT JOIN (
+        SELECT e.dst AS doc_id, sum(p.r // g.d) AS contrib
+        FROM edges e
+        JOIN r{j} p ON p.doc_id = e.src
+        JOIN deg g ON g.doc_id = e.src
+        GROUP BY e.dst
+      ) s ON s.doc_id = d.doc_id
+    )""".replace("{i}", str(i)).replace("{j}", str(i - 1)).replace("{S}", str(PR_SCALE))
+        )
+    return (
+        _MINHASH_CTES
+        + "".join(ctes)
+        + f"""
+    SELECT doc_id, CAST(r AS BIGINT) AS rank_scaled,
+           round(r / {float(PR_SCALE)}, 6) AS pagerank
+    FROM r{PR_ITERS}
+    """
+    )
+
+
+ORACLES: dict[str, str] = {"pagerank_docs": _pagerank_oracle()}

@@ -142,7 +142,52 @@ def events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over per-user event sequences.
+
+    ``lead()`` pairs each event with the user's next one (ts, event_id
+    total order — deterministic under ties), then one partial-aggregated
+    count per (src, dst) and a window normalization per source state.
+    Transition counts are integers and the probability is a single exact
+    int/int division, so both engines produce identical doubles. One
+    shuffle on user_id (the lead), one on src — both bounded by the state
+    alphabet afterwards.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    trans = (
+        nxt.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_trans"))
+    )
+    wsrc = Window.partitionBy("src")
+    return trans.select(
+        "src",
+        "dst",
+        "n_trans",
+        F.round(F.col("n_trans") / F.sum("n_trans").over(wsrc), 6).alias("p"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "events_transitions": """
+    WITH nxt AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ), t AS (
+      SELECT src, dst, count(*) AS n_trans
+      FROM nxt WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n_trans,
+           round(n_trans / sum(n_trans) OVER (PARTITION BY src), 6) AS p
+    FROM t
+    """,
     "events_zscore": """
     WITH stats AS (
       SELECT user_id, count(*) AS n,

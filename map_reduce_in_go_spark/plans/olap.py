@@ -58,6 +58,55 @@ def events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR outlier counts per event type (Tukey fences, discrete quantiles).
+
+    Quantiles are *discrete* (the value at row ``ceil(q·n)`` in
+    (value, event_id) order) rather than interpolated: the fence arithmetic
+    then starts from data values both engines share bit-exactly, and the
+    ``1.5·IQR`` fences are identical IEEE expressions — no
+    interpolation-ulp flakiness near the comparison boundary. Per-type
+    stats are 5 rows → broadcast back onto the fact for a single
+    partial-agg counting pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    q = (
+        r.filter(
+            (F.col("rn") == F.ceil(F.lit(0.25) * F.col("n")))
+            | (F.col("rn") == F.ceil(F.lit(0.75) * F.col("n")))
+        )
+        .groupBy("event_type")
+        .agg(F.min("value").alias("q1"), F.max("value").alias("q3"))
+    )
+    iqr = F.col("q3") - F.col("q1")
+    b = q.select(
+        "event_type",
+        "q1",
+        "q3",
+        (F.col("q1") - F.lit(1.5) * iqr).alias("lo"),
+        (F.col("q3") + F.lit(1.5) * iqr).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.count("*").alias("n_total"),
+        )
+    )
+
+
 def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-event moving average per user (fixed ROWS frame)."""
     ev = load_table(spark, sf_dir, "events")
@@ -114,6 +163,31 @@ ORACLES: dict[str, str] = {
            round(quantile_cont(value, 0.99), 4) AS p99,
            count(*) AS n
     FROM events GROUP BY event_type
+    """,
+    "events_outliers": """
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), q AS (
+      SELECT event_type, min(value) AS q1, max(value) AS q3
+      FROM r
+      WHERE rn = CAST(ceil(0.25 * n) AS BIGINT)
+         OR rn = CAST(ceil(0.75 * n) AS BIGINT)
+      GROUP BY event_type
+    ), b AS (
+      SELECT event_type, q1, q3,
+             q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+      FROM q
+    )
+    SELECT e.event_type, b.q1, b.q3,
+           CAST(sum(CASE WHEN e.value < b.lo OR e.value > b.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           count(*) AS n_total
+    FROM events e JOIN b ON e.event_type = b.event_type
+    GROUP BY e.event_type, b.q1, b.q3
     """,
     "events_moving_avg": """
     SELECT event_id, user_id,

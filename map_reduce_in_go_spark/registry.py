@@ -76,6 +76,7 @@ def _build() -> None:
         "sales_cube",
         "events_quantiles",
         "events_moving_avg",
+        "events_outliers",
         "events_pivot",
         "events_ntile",
         "top_parts_per_supplier",
@@ -93,6 +94,7 @@ def _build() -> None:
         "events_range_join",
         "events_gap_fill",
         "events_json_extract",
+        "events_transitions",
     ])
 
     from .plans import retention as _ret
@@ -118,6 +120,7 @@ def _build() -> None:
         "dedup_embedding",
         "dedup_embedding_blocked",
         "dedup_minhash_fast",
+        "dedup_edit_distance",
     ])
 
     from .operators import tfidf as _tfidf
@@ -153,6 +156,10 @@ def _build() -> None:
     from .operators import pipeline as _pl
 
     _register(_pl, ["corpus_clean", "corpus_clean_fused"])
+
+    from .operators import graph as _graph
+
+    _register(_graph, ["pagerank_docs"])
 
     from .operators import curation as _cur
 
