@@ -133,6 +133,56 @@ def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> Dat
     return events.join(F.broadcast(dim), on, "left")
 
 
+def topk_stateful(events: DataFrame, k: int = 3) -> DataFrame:
+    """Per-user running top-k event values via ``transformWithStateInPandas``.
+
+    Spark 4's arbitrary-stateful API: typed state variables on a
+    ``StatefulProcessor`` (here one ``ListState`` holding the running top-k
+    as (value, event_id) rows) instead of a single opaque state tuple —
+    the successor to ``applyInPandasWithState`` for operators that need
+    several independently-evolving state vars, TTL, or timers. Requires the
+    RocksDB state store provider (changelog-checkpointed at scale, so state
+    far larger than executor memory still works).
+
+    Emits the updated top-k for each user touched by a micro-batch;
+    deterministic tiebreak (higher value first, then lower event_id).
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class TopK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._top = handle.getListState("topk", "value double, event_id bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            cur = [(float(v), int(e)) for v, e in self._top.get()]
+            for pdf in rows:
+                cur.extend(
+                    zip(pdf["value"].astype(float), pdf["event_id"].astype(int))
+                )
+            cur.sort(key=lambda t: (-t[0], t[1]))
+            cur = cur[:k]
+            self._top.put(cur)
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(user_id)] * len(cur),
+                    "rank": list(range(1, len(cur) + 1)),
+                    "value": [t[0] for t in cur],
+                    "event_id": [t[1] for t in cur],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TopK(),
+        outputStructType="user_id bigint, rank int, value double, event_id bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, timeout_sec: float = 60.0):
     """Start a memory-sink query and block until the source is drained."""
     q = (

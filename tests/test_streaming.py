@@ -186,3 +186,48 @@ def test_foreach_batch_parquet_sink_idempotent(spark, drop_dir, tmp_path):
     write_batch_idempotent(batch0, 0, out)
     again = spark.read.parquet(out)
     assert again.count() == len(EVENTS)
+
+
+def test_topk_stateful_plan_builds(spark, drop_dir):
+    """Plumbing check that runs without protobuf: the transformWithState
+    plan analyzes, is streaming, and carries the declared output schema."""
+    from map_reduce_in_go_spark.streaming.events import topk_stateful
+
+    df = topk_stateful(read_event_stream(spark, drop_dir))
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "user_id", "rank", "value", "event_id",
+    ]
+
+
+def test_topk_stateful_stream(spark, drop_dir):
+    # transformWithState ships state schemas to a Python driver worker over
+    # protobuf; without the lib the runner cannot start at all.
+    pytest.importorskip("google.protobuf")
+    from map_reduce_in_go_spark.streaming.events import topk_stateful
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_event_stream(spark, drop_dir)
+        q = run_to_memory(topk_stateful(stream), "topk_test")
+        try:
+            rows = spark.sql(
+                "SELECT user_id, rank, value, event_id FROM topk_test"
+            ).collect()
+            # final emission per user wins; single availableNow batch here
+            got = {(r["user_id"], r["rank"]): (r["value"], r["event_id"]) for r in rows}
+            assert got[(1, 1)] == (4.0, 4)
+            assert got[(1, 2)] == (2.0, 2)
+            assert got[(1, 3)] == (1.0, 1)
+            assert got[(2, 1)] == (3.0, 3)
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
