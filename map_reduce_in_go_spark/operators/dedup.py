@@ -23,7 +23,7 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.caching import free_local_checkpoint, scoped_persist
@@ -407,6 +407,28 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", "cluster_id")
 
 
+def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The surviving corpus after cluster-level near-dedup.
+
+    The user-facing end of the dedup family: every doc keeps its row unless
+    it belongs to a near-dup cluster and is not that cluster's minimum
+    doc_id. Composition of :func:`dedup_clusters` (only pair-participants
+    have cluster rows — a left join marks everyone else a singleton) with
+    the corpus; one broadcast-sized join at any scale because the cluster
+    table is bounded by the candidate-pair population, not the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clusters = dedup_clusters(spark, sf_dir)
+    return (
+        docs.join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+        # cluster_id IS the component's min doc_id, so the representative
+        # test needs no second pass over the groups
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id", "cluster_id")
+    )
+
+
 # ---------------------------------------------------------------- embeddings
 
 # dedup_embedding collects one side to the driver to build the broadcast
@@ -691,6 +713,26 @@ ORACLES: dict[str, str] = {
       FROM edges e JOIN reach ON reach.doc_id = e.dst
     )
     SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+    """,
+    "dedup_keep_representatives": _MINHASH_CTES.replace(
+        "WITH toks", "WITH RECURSIVE toks", 1
+    )
+    + """
+    , edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach AS (
+      SELECT src AS doc_id, src AS r FROM edges
+      UNION
+      SELECT e.src AS doc_id, reach.r
+      FROM edges e JOIN reach ON reach.doc_id = e.dst
+    ), clusters AS (
+      SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    WHERE d.doc_id = COALESCE(c.cluster_id, d.doc_id)
     """,
     "dedup_embedding": f"""
     WITH e AS (

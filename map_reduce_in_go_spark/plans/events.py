@@ -173,7 +173,173 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style compaction: the latest event per (user_id, event_type).
+
+    The upsert-materialization shape: one row_number window over the change
+    stream keyed by the upsert key, keep rank 1. One shuffle on the key; at
+    100 TB this is the standard log→snapshot compaction job (and the batch
+    twin of a streaming ``dropDuplicates`` on the key with a lateness
+    bound). Deterministic under ts ties via event_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts_us", "value")
+    )
+
+
+def _user_days(ev: DataFrame, event_type: str) -> DataFrame:
+    return ev.filter(F.col("event_type") == event_type).select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+
+
+def users_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set-op: user-days with both click and purchase activity.
+
+    (user, day) grain — user-level sets are saturated in this corpus.
+    ``intersect`` plans as distinct + shuffle-keyed semi join on the pair.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return _user_days(ev, "click").intersect(_user_days(ev, "purchase"))
+
+
+def users_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set-op: user-days that viewed but bought nothing that day.
+
+    ``subtract`` is EXCEPT DISTINCT — both sides reduce to distinct keys
+    before the anti-probe, so the shuffle carries unique (user, day) pairs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return _user_days(ev, "view").subtract(_user_days(ev, "purchase"))
+
+
+def events_daily_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two daily series (views vs purchase revenue).
+
+    Days where only one side has activity survive with zero-filled columns —
+    the reconciliation-report shape. Both inputs are already aggregated to
+    one row per day before the join, so the full-outer is dim-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(day.alias("day"))
+        .agg(F.count("*").alias("n_views"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(day.alias("day"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            sum_exact(money("value")).alias("purchase_value"),
+        )
+    )
+    return v.join(p, "day", "full_outer").select(
+        "day",
+        F.coalesce("n_views", F.lit(0)).alias("n_views"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+    )
+
+
+def events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS slope of event value over time (exact-moment regression).
+
+    Closed-form least squares from five decimal aggregates — n, Σx, Σy,
+    Σxy, Σx² — which are order-independent exact sums, so both engines
+    derive identical doubles before the one IEEE division; no float
+    accumulation order anywhere. x is the integer hour index (µs would
+    square past decimal(38) headroom at this magnitude), y the 2-decimal
+    value; slope is value-per-hour, 6dp. The grouped-regression shape
+    (one partial-agg pass, tiny state per key) is the 100 TB-safe way to
+    fit millions of per-key models — no per-group pandas needed.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = F.expr("ts_us div 3600000000").cast("decimal(20,0)")
+    y = money("value")
+    m = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return (
+        m.filter(F.col("n") >= 2)
+        .filter(den != 0)
+        .select(
+            "user_id",
+            "n",
+            F.round(num / den, 6).alias("slope_per_hour"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "events_user_trend": """
+    WITH m AS (
+      SELECT user_id, count(*) AS n,
+             sum(CAST(ts_us // 3600000000 AS DECIMAL(20,0))) AS sx,
+             sum(CAST(value AS DECIMAL(12,2))) AS sy,
+             sum(CAST(ts_us // 3600000000 AS DECIMAL(20,0))
+                 * CAST(value AS DECIMAL(12,2))) AS sxy,
+             sum(CAST(ts_us // 3600000000 AS DECIMAL(20,0))
+                 * CAST(ts_us // 3600000000 AS DECIMAL(20,0))) AS sxx
+      FROM (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events)
+      GROUP BY user_id
+    )
+    SELECT user_id, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_per_hour
+    FROM m
+    WHERE n >= 2 AND CAST(n * sxx - sx * sx AS DOUBLE) <> 0
+    """,
+    "events_latest_by_key": """
+    SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    "users_intersect": """
+    SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
+    FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
+    FROM events WHERE event_type = 'purchase'
+    """,
+    "users_except": """
+    SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
+    FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
+    FROM events WHERE event_type = 'purchase'
+    """,
+    "events_daily_fullouter": f"""
+    WITH v AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_views
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ), p AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_purchases,
+             {sql_sum_exact(_VAL)} AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT COALESCE(v.day, p.day) AS day,
+           COALESCE(n_views, 0) AS n_views,
+           COALESCE(n_purchases, 0) AS n_purchases,
+           COALESCE(purchase_value, 0.0) AS purchase_value
+    FROM v FULL OUTER JOIN p ON v.day = p.day
+    """,
     "events_transitions": """
     WITH nxt AS (
       SELECT event_type AS src,

@@ -95,6 +95,11 @@ def _build() -> None:
         "events_gap_fill",
         "events_json_extract",
         "events_transitions",
+        "events_latest_by_key",
+        "users_intersect",
+        "users_except",
+        "events_daily_fullouter",
+        "events_user_trend",
     ])
 
     from .plans import retention as _ret
@@ -121,6 +126,7 @@ def _build() -> None:
         "dedup_embedding_blocked",
         "dedup_minhash_fast",
         "dedup_edit_distance",
+        "dedup_keep_representatives",
     ])
 
     from .operators import tfidf as _tfidf

@@ -116,3 +116,24 @@ def test_new_query_filters_reach_the_scan(spark, sf_dir):
             for seg in plan.split("PushedFilters: [")[1:]
         ]
         assert any(col in seg for seg in pushed), (fn.__name__, col, pushed)
+
+
+def test_events_outliers_broadcasts_fences(spark, sf_dir):
+    from map_reduce_in_go_spark.plans.olap import events_outliers
+
+    plan = _plan(events_outliers(spark, sf_dir))
+    # the 5-row per-type fence table must broadcast, never shuffle the fact
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pagerank_plan_stays_bounded(spark, sf_dir):
+    """localCheckpoint per round: the final plan must be one LogicalRDD scan
+    deep, not a 10-iteration join tower."""
+    from map_reduce_in_go_spark.operators.graph import pagerank_docs
+
+    df = pagerank_docs(spark, sf_dir)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in plan
+    # a lineage blowup would show every iteration's join in the plan text
+    assert plan.count("Join") <= 1
+    assert len(plan.splitlines()) < 30
