@@ -47,10 +47,8 @@ def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dangling nodes.
     """
     pairs = scoped_persist(_band_pairs(_signatures(spark, sf_dir)))
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint(eager=True)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     deg = (
         edges.groupBy("src")
@@ -58,15 +56,23 @@ def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src").alias("doc_id"), "d")
         .localCheckpoint(eager=True)
     )
+    # Degree is loop-invariant: attach it to each edge's source ONCE and
+    # hash-partition the (big) edge side on the join key up front — every
+    # iteration then shuffles only the (small) rank frame; the edge side is
+    # scanned in place. This is the join-shape that matters at 100 TB.
+    n_part = spark.sparkContext.defaultParallelism
+    edges_deg = (
+        edges.join(deg.select(F.col("doc_id").alias("src"), "d"), "src")
+        .repartition(n_part, "src")
+        .localCheckpoint(eager=True)
+    )
     ranks = deg.select(
         "doc_id", F.lit(PR_SCALE).cast("long").alias("r")
     ).localCheckpoint(eager=True)
     for _ in range(PR_ITERS):
         src_rank = ranks.select(F.col("doc_id").alias("src"), "r")
-        src_deg = deg.select(F.col("doc_id").alias("src"), "d")
         agg = (
-            edges.join(src_rank, "src")
-            .join(src_deg, "src")
+            edges_deg.join(src_rank, "src")
             .select(F.col("dst").alias("doc_id"), F.expr("r div d").alias("c"))
             .groupBy("doc_id")
             .agg(F.sum("c").alias("contrib"))
@@ -84,7 +90,7 @@ def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         free_local_checkpoint(ranks)
         ranks = new_ranks
-    free_local_checkpoint(edges)
+    free_local_checkpoint(edges_deg)
     free_local_checkpoint(deg)
     return ranks.select(
         "doc_id",
