@@ -293,7 +293,90 @@ _SAMPLE_RATE = "CASE " + " ".join(
     f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in SAMPLE_RATES.items()
 ) + f" ELSE {SAMPLE_DEFAULT} END"
 
+# PII patterns kept conservative so Java regex (Spark) and RE2 (DuckDB)
+# agree; the corpus is synthetic word soup, so deterministic PII spans are
+# injected per doc_id (same pattern as multimodal payload synthesis).
+PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PII_PHONE = "555-[0-9]{4}"
+PII_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the corpus (emails / phones / IPs).
+
+    Counts each PII class and emits the md5 of the fully redacted text
+    (email→[EMAIL], phone→[PHONE], IP→[IP], applied in that order). All
+    JVM-side regex — codegen'd, one scan, no shuffle at all: the shape you
+    want for a 100 TB scrub pass. The synthetic injection (2 of every 3
+    docs get a deterministic span) exists only because the test corpus has
+    no organic PII; on real data ``with_pii`` is the identity.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    last4 = F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0")
+    with_pii = F.when(
+        F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-"),
+            last4,
+        ),
+    ).when(
+        F.pmod(F.col("doc_id"), F.lit(3)) == 1,
+        F.concat(
+            F.col("text"),
+            F.lit(" logged from 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".7"),
+        ),
+    ).otherwise(F.col("text"))
+    t = docs.select("doc_id", with_pii.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), PII_EMAIL, "[EMAIL]"),
+            PII_PHONE,
+            "[PHONE]",
+        ),
+        PII_IP,
+        "[IP]",
+    )
+    return t.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(PII_PHONE)).alias("n_phones"),
+        F.regexp_count(F.col("t"), F.lit(PII_IP)).alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "pii_redact": f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE
+               WHEN doc_id % 3 = 0 THEN
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or call 555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               WHEN doc_id % 3 = 1 THEN
+                 text || ' logged from 10.0.'
+                      || CAST(doc_id % 256 AS VARCHAR) || '.7'
+               ELSE text
+             END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS INTEGER) AS n_phones,
+           CAST(len(regexp_extract_all(t, '{PII_IP}')) AS INTEGER) AS n_ips,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t, '{PII_EMAIL}', '[EMAIL]', 'g'),
+                   '{PII_PHONE}', '[PHONE]', 'g'),
+                 '{PII_IP}', '[IP]', 'g')) AS redacted_md5
+    FROM t
+    """,
     "split_train_test": f"""
     SELECT doc_id, {_SPLIT_BUCKET} AS bucket,
            CASE WHEN {_SPLIT_BUCKET} < {TRAIN_PCT} THEN 'train'

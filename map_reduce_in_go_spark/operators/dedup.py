@@ -129,9 +129,9 @@ def signatures_of(docs: DataFrame) -> DataFrame:
     )
 
 
-def _band_pairs(sigs: DataFrame) -> DataFrame:
-    """LSH band grouping → distinct candidate (doc_a < doc_b) pairs."""
-    bands = sigs.select(
+def _bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) LSH band table from signatures."""
+    return sigs.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band_idx"),
         "sig",
@@ -149,6 +149,11 @@ def _band_pairs(sigs: DataFrame) -> DataFrame:
             )
         ).alias("band_hash"),
     )
+
+
+def _band_pairs(sigs: DataFrame) -> DataFrame:
+    """LSH band grouping → distinct candidate (doc_a < doc_b) pairs."""
+    bands = _bands(sigs)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -405,6 +410,48 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     free_local_checkpoint(edges)
     return labels.select("doc_id", "cluster_id")
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: a new batch against the standing corpus.
+
+    The daily-crawl shape: "old" corpus (even doc_ids here) vs "new" batch
+    (odd doc_ids). A new doc is dropped if any of its LSH bands collides
+    with an old doc's band (near-dup of the corpus) or with a smaller-id
+    new doc (near-dup within the batch); survivors are what gets ingested.
+
+    Scale design: at 100 TB the old side's band table is a *persisted
+    index* — bucketed by (band_idx, band_hash) and appended to as batches
+    land — so each increment is (batch bands) ⋈ (indexed corpus bands),
+    never a corpus rescan. Here both sides derive from one signature pass;
+    the join shape is identical.
+    """
+    sigs = scoped_persist(_signatures(spark, sf_dir))
+    bands = scoped_persist(_bands(sigs))
+    new_bands = bands.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    old_bands = bands.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    drop_old = new_bands.join(
+        old_bands.select("band_idx", "band_hash").distinct(),
+        ["band_idx", "band_hash"],
+        "left_semi",
+    ).select("doc_id")
+    a, b = new_bands.alias("a"), new_bands.alias("b")
+    drop_new = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+    )
+    new_docs = load_table(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(2)) == 1
+    )
+    return (
+        new_docs.join(drop_old.union(drop_new).distinct(), "doc_id", "left_anti")
+        .select("doc_id")
+    )
 
 
 def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -713,6 +760,23 @@ ORACLES: dict[str, str] = {
       FROM edges e JOIN reach ON reach.doc_id = e.dst
     )
     SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+    """,
+    "dedup_incremental": _MINHASH_CTES
+    + """
+    , newb AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+    oldb AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+    dropped AS (
+      SELECT DISTINCT n.doc_id
+      FROM newb n JOIN oldb o
+        ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+      UNION
+      SELECT DISTINCT b.doc_id
+      FROM newb a JOIN newb b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dropped)
     """,
     "dedup_keep_representatives": _MINHASH_CTES.replace(
         "WITH toks", "WITH RECURSIVE toks", 1

@@ -127,6 +127,7 @@ def _build() -> None:
         "dedup_minhash_fast",
         "dedup_edit_distance",
         "dedup_keep_representatives",
+        "dedup_incremental",
     ])
 
     from .operators import tfidf as _tfidf
@@ -176,6 +177,7 @@ def _build() -> None:
         "quality_repetition",
         "shard_pack",
         "domain_mix",
+        "pii_redact",
     ])
 
 

@@ -101,3 +101,17 @@ def test_date_partitioned_sink_prunes(spark, sf_dir, tmp_path):
     pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "event_date" in pf, pf
     assert one_day.count() > 0
+
+
+def test_multiformat_round_trip(spark, sf_dir, tmp_path):
+    """customer survives parquet→{orc,csv,json}→DataFrame bit-identically."""
+    from map_reduce_in_go_spark.sources.sinks import read_table_as, write_table_as
+    from map_reduce_in_go_spark.sources.tables import load_table
+
+    src = load_table(spark, sf_dir, "customer")
+    want = sorted(map(tuple, src.collect()))
+    for fmt in ("orc", "csv", "json"):
+        path = str(tmp_path / fmt)
+        write_table_as(src, path, fmt)
+        got = read_table_as(spark, path, fmt, schema=src.schema)
+        assert sorted(map(tuple, got.collect())) == want, fmt

@@ -231,3 +231,37 @@ def test_topk_stateful_stream(spark, drop_dir):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_dedup_state_survives_restart(spark, tmp_path):
+    """Checkpoint recovery: the dedup state store must carry across a full
+    stop/restart, so a duplicate arriving after the restart is still
+    dropped (exactly-once output under recovery, reference task-retry
+    parity done the Spark way)."""
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            dedup_stream(read_event_stream(spark, str(drops)))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    (drops / "a.json").write_text(json.dumps(EVENTS[0]) + "\n")
+    (drops / "b.json").write_text(json.dumps(EVENTS[1]) + "\n")
+    run_once()
+    # second run: one duplicate of event 1 + one genuinely new event
+    (drops / "c.json").write_text(json.dumps(EVENTS[0]) + "\n")
+    (drops / "d.json").write_text(json.dumps(EVENTS[2]) + "\n")
+    run_once()
+    ids = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert ids == [1, 2, 3]  # the replayed event_id=1 was deduped post-restart
