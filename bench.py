@@ -41,6 +41,10 @@ HEADLINE = [
     "corpus_clean_fused",
     "contamination_ngram",
     "shard_pack",
+    "pii_redact",
+    "dedup_incremental",
+    "pagerank_docs",
+    "orders_global_topn",
 ]
 
 

@@ -269,6 +269,23 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_global_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-50 orders by price — bare ORDER BY + LIMIT on the fact.
+
+    The plan matters more than the query: Catalyst must compile this to
+    ``TakeOrderedAndProject`` (per-partition top-N heaps merged on the
+    driver), NOT a global sort — a total sort of the fact is the classic
+    100 TB accident. A plan test pins the operator.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", money("o_totalprice")
+                      .cast("double").alias("price"))
+        .orderBy(F.desc("price"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
 def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order totals per customer + broadcast dim join, top-25."""
     cust = load_table(spark, sf_dir, "customer")
@@ -410,6 +427,13 @@ ORACLES: dict[str, str] = {
            AND l_quantity BETWEEN 10 AND 30)
        OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 30
            AND l_quantity BETWEEN 20 AND 40)
+    """,
+    "orders_global_topn": """
+    SELECT o_orderkey, o_custkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+    FROM orders
+    ORDER BY price DESC, o_orderkey ASC
+    LIMIT 50
     """,
     "top_customers": f"""
     WITH per_cust AS (

@@ -66,6 +66,7 @@ def _build() -> None:
         "q11_important_stock",
         "q15_top_supplier",
         "q20_excess_qty",
+        "orders_global_topn",
         "top_customers",
     ])
 

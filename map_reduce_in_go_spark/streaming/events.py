@@ -123,6 +123,24 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def dedup_stream_within_watermark(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming dedup with *time-bounded* state semantics.
+
+    ``dropDuplicatesWithinWatermark`` only promises dedup for duplicates
+    arriving within the watermark delay of each other, which lets the state
+    store evict ids aggressively by event time — the right contract for
+    at-least-once upstreams (Kafka producer retries land seconds apart,
+    never days). Plain ``dropDuplicates`` keys state on the exact event-time
+    column forever-ish; this form is what you run on an unbounded 100 TB/day
+    firehose.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
     """Stream-static join: enrich the event stream with a dimension table.
 

@@ -137,3 +137,12 @@ def test_pagerank_plan_stays_bounded(spark, sf_dir):
     # a lineage blowup would show every iteration's join in the plan text
     assert plan.count("Join") <= 1
     assert len(plan.splitlines()) < 30
+
+
+def test_global_topn_avoids_total_sort(spark, sf_dir):
+    from map_reduce_in_go_spark.plans.tpch import orders_global_topn
+
+    plan = _plan(orders_global_topn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # a global Sort + Exchange(rangepartitioning) would be the 100 TB accident
+    assert "rangepartitioning" not in plan

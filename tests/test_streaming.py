@@ -265,3 +265,30 @@ def test_dedup_state_survives_restart(spark, tmp_path):
     run_once()
     ids = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
     assert ids == [1, 2, 3]  # the replayed event_id=1 was deduped post-restart
+
+
+def test_dedup_within_watermark_stream(spark, tmp_path):
+    from map_reduce_in_go_spark.streaming.events import dedup_stream_within_watermark
+
+    p = tmp_path / "wmdups"
+    p.mkdir()
+    dup = dict(EVENTS[0])
+    for i, ev in enumerate([*EVENTS, dup]):
+        (p / f"part-{i}.json").write_text(json.dumps(ev) + "\n")
+    stream = read_event_stream(spark, str(p))
+    q = (
+        dedup_stream_within_watermark(stream)
+        .writeStream.format("memory")
+        .queryName("wmdedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    try:
+        n = spark.sql(
+            "SELECT count(DISTINCT event_id) c, count(*) n FROM wmdedup_test"
+        ).first()
+        assert n["n"] == len(EVENTS) and n["c"] == n["n"]
+    finally:
+        q.stop()
