@@ -57,11 +57,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
 
-    # JVM/codegen warmup on the smallest sf (agg path + tokenizer/HOF path)
+    # JVM/codegen warmup on the smallest sf (agg path + tokenizer/HOF path),
+    # plus one Arrow/mapInPandas query so the Python worker pool is forked
+    # before anything is timed (worker startup is ~1 s × cores of pure noise
+    # that otherwise lands on whichever ANN query runs first)
     qs["q6_forecast_revenue"](spark, "/root/testdata/sf0.001").count()
     qs["wordcount"](spark, "/root/testdata/sf0.001").count()
+    qs["ann_bruteforce"](spark, "/root/testdata/sf0.001").count()
 
     from map_reduce_in_go_spark.functions.caching import release_persisted
+
+    release_persisted()  # drop any caches the warmup queries pinned
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     times: dict[str, float] = {}

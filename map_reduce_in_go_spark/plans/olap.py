@@ -107,6 +107,28 @@ def events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_value_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family window breadth: percent_rank / cume_dist / first / nth.
+
+    All five functions share ONE window ordering, so Catalyst evaluates
+    them in a single Window operator over a single sort — the plan to
+    insist on when a report wants many positional stats at once (each
+    distinct ordering would be another full shuffle+sort of the fact).
+    Tie-free total order via (value, event_id); doubles are data values or
+    exact int ratios, identical in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("value").over(w).alias("min_value"),
+        F.nth_value("value", 10).over(w).alias("tenth_value"),
+    )
+
+
 def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-event moving average per user (fixed ROWS frame)."""
     ev = load_table(spark, sf_dir, "events")
@@ -163,6 +185,15 @@ ORACLES: dict[str, str] = {
            round(quantile_cont(value, 0.99), 4) AS p99,
            count(*) AS n
     FROM events GROUP BY event_type
+    """,
+    "events_value_position": """
+    SELECT event_id, event_type,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           first_value(value) OVER w AS min_value,
+           nth_value(value, 10) OVER w AS tenth_value
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
     """,
     "events_outliers": """
     WITH r AS (

@@ -78,6 +78,7 @@ def _build() -> None:
         "events_quantiles",
         "events_moving_avg",
         "events_outliers",
+        "events_value_position",
         "events_pivot",
         "events_ntile",
         "top_parts_per_supplier",

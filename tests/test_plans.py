@@ -146,3 +146,58 @@ def test_global_topn_avoids_total_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     # a global Sort + Exchange(rangepartitioning) would be the 100 TB accident
     assert "rangepartitioning" not in plan
+
+
+def test_value_position_single_window(spark, sf_dir):
+    """Five positional stats, one shared ordering → exactly one Window
+    operator (each extra ordering would cost another shuffle+sort)."""
+    from map_reduce_in_go_spark.plans.olap import events_value_position
+
+    import re
+
+    plan = _plan(events_value_position(spark, sf_dir))
+    # formatted plans name each operator once in the detail section
+    assert len(re.findall(r"^\(\d+\) Window$", plan, re.M)) == 1
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Skew survival at scale is AQE's job: a Zipf-headed join partition
+    must be split at runtime (SortMergeJoin(skew=true)), not processed as
+    one straggler task. Thresholds are lowered so a test-sized input skews
+    the same way a hot key does at 100 TB."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "50KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        left = spark.range(300_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(5_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("r")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 270_500
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
