@@ -9,7 +9,7 @@ a ratio appears with a DOUBLE operand on both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import sql_tokens, tokens
@@ -164,7 +164,57 @@ _LANG_CASE = (
     + " END"
 )
 
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic-vs-label confusion matrix for the language classifier.
+
+    The evaluation half of ``text_langid``: cell counts of (true ``lang``
+    column, predicted language) plus each cell's share of its true-label
+    row — the standard quality readout a curation pipeline reports after
+    any classifier pass. Two tiny aggregations after the scoring scan.
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
+    docs = docs.filter(F.size("toks") > 0)
+    pred, _score = langid_columns()
+    cells = (
+        docs.select(F.col("lang").alias("true_lang"), pred.alias("pred_lang"))
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("true_lang")
+    return cells.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("row_share"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "langid_confusion": f"""
+    WITH t AS (
+      SELECT doc_id, lang, {{_TOK}} AS toks FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             {{score_en}} AS score_en,
+             {{score_de}} AS score_de,
+             {{score_es}} AS score_es,
+             {{score_fr}} AS score_fr
+      FROM t WHERE len(toks) > 0
+    ), cells AS (
+      SELECT lang AS true_lang, {{_LANG_CASE}} AS pred_lang, count(*) AS n
+      FROM scored GROUP BY 1, 2
+    )
+    SELECT true_lang, pred_lang, n,
+           round(n / sum(n) OVER (PARTITION BY true_lang), 6) AS row_share
+    FROM cells
+    """.format(
+        _TOK=_TOK,
+        score_en=_sql_score("en"),
+        score_de=_sql_score("de"),
+        score_es=_sql_score("es"),
+        score_fr=_sql_score("fr"),
+        _LANG_CASE=_LANG_CASE,
+    ),
     "text_langid": f"""
     WITH t AS (
       SELECT doc_id, {_TOK} AS toks FROM documents

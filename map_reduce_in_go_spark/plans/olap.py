@@ -129,6 +129,31 @@ def events_value_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_trailing_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-24-hour event-time rolling sum (RANGE frame).
+
+    The time-based sibling of the ROWS-frame moving average: the frame is
+    `RANGE BETWEEN 24h PRECEDING AND CURRENT ROW` over integer-µs event
+    time, so frame membership is exact integer arithmetic in both engines
+    (no timestamp-interval coercion differences). Ties at the same ts_us
+    share a frame by RANGE semantics — still deterministic because the sum
+    is an exact decimal over the same member set. One shuffle on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day_us = 24 * 3600 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-day_us, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(money("value")).over(w).cast("double").alias("sum_24h"),
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+    )
+
+
 def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-event moving average per user (fixed ROWS frame)."""
     ev = load_table(spark, sf_dir, "events")
@@ -185,6 +210,14 @@ ORACLES: dict[str, str] = {
            round(quantile_cont(value, 0.99), 4) AS p99,
            count(*) AS n
     FROM events GROUP BY event_type
+    """,
+    "events_trailing_24h": """
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_24h,
+           count(*) OVER w AS n_24h
+    FROM (SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
     """,
     "events_value_position": """
     SELECT event_id, event_type,

@@ -79,6 +79,7 @@ def _build() -> None:
         "events_moving_avg",
         "events_outliers",
         "events_value_position",
+        "events_trailing_24h",
         "events_pivot",
         "events_ntile",
         "top_parts_per_supplier",
@@ -156,6 +157,7 @@ def _build() -> None:
         "text_quality",
         "token_count",
         "doc_fingerprint",
+        "langid_confusion",
     ])
 
     from .operators import multimodal as _mm

@@ -292,3 +292,56 @@ def test_dedup_within_watermark_stream(spark, tmp_path):
         assert n["n"] == len(EVENTS) and n["c"] == n["n"]
     finally:
         q.stop()
+
+
+def test_session_window_matches_batch_sessionize(spark, sf_dir, tmp_path):
+    """Cross-engine parity INSIDE the repo: native session_window streaming
+    over the real sf0.001 events must produce the same per-user session
+    structure as the oracled batch sessionize (same 30-min gap)."""
+    from map_reduce_in_go_spark.plans.events import events_sessionize
+    from map_reduce_in_go_spark.sources.tables import load_table
+    from map_reduce_in_go_spark.streaming.events import session_window_counts
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    pdf = ev.toPandas()
+    drops = tmp_path / "ev_json"
+    drops.mkdir()
+    lines = []
+    for r in pdf.itertuples(index=False):
+        lines.append(json.dumps({
+            "event_id": int(r.event_id),
+            "ts": r.ts.strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z",
+            "user_id": int(r.user_id),
+            "event_type": r.event_type,
+            "value": float(r.value),
+            "props": r.props,
+        }))
+    (drops / "all.json").write_text("\n".join(lines) + "\n")
+
+    q = (
+        session_window_counts(read_event_stream(spark, str(drops)))
+        .writeStream.format("memory")
+        .queryName("sw_parity")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        got = sorted(
+            (r["user_id"], r["n_events"], round(r["sum_value"], 2))
+            for r in spark.sql(
+                "SELECT user_id, n_events, sum_value FROM sw_parity"
+            ).collect()
+        )
+    finally:
+        q.stop()
+    want = sorted(
+        (r["user_id"], r["n_events"], round(r["sum_value"], 2))
+        for r in events_sessionize(spark, sf_dir).collect()
+    )
+    assert [g[:2] for g in got] == [w[:2] for w in want]  # session structure
+    for g, w in zip(got, want):  # float-vs-decimal sums within rounding slack
+        assert abs(g[2] - w[2]) <= 0.01, (g, w)
