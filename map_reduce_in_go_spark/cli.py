@@ -30,8 +30,8 @@ def build_parser() -> argparse.ArgumentParser:
         prog="map_reduce_in_go_spark",
         description="PySpark-native MapReduce-equivalent engine",
     )
-    p.add_argument("--input", required=True, help="comma-separated files/globs")
-    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--input", help="comma-separated files/globs (MR apps)")
+    p.add_argument("--output", help="output directory")
     p.add_argument("--reduce", type=int, default=5, help="number of output buckets")
     p.add_argument("--workers", type=int, default=None, help="local cores to use")
     p.add_argument(
@@ -48,6 +48,24 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--pattern", default="the", help="regex for --app grep")
     p.add_argument(
+        "--list-queries",
+        action="store_true",
+        help="print every registered analytical query key and exit",
+    )
+    p.add_argument(
+        "--run-query",
+        metavar="KEY",
+        default=None,
+        help="run a registered analytical query (see --list-queries) over "
+        "--sf-dir; writes parquet to --output or prints a sample",
+    )
+    p.add_argument(
+        "--sf-dir",
+        default=None,
+        help="table directory for --run-query (default $SPARK_GRAFT_SF_DIR "
+        "or /root/testdata/sf0.01)",
+    )
+    p.add_argument(
         "--generic",
         action="store_true",
         help="run via the generic Arrow Mapper/Reducer path instead of the "
@@ -62,6 +80,41 @@ def main(argv: list[str] | None = None) -> int:
     from .functions.text import tokens
     from .session import get_spark
     from .sources.text import read_lines, read_text_files
+
+    if args.list_queries:
+        from . import registry
+
+        for name in sorted(registry.queries()):
+            print(name)
+        return 0
+
+    if args.run_query:
+        import os as _os
+
+        from . import registry
+
+        qs = registry.queries()
+        if args.run_query not in qs:
+            print(f"unknown query {args.run_query!r}; see --list-queries",
+                  file=sys.stderr)
+            return 2
+        sf_dir = args.sf_dir or _os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+        )
+        spark = get_spark("mr-cli", cpus=args.workers, master=args.master)
+        spark.sparkContext.setLogLevel("WARN")
+        df = qs[args.run_query](spark, sf_dir)
+        if args.output:
+            df.write.mode("overwrite").parquet(args.output)
+            print(f"wrote {args.run_query} to {args.output}")
+        else:
+            for row in df.limit(20).collect():
+                print("\t".join(str(v) for v in row))
+        return 0
+
+    if not args.input or not args.output:
+        print("--input and --output are required for MR apps", file=sys.stderr)
+        return 2
 
     spark = get_spark("mr-cli", cpus=args.workers, master=args.master)
     spark.sparkContext.setLogLevel("WARN")

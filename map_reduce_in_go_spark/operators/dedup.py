@@ -337,6 +337,45 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment over the LSH candidates.
+
+    Jaccard misses subset duplication (a doc quoting most of a shorter one
+    scores low symmetrically); containment |A∩B|/|A| and |A∩B|/|B| flags
+    it from either side. Same intersect machinery as the Jaccard verifier —
+    one equijoin on (pair, shingle), integer counts, two exact divisions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shd = (
+        docs.select("doc_id", F.explode(shingles(F.col("text"), SHINGLE_N)).alias("sh"))
+        .distinct()
+    )
+    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pairs = scoped_persist(_band_pairs(_signatures(spark, sf_dir)))
+    sa = shd.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = shd.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("sh_b"))
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_inter") / F.col("n_a"), 6).alias("containment_a"),
+            F.round(F.col("n_inter") / F.col("n_b"), 6).alias("containment_b"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- clustering
 
 CLUSTER_MAX_ITERS = 25
@@ -760,6 +799,27 @@ ORACLES: dict[str, str] = {
       FROM edges e JOIN reach ON reach.doc_id = e.dst
     )
     SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+    """,
+    "dedup_containment": _MINHASH_CTES
+    + """
+    , shd AS (
+      SELECT DISTINCT doc_id, unnest(sh) AS sh1 FROM shing2
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id
+    ), inter AS (
+      SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+      FROM pairs p
+      JOIN shd a ON a.doc_id = p.doc_a
+      JOIN shd b ON b.doc_id = p.doc_b AND b.sh1 = a.sh1
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(COALESCE(i.n_inter, 0) / na.n_sh, 6) AS containment_a,
+           round(COALESCE(i.n_inter, 0) / nb.n_sh, 6) AS containment_b
+    FROM pairs p
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    JOIN sizes na ON na.doc_id = p.doc_a
+    JOIN sizes nb ON nb.doc_id = p.doc_b
     """,
     "dedup_incremental": _MINHASH_CTES
     + """

@@ -131,6 +131,7 @@ def _build() -> None:
         "dedup_edit_distance",
         "dedup_keep_representatives",
         "dedup_incremental",
+        "dedup_containment",
     ])
 
     from .operators import tfidf as _tfidf

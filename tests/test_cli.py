@@ -54,3 +54,26 @@ def test_cli_grep(tmp_path, spark):
     )
     got = _read_all(out)
     assert len(got) == 1 and next(iter(got.values())) == 2
+
+def test_cli_list_queries(capsys):
+    from map_reduce_in_go_spark.cli import main
+
+    assert main(["--list-queries"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert "wordcount" in out and "pagerank_docs" in out and len(out) >= 100
+
+
+def test_cli_run_query(tmp_path, spark, sf_dir, capsys):
+    from map_reduce_in_go_spark.cli import main
+
+    out = str(tmp_path / "q6")
+    rc = main(["--run-query", "q6_forecast_revenue", "--sf-dir", sf_dir,
+               "--output", out])
+    assert rc == 0
+    assert spark.read.parquet(out).count() == 1
+
+
+def test_cli_run_query_unknown():
+    from map_reduce_in_go_spark.cli import main
+
+    assert main(["--run-query", "nope"]) == 2
