@@ -75,7 +75,10 @@ def main() -> None:
         samples = []
         for _ in range(reps):
             t0 = time.time()
-            qs[name](spark, sf_dir).count()
+            # noop sink, not count(): a count() lets Catalyst prune columns
+            # nothing aggregates over, so map-only queries (regex scrubs,
+            # per-row scores) would time the scan instead of the work
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
             # drop scoped caches so every rep is a cold, comparable run
             release_persisted()

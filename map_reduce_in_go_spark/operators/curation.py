@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import sql_shingles, sql_tokens, tokens
-from ..sources.tables import load_table
+from ..sources.tables import load_documents_parallel, load_table
 
 # -- portable deterministic bucket ------------------------------------------
 # Spark: conv(hex, 16, 10) → decimal string → BIGINT.  DuckDB: '0x…' cast.
@@ -119,7 +119,7 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     big-side shuffle beyond the per-doc agg — the shape that survives 100 TB
     (benchmark sets are KBs–MBs even when the corpus is not).
     """
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    docs = load_documents_parallel(spark, sf_dir).withColumn(
         "toks", tokens(F.col("text"))
     )
     grams = F.array_distinct(_ngrams(F.col("toks"), CONTAM_N))
@@ -164,7 +164,7 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id. At 100 TB all shuffles carry one row per (doc, distinct gram).
     """
     docs = (
-        load_table(spark, sf_dir, "documents")
+        load_documents_parallel(spark, sf_dir)
         .withColumn("toks", tokens(F.col("text")))
         .filter(F.size("toks") >= 3)
     )
@@ -311,7 +311,7 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs get a deterministic span) exists only because the test corpus has
     no organic PII; on real data ``with_pii`` is the identity.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     last4 = F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0")
     with_pii = F.when(
         F.pmod(F.col("doc_id"), F.lit(3)) == 0,

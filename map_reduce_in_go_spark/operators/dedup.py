@@ -30,7 +30,7 @@ from ..functions.caching import free_local_checkpoint, scoped_persist
 from ..functions.hashing import sql_minhash_signature
 from ..functions.text import shingles, sql_shingles, sql_tokens, tokens
 from ..functions.vectors import sql_cosine, sql_double_array
-from ..sources.tables import load_table
+from ..sources.tables import load_documents_parallel, load_table
 
 NUM_PERM = 32
 N_BANDS = 8
@@ -275,7 +275,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard over 3-gram shingle sets for the MinHash candidates."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     shd = (
         docs.select("doc_id", F.explode(shingles(F.col("text"), SHINGLE_N)).alias("sh"))
         .distinct()
@@ -345,7 +345,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     it from either side. Same intersect machinery as the Jaccard verifier —
     one equijoin on (pair, shingle), integer counts, two exact divisions.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     shd = (
         docs.select("doc_id", F.explode(shingles(F.col("text"), SHINGLE_N)).alias("sh"))
         .distinct()

@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import sql_tokens, tokens
-from ..sources.tables import load_table
+from ..sources.tables import load_documents_parallel, load_table
 
 # Tiny per-language stopword lists for the n-gram/stopword langid heuristic.
 STOPWORDS = {
@@ -80,7 +80,7 @@ def quality_columns() -> dict[str, Column]:
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predict language by max stopword-hit ratio (deterministic tiebreak)."""
-    docs = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
+    docs = load_documents_parallel(spark, sf_dir).withColumn("toks", _toks())
     docs = docs.filter(F.size("toks") > 0)
     pred, score = langid_columns()
     return docs.select(
@@ -92,7 +92,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score from length/punctuation/stopword/uniq ratios."""
-    docs = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
+    docs = load_documents_parallel(spark, sf_dir).withColumn("toks", _toks())
     docs = docs.filter(F.size("toks") > 0)
     cols = quality_columns()
     return docs.select(
@@ -102,7 +102,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokens vs BPE-ish regex tokens vs chars, per doc."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.size(_toks()).alias("ws_tokens"),
@@ -122,7 +122,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     of windowed minima is position-robust; we emit its size and overall min
     per doc as a stable summary.
     """
-    docs = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
+    docs = load_documents_parallel(spark, sf_dir).withColumn("toks", _toks())
     sh = docs.select(
         "doc_id",
         F.posexplode(
@@ -172,7 +172,7 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     row — the standard quality readout a curation pipeline reports after
     any classifier pass. Two tiny aggregations after the scoring scan.
     """
-    docs = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
+    docs = load_documents_parallel(spark, sf_dir).withColumn("toks", _toks())
     docs = docs.filter(F.size("toks") > 0)
     pred, _score = langid_columns()
     cells = (

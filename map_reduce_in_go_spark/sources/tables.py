@@ -65,3 +65,18 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so ``spark.sql`` works too."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_documents_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``documents`` hash-distributed across all cores before CPU work.
+
+    The testdata documents table is a single parquet file — one input
+    split — so per-doc CPU kernels (tokenize / shingle / regex) would run
+    as ONE task no matter how many cores exist (AQE cannot split inside a
+    row group). One explicit doc_id repartition fixes the harness case; on
+    a production layout (many files/row groups) the scan parallelizes by
+    itself and this shuffle is the first thing to drop.
+    """
+    return load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
