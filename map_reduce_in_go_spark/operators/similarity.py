@@ -176,7 +176,12 @@ def _with_buckets(vecs: DataFrame, with_vec: bool = False) -> DataFrame:
     schema = "vec_id long, tbl int, bucket string" + (
         ", e array<double>" if with_vec else ""
     )
-    return vecs.select("vec_id", "e").mapInPandas(gen, schema=schema)
+    # single-file test corpus → single split; spread the GEMM batches (a
+    # production multi-split table parallelizes at the scan and skips this)
+    spread = vecs.select("vec_id", "e").repartition(
+        vecs.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(gen, schema=schema)
 
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
