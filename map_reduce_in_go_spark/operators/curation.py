@@ -276,6 +276,31 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WEIGHT_SALT = "wsamp:"
+
+
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling by the :func:`domain_mix` weights.
+
+    Closes the curation loop: measure the mixture, derive uniform-target
+    weights, then *apply* them — each doc keeps with probability
+    ``min(weight, 1)`` via a salted deterministic hash bucket (stable under
+    reruns/retries, unlike ``rand()``). The weight table is domain-grain →
+    broadcast; the corpus side stays a zero-shuffle map stage. Upsampling
+    (weight > 1) is out of scope for a filter — capped at 1 and left to the
+    shard writer to repeat-sample.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = domain_mix(spark, sf_dir).select("lang", "source", "weight")
+    b = hash_bucket(F.col("doc_id"), WEIGHT_SALT)
+    return (
+        docs.join(F.broadcast(w), ["lang", "source"])
+        .withColumn("bucket", b)
+        .filter(F.col("bucket") < F.least(F.col("weight"), F.lit(1.0)) * 100)
+        .select("doc_id", "lang", "source", "bucket", "weight")
+    )
+
+
 def _ngrams(toks: Column, n: int) -> Column:
     """n-word shingles of a token array (pure Catalyst, document order)."""
     idx = F.when(
@@ -289,6 +314,7 @@ def _ngrams(toks: Column, n: int) -> Column:
 _TOK = sql_tokens("text")
 _SPLIT_BUCKET = sql_hash_bucket("doc_id")
 _SAMPLE_BUCKET = sql_hash_bucket("doc_id", SAMPLE_SALT)
+_WEIGHT_BUCKET = sql_hash_bucket("doc_id", WEIGHT_SALT)
 _SAMPLE_RATE = "CASE " + " ".join(
     f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in SAMPLE_RATES.items()
 ) + f" ELSE {SAMPLE_DEFAULT} END"
@@ -453,6 +479,24 @@ ORACLES: dict[str, str] = {
     )
     SELECT doc_id, n_tok, "offset", "offset" // {SHARD_TOKENS} AS shard_id
     FROM c
+    """,
+    "sample_weighted": f"""
+    WITH g AS (
+      SELECT lang, source, count(*) AS n_docs,
+             CAST(sum(len({_TOK})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang, source
+    ), tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens, count(*) AS n_domains
+      FROM g
+    ), mix AS (
+      SELECT lang, source,
+             round((1.0 / n_domains) / (n_tokens / tot_tokens), 6) AS weight
+      FROM g CROSS JOIN tot
+    )
+    SELECT d.doc_id, d.lang, d.source,
+           {_WEIGHT_BUCKET} AS bucket, m.weight
+    FROM documents d JOIN mix m ON d.lang = m.lang AND d.source = m.source
+    WHERE {_WEIGHT_BUCKET} < least(m.weight, 1.0) * 100
     """,
     "domain_mix": f"""
     WITH g AS (

@@ -183,6 +183,7 @@ def _build() -> None:
         "shard_pack",
         "domain_mix",
         "pii_redact",
+        "sample_weighted",
     ])
 
 
