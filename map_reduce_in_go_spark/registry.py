@@ -3,11 +3,23 @@
 ``__spark_entry__.py`` (the driver contract) is a thin shim over this.
 Every operator module contributes its public queries plus an ``ORACLES``
 dict; keys must match SURVEY.md §2.
+
+Ordering contract (SURVEY §2): the driver verifies only a prefix of
+``queries()``, so the registry emits queries least-recently-driver-verified
+first. ``_verified_round()`` scans the driver-written ``CORRECTNESS_r*.json``
+files at the repo root; a query's priority key is the latest round in which
+the driver recorded a check for it (0 = never checked). Ties keep
+registration order. Each round the freshly-verified block rotates to the
+back, so driver coverage sweeps the whole registry across rounds with no
+manual re-ordering.
 """
 
 from __future__ import annotations
 
+import json
+import re
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -15,6 +27,40 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
+
+_REPO_ROOT = Path(__file__).resolve().parents[1]
+
+
+def _verified_round() -> dict[str, int]:
+    """name → latest round with a driver CORRECTNESS record counting as checked.
+
+    A record counts if the value-hash matched, or — for declared rows-only
+    queries — the driver completed its weaker rows-only check
+    (``err == "no_oracle"`` with a recorded row count). Failed rows (hash
+    mismatch, runtime error) do NOT count: those queries stay at the front
+    of the window until a green row lands.
+    """
+    latest: dict[str, int] = {}
+    for path in _REPO_ROOT.glob("CORRECTNESS_r*.json"):
+        m = re.match(r"CORRECTNESS_r(\d+)\.json$", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            records = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(records, dict):
+            continue
+        for name, rec in records.items():
+            if not isinstance(rec, dict):
+                continue
+            checked = rec.get("hash_match") is True or (
+                rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
+            )
+            if checked:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 def _register(module, names: list[str]) -> None:
@@ -187,11 +233,22 @@ def _build() -> None:
     ])
 
 
+def _priority_order() -> list[str]:
+    """Registered names, least-recently-driver-verified first (stable ties)."""
+    verified = _verified_round()
+    names = list(_QUERIES)
+    return sorted(names, key=lambda n: (verified.get(n, 0), names.index(n)))
+
+
 def queries() -> dict[str, QueryFn]:
     _build()
-    return dict(_QUERIES)
+    return {n: _QUERIES[n] for n in _priority_order()}
 
 
 def oracles() -> dict[str, str]:
     _build()
-    return dict(_ORACLES)
+    order = _priority_order()
+    out = {n: _ORACLES[n] for n in order if n in _ORACLES}
+    for k, v in _ORACLES.items():  # oracles with no registered query (none today)
+        out.setdefault(k, v)
+    return out
