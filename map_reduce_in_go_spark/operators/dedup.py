@@ -493,6 +493,62 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def build_band_index(docs: DataFrame, index_path: str, mode: str = "overwrite") -> None:
+    """Materialize a corpus's LSH band table as a durable parquet index.
+
+    The 100 TB incremental-ingestion design (see :func:`dedup_incremental`):
+    the standing corpus's bands live on disk, partitioned by ``band_idx``, and
+    each daily batch appends its own bands after dedup (``mode="append"``).
+    An increment then joins (batch bands) ⋈ (index) — cost scales with the
+    batch, never a corpus rescan. On a real deployment this table would be
+    Iceberg/Delta for ACID appends; plain parquet ``append`` keeps the exact
+    same reader call and layout.
+    """
+    sigs = signatures_of(docs.withColumn("toks", tokens(F.col("text"))))
+    (
+        _bands(sigs)
+        .write.mode(mode)
+        .partitionBy("band_idx")
+        .parquet(index_path)
+    )
+
+
+def dedup_incremental_indexed(
+    spark: SparkSession, batch_docs: DataFrame, index_path: str
+) -> DataFrame:
+    """:func:`dedup_incremental`'s batch path against a persisted band index.
+
+    Computes signatures for ``batch_docs`` ONLY; the corpus side is a parquet
+    scan of the index built by :func:`build_band_index` (column-pruned to
+    (band_idx, band_hash) — Spark never reads the index's doc_id column).
+    Returns the surviving batch doc_ids, identical to the derive-both-sides
+    query on the same split.
+    """
+    batch_sigs = scoped_persist(
+        signatures_of(batch_docs.withColumn("toks", tokens(F.col("text"))))
+    )
+    new_bands = scoped_persist(_bands(batch_sigs))
+    old_bands = spark.read.parquet(index_path).select("band_idx", "band_hash")
+    drop_old = new_bands.join(
+        old_bands.distinct(), ["band_idx", "band_hash"], "left_semi"
+    ).select("doc_id")
+    a, b = new_bands.alias("a"), new_bands.alias("b")
+    drop_new = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+    )
+    return (
+        batch_docs.select("doc_id")
+        .join(drop_old.union(drop_new).distinct(), "doc_id", "left_anti")
+        .select("doc_id")
+    )
+
+
 def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The surviving corpus after cluster-level near-dedup.
 

@@ -40,21 +40,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read it as raw int64 nanos and derive both an exact
-    integer-microsecond column (``ts_us``) and a proper timestamp (``ts``).
+    """Load ``events.parquet``, normalizing ``ts`` across physical encodings.
 
-    DuckDB auto-casts the same column to microsecond TIMESTAMP (truncating),
-    so ``ts_us`` = ``epoch_us(ts)`` on the oracle side, exactly.
+    The upstream generator has produced (at different times) TIMESTAMP(NANOS)
+    — which Spark surfaces as int64 with ``nanosAsLong`` — and plain
+    ``timestamp[us]`` (TIMESTAMP or TIMESTAMP_NTZ depending on
+    ``isAdjustedToUTC``). Rather than hard-code one encoding, branch on the
+    dtype Spark actually infers and derive the same two columns every time:
+
+    - ``ts_us``: exact integer epoch-microseconds (long)
+    - ``ts``: session-TZ timestamp (session TZ is pinned UTC in session.py,
+      so NTZ→TZ casts are wall-clock identity)
+
+    DuckDB reads the same file as microsecond TIMESTAMP, so the oracle-side
+    ``epoch_us(ts)`` matches ``ts_us`` exactly in every encoding.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
+    # Harmless for non-NANOS files; required to read the NANOS encoding at all.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return (
-        df.withColumn("ts_us", F.expr("ts DIV 1000"))
-        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
-    )
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        # int64 nanoseconds since epoch
+        df = df.withColumn("ts_us", F.expr("ts DIV 1000"))
+    elif isinstance(ts_type, (TimestampType, TimestampNTZType)):
+        # unix_micros rejects TIMESTAMP_NTZ; the cast is a no-op for
+        # TIMESTAMP and a UTC wall-clock-identity conversion for NTZ.
+        df = df.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    else:
+        raise TypeError(
+            f"events.ts has unsupported dtype {ts_type}; expected int64 nanos "
+            "or a timestamp type"
+        )
+    return df.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

@@ -112,3 +112,38 @@ def test_doc_similarity_tfidf_bounds(spark, sf_dir):
     for r in rows:
         assert r["doc_a"] < r["doc_b"]
         assert SIM_THRESHOLD <= r["cos_tfidf"] <= 1.0
+
+
+def test_band_index_incremental_matches_recompute(spark, sf_dir, tmp_path):
+    """The persisted band-index path (build once, batch joins the index) must
+    return exactly the docs the derive-both-sides query returns — and its plan
+    must read the corpus side FROM the index, not recompute it."""
+    from map_reduce_in_go_spark.operators.dedup import (
+        build_band_index,
+        dedup_incremental,
+        dedup_incremental_indexed,
+    )
+    from map_reduce_in_go_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+
+    index_path = str(tmp_path / "band_index")
+    build_band_index(corpus, index_path)
+
+    got = dedup_incremental_indexed(spark, batch, index_path)
+    # corpus side comes from the index: the physical plan scans the index
+    # parquet, and prunes it to exactly (band_hash, band_idx)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "band_index" in plan
+    assert set(r["doc_id"] for r in got.collect()) == set(
+        r["doc_id"] for r in dedup_incremental(spark, sf_dir).collect()
+    )
+
+    # appending a landed batch's bands is the daily-ingest shape
+    build_band_index(batch, index_path, mode="append")
+    import glob as _glob
+    import os as _os
+
+    assert _glob.glob(_os.path.join(index_path, "band_idx=*")), "partitioned layout"

@@ -94,6 +94,50 @@ def test_write_output_layout(spark, tmp_path):
         assert hits == [f"bucket={bucket}"], (word, hits)
 
 
+def test_custom_partitioner_end_to_end(spark):
+    """Pluggable routing (distributed/worker.go:170-174 made ihash % nReduce
+    the seam): a user partitioner replaces FNV-1a, results stay identical to
+    the default path, and co-location is real — every key of one bucket is
+    folded by one reduce task."""
+    files = spark.createDataFrame(
+        [
+            Row(filename="a.txt", contents="The fox. THE FOX! dog dog bird"),
+            Row(filename="b.txt", contents="fox? dog emu"),
+        ]
+    )
+    # route by first letter mod n_reduce — deliberately not a hash
+    first_letter = lambda key, n: (F.ascii(F.substring(key, 1, 1)) % n).cast("int")
+
+    out = run_mapreduce(
+        files, WordCountMapper(), WordCountReducer(),
+        partitioner=first_letter, n_reduce=2,
+    )
+    got = {(r["key"], r["value"]) for r in out.collect()}
+    assert got == {("the", "2"), ("fox", "3"), ("dog", "3"), ("bird", "1"), ("emu", "1")}
+
+    # co-location: keys sharing a bucket land in the same output partition
+    with_pid = out.withColumn("pid", F.spark_partition_id())
+    pid_of = {r["key"]: r["pid"] for r in with_pid.collect()}
+    bucket_of = {k: ord(k[0]) % 2 for k in pid_of}
+    for a in pid_of:
+        for b in pid_of:
+            if bucket_of[a] == bucket_of[b]:
+                assert pid_of[a] == pid_of[b], (a, b)
+
+    # write path honors the same partitioner
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "mr-out")
+        write_output(out, path, n_reduce=2, partitioner=first_letter)
+        for f in glob.glob(os.path.join(path, "bucket=*", "*.csv")):
+            bucket = int(os.path.basename(os.path.dirname(f)).split("=")[1])
+            with open(f) as fh:
+                for line in fh:
+                    word = line.split("\t")[0]
+                    assert ord(word[0]) % 2 == bucket, (word, bucket)
+
+
 def test_fault_tolerance_confs(spark):
     """Reference parity (task.go:11,13,264-304): retry cap + straggler
     speculation must both be SET — a multiplier without the enable flag is
