@@ -23,6 +23,8 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -513,7 +515,7 @@ def build_band_index(docs: DataFrame, index_path: str, mode: str = "overwrite") 
     )
 
 
-def dedup_incremental_indexed(
+def dedup_batch_against_index(
     spark: SparkSession, batch_docs: DataFrame, index_path: str
 ) -> DataFrame:
     """:func:`dedup_incremental`'s batch path against a persisted band index.
@@ -547,6 +549,30 @@ def dedup_incremental_indexed(
         .join(drop_old.union(drop_new).distinct(), "doc_id", "left_anti")
         .select("doc_id")
     )
+
+
+def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry twin of :func:`dedup_incremental` exercising the durable index.
+
+    Same corpus/batch split and identical output (the oracle SQL is shared),
+    but the corpus side goes through :func:`build_band_index` →
+    :func:`dedup_batch_against_index`: materialize the standing corpus's band
+    table to parquet once, then join only the batch against it. The driver
+    hash-checking this row proves the index round-trip loses nothing vs the
+    derive-both-sides plan.
+    """
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    index_path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_band_index",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    build_band_index(corpus, index_path)
+    return dedup_batch_against_index(spark, batch, index_path)
 
 
 def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -946,6 +972,9 @@ def _blocked_oracle() -> str:
 
 
 ORACLES["dedup_embedding_blocked"] = _blocked_oracle()
+# the indexed twin must produce bit-identical survivors to the
+# derive-both-sides plan — same oracle by construction
+ORACLES["dedup_incremental_indexed"] = ORACLES["dedup_incremental"]
 
 
 def _signatures_fast(spark: SparkSession, sf_dir: str) -> DataFrame:

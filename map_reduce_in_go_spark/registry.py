@@ -177,6 +177,7 @@ def _build() -> None:
         "dedup_edit_distance",
         "dedup_keep_representatives",
         "dedup_incremental",
+        "dedup_incremental_indexed",
         "dedup_containment",
     ])
 

@@ -120,8 +120,8 @@ def test_band_index_incremental_matches_recompute(spark, sf_dir, tmp_path):
     must read the corpus side FROM the index, not recompute it."""
     from map_reduce_in_go_spark.operators.dedup import (
         build_band_index,
+        dedup_batch_against_index,
         dedup_incremental,
-        dedup_incremental_indexed,
     )
     from map_reduce_in_go_spark.sources.tables import load_table
 
@@ -132,7 +132,7 @@ def test_band_index_incremental_matches_recompute(spark, sf_dir, tmp_path):
     index_path = str(tmp_path / "band_index")
     build_band_index(corpus, index_path)
 
-    got = dedup_incremental_indexed(spark, batch, index_path)
+    got = dedup_batch_against_index(spark, batch, index_path)
     # corpus side comes from the index: the physical plan scans the index
     # parquet, and prunes it to exactly (band_hash, band_idx)
     plan = got._jdf.queryExecution().executedPlan().toString()
