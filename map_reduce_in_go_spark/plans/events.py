@@ -495,6 +495,58 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`events_range_join` via interval bucketing — the fact⋈fact shape.
+
+    The BNLJ in ``events_range_join`` is right for a 5-row dim but quadratic
+    if the interval side grows. The scale-safe rewrite buckets ``value`` into
+    fixed-width cells and explodes each interval into the cells it overlaps,
+    turning the inequality join into an *equality* join on ``bucket`` plus a
+    residual range filter — hash-joinable, shuffle-partitionable, and skew-
+    handled by AQE like any other equi-join. Same oracle as the BNLJ twin, so
+    the driver proves the rewrite is lossless.
+
+    Bucket width trades explode fan-out (wide intervals → more cells) against
+    join selectivity; 25.0 matches the band grid here. At 100 TB both sides
+    shuffle on ``bucket`` and no executor ever sees a cross product.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    width = 25.0
+    bands = spark.createDataFrame(
+        [
+            ("b0_small", 0.0, 25.0),
+            ("b1_mid", 25.0, 50.0),
+            ("b2_large", 50.0, 100.0),
+            ("b3_xl", 100.0, 250.0),
+            ("b4_huge", 250.0, 1000.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    # one row per bucket cell an interval overlaps: [lo, hi) → floor(lo/w)..floor((hi-ulp)/w)
+    cells = bands.select(
+        "band",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / width).cast("long"),
+                F.floor((F.col("hi") - F.lit(1e-9)) / width).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    fact = ev.withColumn("bucket", F.floor(F.col("value") / width).cast("long"))
+    return (
+        fact.join(F.broadcast(cells), "bucket")
+        .filter((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_events"),
+            sum_exact(money("value")).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 ORACLES.update(
     {
         "events_asof_join": """
@@ -532,6 +584,8 @@ ORACLES.update(
         """.replace("{sum_value}", sql_sum_exact(_VAL)),
     }
 )
+# lossless rewrite of the same query — bucket join must agree bit-for-bit
+ORACLES["events_range_join_bucketed"] = ORACLES["events_range_join"]
 
 
 def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:

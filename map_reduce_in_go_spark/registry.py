@@ -141,6 +141,7 @@ def _build() -> None:
         "events_zscore",
         "events_asof_join",
         "events_range_join",
+        "events_range_join_bucketed",
         "events_gap_fill",
         "events_json_extract",
         "events_transitions",

@@ -201,3 +201,20 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_range_join_bucketed_parity_and_plan(spark, sf_dir):
+    """The interval-bucketed range join must agree row-for-row with the BNLJ
+    twin, and its physical plan must actually be an equality hash join."""
+    from map_reduce_in_go_spark.plans.events import (
+        events_range_join,
+        events_range_join_bucketed,
+    )
+
+    bnlj = {tuple(r) for r in events_range_join(spark, sf_dir).collect()}
+    bucketed_df = events_range_join_bucketed(spark, sf_dir)
+    bucketed = {tuple(r) for r in bucketed_df.collect()}
+    assert bucketed == bnlj
+    plan = bucketed_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
