@@ -509,9 +509,16 @@ def events_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bucket width trades explode fan-out (wide intervals → more cells) against
     join selectivity; 25.0 matches the band grid here. At 100 TB both sides
     shuffle on ``bucket`` and no executor ever sees a cross product.
+
+    Cell math is exact integer arithmetic on micro-units (no float epsilon):
+    a half-open interval [lo, hi) overlaps cells ``floor(lo_us/w_us)`` through
+    ``floor((hi_us-1)/w_us)`` — subtracting one micro-unit before the floor
+    lands an exact-multiple upper bound in the previous cell and leaves any
+    interior bound's cell unchanged, for every value domain.
     """
     ev = load_table(spark, sf_dir, "events")
     width = 25.0
+    width_us = 25_000_000  # the same width in exact micro-units
     bands = spark.createDataFrame(
         [
             ("b0_small", 0.0, 25.0),
@@ -522,15 +529,16 @@ def events_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "band string, lo double, hi double",
     )
-    # one row per bucket cell an interval overlaps: [lo, hi) → floor(lo/w)..floor((hi-ulp)/w)
+    lo_us = F.round(F.col("lo") * 1e6).cast("long")
+    hi_us = F.round(F.col("hi") * 1e6).cast("long")
     cells = bands.select(
         "band",
         "lo",
         "hi",
         F.explode(
             F.sequence(
-                F.floor(F.col("lo") / width).cast("long"),
-                F.floor((F.col("hi") - F.lit(1e-9)) / width).cast("long"),
+                F.floor(lo_us / F.lit(width_us)).cast("long"),
+                F.floor((hi_us - F.lit(1)) / F.lit(width_us)).cast("long"),
             )
         ).alias("bucket"),
     )

@@ -179,6 +179,7 @@ def _build() -> None:
         "dedup_keep_representatives",
         "dedup_incremental",
         "dedup_incremental_indexed",
+        "dedup_incremental_two_batch",
         "dedup_containment",
     ])
 

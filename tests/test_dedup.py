@@ -147,3 +147,73 @@ def test_band_index_incremental_matches_recompute(spark, sf_dir, tmp_path):
     import os as _os
 
     assert _glob.glob(_os.path.join(index_path, "band_idx=*")), "partitioned layout"
+
+
+def test_indexed_probe_never_scans_corpus(spark, sf_dir, tmp_path):
+    """Batch-only cost proof: the probe plan's input files are the index
+    parquet and the batch parquet ONLY — no scan of the corpus documents.
+    The batch lives in its own parquet dir so source attribution is exact."""
+    from map_reduce_in_go_spark.operators.dedup import (
+        build_band_index,
+        dedup_batch_against_index,
+    )
+    from map_reduce_in_go_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    index_path = str(tmp_path / "band_index")
+    build_band_index(docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0), index_path)
+
+    batch_path = str(tmp_path / "batch_docs")
+    docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1).write.parquet(batch_path)
+    batch = spark.read.parquet(batch_path)
+
+    probe = dedup_batch_against_index(spark, batch, index_path)
+    files = probe.inputFiles()
+    assert files, "probe plan reports no input files"
+    offenders = [
+        f for f in files if "band_index" not in f and "batch_docs" not in f
+    ]
+    assert not offenders, f"probe scans beyond index+batch: {offenders}"
+    assert any("band_index" in f for f in files), "index parquet not scanned"
+    assert probe.count() >= 0  # plan executes
+
+
+def test_incremental_indexed_is_memoized_probe(spark, sf_dir):
+    """Second invocation must reuse the process-scoped corpus index (same
+    path, no rebuild) so repeated calls are probe-only."""
+    from map_reduce_in_go_spark.operators import dedup as d
+
+    d.dedup_incremental_indexed(spark, sf_dir).count()
+    key_paths = dict(d._CORPUS_INDEXES)
+    import os as _os
+
+    path = key_paths[_os.path.realpath(sf_dir)]
+    mtime = max(
+        _os.path.getmtime(_os.path.join(r, f))
+        for r, _, fs in _os.walk(path)
+        for f in fs
+    )
+    d.dedup_incremental_indexed(spark, sf_dir).count()
+    assert d._CORPUS_INDEXES == key_paths
+    mtime2 = max(
+        _os.path.getmtime(_os.path.join(r, f))
+        for r, _, fs in _os.walk(path)
+        for f in fs
+    )
+    assert mtime2 == mtime, "index was rewritten on second invocation"
+
+
+def test_two_batch_append_grows_index(spark, sf_dir):
+    """The two-batch query's survivors obey the growing-index semantics:
+    batch-2 survivors can't band-collide with the corpus or with batch-1
+    survivors, and batch-1 survivors match the standalone day-1 result."""
+    from map_reduce_in_go_spark.functions.caching import release_persisted
+    from map_reduce_in_go_spark.operators import dedup as d
+
+    out = d.dedup_incremental_two_batch(spark, sf_dir).collect()
+    release_persisted()
+    got1 = {r["doc_id"] for r in out if r["batch"] == 1}
+    got2 = {r["doc_id"] for r in out if r["batch"] == 2}
+    assert got1 and got2
+    assert all(i % 3 == 1 for i in got1)
+    assert all(i % 3 == 2 for i in got2)

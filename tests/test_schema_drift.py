@@ -18,7 +18,9 @@ import pytest
 
 from map_reduce_in_go_spark.sources.tables import TABLES, _load_events
 
-SF = "/root/testdata/sf0.001"
+# same override conftest honors, so the drift guard pins the directory the
+# rest of the suite actually reads
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 # Column → acceptable pyarrow dtypes. Loaders branch where a set has >1 entry;
 # a dtype outside the set means new loader work, and this test names the column.
@@ -95,7 +97,6 @@ MICROS = [1704067201500000, 1704067202250000, 1704067203000000]
 )
 def test_load_events_handles_every_encoding(spark, tmp_path, encoding):
     if encoding == "nanos_int64":
-        ts = pa.array([m * 1000 for m in MICROS], pa.timestamp("ns"))
         # plain int64 column named ts (the nanosAsLong shape Spark surfaces)
         ts = pa.array([m * 1000 for m in MICROS], pa.int64())
     elif encoding == "timestamp_us":
