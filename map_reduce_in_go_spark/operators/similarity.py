@@ -36,11 +36,17 @@ QUERY_MOD = 100  # vec_id % 100 == 0 → the query subset
 # L controls recall (union of candidates). Measured on this corpus
 # (isotropic vectors — the hard case for LSH) at sf0.01:
 #   4×6 → recall@10 0.14 touching ~6% of corpus
-#   8×5 → recall@10 0.48 touching ~22%   ← default
+#   8×5 → recall@10 0.48 touching ~22%   ← base config
 #  16×4 → recall@10 0.84 touching ~64%
 # Clustered real-world embeddings sit far above these floors.
+# MULTIPROBE adds, per query per table, one-bit-flip probes of the
+# MULTIPROBE hyperplanes nearest the query (smallest |dot|) — the standard
+# multiprobe trade: more buckets probed per query instead of more tables,
+# so the *corpus* side (storage, bucketing cost) stays at L tables.
+# 8×5 + 2 probes measures recall@10 0.80 on the same corpus at sf0.01.
 LSH_TABLES = 8
 LSH_BITS = 5
+MULTIPROBE = 2
 PLANE_SEED = 42
 
 
@@ -184,35 +190,82 @@ def _with_buckets(vecs: DataFrame, with_vec: bool = False) -> DataFrame:
     return spread.mapInPandas(gen, schema=schema)
 
 
+def _query_probes(vecs: DataFrame) -> DataFrame:
+    """(query_id, tbl, bucket) multiprobe rows for the query subset.
+
+    Per query per table: the base sign bucket plus ``MULTIPROBE`` buckets
+    with one bit flipped — the bits whose hyperplane dot is nearest zero
+    (the boundaries the true neighbors most likely sit just across).
+    Boundary ranking uses |dot| rounded half-away at 6dp with the bit index
+    as tie-break, so the DuckDB oracle replays the exact probe set: a rank
+    flip would need two |dot|s within float error of the same 6dp boundary.
+    """
+    import pandas as pd
+
+    planes = np.array(_hyperplanes())  # 40×64
+
+    def gen(batches):
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["e"]])
+            dots = mat @ planes.T  # m×40
+            signs = (dots >= 0).astype(np.uint8)
+            absr = np.trunc(np.abs(dots) * 1e6 + 0.5) / 1e6  # round6, x >= 0
+            out_q, out_t, out_b = [], [], []
+            for i in range(m):
+                for t in range(LSH_TABLES):
+                    sl = slice(t * LSH_BITS, (t + 1) * LSH_BITS)
+                    s = signs[i, sl]
+                    out_q.append(ids[i])
+                    out_t.append(t)
+                    out_b.append("".join("1" if x else "0" for x in s))
+                    order = np.lexsort((np.arange(LSH_BITS), absr[i, sl]))
+                    for k in order[:MULTIPROBE]:
+                        fl = s.copy()
+                        fl[k] ^= 1
+                        out_q.append(ids[i])
+                        out_t.append(t)
+                        out_b.append("".join("1" if x else "0" for x in fl))
+            yield pd.DataFrame(
+                {
+                    "query_id": np.array(out_q, dtype=np.int64),
+                    "tbl": np.array(out_t, dtype=np.int32),
+                    "bucket": out_b,
+                }
+            )
+
+    q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select("vec_id", "e")
+    q = q.repartition(q.sparkSession.sparkContext.defaultParallelism)
+    return q.mapInPandas(gen, schema="query_id long, tbl int, bucket string")
+
+
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table LSH ANN: candidates share a (table, sign-bucket) cell.
+    """Multi-table multiprobe LSH ANN over (table, sign-bucket) cells.
 
     The 100 TB plan: corpus hash-partitioned by (tbl, bucket); each query
-    touches L buckets; candidates deduped then scored; local top-k per
-    partition then global top-k. Recall is partial by design (ANN), but the
-    construction is fully deterministic (seeded hyperplanes), so the DuckDB
-    oracle replays the exact bucket assignment — plane vectors inlined as
-    SQL literals — and must reproduce every reported neighbor bit-for-bit.
+    probes L × (1 + MULTIPROBE) buckets via an equality join of the tiny
+    broadcast probe table against the corpus cells — no shuffle of the
+    corpus, no inequality join. Candidates dedupe on the id pair before
+    vectors are re-attached, then exact cosine, local top-k per partition,
+    global top-k. Recall is partial by design (ANN), but the construction
+    is fully deterministic (seeded hyperplanes, 6dp boundary ranking), so
+    the DuckDB oracle replays the exact bucket assignment AND probe set —
+    plane vectors inlined as SQL literals — and must reproduce every
+    reported neighbor bit-for-bit.
     """
     vecs = _vectors(spark, sf_dir)
-    # bucket exprs are 40 interpreted hyperplane dots per vector — the plan
-    # gives vt a SINGLE consumer (one groupBy on the cell key) so they are
-    # computed exactly once, with no persist() to leak executor memory in a
-    # long-lived session. Each (tbl, bucket) cell emits query×member pairs
-    # locally; bucket sizes are bounded by construction (B sign bits), so
-    # the collect_list per cell is bounded too.
     vt = _with_buckets(vecs).select("vec_id", "tbl", "bucket")
-    cells = vt.groupBy("tbl", "bucket").agg(F.collect_list("vec_id").alias("ids"))
+    probes = _query_probes(vecs)
     # dedup collisions on the (query, candidate) id pair BEFORE re-attaching
     # vectors — distinct over rows carrying two 64-float arrays is needless
     # shuffle weight
     pair_ids = (
-        cells.select(
-            F.explode(F.filter("ids", lambda v: v % QUERY_MOD == 0)).alias("query_id"),
-            "ids",
-        )
-        .select("query_id", F.explode("ids").alias("vec_id"))
+        vt.join(F.broadcast(probes), ["tbl", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
         .distinct()
     )
     qv = vecs.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
@@ -400,24 +453,44 @@ def sql_bucket_ctes() -> str:
       SELECT vec_id, {sql_double_array('embedding')} AS ed FROM embeddings
     ), planes(tbl, bit, pv) AS (
       VALUES {_sql_planes_values()}
-    ), sb AS (
+    ), sb0 AS (
       SELECT e.vec_id, p.tbl, p.bit,
-             CASE WHEN list_sum(list_transform(range(1, len(e.ed) + 1),
-                                i -> e.ed[i] * p.pv[i])) >= 0
-                  THEN '1' ELSE '0' END AS ch
+             list_sum(list_transform(range(1, len(e.ed) + 1),
+                      i -> e.ed[i] * p.pv[i])) AS dot
       FROM e CROSS JOIN planes p
+    ), sb AS (
+      SELECT vec_id, tbl, bit, dot,
+             CASE WHEN dot >= 0 THEN '1' ELSE '0' END AS ch
+      FROM sb0
     ), bt AS (
       SELECT vec_id, tbl, string_agg(ch, '' ORDER BY bit) AS bucket
       FROM sb GROUP BY vec_id, tbl
     )"""
 
 
-# ann_lsh end-to-end: bucket-equality candidate pairs for the query subset,
-# exact cosine, per-query top-k.
+# ann_lsh end-to-end: base + multiprobe bucket-equality candidates for the
+# query subset, exact cosine, per-query top-k. The probe replay mirrors
+# _query_probes: rank each table's bits by round6(|dot|) (bit index breaks
+# ties), rebuild the bucket string with each of the top-MULTIPROBE bits
+# flipped.
 _ANN_LSH_ORACLE = sql_bucket_ctes() + f"""
-    , q AS (
+    , qsb AS (
+      SELECT vec_id, tbl, bit, ch, round(abs(dot), 6) AS ad
+      FROM sb WHERE vec_id % {QUERY_MOD} = 0
+    ), flips AS (
+      SELECT vec_id, tbl, bit FROM qsb
+      QUALIFY row_number() OVER (PARTITION BY vec_id, tbl
+              ORDER BY ad ASC, bit ASC) <= {MULTIPROBE}
+    ), q AS (
       SELECT vec_id AS query_id, tbl, bucket FROM bt
       WHERE vec_id % {QUERY_MOD} = 0
+      UNION
+      SELECT s.vec_id AS query_id, s.tbl,
+             string_agg(CASE WHEN s.bit = f.bit
+                             THEN CASE s.ch WHEN '1' THEN '0' ELSE '1' END
+                             ELSE s.ch END, '' ORDER BY s.bit) AS bucket
+      FROM qsb s JOIN flips f ON f.vec_id = s.vec_id AND f.tbl = s.tbl
+      GROUP BY s.vec_id, s.tbl, f.bit
     ), pair_ids AS (
       SELECT DISTINCT q.query_id, bt.vec_id
       FROM bt JOIN q ON bt.tbl = q.tbl AND bt.bucket = q.bucket

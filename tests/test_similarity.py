@@ -59,8 +59,8 @@ def test_lsh_neighbors_are_true_cosines(spark, sf_dir):
 
 
 def test_lsh_recall_floor(spark, sf_dir):
-    """Deterministic recall@10 vs brute force; 8×5 config measured ≈0.5 on
-    this isotropic corpus — assert a conservative floor."""
+    """Deterministic recall@10 vs brute force; 8×5 + 2 multiprobe flips
+    measured 0.80 at sf0.01 on this isotropic corpus — assert ≥0.7."""
     bf = {
         (r["query_id"], r["neighbor_id"])
         for r in similarity.ann_bruteforce(spark, sf_dir).collect()
@@ -69,7 +69,7 @@ def test_lsh_recall_floor(spark, sf_dir):
         (r["query_id"], r["neighbor_id"])
         for r in similarity.ann_lsh(spark, sf_dir).collect()
     }
-    assert len(bf & lsh) / len(bf) >= 0.3
+    assert len(bf & lsh) / len(bf) >= 0.7
 
 
 def test_lsh_deterministic(spark, sf_dir):
