@@ -201,6 +201,69 @@ def topk_stateful(events: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def topk_stateful_compat(events: DataFrame, k: int = 3) -> DataFrame:
+    """Executing twin of :func:`topk_stateful` on ``applyInPandasWithState``.
+
+    Identical semantics — per-user running top-k (value desc, event_id asc)
+    emitted on every micro-batch that touches the user — but on the
+    Spark-3-era stateful API, whose Python worker protocol is Arrow-only.
+    ``transformWithStateInPandas`` ships state schemas to the worker over
+    protobuf, which not every runtime has (this sandbox doesn't); keeping
+    the compat form executable means the top-k semantics are *run*, not
+    just plan-checked, everywhere. State is the top-k itself, as two
+    parallel arrays (bounded by k — no unbounded growth).
+    """
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("rank", IntegerType()),
+            StructField("value", DoubleType()),
+            StructField("event_id", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("vals", ArrayType(DoubleType())),
+            StructField("eids", ArrayType(LongType())),
+        ]
+    )
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            vals, eids = state.get
+            cur = [(float(v), int(e)) for v, e in zip(vals, eids)]
+        else:
+            cur = []
+        for pdf in pdfs:
+            cur.extend(zip(pdf["value"].astype(float), pdf["event_id"].astype(int)))
+        cur.sort(key=lambda t: (-t[0], t[1]))
+        cur = cur[:k]
+        state.update(([v for v, _ in cur], [e for _, e in cur]))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(user_id)] * len(cur),
+                "rank": list(range(1, len(cur) + 1)),
+                "value": [t[0] for t in cur],
+                "event_id": [t[1] for t in cur],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, timeout_sec: float = 60.0):
     """Start a memory-sink query and block until the source is drained."""
     q = (
