@@ -515,6 +515,11 @@ def build_band_index(docs: DataFrame, index_path: str, mode: str = "overwrite") 
     )
 
 
+def bands_of_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) LSH band table straight from documents."""
+    return _bands(signatures_of(docs.withColumn("toks", tokens(F.col("text")))))
+
+
 def dedup_batch_against_index(
     spark: SparkSession, batch_docs: DataFrame, index_path: str
 ) -> DataFrame:
@@ -526,13 +531,27 @@ def dedup_batch_against_index(
     Returns the surviving batch doc_ids, identical to the derive-both-sides
     query on the same split.
     """
+    old_bands = spark.read.parquet(index_path).select("band_idx", "band_hash")
+    return dedup_batch_against_bands(batch_docs, old_bands)
+
+
+def dedup_batch_against_bands(
+    batch_docs: DataFrame, old_bands: DataFrame
+) -> DataFrame:
+    """Core batch-vs-standing-bands dedup, storage-agnostic.
+
+    ``old_bands`` may come from any reader — the plain parquet index, the
+    manifest-log table, or a derived frame; only (band_idx, band_hash) is
+    consumed.
+    """
     batch_sigs = scoped_persist(
         signatures_of(batch_docs.withColumn("toks", tokens(F.col("text"))))
     )
     new_bands = scoped_persist(_bands(batch_sigs))
-    old_bands = spark.read.parquet(index_path).select("band_idx", "band_hash")
     drop_old = new_bands.join(
-        old_bands.distinct(), ["band_idx", "band_hash"], "left_semi"
+        old_bands.select("band_idx", "band_hash").distinct(),
+        ["band_idx", "band_hash"],
+        "left_semi",
     ).select("doc_id")
     a, b = new_bands.alias("a"), new_bands.alias("b")
     drop_new = (
@@ -645,6 +664,43 @@ def dedup_incremental_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     append_to_band_index(batch1.join(surv1, "doc_id", "left_semi"), index_path)
     surv2 = dedup_batch_against_index(spark, batch2, index_path)
+    return surv1.select(F.lit(1).cast("int").alias("batch"), "doc_id").unionAll(
+        surv2.select(F.lit(2).cast("int").alias("batch"), "doc_id")
+    )
+
+
+def dedup_incremental_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`dedup_incremental_two_batch` over the manifest-log band index.
+
+    Same corpus/batch-1/batch-2 split and the same oracle — but the standing
+    index is a :class:`~..sources.manifest_table.ManifestTable` (atomic
+    commits, snapshot-isolated readers, compaction; see that module) instead
+    of bare ``mode("append")`` parquet. The sequence exercises every verb a
+    daily-ingest deployment runs: overwrite (bootstrap) → snapshot read →
+    append (batch-1 survivors) → compact with duplicate-row dedup → snapshot
+    read again. The driver hash-checking this row proves the commit protocol
+    changes no surviving row vs the plain-parquet twin.
+    """
+    import tempfile
+
+    from ..sources.manifest_table import ManifestTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+    batch1 = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 1)
+    batch2 = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 2)
+    tbl = ManifestTable(
+        os.path.join(tempfile.mkdtemp(prefix="acid_", dir=band_index_home()), "bands")
+    )
+    tbl.overwrite(bands_of_docs(corpus))
+    surv1 = dedup_batch_against_bands(batch1, tbl.read(spark)).localCheckpoint(
+        eager=True
+    )
+    tbl.append(bands_of_docs(batch1.join(surv1, "doc_id", "left_semi")))
+    # compaction mid-sequence: rewrites + dedups the live rows, swaps the
+    # file list atomically — batch 2 must see identical content after it
+    tbl.compact(spark, dedup_cols=["doc_id", "band_idx", "band_hash"])
+    surv2 = dedup_batch_against_bands(batch2, tbl.read(spark))
     return surv1.select(F.lit(1).cast("int").alias("batch"), "doc_id").unionAll(
         surv2.select(F.lit(2).cast("int").alias("batch"), "doc_id")
     )
@@ -1093,6 +1149,9 @@ UNION ALL
 SELECT CAST(2 AS INTEGER) AS batch, doc_id FROM documents
 WHERE doc_id % 3 = 2 AND doc_id NOT IN (SELECT doc_id FROM drop2)
 """
+# the manifest-log twin must be row-identical: the storage/commit protocol
+# is not allowed to change dedup semantics
+ORACLES["dedup_incremental_acid"] = ORACLES["dedup_incremental_two_batch"]
 
 
 def _signatures_fast(spark: SparkSession, sf_dir: str) -> DataFrame:

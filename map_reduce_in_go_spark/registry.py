@@ -180,6 +180,7 @@ def _build() -> None:
         "dedup_incremental",
         "dedup_incremental_indexed",
         "dedup_incremental_two_batch",
+        "dedup_incremental_acid",
         "dedup_containment",
     ])
 
