@@ -139,4 +139,51 @@ def _pagerank_oracle() -> str:
     )
 
 
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-duplicate candidate graph.
+
+    Triangles (a<b<c with all three edges present) measure how clique-like
+    the near-dup neighborhoods are — high closure means band collisions are
+    transitive (true duplicate clusters), low closure means promiscuous
+    bands (hash collisions). One row per node that participates, with its
+    triangle count, plus the ordered-edge construction every distributed
+    triangle counter uses: edges kept as (lo, hi) only, a wedge join on the
+    middle vertex, then an existence semi-join for the closing edge — at
+    100 TB each join keys on a vertex id, no vertex ever sees more than its
+    own neighborhood, and the ordering kills the 3!-fold double count.
+    """
+    pairs = scoped_persist(_band_pairs(_signatures(spark, sf_dir)))
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tris = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"], "left_semi")
+        .select("a", "b", "c")
+    )
+    per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return per_node
+
+
 ORACLES: dict[str, str] = {"pagerank_docs": _pagerank_oracle()}
+
+ORACLES["graph_triangles"] = _MINHASH_CTES + """
+, tris AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.doc_a = e1.doc_b
+  WHERE EXISTS (
+    SELECT 1 FROM pairs e3
+    WHERE e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+  )
+), nodes AS (
+  SELECT a AS doc_id FROM tris
+  UNION ALL SELECT b FROM tris
+  UNION ALL SELECT c FROM tris
+)
+SELECT doc_id, count(*) AS n_triangles FROM nodes GROUP BY doc_id
+"""

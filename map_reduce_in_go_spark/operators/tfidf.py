@@ -137,6 +137,169 @@ def doc_similarity_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------ BM25
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("scan", "join", "merge", "query")
+BM25_TOP = 100
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval: score every document against a fixed term set.
+
+    The ranking function behind classic lexical search engines, as one
+    declarative plan: doc lengths + term frequencies from a single token
+    pass, document frequencies broadcast back, per-term contributions
+    summed per doc, global top-``BM25_TOP``. At 100 TB the per-term rows
+    shuffle once on doc_id and the final top-k is a TakeOrdered — no global
+    sort materialized.
+
+    Determinism: tf/df/dl/N are exact ints; avgdl and each per-term
+    contribution are identical IEEE expression trees on both engines,
+    rounded at 6dp and fixed to DECIMAL(12,6) *before* the per-doc sum, so
+    summation order can't move the hash. idf uses the +1 Okapi floor
+    (always positive).
+    """
+    words = _doc_words(spark, sf_dir)
+    dl = scoped_persist(words.groupBy("doc_id").agg(F.count("*").alias("dl")))
+    totals = dl.agg(
+        F.sum("dl").alias("tot"), F.count("*").alias("n_docs")
+    ).collect()[0]
+    n_docs, avgdl = totals["n_docs"], float(totals["tot"]) / float(totals["n_docs"])
+    tf = (
+        words.filter(F.col("word").isin(*BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    contrib = (
+        F.col("idf")
+        * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df.withColumn("idf", idf)), "word")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id", F.round(contrib, 6).cast("decimal(12,6)").alias("c")
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("double").alias("score"))
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_TOP)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "score", "rank"
+    )
+
+
+# ------------------------------------------------- unigram LM surprisal
+
+def doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal scoring — the perplexity-proxy quality filter.
+
+    The corpus itself is the language model: p(w) = corpus-count(w) / total
+    tokens, and a document's score is its mean token surprisal
+    −ln p(w) = ln(total / count(w)). Low-probability-token-heavy documents
+    (gibberish, codes, boilerplate explosions) surface with high scores —
+    the classic cheap LM filter in training-data pipelines, with no model
+    artifact to ship because the corpus statistics ARE the model.
+
+    Determinism: counts are exact ints; each distinct word's surprisal is
+    one ln rounded at 9dp and fixed to DECIMAL(18,9), so the per-doc
+    weighted sum (tf × surprisal) aggregates exactly in any order; the
+    final mean is a single identical IEEE divide rounded at 6dp.
+    """
+    words = _doc_words(spark, sf_dir)
+    tf = scoped_persist(
+        words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    )
+    cnt = tf.groupBy("word").agg(F.sum("tf").alias("cnt"))
+    total = int(cnt.agg(F.sum("cnt")).collect()[0][0])
+    per = tf.join(F.broadcast(cnt), "word").select(
+        "doc_id",
+        "tf",
+        F.round(F.log(F.lit(float(total)) / F.col("cnt")), 9)
+        .cast("decimal(18,9)")
+        .alias("s"),
+    )
+    return per.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("tf") * F.col("s")).cast("double")
+            / F.sum("tf").cast("double"),
+            6,
+        ).alias("avg_surprisal"),
+    )
+
+
+_BM25_TERM_LIST = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+ORACLES["bm25_search"] = f"""
+    WITH words AS (
+      SELECT doc_id, unnest({_TOK}) AS word FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id
+    ), g AS (
+      SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+             CAST(count(*) AS DOUBLE) AS n_docs
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM words
+      WHERE word IN ({_BM25_TERM_LIST}) GROUP BY doc_id, word
+    ), dfreq AS (
+      SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(sum(CAST(round(
+               ln((g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+               * (tf.tf * {BM25_K1 + 1.0!r})
+               / (tf.tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * dl.dl / g.avgdl)),
+             6) AS DECIMAL(12,6))) AS DOUBLE) AS score
+      FROM tf
+      JOIN dfreq USING (word)
+      JOIN dl USING (doc_id)
+      CROSS JOIN g
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER)
+             AS rank
+    FROM scored
+    QUALIFY rank <= {BM25_TOP}
+    """
+
+ORACLES["doc_surprisal"] = f"""
+    WITH words AS (
+      SELECT doc_id, unnest({_TOK}) AS word FROM documents
+    ), tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word
+    ), cnt AS (
+      SELECT word, sum(tf) AS cnt FROM tf GROUP BY word
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM cnt
+    ), per AS (
+      SELECT tf.doc_id, tf.tf,
+             CAST(round(ln(tot.total / cnt.cnt), 9) AS DECIMAL(18,9)) AS s
+      FROM tf JOIN cnt USING (word) CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(CAST(sum(tf * s) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6)
+             AS avg_surprisal
+    FROM per GROUP BY doc_id
+    """
+
+
 from .dedup import _MINHASH_CTES  # noqa: E402
 
 ORACLES["doc_similarity_tfidf"] = _MINHASH_CTES + f"""

@@ -107,6 +107,67 @@ def events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly counts per event type via median/MAD fences.
+
+    The median-absolute-deviation detector — the robust cousin of z-scores
+    (``events_zscore``) and Tukey fences (``events_outliers``): immune to
+    the outliers it hunts because both center and spread are medians. Same
+    discrete-quantile discipline as ``events_outliers``: the median is the
+    value at row ``ceil(0.5·n)`` in (value, event_id) order (a shared data
+    value, not an interpolation), deviations are exact IEEE subtractions
+    from it, and the MAD is the discrete median of those — so the
+    ``> 3·MAD`` comparison starts from bit-identical numbers on both
+    engines. Two window passes + two broadcast joins; the fact shuffles
+    once per pass on event_type and the stats frames are 5 rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    med = (
+        r.filter(F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("med"))
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    w2 = Window.partitionBy("event_type").orderBy("adev", "event_id")
+    r2 = dev.select(
+        "event_type",
+        "adev",
+        F.row_number().over(w2).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    mad = (
+        r2.filter(F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")))
+        .groupBy("event_type")
+        .agg(F.min("adev").alias("mad"))
+    )
+    stats = med.join(mad, "event_type")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > F.lit(3.0) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_anomalies"),
+            F.count("*").alias("n_total"),
+        )
+    )
+
+
 def events_value_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-family window breadth: percent_rank / cume_dist / first / nth.
 
@@ -252,6 +313,40 @@ ORACLES: dict[str, str] = {
            count(*) AS n_total
     FROM events e JOIN b ON e.event_type = b.event_type
     GROUP BY e.event_type, b.q1, b.q3
+    """,
+    "events_anomaly_mad": """
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), med AS (
+      SELECT event_type, min(value) AS med
+      FROM r WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+      GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.event_id, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ), r2 AS (
+      SELECT event_type, adev,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY adev, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM dev
+    ), mad AS (
+      SELECT event_type, min(adev) AS mad
+      FROM r2 WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+      GROUP BY event_type
+    )
+    SELECT e.event_type, m.med, d.mad,
+           CAST(sum(CASE WHEN abs(e.value - m.med) > 3.0 * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           count(*) AS n_total
+    FROM events e
+    JOIN med m ON e.event_type = m.event_type
+    JOIN mad d ON d.event_type = e.event_type
+    GROUP BY e.event_type, m.med, d.mad
     """,
     "events_moving_avg": """
     SELECT event_id, user_id,

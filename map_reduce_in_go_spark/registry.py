@@ -128,6 +128,7 @@ def _build() -> None:
         "events_trailing_24h",
         "events_pivot",
         "events_ntile",
+        "events_anomaly_mad",
         "top_parts_per_supplier",
     ])
 
@@ -186,7 +187,12 @@ def _build() -> None:
 
     from .operators import tfidf as _tfidf
 
-    _register(_tfidf, ["tfidf_top_terms", "doc_similarity_tfidf"])
+    _register(_tfidf, [
+        "tfidf_top_terms",
+        "doc_similarity_tfidf",
+        "bm25_search",
+        "doc_surprisal",
+    ])
 
     from .operators import approx as _approx
 
@@ -221,7 +227,7 @@ def _build() -> None:
 
     from .operators import graph as _graph
 
-    _register(_graph, ["pagerank_docs"])
+    _register(_graph, ["pagerank_docs", "graph_triangles"])
 
     from .operators import curation as _cur
 
