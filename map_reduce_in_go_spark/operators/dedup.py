@@ -706,6 +706,39 @@ def dedup_incremental_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup signal: per-doc duplicated-sentence ratio.
+
+    Splits each document into normalized sentences (period-delimited,
+    lowercased, trimmed) and measures what fraction of a doc's distinct
+    sentences also occur in at least one *other* document — the
+    Gopher-style repetition/boilerplate signal at sentence granularity,
+    and the unit of work for sentence-level dedup (drop sentences with
+    corpus frequency over a threshold before training). One shuffle on the
+    sentence key; the frequency side is a broadcast-size aggregate of the
+    distinct sentence space.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.filter(
+        F.transform(F.split(F.col("text"), r"\."), lambda s: F.lower(F.trim(s))),
+        lambda s: s != F.lit(""),
+    )
+    sents = scoped_persist(
+        docs.select("doc_id", F.explode(norm).alias("sent")).distinct()
+    )
+    freq = sents.groupBy("sent").agg(F.countDistinct("doc_id").alias("df"))
+    dup = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+    return (
+        sents.join(freq, "sent")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sents"),
+            dup.alias("n_dup"),
+            F.round(dup.cast("double") / F.count("*"), 6).alias("dup_ratio"),
+        )
+    )
+
+
 def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The surviving corpus after cluster-level near-dedup.
 
@@ -1152,6 +1185,23 @@ WHERE doc_id % 3 = 2 AND doc_id NOT IN (SELECT doc_id FROM drop2)
 # the manifest-log twin must be row-identical: the storage/commit protocol
 # is not allowed to change dedup semantics
 ORACLES["dedup_incremental_acid"] = ORACLES["dedup_incremental_two_batch"]
+
+ORACLES["sentence_dedup"] = """
+    WITH sents AS (
+      SELECT DISTINCT doc_id, s AS sent FROM (
+        SELECT doc_id, lower(trim(unnest(string_split(text, '.')))) AS s
+        FROM documents
+      ) WHERE s <> ''
+    ), freq AS (
+      SELECT sent, count(DISTINCT doc_id) AS df FROM sents GROUP BY sent
+    )
+    SELECT s.doc_id, count(*) AS n_sents,
+           CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           round(CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_ratio
+    FROM sents s JOIN freq f ON f.sent = s.sent
+    GROUP BY s.doc_id
+    """
 
 
 def _signatures_fast(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.caching import scoped_persist
 from ..functions.text import sql_tokens, tokens
 from ..sources.tables import load_documents_parallel, load_table
 
@@ -146,6 +147,63 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_TEST_MOD = 5  # doc_id % 5 == 0 → the held-out "test" docs
+
+
+def winnow_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→test contamination via winnowing-fingerprint overlap.
+
+    The fingerprint application :func:`doc_fingerprint` summarizes: each
+    held-out doc's distinct window-min fingerprints are semi-joined against
+    the union of training docs' fingerprint sets; the hit ratio is the
+    fraction of the test doc that appears (possibly repositioned — that's
+    what winnowing buys over exact n-gram matching) somewhere in training
+    data. The MOSS/Schleimer construction, as two aggregations and one
+    semi-join: at 100 TB the train fingerprint set is a bucketed table you
+    maintain incrementally, and each test batch probes it — the same index
+    shape as the dedup band index.
+    """
+    docs = load_documents_parallel(spark, sf_dir).withColumn("toks", _toks())
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 2, 1)), "
+                "i -> md5(array_join(slice(toks, i, 3), ' ')))"
+            )
+        ).alias("pos", "h"),
+    ).filter(F.expr("size(toks) >= 3"))
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    fp = scoped_persist(
+        sh.withColumn("winmin", F.min("h").over(w))
+        .select("doc_id", "winmin")
+        .distinct()
+    )
+    test = fp.filter(F.pmod(F.col("doc_id"), F.lit(WINNOW_TEST_MOD)) == 0)
+    train_fps = (
+        fp.filter(F.pmod(F.col("doc_id"), F.lit(WINNOW_TEST_MOD)) != 0)
+        .select("winmin")
+        .distinct()
+    )
+    hits = (
+        test.join(train_fps, "winmin", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    totals = test.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_fp",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_fp"), 6
+            ).alias("contamination"),
+        )
+    )
+
+
 _TOK = sql_tokens("text")
 
 
@@ -274,5 +332,36 @@ ORACLES: dict[str, str] = {
     )
     SELECT doc_id, count(DISTINCT winmin) AS n_fp, min(winmin) AS min_fp
     FROM fp GROUP BY doc_id
+    """,
+    "winnow_contamination": f"""
+    WITH t AS (
+      SELECT doc_id, {_TOK} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, t2.i - 1 AS pos,
+             md5(array_to_string(toks[t2.i : t2.i + 2], ' ')) AS h
+      FROM t CROSS JOIN (SELECT unnest(range(1, (SELECT max(len(toks)) + 1 FROM t))) AS i) t2
+      WHERE t2.i <= len(toks) - 2 AND len(toks) >= 3
+    ), fpw AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS winmin
+      FROM sh
+    ), fp AS (
+      SELECT DISTINCT doc_id, winmin FROM fpw
+    ), test AS (
+      SELECT * FROM fp WHERE doc_id % {WINNOW_TEST_MOD} = 0
+    ), train_fps AS (
+      SELECT DISTINCT winmin FROM fp WHERE doc_id % {WINNOW_TEST_MOD} <> 0
+    ), hits AS (
+      SELECT doc_id, count(*) AS n_hit FROM test
+      WHERE winmin IN (SELECT winmin FROM train_fps)
+      GROUP BY doc_id
+    ), totals AS (
+      SELECT doc_id, count(*) AS n_fp FROM test GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_fp, COALESCE(h.n_hit, 0) AS n_hit,
+           round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_fp, 6)
+             AS contamination
+    FROM totals t LEFT JOIN hits h ON h.doc_id = t.doc_id
     """,
 }

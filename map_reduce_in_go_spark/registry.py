@@ -183,6 +183,7 @@ def _build() -> None:
         "dedup_incremental_two_batch",
         "dedup_incremental_acid",
         "dedup_containment",
+        "sentence_dedup",
     ])
 
     from .operators import tfidf as _tfidf
@@ -215,6 +216,7 @@ def _build() -> None:
         "token_count",
         "doc_fingerprint",
         "langid_confusion",
+        "winnow_contamination",
     ])
 
     from .operators import multimodal as _mm

@@ -217,3 +217,37 @@ def test_two_batch_append_grows_index(spark, sf_dir):
     assert got1 and got2
     assert all(i % 3 == 1 for i in got1)
     assert all(i % 3 == 2 for i in got2)
+
+
+def test_bm25_and_surprisal_invariants(spark, sf_dir):
+    from map_reduce_in_go_spark.functions.caching import release_persisted
+    from map_reduce_in_go_spark.operators.tfidf import bm25_search, doc_surprisal
+
+    top = bm25_search(spark, sf_dir).collect()
+    release_persisted()
+    assert top
+    ranks = sorted(r["rank"] for r in top)
+    assert ranks == list(range(1, len(top) + 1))
+    by_rank = sorted(top, key=lambda r: r["rank"])
+    scores = [r["score"] for r in by_rank]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+    sur = doc_surprisal(spark, sf_dir).collect()
+    release_persisted()
+    assert sur
+    assert all(r["avg_surprisal"] > 0 and r["n_tokens"] > 0 for r in sur)
+
+
+def test_graph_triangles_consistent(spark, sf_dir):
+    """Per-node triangle counts sum to 3x the number of distinct triangles
+    (each triangle contributes one count to each of its three vertices)."""
+    from map_reduce_in_go_spark.functions.caching import release_persisted
+    from map_reduce_in_go_spark.operators.graph import graph_triangles
+
+    rows = graph_triangles(spark, sf_dir).collect()
+    release_persisted()
+    assert rows
+    total = sum(r["n_triangles"] for r in rows)
+    assert total % 3 == 0 and total > 0
+    assert all(r["n_triangles"] >= 1 for r in rows)

@@ -218,3 +218,13 @@ def test_range_join_bucketed_parity_and_plan(spark, sf_dir):
     plan = bucketed_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_events_anomaly_mad_invariants(spark, sf_dir):
+    from map_reduce_in_go_spark.plans.olap import events_anomaly_mad
+
+    rows = events_anomaly_mad(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["mad"] >= 0.0
+        assert 0 <= r["n_anomalies"] <= r["n_total"]
