@@ -132,33 +132,47 @@ class ManifestTable:
         os.rmdir(scratch)
         return names
 
-    def append(self, df: DataFrame, max_retries: int = 20) -> int:
+    def append(self, df: DataFrame, max_retries: int = 20, op: str = "append") -> int:
         """ACID append: land files, then commit log-state ∪ new files.
 
         Safe under concurrent appenders: each retry re-reads the newest
         manifest, so the loser's commit includes the winner's files.
+        ``op`` labels the commit in the log (see :meth:`committed_ops`) —
+        idempotent writers tag commits with their unit of work (e.g. a
+        streaming batch id) and skip re-application on replay.
         Returns the committed version.
         """
         new_names = self._write_data_files(df)
         for _ in range(max_retries):
             v = self.version()
             live = self._manifest(v)["files"] if v >= 0 else []
-            if self._try_commit(v + 1, live + new_names, op="append"):
+            if self._try_commit(v + 1, live + new_names, op=op):
                 return v + 1
         raise CommitConflict(
             f"append lost the commit race {max_retries} times at {self.root}"
         )
 
-    def overwrite(self, df: DataFrame, max_retries: int = 20) -> int:
+    def overwrite(
+        self, df: DataFrame, max_retries: int = 20, op: str = "overwrite"
+    ) -> int:
         """Replace the table contents in one atomic commit."""
         new_names = self._write_data_files(df)
         for _ in range(max_retries):
             v = self.version()
-            if self._try_commit(v + 1, new_names, op="overwrite"):
+            if self._try_commit(v + 1, new_names, op=op):
                 return v + 1
         raise CommitConflict(
             f"overwrite lost the commit race {max_retries} times at {self.root}"
         )
+
+    def committed_ops(self) -> set[str]:
+        """Op labels of every commit ≤ the newest version.
+
+        The replay-detection hook: a writer that tags its commit with its
+        unit of work checks membership here before re-applying — the same
+        role Delta's txn appId/version pair plays.
+        """
+        return {self._manifest(v)["op"] for v in self._versions()}
 
     # ---------------------------------------------------------------- read
 
@@ -202,11 +216,14 @@ class ManifestTable:
         )
 
     def vacuum(self) -> int:
-        """Delete data files no manifest ≤ newest references. Returns count.
+        """Delete data files the NEWEST manifest doesn't reference.
 
-        (A production vacuum would retain files reachable from recent
-        versions for time-travel; here only the newest version is retained,
-        which is the contract the tests pin.)
+        Returns the number of files removed. Snapshots older than the
+        newest version stop being readable (their files are gone) — a
+        production vacuum retains a time-travel horizon; here the horizon
+        is zero, which the tests pin. The manifest log itself is retained:
+        it is the table's history (and :meth:`committed_ops`' replay
+        ledger), and it costs KBs.
         """
         live = {os.path.basename(p) for p in self.files()}
         removed = 0
@@ -218,7 +235,4 @@ class ManifestTable:
             if name.endswith(".parquet") and name not in live:
                 os.remove(os.path.join(self._data_dir, name))
                 removed += 1
-        # drop superseded manifests so old snapshots can't resolve deleted files
-        for v in self._versions()[:-1]:
-            os.remove(os.path.join(self._log_dir, f"v{v}.json"))
         return removed

@@ -1,0 +1,82 @@
+"""Streaming ingestion dedup against the durable manifest-log band index.
+
+The streaming form of the daily-crawl shape (operators/dedup.py
+``dedup_incremental_two_batch``): documents arrive as a stream, each
+micro-batch is near-dup-checked against the *standing* band index, survivors
+land in an idempotent parquet zone, and their bands are appended to the
+index — so the next micro-batch dedups against everything that ever
+survived. State that outlives the stream lives in the index table, not the
+state store: a restarted (or re-deployed, or scaled-out) query picks up
+exactly where the table is, and a backfill batch job can share the same
+index concurrently thanks to the manifest commit protocol.
+
+Exactly-once discipline (Spark's foreachBatch is at-least-once): the output
+zone is per-batch-id overwrite (streaming/sinks.py), and the index append is
+tagged ``ingest-batch-<id>`` in the manifest log — a replayed batch whose
+append already committed is detected via ``committed_ops()`` and skipped
+*before* recomputing survivors. Ordering matters: recomputing after the
+append would find the batch's own bands in the index and drop every doc as
+a self-collision. This is the same appId/version transaction-ledger pattern
+Delta sinks use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import bands_of_docs, dedup_batch_against_bands
+from ..sources.manifest_table import ManifestTable
+from .sinks import write_batch_idempotent
+
+
+def ingest_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    tbl: ManifestTable,
+    out_dir: str,
+    batch_id: int,
+) -> bool:
+    """Process one micro-batch; returns False if skipped as a replay.
+
+    Write order is load-bearing: survivors land in the (idempotent) output
+    zone BEFORE the index append commits, so every crash point replays
+    safely — before the append: recompute sees an unchanged index and
+    rewrites identical output; after it: the ledger check skips the batch.
+    """
+    op = f"ingest-batch-{batch_id}"
+    if op in tbl.committed_ops():
+        return False
+    if tbl.version() < 0:
+        old_bands = spark.createDataFrame([], "band_idx int, band_hash string")
+    else:
+        old_bands = tbl.read(spark)
+    survivors = dedup_batch_against_bands(batch_df, old_bands).localCheckpoint(
+        eager=True
+    )
+    surviving_docs = batch_df.join(survivors, "doc_id", "left_semi")
+    write_batch_idempotent(surviving_docs.select("doc_id", "text"), batch_id, out_dir)
+    bands = bands_of_docs(surviving_docs)
+    if tbl.version() < 0:
+        tbl.overwrite(bands, op=op)
+    else:
+        tbl.append(bands, op=op)
+    return True
+
+
+def start_dedup_ingest(
+    stream_docs: DataFrame,
+    index_root: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """documents stream → dedup-vs-index → idempotent survivors + index growth."""
+    spark = stream_docs.sparkSession
+    tbl = ManifestTable(index_root)
+    return (
+        stream_docs.writeStream.foreachBatch(
+            lambda df, bid: ingest_batch(spark, df, tbl, out_dir, bid)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
