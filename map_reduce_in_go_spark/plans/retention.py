@@ -59,6 +59,62 @@ def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each purchase gets the SCD2 state valid at its ts.
+
+    The feature-store shape — decorate facts with dimension attributes *as
+    of* the fact's timestamp, never leaking future state. The declarative
+    form is an interval-containment join (fact ⋈ dim ON key AND ts ∈
+    [valid_from, valid_to)), which is what the oracle runs; the Spark plan
+    is the linear asof composition instead: state changes and probes
+    interleave per user in (ts, kind, event_id) order and
+    ``last(state, ignorenulls)`` carries the governing change forward — one
+    shuffle on user_id, no per-user fact×interval blowup, the same
+    scale-safe recipe as ``events_asof_join``. Changes sort before probes
+    at equal ts (inclusive lower bound) and among equal-ts changes the
+    highest event_id wins, exactly matching which interval is non-empty.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            "ts_us",
+            "event_id",
+            F.col("event_type").alias("state"),
+            F.lit(0).alias("kind"),
+        )
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.lit(None).cast("string").alias("state"),
+        F.lit(1).alias("kind"),
+    )
+    un = changes.unionByName(probes)
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        un.withColumn("pit_state", F.last("state", ignorenulls=True).over(w2))
+        .filter(F.col("kind") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts_us").alias("purchase_ts_us"),
+            F.col("pit_state").alias("state"),
+        )
+    )
+
+
 def events_weekly_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily actives, rolling 7-day weekly actives, and DAU/WAU stickiness.
 
@@ -137,6 +193,29 @@ def events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "events_temporal_join": """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events
+    ), chg AS (
+      SELECT user_id, ts_us, event_id, event_type AS state,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts_us, event_id) AS prev
+      FROM e
+    ), changes AS (
+      SELECT user_id, ts_us, event_id, state FROM chg
+      WHERE prev IS NULL OR prev <> state
+    ), iv AS (
+      SELECT user_id, state, ts_us AS vf,
+             lead(ts_us) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) AS vt
+      FROM changes
+    )
+    SELECT p.event_id AS purchase_id, p.user_id,
+           p.ts_us AS purchase_ts_us, iv.state
+    FROM e p JOIN iv ON iv.user_id = p.user_id
+     AND p.ts_us >= iv.vf AND (iv.vt IS NULL OR p.ts_us < iv.vt)
+    WHERE p.event_type = 'purchase'
+    """,
     "events_scd2": f"""
     WITH ev AS (
       SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events

@@ -157,6 +157,7 @@ def _build() -> None:
 
     _register(_ret, [
         "events_scd2",
+        "events_temporal_join",
         "events_weekly_active",
         "events_value_histogram",
         "events_hopping",
