@@ -150,7 +150,35 @@ def sample_frames(docs_with_payload: DataFrame, every: int = 64, frame: int = 32
     )
 
 
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered frame-sampling query: the 1→N binary fan-out, oracle-checked.
+
+    Routes the corpus through :func:`with_payload` → :func:`sample_frames`
+    (real binary slicing in Arrow batches). The DuckDB oracle replays the
+    frame grid with *character* slicing, which is byte-exact because the
+    synthetic corpus is pure ASCII (octet_length == length at every sf —
+    a non-ASCII corpus would need a BLOB-slicing oracle instead).
+    """
+    return sample_frames(with_payload(load_table(spark, sf_dir, "documents")))
+
+
 ORACLES: dict[str, str] = {
+    "multimodal_frames": """
+    WITH b AS (
+      SELECT doc_id, text, length(text) AS n FROM documents
+    ), grid AS (
+      SELECT doc_id, text, n, t.o AS off
+      FROM b CROSS JOIN (
+        SELECT unnest(range(0, (SELECT max(n) FROM b), 64)) AS o
+      ) t
+      WHERE t.o < n
+    )
+    SELECT doc_id, CAST(off // 64 AS BIGINT) AS frame_idx,
+           CAST(length(substring(text, CAST(off + 1 AS BIGINT), 32)) AS BIGINT)
+             AS frame_bytes,
+           md5(substring(text, CAST(off + 1 AS BIGINT), 32)) AS frame_digest
+    FROM grid
+    """,
     "multimodal_meta": """
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -222,7 +222,7 @@ def _build() -> None:
 
     from .operators import multimodal as _mm
 
-    _register(_mm, ["multimodal_meta"])
+    _register(_mm, ["multimodal_meta", "multimodal_frames"])
 
     from .operators import pipeline as _pl
 
