@@ -341,53 +341,8 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-away at 6dp, ties broken on centroid/vector id — bit-exact against
     DuckDB at every tested scale.
     """
-    import pandas as pd  # noqa: F401 — captured by the worker closures
-
     vecs = _vectors(spark, sf_dir)
-    cdf = (
-        vecs.filter(F.col("vec_id") % CENTROID_MOD == CENTROID_OFF)
-        .select("vec_id", "e")
-        .toPandas()
-    )
-    c_ids = cdf["vec_id"].to_numpy()
-    c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in cdf["e"]])
-    c_unit = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
-    c_norms = np.sqrt(np.cumsum(c_mat * c_mat, axis=1)[:, -1])
-    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_unit, c_norms))
-
-    def _exact_cos(qrow, cmat_rows, qnorm, cnorms):
-        dots = np.cumsum(qrow * cmat_rows, axis=1)[:, -1]
-        return _duck_round6_np(dots / (qnorm * cnorms))
-
-    def _assign(batches, top_n):
-        """(vec_id, rank, cid) rows: top_n centroids per vector."""
-        b_cids, b_cmat, b_cunit, b_cnorms = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids = pdf["vec_id"].to_numpy()
-            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["e"]])
-            unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
-            sims = unit @ b_cunit.T  # m×C prefilter
-            out_v, out_r, out_c = [], [], []
-            for i in range(len(ids)):
-                row = sims[i]
-                k = min(top_n, len(b_cids))
-                kth = np.partition(row, -k)[-k]
-                cand = np.nonzero(row >= kth - 1e-5)[0]
-                cos = _exact_cos(mat[i], b_cmat[cand], norms[i], b_cnorms[cand])
-                order = np.lexsort((b_cids[cand], -cos))[:k]
-                out_v.extend([ids[i]] * k)
-                out_r.extend(range(1, k + 1))
-                out_c.extend(b_cids[cand][order])
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.array(out_v, dtype=np.int64),
-                    "rank": np.array(out_r, dtype=np.int32),
-                    "cid": np.array(out_c, dtype=np.int64),
-                }
-            )
+    bc = spark.sparkContext.broadcast(_centroids(spark, sf_dir))
 
     # one GEMM pass computes top-NPROBE cells for every vector; corpus
     # assignment is the rank-1 slice, query probes the rank<=NPROBE slice —
@@ -399,7 +354,8 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ranked = scoped_persist(
         part.mapInPandas(
-            lambda it: _assign(it, NPROBE), schema="vec_id long, rank int, cid long"
+            lambda it: _assign_cells(it, bc, NPROBE),
+            schema="vec_id long, rank int, cid long",
         )
     )
     assign = ranked.filter(F.col("rank") == 1).select("vec_id", "cid")
@@ -408,6 +364,156 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         assign.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    qv = vecs.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    scored = _exact_pair_scores(
+        cand.join(F.broadcast(qv), "query_id").join(
+            vecs.select("vec_id", "e"), "vec_id"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos", "rank")
+    )
+
+
+# ---------------------------------------------------- persisted IVF index
+
+# per-process IVF index cache, same collision-safety design as the dedup
+# band index (operators/dedup.py band_index_home): unique mkdtemp per
+# interpreter, keyed by resolved sf_dir, removed at exit.
+_IVF_INDEXES: dict[str, str] = {}
+
+
+def _centroids(spark: SparkSession, sf_dir: str):
+    """Deterministic coarse quantizer (the 1% data sample) as numpy arrays."""
+    import numpy as np
+
+    vecs = _vectors(spark, sf_dir)
+    cdf = (
+        vecs.filter(F.col("vec_id") % CENTROID_MOD == CENTROID_OFF)
+        .select("vec_id", "e")
+        .toPandas()
+    )
+    c_ids = cdf["vec_id"].to_numpy()
+    c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in cdf["e"]])
+    c_unit = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+    c_norms = np.sqrt(np.cumsum(c_mat * c_mat, axis=1)[:, -1])
+    return c_ids, c_mat, c_unit, c_norms
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
+    """Materialize the IVF inverted file: (vec_id, e) parquet PARTITIONED BY cell.
+
+    The vector-database layout at 100 TB: every vector stored under its
+    coarse cell's partition directory, so a query that probes NPROBE cells
+    reads exactly those directories — partition pruning does the cell
+    selection at planning time, no full-corpus scan. Append new vectors by
+    assigning + appending their partitions, like the dedup band index.
+    """
+    bc = spark.sparkContext.broadcast(_centroids(spark, sf_dir))
+    part = _vectors(spark, sf_dir).select("vec_id", "e").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    assign = part.mapInPandas(
+        lambda it: _assign_cells(it, bc, 1), schema="vec_id long, rank int, cid long"
+    ).filter(F.col("rank") == 1)
+    (
+        _vectors(spark, sf_dir)
+        .select("vec_id", "e")
+        .join(assign.select("vec_id", "cid"), "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(index_path)
+    )
+
+
+def _assign_cells(batches, bc, top_n: int):
+    """Shared top-n centroid assignment kernel (GEMM prefilter + exact
+    rescore with the oracle's sequential-fold recipe)."""
+    import numpy as np
+    import pandas as pd
+
+    b_cids, b_cmat, b_cunit, b_cnorms = bc.value
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["e"]])
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+        sims = unit @ b_cunit.T
+        out_v, out_r, out_c = [], [], []
+        for i in range(len(ids)):
+            row = sims[i]
+            k = min(top_n, len(b_cids))
+            kth = np.partition(row, -k)[-k]
+            cand = np.nonzero(row >= kth - 1e-5)[0]
+            dots = np.cumsum(mat[i] * b_cmat[cand], axis=1)[:, -1]
+            cos = _duck_round6_np(dots / (norms[i] * b_cnorms[cand]))
+            order = np.lexsort((b_cids[cand], -cos))[:k]
+            out_v.extend([ids[i]] * k)
+            out_r.extend(range(1, k + 1))
+            out_c.extend(b_cids[cand][order])
+        yield pd.DataFrame(
+            {
+                "vec_id": np.array(out_v, dtype=np.int64),
+                "rank": np.array(out_r, dtype=np.int32),
+                "cid": np.array(out_c, dtype=np.int64),
+            }
+        )
+
+
+def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process per resolved sf_dir) the persisted IVF index."""
+    import os as _os
+
+    from .dedup import band_index_home
+
+    key = _os.path.realpath(sf_dir)
+    if key not in _IVF_INDEXES:
+        path = _os.path.join(band_index_home(), f"ivf_{len(_IVF_INDEXES)}")
+        build_ivf_index(spark, sf_dir, path)
+        _IVF_INDEXES[key] = path
+    return _IVF_INDEXES[key]
+
+
+def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`ann_ivf` served from the persisted inverted file.
+
+    Same centroids, same NPROBE, same exact rescoring — same oracle — but
+    the corpus side is a *partition-pruned* scan of the index built by
+    :func:`build_ivf_index`: the query subset's probe cells are computed
+    (one tiny GEMM over 1% of the corpus), collected as a cid list, and
+    pushed into the scan as a partition filter, so only NPROBE cells' worth
+    of directories are read. The driver hash-checking this row proves the
+    persisted layout serves identical results to the in-flight plan.
+    """
+    bc = spark.sparkContext.broadcast(_centroids(spark, sf_dir))
+    vecs = _vectors(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select("vec_id", "e")
+    queries = queries.repartition(spark.sparkContext.defaultParallelism)
+    probes = (
+        queries.mapInPandas(
+            lambda it: _assign_cells(it, bc, NPROBE),
+            schema="vec_id long, rank int, cid long",
+        )
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    from ..functions.caching import scoped_persist
+
+    probes = scoped_persist(probes)
+    probe_cids = [r["cid"] for r in probes.select("cid").distinct().collect()]
+    index = spark.read.parquet(_ivf_index_path(spark, sf_dir)).filter(
+        F.col("cid").isin(probe_cids)  # static partition pruning
+    )
+    cand = (
+        index.join(F.broadcast(probes), "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
         .distinct()
@@ -563,6 +669,8 @@ _ANN_IVF_ORACLE = f"""
 ORACLES: dict[str, str] = {
     "ann_lsh": _ANN_LSH_ORACLE,
     "ann_ivf": _ANN_IVF_ORACLE,
+    # the persisted-index twin must serve bit-identical results
+    "ann_ivf_indexed": _ANN_IVF_ORACLE,
     "ann_bruteforce": f"""
     WITH e AS (
       SELECT vec_id, {sql_double_array('embedding')} AS ed FROM embeddings

@@ -206,6 +206,7 @@ def _build() -> None:
         "ann_bruteforce",
         "ann_lsh",
         "ann_ivf",
+        "ann_ivf_indexed",
         "vector_norms",
     ])
 

@@ -76,3 +76,32 @@ def test_lsh_deterministic(spark, sf_dir):
     a = sorted(map(tuple, similarity.ann_lsh(spark, sf_dir).collect()))
     b = sorted(map(tuple, similarity.ann_lsh(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_ivf_indexed_matches_inflight_and_prunes(spark, sf_dir):
+    """The persisted inverted file serves bit-identical results to ann_ivf,
+    and its scan reads ONLY the probed cells' partition directories."""
+    from map_reduce_in_go_spark.functions.caching import release_persisted
+    from map_reduce_in_go_spark.operators import similarity as sim
+
+    inflight = sorted(map(tuple, sim.ann_ivf(spark, sf_dir).collect()))
+    release_persisted()
+    indexed_df = sim.ann_ivf_indexed(spark, sf_dir)
+    indexed = sorted(map(tuple, indexed_df.collect()))
+    release_persisted()
+    assert indexed == inflight
+
+    # pruning proof: the index scan's input files lie only under probed cids
+    import os as _os
+
+    idx_path = sim._IVF_INDEXES[_os.path.realpath(sf_dir)]
+    all_cells = {
+        d for d in _os.listdir(idx_path) if d.startswith("cid=")
+    }
+    probed = {
+        f.split("/cid=")[1].split("/")[0]
+        for f in indexed_df.inputFiles()
+        if "/cid=" in f
+    }
+    assert probed, "index scan reported no cell partitions"
+    assert {f"cid={c}" for c in probed} <= all_cells
