@@ -18,7 +18,7 @@ at 100 TB (AQE decides — the hint is only on the always-small dims).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.money import (
@@ -982,3 +982,87 @@ JOIN supplier ON s_suppkey = l_suppkey
 WHERE CAST(round(qty_dec, 2) AS DOUBLE) > 1.5 * avg_qty
 GROUP BY 1, 2
 """
+
+
+BASKET_TOP = 100
+
+
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis: part co-occurrence with support and lift.
+
+    Association mining over orders-as-baskets: pairs of parts appearing in
+    the same order, their joint support, and lift = P(a,b)/(P(a)·P(b)) —
+    the classic recommendation/affinity signal. The pair join keys on
+    orderkey, so fan-out is bounded by basket size squared (TPC-H baskets
+    are ≤7 lines), never a parts cross product; supports are broadcast back
+    onto the bounded pair table. Top pairs by joint support with a full
+    deterministic tiebreak.
+
+    Determinism: all counts are exact ints; lift is one int-product divide
+    rounded at 6dp — identical IEEE math on both engines.
+    """
+    from ..functions.caching import scoped_persist
+
+    items = scoped_persist(
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    n_orders = items.select("ok").distinct().count()
+    supp = items.groupBy("pk").agg(F.count("*").alias("n_p"))
+    a = items.select("ok", F.col("pk").alias("part_a"))
+    b = items.select("ok", F.col("pk").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    sa = supp.select(F.col("pk").alias("part_a"), F.col("n_p").alias("n_a"))
+    sb = supp.select(F.col("pk").alias("part_b"), F.col("n_p").alias("n_b"))
+    scored = (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                (F.col("n_ab") * F.lit(n_orders)).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.desc("n_ab"), F.asc("part_a"), F.asc("part_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BASKET_TOP)
+    )
+
+
+ORACLES["basket_pairs"] = f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), n AS (
+      SELECT count(DISTINCT ok) AS n_orders FROM items
+    ), supp AS (
+      SELECT pk, count(*) AS n_p FROM items GROUP BY pk
+    ), pairs AS (
+      SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_ab
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+    )
+    SELECT part_a, part_b, n_ab, sa.n_p AS n_a, sb.n_p AS n_b,
+           round(CAST(n_ab * n.n_orders AS DOUBLE)
+                 / CAST(sa.n_p * sb.n_p AS DOUBLE), 6) AS lift,
+           CAST(row_number() OVER (ORDER BY n_ab DESC, part_a, part_b)
+                AS INTEGER) AS rank
+    FROM pairs
+    JOIN supp sa ON sa.pk = part_a
+    JOIN supp sb ON sb.pk = part_b
+    CROSS JOIN n
+    QUALIFY rank <= {BASKET_TOP}
+    """

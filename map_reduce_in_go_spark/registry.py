@@ -114,6 +114,7 @@ def _build() -> None:
         "q20_excess_qty",
         "orders_global_topn",
         "top_customers",
+        "basket_pairs",
     ])
 
     from .plans import olap as _olap
