@@ -464,6 +464,49 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ATTR_LOOKBACK_US = 24 * 3600 * 1_000_000  # 24 h first-touch window
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each purchase credited to the *earliest*
+    click in its 24-hour lookback window.
+
+    The marketing twin of :func:`events_asof_join` (which takes the latest
+    prior click): a value-based RANGE frame ``[ts-24h, ts-1]`` over the
+    tagged click/purchase union, aggregated with ``min(struct(ts,
+    event_id))`` — struct ordering makes the equal-timestamp tiebreak
+    deterministic without relying on frame row order, which RANGE frames
+    don't define. One shuffle on user_id, state bounded by the window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", "event_id", F.lit(1).alias("is_click")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "event_id", F.lit(0).alias("is_click")
+    )
+    un = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-ATTR_LOOKBACK_US, -1)
+    )
+    click_struct = F.when(
+        F.col("is_click") == 1, F.struct(F.col("ts_us"), F.col("event_id"))
+    )
+    return (
+        un.withColumn("fc", F.min(click_struct).over(w))
+        .filter(F.col("is_click") == 0)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts_us").alias("purchase_ts_us"),
+            F.col("fc.ts_us").alias("first_click_ts_us"),
+            F.col("fc.event_id").alias("first_click_id"),
+        )
+    )
+
+
 def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (band) join: events bucketed against value intervals.
 
@@ -557,6 +600,27 @@ def events_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES.update(
     {
+        "events_attribution": f"""
+        WITH c AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+          WHERE event_type = 'click'
+        ), p AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+          WHERE event_type = 'purchase'
+        ), g1 AS (
+          SELECT p.event_id AS purchase_id, p.user_id,
+                 p.ts_us AS purchase_ts_us, min(c.ts_us) AS first_click_ts_us
+          FROM p LEFT JOIN c
+            ON c.user_id = p.user_id AND c.ts_us < p.ts_us
+           AND c.ts_us >= p.ts_us - {ATTR_LOOKBACK_US}
+          GROUP BY 1, 2, 3
+        )
+        SELECT g1.purchase_id, g1.user_id, g1.purchase_ts_us,
+               g1.first_click_ts_us, min(c.event_id) AS first_click_id
+        FROM g1 LEFT JOIN c
+          ON c.user_id = g1.user_id AND c.ts_us = g1.first_click_ts_us
+        GROUP BY 1, 2, 3, 4
+        """,
         "events_asof_join": """
         WITH c AS (
           SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events

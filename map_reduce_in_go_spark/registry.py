@@ -142,6 +142,7 @@ def _build() -> None:
         "events_running",
         "events_zscore",
         "events_asof_join",
+        "events_attribution",
         "events_range_join",
         "events_range_join_bucketed",
         "events_gap_fill",
