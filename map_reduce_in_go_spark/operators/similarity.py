@@ -532,6 +532,56 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality evaluation: per-cell cosine silhouette proxy.
+
+    For every vector: ``a`` = cosine to its assigned centroid (argmax, ties
+    to lower cid — the exact :func:`ann_ivf` assignment), ``b`` = cosine to
+    the best *other* centroid; ``a − b`` measures how decisively the vector
+    belongs to its cell (0 = sits on a boundary). Reported per cell with
+    member counts — the evaluation loop you run after building any IVF /
+    clustering index to find cells worth splitting.
+
+    Plan: one Arrow GEMM scores all vector×centroid pairs (bounded: C
+    centroids, never vector×vector), a rank window picks a and b, and the
+    per-cell mean aggregates 6dp-fixed decimals so summation order can't
+    move the hash.
+    """
+    vecs = _vectors(spark, sf_dir)
+    cent = vecs.filter(F.col("vec_id") % CENTROID_MOD == CENTROID_OFF).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    pairs = (
+        vecs.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+        .join(F.broadcast(cent.select(F.col("cid").alias("vec_id"), F.col("ce").alias("e"))), how="cross")
+    )
+    scored = _exact_pair_scores(pairs).select(
+        F.col("query_id").alias("vec_id"), F.col("vec_id").alias("cid"), "cos"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
+    ranked = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 2
+    )
+    a = ranked.filter(F.col("rnk") == 1).select(
+        "vec_id", F.col("cid").alias("assigned_cid"), F.col("cos").alias("a")
+    )
+    b = ranked.filter(F.col("rnk") == 2).select("vec_id", F.col("cos").alias("b"))
+    margin = (
+        a.join(b, "vec_id")
+        .select(
+            "vec_id",
+            "assigned_cid",
+            F.round(F.col("a") - F.col("b"), 6).cast("decimal(12,6)").alias("m"),
+        )
+    )
+    return margin.groupBy("assigned_cid").agg(
+        F.count("*").alias("n_members"),
+        F.round(
+            F.sum("m").cast("double") / F.count("*").cast("double"), 6
+        ).alias("mean_margin"),
+    )
+
+
 def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vectors(spark, sf_dir)
     return vecs.select(
@@ -671,6 +721,34 @@ ORACLES: dict[str, str] = {
     "ann_ivf": _ANN_IVF_ORACLE,
     # the persisted-index twin must serve bit-identical results
     "ann_ivf_indexed": _ANN_IVF_ORACLE,
+    "cluster_silhouette": f"""
+    WITH e AS (
+      SELECT vec_id, {sql_double_array('embedding')} AS ed FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cid, ed AS ce FROM e
+      WHERE vec_id % {CENTROID_MOD} = {CENTROID_OFF}
+    ), sc AS (
+      SELECT e.vec_id, c.cid, round({sql_cosine('e.ed', 'c.ce')}, 6) AS cos
+      FROM e CROSS JOIN cent c
+    ), r AS (
+      SELECT vec_id, cid, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cid ASC) AS rnk
+      FROM sc
+    ), a AS (
+      SELECT vec_id, cid AS assigned_cid, cos AS a FROM r WHERE rnk = 1
+    ), b AS (
+      SELECT vec_id, cos AS b FROM r WHERE rnk = 2
+    ), m AS (
+      SELECT a.vec_id, a.assigned_cid,
+             CAST(round(a.a - b.b, 6) AS DECIMAL(12,6)) AS m
+      FROM a JOIN b USING (vec_id)
+    )
+    SELECT assigned_cid, count(*) AS n_members,
+           round(CAST(sum(m) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS mean_margin
+    FROM m GROUP BY assigned_cid
+    """,
     "ann_bruteforce": f"""
     WITH e AS (
       SELECT vec_id, {sql_double_array('embedding')} AS ed FROM embeddings

@@ -209,6 +209,7 @@ def _build() -> None:
         "ann_lsh",
         "ann_ivf",
         "ann_ivf_indexed",
+        "cluster_silhouette",
         "vector_norms",
     ])
 
