@@ -89,3 +89,44 @@ def test_ingest_stream_end_to_end(spark, tmp_path):
     assert tbl.version() == 1  # bootstrap overwrite + one append
     ops = tbl.committed_ops()
     assert {"ingest-batch-0", "ingest-batch-1"} <= ops
+
+
+def test_ingest_stream_restart_resumes(spark, tmp_path):
+    """Stop/restart with the same checkpoint: the restarted query processes
+    only the new file, continues the batch-id sequence, and dedups against
+    the index state the first run left behind."""
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "b1.json").write_text(
+        json.dumps({"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta"})
+    )
+    idx_root = str(tmp_path / "idx")
+    out = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(drop))
+        )
+        q = start_dedup_ingest(stream, idx_root, out, ckpt)
+        q.awaitTermination(120)
+
+    run()  # batch 0: doc 1 survives, bootstraps the index
+    time.sleep(1.1)
+    (drop / "b2.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in (
+                {"doc_id": 2, "text": "alpha beta gamma delta epsilon zeta"},
+                {"doc_id": 3, "text": "one two three four five six seven"},
+            )
+        )
+    )
+    run()  # restart: batch 1 only; doc 2 is a dup of the indexed doc 1
+
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 3}
+    tbl = ManifestTable(idx_root)
+    assert {"ingest-batch-0", "ingest-batch-1"} <= tbl.committed_ops()

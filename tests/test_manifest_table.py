@@ -110,3 +110,51 @@ def test_acid_dedup_matches_plain_two_batch(spark, sf_dir):
     )
     release_persisted()
     assert acid == plain
+
+
+def test_threaded_concurrent_appends_all_land(spark, tmp_path):
+    """N threads append concurrently through the optimistic-retry path:
+    every append must win some version and every row must be readable."""
+    import threading
+
+    tbl = ManifestTable(str(tmp_path / "t"))
+    tbl.overwrite(_df(spark, [0]))
+    errors = []
+
+    def worker(i):
+        try:
+            ManifestTable(tbl.root).append(_df(spark, [100 + i]))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert tbl.version() == 4  # v0 overwrite + 4 appends, no lost commits
+    got = sorted(r["doc_id"] for r in tbl.read(spark).collect())
+    assert got == [0, 100, 101, 102, 103]
+
+
+def test_compact_retries_over_concurrent_append(spark, tmp_path):
+    """An append landing while compaction rewrites must not be lost: compact
+    detects the moved base version and redoes the rewrite on the new state."""
+    tbl = ManifestTable(str(tmp_path / "t"))
+    tbl.overwrite(_df(spark, [1, 2]))
+    orig = tbl._write_data_files
+    state = {"injected": False}
+
+    def sneaky(df):
+        names = orig(df)
+        if not state["injected"]:
+            state["injected"] = True
+            # a concurrent appender lands AFTER compact read its base
+            ManifestTable(tbl.root).append(_df(spark, [9]))
+        return names
+
+    tbl._write_data_files = sneaky
+    tbl.compact(spark)
+    got = sorted(r["doc_id"] for r in tbl.read(spark).collect())
+    assert got == [1, 2, 9], "append landed mid-compaction was lost"
