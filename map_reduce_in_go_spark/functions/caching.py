@@ -37,6 +37,27 @@ def release_persisted() -> int:
     return n
 
 
+def persisted_count() -> int:
+    """Current scope depth — pair with :func:`release_persisted_since`."""
+    return len(_SCOPED)
+
+
+def release_persisted_since(mark: int) -> int:
+    """Unpersist only handles registered after ``mark`` (a prior
+    :func:`persisted_count`). For nested scopes (a foreachBatch body inside
+    a long-lived host session) that must clean up their own caches without
+    releasing the host's."""
+    n = 0
+    for df in _SCOPED[mark:]:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 — session may already be stopped
+            pass
+    del _SCOPED[mark:]
+    return n
+
+
 def free_local_checkpoint(df: DataFrame) -> None:
     """Drop the storage blocks behind a ``localCheckpoint(eager=True)`` frame.
 

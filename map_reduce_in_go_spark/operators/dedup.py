@@ -506,9 +506,8 @@ def build_band_index(docs: DataFrame, index_path: str, mode: str = "overwrite") 
     Iceberg/Delta for ACID appends; plain parquet ``append`` keeps the exact
     same reader call and layout.
     """
-    sigs = signatures_of(docs.withColumn("toks", tokens(F.col("text"))))
     (
-        _bands(sigs)
+        bands_of_docs(docs)
         .write.mode(mode)
         .partitionBy("band_idx")
         .parquet(index_path)
@@ -574,7 +573,12 @@ def dedup_batch_against_bands(
 # unique per interpreter, so two concurrent sessions on the same sf can
 # never race on an overwrite, and a testdata regeneration can never be
 # shadowed by a stale index from an earlier process; the whole tree is
-# removed at interpreter exit.
+# removed at interpreter exit. The lock serializes memo population across
+# threads (check-then-act on the dict would let two threads build into the
+# same directory); it is shared with similarity.py's IVF memo.
+import threading
+
+INDEX_MEMO_LOCK = threading.Lock()
 _INDEX_HOME: str | None = None
 _CORPUS_INDEXES: dict[str, str] = {}
 
@@ -582,13 +586,14 @@ _CORPUS_INDEXES: dict[str, str] = {}
 def band_index_home() -> str:
     """Lazily-created per-process root directory for band indexes."""
     global _INDEX_HOME
-    if _INDEX_HOME is None:
-        import atexit
-        import shutil
-        import tempfile
+    with INDEX_MEMO_LOCK:
+        if _INDEX_HOME is None:
+            import atexit
+            import shutil
+            import tempfile
 
-        _INDEX_HOME = tempfile.mkdtemp(prefix="spark_graft_band_index_")
-        atexit.register(shutil.rmtree, _INDEX_HOME, ignore_errors=True)
+            _INDEX_HOME = tempfile.mkdtemp(prefix="spark_graft_band_index_")
+            atexit.register(shutil.rmtree, _INDEX_HOME, ignore_errors=True)
     return _INDEX_HOME
 
 
@@ -599,16 +604,19 @@ def _corpus_index_path(spark: SparkSession, sf_dir: str) -> str:
     sf_dirs sharing a final path segment get distinct indexes. Memoizing the
     build is what makes :func:`dedup_incremental_indexed` probe-only on
     every call after the first — the shape a standing 100 TB index has,
-    where the build amortizes across every batch that ever lands.
+    where the build amortizes across every batch that ever lands. The lock
+    makes concurrent first calls build exactly once.
     """
     key = os.path.realpath(sf_dir)
-    if key not in _CORPUS_INDEXES:
-        path = os.path.join(band_index_home(), f"corpus_{len(_CORPUS_INDEXES)}")
-        corpus = load_table(spark, sf_dir, "documents").filter(
-            F.pmod(F.col("doc_id"), F.lit(2)) == 0
-        )
-        build_band_index(corpus, path)
-        _CORPUS_INDEXES[key] = path
+    home = band_index_home()
+    with INDEX_MEMO_LOCK:
+        if key not in _CORPUS_INDEXES:
+            path = os.path.join(home, f"corpus_{len(_CORPUS_INDEXES)}")
+            corpus = load_table(spark, sf_dir, "documents").filter(
+                F.pmod(F.col("doc_id"), F.lit(2)) == 0
+            )
+            build_band_index(corpus, path)
+            _CORPUS_INDEXES[key] = path
     return _CORPUS_INDEXES[key]
 
 

@@ -212,7 +212,7 @@ def _query_probes(vecs: DataFrame) -> DataFrame:
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["e"]])
             dots = mat @ planes.T  # m×40
             signs = (dots >= 0).astype(np.uint8)
-            absr = np.trunc(np.abs(dots) * 1e6 + 0.5) / 1e6  # round6, x >= 0
+            absr = _duck_round6_np(np.abs(dots))  # shared round6 recipe
             out_q, out_t, out_b = [], [], []
             for i in range(m):
                 for t in range(LSH_TABLES):
@@ -433,9 +433,10 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
     )
 
 
-def _assign_cells(batches, bc, top_n: int):
+def _assign_cells(batches, bc, top_n: int, with_cos: bool = False):
     """Shared top-n centroid assignment kernel (GEMM prefilter + exact
-    rescore with the oracle's sequential-fold recipe)."""
+    rescore with the oracle's sequential-fold recipe). With ``with_cos``
+    the 6dp-rounded cosine rides along (for margin/quality metrics)."""
     import numpy as np
     import pandas as pd
 
@@ -448,7 +449,7 @@ def _assign_cells(batches, bc, top_n: int):
         unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
         sims = unit @ b_cunit.T
-        out_v, out_r, out_c = [], [], []
+        out_v, out_r, out_c, out_s = [], [], [], []
         for i in range(len(ids)):
             row = sims[i]
             k = min(top_n, len(b_cids))
@@ -460,26 +461,35 @@ def _assign_cells(batches, bc, top_n: int):
             out_v.extend([ids[i]] * k)
             out_r.extend(range(1, k + 1))
             out_c.extend(b_cids[cand][order])
-        yield pd.DataFrame(
-            {
-                "vec_id": np.array(out_v, dtype=np.int64),
-                "rank": np.array(out_r, dtype=np.int32),
-                "cid": np.array(out_c, dtype=np.int64),
-            }
-        )
+            if with_cos:
+                out_s.extend(cos[order])
+        cols = {
+            "vec_id": np.array(out_v, dtype=np.int64),
+            "rank": np.array(out_r, dtype=np.int32),
+            "cid": np.array(out_c, dtype=np.int64),
+        }
+        if with_cos:
+            cols["cos"] = np.array(out_s, dtype=np.float64)
+        yield pd.DataFrame(cols)
 
 
 def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once per process per resolved sf_dir) the persisted IVF index."""
+    """Build (once per process per resolved sf_dir) the persisted IVF index.
+
+    Guarded by the shared index-memo lock: concurrent first calls build
+    exactly once instead of racing overwrites into one directory.
+    """
     import os as _os
 
-    from .dedup import band_index_home
+    from .dedup import INDEX_MEMO_LOCK, band_index_home
 
     key = _os.path.realpath(sf_dir)
-    if key not in _IVF_INDEXES:
-        path = _os.path.join(band_index_home(), f"ivf_{len(_IVF_INDEXES)}")
-        build_ivf_index(spark, sf_dir, path)
-        _IVF_INDEXES[key] = path
+    home = band_index_home()
+    with INDEX_MEMO_LOCK:
+        if key not in _IVF_INDEXES:
+            path = _os.path.join(home, f"ivf_{len(_IVF_INDEXES)}")
+            build_ivf_index(spark, sf_dir, path)
+            _IVF_INDEXES[key] = path
     return _IVF_INDEXES[key]
 
 
@@ -542,30 +552,29 @@ def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     member counts — the evaluation loop you run after building any IVF /
     clustering index to find cells worth splitting.
 
-    Plan: one Arrow GEMM scores all vector×centroid pairs (bounded: C
-    centroids, never vector×vector), a rank window picks a and b, and the
-    per-cell mean aggregates 6dp-fixed decimals so summation order can't
-    move the hash.
+    Plan: one broadcast-centroid Arrow GEMM per batch (the
+    :func:`_assign_cells` kernel with cosines riding along) emits only
+    (vec_id, rank, cid, cos) — the corpus never carries vector payloads
+    into a cross join — and the per-cell mean aggregates 6dp-fixed
+    decimals so summation order can't move the hash.
     """
     vecs = _vectors(spark, sf_dir)
-    cent = vecs.filter(F.col("vec_id") % CENTROID_MOD == CENTROID_OFF).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    bc = spark.sparkContext.broadcast(_centroids(spark, sf_dir))
+    part = vecs.select("vec_id", "e").repartition(
+        spark.sparkContext.defaultParallelism
     )
-    pairs = (
-        vecs.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
-        .join(F.broadcast(cent.select(F.col("cid").alias("vec_id"), F.col("ce").alias("e"))), how="cross")
+    from ..functions.caching import scoped_persist
+
+    ranked = scoped_persist(
+        part.mapInPandas(
+            lambda it: _assign_cells(it, bc, 2, with_cos=True),
+            schema="vec_id long, rank int, cid long, cos double",
+        )
     )
-    scored = _exact_pair_scores(pairs).select(
-        F.col("query_id").alias("vec_id"), F.col("vec_id").alias("cid"), "cos"
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
-    ranked = scored.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= 2
-    )
-    a = ranked.filter(F.col("rnk") == 1).select(
+    a = ranked.filter(F.col("rank") == 1).select(
         "vec_id", F.col("cid").alias("assigned_cid"), F.col("cos").alias("a")
     )
-    b = ranked.filter(F.col("rnk") == 2).select("vec_id", F.col("cos").alias("b"))
+    b = ranked.filter(F.col("rank") == 2).select("vec_id", F.col("cos").alias("b"))
     margin = (
         a.join(b, "vec_id")
         .select(

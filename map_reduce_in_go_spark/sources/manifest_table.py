@@ -215,24 +215,36 @@ class ManifestTable:
             f"compact lost the commit race {max_retries} times at {self.root}"
         )
 
-    def vacuum(self) -> int:
-        """Delete data files the NEWEST manifest doesn't reference.
+    def vacuum(self, retain_seconds: float = 3600.0) -> int:
+        """Delete unreferenced data files older than ``retain_seconds``.
 
-        Returns the number of files removed. Snapshots older than the
-        newest version stop being readable (their files are gone) — a
-        production vacuum retains a time-travel horizon; here the horizon
-        is zero, which the tests pin. The manifest log itself is retained:
-        it is the table's history (and :meth:`committed_ops`' replay
-        ledger), and it costs KBs.
+        Returns the number of files removed. The retention horizon guards
+        the append gap: a concurrent writer lands its data files BEFORE its
+        manifest commit, so a zero-horizon vacuum could delete files whose
+        commit is seconds away and leave the new manifest pointing at
+        nothing — the same reason Delta's VACUUM defaults to a retention
+        window. Pass 0 only when no writer can be in flight (tests,
+        single-writer maintenance). Snapshots older than the newest version
+        stop being readable once their files age out; the manifest log
+        itself is retained — it is the table's history (and
+        :meth:`committed_ops`' replay ledger), and it costs KBs.
         """
+        import time
+
         live = {os.path.basename(p) for p in self.files()}
+        cutoff = time.time() - retain_seconds
         removed = 0
         try:
             names = os.listdir(self._data_dir)
         except FileNotFoundError:
             return 0
         for name in names:
-            if name.endswith(".parquet") and name not in live:
-                os.remove(os.path.join(self._data_dir, name))
+            full = os.path.join(self._data_dir, name)
+            if (
+                name.endswith(".parquet")
+                and name not in live
+                and os.path.getmtime(full) <= cutoff
+            ):
+                os.remove(full)
                 removed += 1
         return removed

@@ -24,6 +24,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.caching import (
+    free_local_checkpoint,
+    persisted_count,
+    release_persisted_since,
+)
 from ..operators.dedup import bands_of_docs, dedup_batch_against_bands
 from ..sources.manifest_table import ManifestTable
 from .sinks import write_batch_idempotent
@@ -35,6 +40,7 @@ def ingest_batch(
     tbl: ManifestTable,
     out_dir: str,
     batch_id: int,
+    app_id: str = "ingest",
 ) -> bool:
     """Process one micro-batch; returns False if skipped as a replay.
 
@@ -42,10 +48,26 @@ def ingest_batch(
     zone BEFORE the index append commits, so every crash point replays
     safely — before the append: recompute sees an unchanged index and
     rewrites identical output; after it: the ledger check skips the batch.
+
+    The ledger op carries ``app_id`` alongside the batch id (Delta's
+    (appId, version) transaction key): two writers sharing one index — the
+    advertised stream + backfill shape — must use distinct app_ids, or a
+    later writer's batch 0 would be mistaken for a replay of the first
+    writer's batch 0 and silently skipped.
+
+    Bootstrap is an ``append`` too: on an empty table append commits v0
+    with just this batch's files, and if a concurrent writer bootstraps
+    first the optimistic retry folds both — an ``overwrite`` here would
+    discard the racer's committed bands.
+
+    Caches created for this batch (the probe's persisted signature/band
+    frames and the survivors checkpoint) are released before returning —
+    a long-running stream must not accumulate per-batch storage.
     """
-    op = f"ingest-batch-{batch_id}"
+    op = f"{app_id}-batch-{batch_id}"
     if op in tbl.committed_ops():
         return False
+    mark = persisted_count()
     if tbl.version() < 0:
         old_bands = spark.createDataFrame([], "band_idx int, band_hash string")
     else:
@@ -55,11 +77,9 @@ def ingest_batch(
     )
     surviving_docs = batch_df.join(survivors, "doc_id", "left_semi")
     write_batch_idempotent(surviving_docs.select("doc_id", "text"), batch_id, out_dir)
-    bands = bands_of_docs(surviving_docs)
-    if tbl.version() < 0:
-        tbl.overwrite(bands, op=op)
-    else:
-        tbl.append(bands, op=op)
+    tbl.append(bands_of_docs(surviving_docs), op=op)
+    release_persisted_since(mark)
+    free_local_checkpoint(survivors)
     return True
 
 
@@ -68,13 +88,14 @@ def start_dedup_ingest(
     index_root: str,
     out_dir: str,
     checkpoint_dir: str,
+    app_id: str = "ingest",
 ):
     """documents stream → dedup-vs-index → idempotent survivors + index growth."""
     spark = stream_docs.sparkSession
     tbl = ManifestTable(index_root)
     return (
         stream_docs.writeStream.foreachBatch(
-            lambda df, bid: ingest_batch(spark, df, tbl, out_dir, bid)
+            lambda df, bid: ingest_batch(spark, df, tbl, out_dir, bid, app_id)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -50,6 +50,12 @@ def test_ingest_batch_sequence_and_replay(spark, sf_dir, tmp_path):
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == surv_all
     assert v_after_b1 < v
 
+    # a DIFFERENT writer's batch 0 is not mistaken for writer 1's replay:
+    # the ledger key carries the app identity
+    out2 = str(tmp_path / "landing2")
+    assert ingest_batch(spark, b1, tbl, out2, 0, app_id="backfill") is True
+    assert "backfill-batch-0" in tbl.committed_ops()
+
 
 def test_ingest_stream_end_to_end(spark, tmp_path):
     """Real foreachBatch wiring: two file-source micro-batches land disjoint

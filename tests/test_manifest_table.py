@@ -88,7 +88,11 @@ def test_vacuum_removes_only_dead_files(spark, tmp_path):
     n_data = len(
         [f for f in os.listdir(tbl._data_dir) if f.endswith(".parquet")]
     )
-    removed = tbl.vacuum()
+    # default retention horizon protects fresh files (a concurrent writer
+    # may have landed them ahead of its commit) ...
+    assert tbl.vacuum() == 0
+    # ... while an explicit zero horizon reclaims everything dead
+    removed = tbl.vacuum(retain_seconds=0)
     assert removed == n_data - len(tbl.files())
     assert sorted(r["doc_id"] for r in tbl.read(spark).collect()) == [1, 2, 3]
 
