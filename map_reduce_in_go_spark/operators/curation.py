@@ -516,3 +516,65 @@ ORACLES: dict[str, str] = {
     FROM g CROSS JOIN tot
     """,
 }
+
+
+BUDGET_TOKENS = 20_000  # corpus-selection token budget
+
+
+def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: greedy best-quality-first knapsack.
+
+    The data-mixing primitive: rank every document by a quality score
+    (lexical diversity here — distinct/total tokens; any 6dp-deterministic
+    score plugs in) and take the best-first prefix whose cumulative token
+    count fits ``BUDGET_TOKENS``. One global sort (Spark's range-partitioned
+    total order — a shuffle, not a collect) + a running-sum window; the
+    budget cut is a filter on the cumulative column, so the plan streams at
+    any corpus size.
+
+    Determinism: the score is an exact-int ratio rounded at 6dp, the order
+    carries a doc_id tiebreak, and the running sum is integer tokens.
+    """
+    docs = load_documents_parallel(spark, sf_dir).withColumn(
+        "toks", tokens(F.col("text"))
+    )
+    docs = docs.filter(F.size("toks") > 0)
+    scored = docs.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct("toks")).cast("double")
+            / F.size("toks").cast("double"),
+            6,
+        ).alias("quality"),
+    )
+    w = (
+        Window.orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= BUDGET_TOKENS)
+        .select("doc_id", "quality", "n_tokens", "cum_tokens")
+    )
+
+
+ORACLES["corpus_budget_select"] = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOK} AS toks FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE), 6) AS quality
+      FROM t WHERE len(toks) > 0
+    ), cum AS (
+      SELECT doc_id, quality, n_tokens,
+             sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, quality, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum WHERE cum_tokens <= {BUDGET_TOKENS}
+    """

@@ -55,8 +55,11 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-k cosine neighbors for every query vector.
+def _bruteforce_topk(
+    spark: SparkSession, sf_dir: str, cross_label_only: bool = False
+) -> DataFrame:
+    """Exact top-k cosine kernel shared by :func:`ann_bruteforce` and
+    :func:`ann_hard_negatives` (which masks same-label pairs).
 
     Physical strategy: the query side (1% of the corpus) is broadcast as a
     NumPy matrix; each corpus partition runs one block GEMM against it and
@@ -80,20 +83,18 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     qdf = (
         vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
-        .select("vec_id", "e")
+        .select("vec_id", "e", "label")
         .toPandas()
     )
     q_ids = qdf["vec_id"].to_numpy()
+    q_labels = qdf["label"].to_numpy()
     q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["e"]])
     q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
     q_norms = np.sqrt(np.cumsum(q_mat * q_mat, axis=1)[:, -1])
-    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_unit, q_norms))
-
-    def _duck_round6(x):
-        return np.trunc(x * 1e6 + np.copysign(0.5, x)) / 1e6
+    bc = spark.sparkContext.broadcast((q_ids, q_labels, q_mat, q_unit, q_norms))
 
     def _block(batches):
-        b_qids, b_qmat, b_qunit, b_qnorms = bc.value
+        b_qids, b_qlabels, b_qmat, b_qunit, b_qnorms = bc.value
         nq = len(b_qids)
         for pdf in batches:
             m = len(pdf)
@@ -105,14 +106,21 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
             sims = b_qunit @ unit.T  # nq × m GEMM prefilter
             sims[b_qids[:, None] == ids[None, :]] = -np.inf  # self-pairs out
+            if cross_label_only:
+                labels = pdf["label"].to_numpy()
+                sims[b_qlabels[:, None] == labels[None, :]] = -np.inf
             out_q, out_v, out_c = [], [], []
             for qi in range(nq):
                 row = sims[qi]
                 k = min(TOP_K, m)
                 kth = np.partition(row, -k)[-k]
-                cand = np.nonzero(row >= kth - 2e-6)[0]
+                if not np.isfinite(kth):
+                    # fewer than k eligible rows in this block
+                    cand = np.nonzero(np.isfinite(row))[0]
+                else:
+                    cand = np.nonzero(row >= kth - 2e-6)[0]
                 dots = np.cumsum(b_qmat[qi] * mat[cand], axis=1)[:, -1]
-                cos = _duck_round6(dots / (b_qnorms[qi] * norms[cand]))
+                cos = _duck_round6_np(dots / (b_qnorms[qi] * norms[cand]))
                 out_q.append(np.full(len(cand), b_qids[qi]))
                 out_v.append(ids[cand])
                 out_c.append(cos)
@@ -126,7 +134,7 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # single-file test corpus → single split; spread the GEMM blocks
     cands = (
-        vecs.select("vec_id", "e")
+        vecs.select("vec_id", "e", "label")
         .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(_block, schema="query_id long, vec_id long, cos double")
     )
@@ -136,6 +144,24 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos", "rank")
     )
+
+
+def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector (see
+    :func:`_bruteforce_topk` for the physical strategy)."""
+    return _bruteforce_topk(spark, sf_dir)
+
+
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: exact top-k *cross-label* neighbors per query.
+
+    The embedding-training data op: for each anchor, the most similar
+    vectors with a DIFFERENT label are the hard negatives a contrastive
+    loss needs. Identical kernel to :func:`ann_bruteforce` with same-label
+    pairs masked before the top-k cut, so the result is exact (not
+    LSH-partial) and the oracle adds one label inequality to the same SQL.
+    """
+    return _bruteforce_topk(spark, sf_dir, cross_label_only=True)
 
 
 def _hyperplanes() -> list[list[float]]:
@@ -767,6 +793,25 @@ ORACLES: dict[str, str] = {
       SELECT q.query_id, e.vec_id AS neighbor_id,
              round({sql_cosine('q.qe', 'e.ed')}, 6) AS cos
       FROM q JOIN e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= {TOP_K}
+    """,
+    # same kernel, one label inequality more: the hard-negative miner
+    "ann_hard_negatives": f"""
+    WITH e AS (
+      SELECT vec_id, label, {sql_double_array('embedding')} AS ed
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, label AS qlabel, ed AS qe FROM e
+      WHERE vec_id % {QUERY_MOD} = 0
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round({sql_cosine('q.qe', 'e.ed')}, 6) AS cos
+      FROM q JOIN e ON e.vec_id <> q.query_id AND e.label <> q.qlabel
     )
     SELECT query_id, neighbor_id, cos,
            CAST(row_number() OVER (PARTITION BY query_id

@@ -206,6 +206,7 @@ def _build() -> None:
 
     _register(_sim, [
         "ann_bruteforce",
+        "ann_hard_negatives",
         "ann_lsh",
         "ann_ivf",
         "ann_ivf_indexed",
@@ -247,6 +248,7 @@ def _build() -> None:
         "domain_mix",
         "pii_redact",
         "sample_weighted",
+        "corpus_budget_select",
     ])
 
 
