@@ -41,6 +41,7 @@ def ingest_batch(
     out_dir: str,
     batch_id: int,
     app_id: str = "ingest",
+    max_files: int | None = None,
 ) -> bool:
     """Process one micro-batch; returns False if skipped as a replay.
 
@@ -78,6 +79,13 @@ def ingest_batch(
     surviving_docs = batch_df.join(survivors, "doc_id", "left_semi")
     write_batch_idempotent(surviving_docs.select("doc_id", "text"), batch_id, out_dir)
     tbl.append(bands_of_docs(surviving_docs), op=op)
+    if max_files is not None and len(tbl.files()) > max_files:
+        # maintenance rides the ingest loop: every append adds a file set,
+        # so a long-running stream would otherwise accumulate thousands of
+        # small files and slow every probe's scan. Compaction is just
+        # another commit (replay-safe: rewriting the same live rows twice
+        # is content-idempotent), so no ledger entry is needed.
+        tbl.compact(spark, dedup_cols=["doc_id", "band_idx", "band_hash"])
     release_persisted_since(mark)
     free_local_checkpoint(survivors)
     return True
@@ -89,13 +97,21 @@ def start_dedup_ingest(
     out_dir: str,
     checkpoint_dir: str,
     app_id: str = "ingest",
+    max_files: int | None = 64,
 ):
-    """documents stream → dedup-vs-index → idempotent survivors + index growth."""
+    """documents stream → dedup-vs-index → idempotent survivors + index growth.
+
+    ``max_files`` bounds the index's file count via in-loop compaction
+    (None disables); the default keeps probe scans flat over an unbounded
+    stream of small batches.
+    """
     spark = stream_docs.sparkSession
     tbl = ManifestTable(index_root)
     return (
         stream_docs.writeStream.foreachBatch(
-            lambda df, bid: ingest_batch(spark, df, tbl, out_dir, bid, app_id)
+            lambda df, bid: ingest_batch(
+                spark, df, tbl, out_dir, bid, app_id, max_files
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -136,3 +136,22 @@ def test_ingest_stream_restart_resumes(spark, tmp_path):
     assert got == {1, 3}
     tbl = ManifestTable(idx_root)
     assert {"ingest-batch-0", "ingest-batch-1"} <= tbl.committed_ops()
+
+
+def test_ingest_auto_compaction_bounds_files(spark, sf_dir, tmp_path):
+    """With max_files set, repeated batches keep the index's file count
+    bounded and the dedup content intact."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tbl = ManifestTable(str(tmp_path / "idx"))
+    out = str(tmp_path / "landing")
+    for i in range(4):
+        batch = docs.filter(F.pmod("doc_id", F.lit(4)) == i)
+        assert ingest_batch(spark, batch, tbl, out, i, max_files=2) is True
+    assert len(tbl.files()) <= 2 + 1, "compaction did not bound file count"
+    # all four batches' survivors landed and index covers them
+    landed = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    idx_docs = {
+        r["doc_id"] for r in tbl.read(spark).select("doc_id").distinct().collect()
+    }
+    assert idx_docs <= landed
+    assert len(landed) > 0
