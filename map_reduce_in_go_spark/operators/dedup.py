@@ -403,7 +403,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     returning half-propagated labels.
 
     At 100 TB the iteration count drops further with alternating
-    large-star/small-star rounds; the join shape per round is identical.
+    large-star/small-star rounds — implemented as
+    :func:`dedup_clusters_star`, oracle-proven to produce the identical
+    labeling; the join shape per round is the same.
     """
     pairs = scoped_persist(_band_pairs(_signatures(spark, sf_dir)))
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -451,6 +453,89 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     free_local_checkpoint(edges)
     return labels.select("doc_id", "cluster_id")
+
+
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds.
+
+    The O(log² n)-round algorithm from "Connected Components in MapReduce
+    and Beyond" (Kiveris et al., SoCC 2014) — the scale path
+    :func:`dedup_clusters`' label propagation alludes to: propagation needs
+    O(diameter) rounds, star contraction collapses long chains
+    exponentially, which is what survives a 100 TB graph with stringy
+    components. Per round each node attaches its neighborhood to the
+    neighborhood minimum (large-star: strictly-larger neighbors;
+    small-star: smaller-or-equal ones), each round one groupBy + one join
+    keyed on the node — same shuffle shape as a propagation round, far
+    fewer rounds. Converges to per-component stars centered at the
+    component minimum, so the output (doc_id → component-min label) is
+    bit-identical to label propagation and shares its oracle.
+    """
+    pairs = scoped_persist(_band_pairs(_signatures(spark, sf_dir)))
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = _sym(e)
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+        )
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # input edges point big→small (v < u) after a large-star round
+        m = (
+            e.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+        )
+        withm = e.join(m, "u")
+        attach_nbrs = withm.filter(F.col("v") != F.col("m")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        attach_self = m.filter(F.col("u") != F.col("m")).select("u", F.col("m").alias("v"))
+        return attach_nbrs.union(attach_self).distinct()
+
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).localCheckpoint(eager=True)
+    for _ in range(CLUSTER_MAX_ITERS):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # both sides are duplicate-free by construction, so equal counts +
+        # one empty one-sided diff ⇒ equal sets (count shortcut saves a job)
+        changed = 1
+        if new_edges.count() == edges.count():
+            changed = new_edges.exceptAll(edges).limit(1).count()
+        free_local_checkpoint(edges)
+        edges = new_edges
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters_star did not converge in {CLUSTER_MAX_ITERS} rounds"
+        )
+    # stars point member→center; centers label themselves
+    members = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    centers = edges.select(F.col("v").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    # materialize before freeing the edge checkpoint the plan reads from
+    out = (
+        members.unionByName(centers)
+        .groupBy("doc_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
+    free_local_checkpoint(edges)
+    return out
 
 
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1193,6 +1278,9 @@ WHERE doc_id % 3 = 2 AND doc_id NOT IN (SELECT doc_id FROM drop2)
 # the manifest-log twin must be row-identical: the storage/commit protocol
 # is not allowed to change dedup semantics
 ORACLES["dedup_incremental_acid"] = ORACLES["dedup_incremental_two_batch"]
+
+# star contraction must converge to the identical component labeling
+ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
 
 ORACLES["sentence_dedup"] = """
     WITH sents AS (

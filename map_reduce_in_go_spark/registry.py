@@ -176,6 +176,7 @@ def _build() -> None:
         "dedup_simhash",
         "dedup_ngram_jaccard",
         "dedup_clusters",
+        "dedup_clusters_star",
         "dedup_embedding",
         "dedup_embedding_blocked",
         "dedup_minhash_fast",
