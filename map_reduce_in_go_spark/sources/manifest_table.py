@@ -176,12 +176,28 @@ class ManifestTable:
 
     # ---------------------------------------------------------------- read
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Snapshot read: the DataFrame scans exactly one manifest's files."""
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
+        """Snapshot read: the DataFrame scans exactly one manifest's files.
+
+        ``merge_schema=True`` unions the schemas across the snapshot's files
+        (columns added by later appends surface as nulls on older rows) —
+        additive schema evolution without rewriting history, the same
+        contract Delta/Iceberg readers give. The default keeps the
+        first-file schema, which is the cheap path when the schema is
+        known-stable.
+        """
         files = self.files(version)
         if not files:
             raise FileNotFoundError(f"no committed version at {self.root}")
-        return spark.read.parquet(*files)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*files)
 
     # --------------------------------------------------------- maintenance
 

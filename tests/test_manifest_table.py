@@ -162,3 +162,20 @@ def test_compact_retries_over_concurrent_append(spark, tmp_path):
     tbl.compact(spark)
     got = sorted(r["doc_id"] for r in tbl.read(spark).collect())
     assert got == [1, 2, 9], "append landed mid-compaction was lost"
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """A later append may add columns; merge_schema reads surface them with
+    nulls on pre-evolution rows, and the default read still works."""
+    tbl = ManifestTable(str(tmp_path / "t"))
+    tbl.overwrite(_df(spark, [1, 2]))
+    evolved = spark.createDataFrame(
+        [Row(doc_id=3, band_idx=0, band_hash="h3", source="crawl-2")]
+    )
+    tbl.append(evolved)
+    merged = tbl.read(spark, merge_schema=True)
+    assert "source" in merged.columns
+    by_id = {r["doc_id"]: r["source"] for r in merged.collect()}
+    assert by_id[3] == "crawl-2" and by_id[1] is None
+    # default read stays usable on the original columns
+    assert tbl.read(spark).select("doc_id").count() == 3
