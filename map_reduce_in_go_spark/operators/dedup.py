@@ -666,6 +666,47 @@ import threading
 INDEX_MEMO_LOCK = threading.Lock()
 _INDEX_HOME: str | None = None
 _CORPUS_INDEXES: dict[str, str] = {}
+_CORPUS_PENDING: dict[str, threading.Event] = {}
+
+
+def memoized_build(
+    memo: dict[str, str],
+    pending: dict[str, threading.Event],
+    key: str,
+    builder,
+) -> str:
+    """Per-key build latch: memo lookups never wait on another key's build.
+
+    The shared lock guards only the dict check-and-install (microseconds);
+    the minutes-long Spark index build runs outside it behind a per-key
+    Event, so a first call for one sf_dir no longer blocks every other
+    thread's memo lookup — including already-built keys and the IVF memo.
+    Exactly one thread builds each key; waiters block on that key's Event
+    alone. A failed build clears its latch so a waiter retries as the new
+    builder rather than caching the failure.
+    """
+    while True:
+        with INDEX_MEMO_LOCK:
+            if key in memo:
+                return memo[key]
+            ev = pending.get(key)
+            if ev is None:
+                ev = pending[key] = threading.Event()
+                is_builder = True
+            else:
+                is_builder = False
+        if not is_builder:
+            ev.wait()
+            continue  # re-check: result published, or builder failed
+        try:
+            path = builder()
+            with INDEX_MEMO_LOCK:
+                memo[key] = path
+            return path
+        finally:
+            with INDEX_MEMO_LOCK:
+                pending.pop(key, None)
+            ev.set()
 
 
 def band_index_home() -> str:
@@ -689,20 +730,24 @@ def _corpus_index_path(spark: SparkSession, sf_dir: str) -> str:
     sf_dirs sharing a final path segment get distinct indexes. Memoizing the
     build is what makes :func:`dedup_incremental_indexed` probe-only on
     every call after the first — the shape a standing 100 TB index has,
-    where the build amortizes across every batch that ever lands. The lock
-    makes concurrent first calls build exactly once.
+    where the build amortizes across every batch that ever lands. Concurrent
+    first calls build exactly once, behind a per-key latch
+    (:func:`memoized_build`) so unrelated keys never wait on this build.
     """
     key = os.path.realpath(sf_dir)
     home = band_index_home()
-    with INDEX_MEMO_LOCK:
-        if key not in _CORPUS_INDEXES:
-            path = os.path.join(home, f"corpus_{len(_CORPUS_INDEXES)}")
-            corpus = load_table(spark, sf_dir, "documents").filter(
-                F.pmod(F.col("doc_id"), F.lit(2)) == 0
-            )
-            build_band_index(corpus, path)
-            _CORPUS_INDEXES[key] = path
-    return _CORPUS_INDEXES[key]
+
+    def _build() -> str:
+        import uuid as _uuid
+
+        path = os.path.join(home, f"corpus_{_uuid.uuid4().hex[:8]}")
+        corpus = load_table(spark, sf_dir, "documents").filter(
+            F.pmod(F.col("doc_id"), F.lit(2)) == 0
+        )
+        build_band_index(corpus, path)
+        return path
+
+    return memoized_build(_CORPUS_INDEXES, _CORPUS_PENDING, key, _build)
 
 
 def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -829,6 +874,84 @@ def sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             dup.alias("n_dup"),
             F.round(dup.cast("double") / F.count("*"), 6).alias("dup_ratio"),
         )
+    )
+
+
+# --------------------------------------------------------- substring dedup
+
+# Exact substring dedup (the Lee et al. 2022 "Deduplicating Training Data
+# Makes Language Models Better" operator, re-expressed for Spark): find
+# cross-document *long common substrings* — boilerplate/templated spans
+# shorter than a doc but longer than a sentence, the spans doc-level and
+# sentence-level dedup both miss. The paper builds a corpus suffix array;
+# the distributed equivalent is duplicated-k-gram run merging: a duplicated
+# token span of length L ≥ SUBSTR_K contains exactly L−K+1 corpus-duplicated
+# K-grams at consecutive start positions, so sorting/grouping the K-gram
+# space and merging adjacent duplicated starts per doc reconstructs the
+# maximal duplicated spans without ever materializing a suffix array.
+SUBSTR_K = 8  # detection granularity: K-token shingles
+SUBSTR_MIN_TOKENS = 15  # report merged spans at least this many tokens long
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token spans (≥ ``SUBSTR_MIN_TOKENS``) per document.
+
+    Plan, all codegen DataFrame ops:
+
+    1. tokenize once, ``posexplode`` K-token shingles with start position;
+    2. group by the shingle's **md5** (shuffle carries a fixed 32-byte key,
+       not the raw ~50-byte gram text) and keep digests occurring ≥ 2 times
+       corpus-wide — the paper's "appears more than once" criterion;
+    3. semi-join positions against the duplicated digests;
+    4. per-doc run merge with a window: two duplicated K-gram starts whose
+       gap ≤ K cover a contiguous token range, so they extend one span;
+       ``span = [min(pos), max(pos)+K−1]``, filtered to the length floor.
+
+    Output: (doc_id, span_start, span_end, span_len) — the drop list a
+    training pipeline subtracts from each doc before tokenizer packing.
+
+    Scale: the only heavy shuffle is the K-gram aggregation — the same
+    corpus-token-count-shaped sort the suffix-array construction pays, but
+    as a hash partial-aggregate (map-side combine collapses repeats before
+    the wire). The run merge shuffles only duplicated positions, keyed by
+    doc. Nothing is ever all-pairs, and no driver materialization exists.
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return substring_spans(docs)
+
+
+def substring_spans(docs: DataFrame) -> DataFrame:
+    """Core duplicated-span detection over any (doc_id, text) frame."""
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    from ..functions.text import shingles_of
+
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(shingles_of(F.col("toks"), SUBSTR_K)).alias("pos", "gram"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), F.md5("gram").alias("g"))
+    grams = scoped_persist(grams)
+    dup = grams.groupBy("g").agg(F.count("*").alias("n")).filter(F.col("n") >= 2)
+    hits = grams.join(dup.select("g"), "g", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = hits.withColumn(
+        "new_run",
+        F.when(F.col("pos") - F.lag("pos", 1).over(w) <= SUBSTR_K, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn("run_id", F.sum("new_run").over(w))
+    return (
+        runs.groupBy("doc_id", "run_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(SUBSTR_K - 1)).cast("long").alias("span_end"),
+        )
+        .withColumn(
+            "span_len", (F.col("span_end") - F.col("span_start") + 1).cast("long")
+        )
+        .filter(F.col("span_len") >= SUBSTR_MIN_TOKENS)
+        .select("doc_id", "span_start", "span_end", "span_len")
     )
 
 
@@ -1297,6 +1420,42 @@ ORACLES["sentence_dedup"] = """
                  / count(*), 6) AS dup_ratio
     FROM sents s JOIN freq f ON f.sent = s.sent
     GROUP BY s.doc_id
+    """
+
+ORACLES["dedup_substring"] = f"""
+    WITH toks AS (
+      SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, {sql_shingles('toks', SUBSTR_K)} AS sh FROM toks
+    ), grams AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, md5(gram) AS g
+      FROM (
+        SELECT doc_id, unnest(range(1, len(sh) + 1)) AS i, unnest(sh) AS gram
+        FROM sh
+      )
+    ), dup AS (
+      SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+    ), hits AS (
+      SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)
+    ), runs AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {SUBSTR_K}
+                  THEN 0 ELSE 1 END AS new_run
+      FROM hits
+    ), labeled AS (
+      SELECT doc_id, pos,
+             sum(new_run) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM runs
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + {SUBSTR_K - 1} AS BIGINT) AS span_end,
+           CAST(max(pos) + {SUBSTR_K} - min(pos) AS BIGINT) AS span_len
+    FROM labeled
+    GROUP BY doc_id, run_id
+    HAVING max(pos) + {SUBSTR_K} - min(pos) >= {SUBSTR_MIN_TOKENS}
     """
 
 

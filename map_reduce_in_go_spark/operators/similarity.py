@@ -414,6 +414,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # band index (operators/dedup.py band_index_home): unique mkdtemp per
 # interpreter, keyed by resolved sf_dir, removed at exit.
 _IVF_INDEXES: dict[str, str] = {}
+_IVF_PENDING: dict = {}
 
 
 def _centroids(spark: SparkSession, sf_dir: str):
@@ -502,21 +503,24 @@ def _assign_cells(batches, bc, top_n: int, with_cos: bool = False):
 def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per process per resolved sf_dir) the persisted IVF index.
 
-    Guarded by the shared index-memo lock: concurrent first calls build
-    exactly once instead of racing overwrites into one directory.
+    Concurrent first calls build exactly once behind a per-key latch
+    (dedup.memoized_build) instead of racing overwrites into one directory —
+    and without holding the shared memo lock for the build's duration.
     """
     import os as _os
+    import uuid as _uuid
 
-    from .dedup import INDEX_MEMO_LOCK, band_index_home
+    from .dedup import band_index_home, memoized_build
 
     key = _os.path.realpath(sf_dir)
     home = band_index_home()
-    with INDEX_MEMO_LOCK:
-        if key not in _IVF_INDEXES:
-            path = _os.path.join(home, f"ivf_{len(_IVF_INDEXES)}")
-            build_ivf_index(spark, sf_dir, path)
-            _IVF_INDEXES[key] = path
-    return _IVF_INDEXES[key]
+
+    def _build() -> str:
+        path = _os.path.join(home, f"ivf_{_uuid.uuid4().hex[:8]}")
+        build_ivf_index(spark, sf_dir, path)
+        return path
+
+    return memoized_build(_IVF_INDEXES, _IVF_PENDING, key, _build)
 
 
 def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -123,7 +123,12 @@ def events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctly-rounded, making the z-scores deterministic too. Emits events
     with |z| ≥ 2.
     """
-    ev = load_table(spark, sf_dir, "events")
+    return zscore_flags(load_table(spark, sf_dir, "events"))
+
+
+def zscore_flags(ev: DataFrame) -> DataFrame:
+    """Core per-user z-score flagger over any events-shaped frame (split out
+    so the streaming micro-batch twin replays the identical plan)."""
     vd = money("value")
     stats = ev.groupBy("user_id").agg(
         F.count("*").alias("n"),

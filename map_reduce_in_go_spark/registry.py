@@ -188,6 +188,7 @@ def _build() -> None:
         "dedup_incremental_acid",
         "dedup_containment",
         "sentence_dedup",
+        "dedup_substring",
     ])
 
     from .operators import tfidf as _tfidf

@@ -41,8 +41,10 @@ import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 _MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
+_CHECKPOINT_RE = re.compile(r"^checkpoint-v(\d+)\.json$")
 
 
 class CommitConflict(RuntimeError):
@@ -52,10 +54,15 @@ class CommitConflict(RuntimeError):
 class ManifestTable:
     """Parquet table with a JSON manifest log (see module docstring)."""
 
-    def __init__(self, root: str) -> None:
+    def __init__(self, root: str, checkpoint_interval: int | None = 16) -> None:
         self.root = root
         self._data_dir = os.path.join(root, "data")
         self._log_dir = os.path.join(root, "_manifests")
+        # Every N commits, consolidate op history into a checkpoint manifest
+        # and truncate older per-version manifests so log listing stays O(1)
+        # at high commit counts (the Delta-paper checkpoint idea). None
+        # disables auto-checkpointing; checkpoint() can still be called.
+        self.checkpoint_interval = checkpoint_interval
 
     # ------------------------------------------------------------- log I/O
 
@@ -87,22 +94,53 @@ class ManifestTable:
             for name in self._manifest(v)["files"]
         ]
 
-    def _try_commit(self, version: int, files: list[str], op: str) -> bool:
-        """Atomically create v<version>.json; False if that version exists."""
+    def _publish_log_file(self, name: str, payload: str) -> bool:
+        """Make ``name`` appear in the log fully written, or not at all.
+
+        The payload is written (and fsynced) to a temp file first, then
+        ``os.link``ed to the final name: link fails with FileExistsError if
+        the name exists, preserving the exactly-one-winner-per-version
+        property of O_EXCL, while the winning file is visible to readers
+        only with its complete content — a reader can never ``json.load`` a
+        half-written manifest, and a crash mid-write leaves only an inert
+        temp file (cleaned opportunistically), never a wedged empty
+        v<N>.json. This is the atomic-publication rule of Delta's log.
+        """
         os.makedirs(self._log_dir, exist_ok=True)
-        payload = json.dumps(
-            {"version": version, "op": op, "files": sorted(files)}, indent=1
-        )
+        tmp = os.path.join(self._log_dir, f"_tmp_{uuid.uuid4().hex}")
+        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         try:
-            fd = os.open(
-                os.path.join(self._log_dir, f"v{version}.json"),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
-        except FileExistsError:
-            return False
-        with os.fdopen(fd, "w") as f:
-            f.write(payload)
-        return True
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, os.path.join(self._log_dir, name))
+            except FileExistsError:
+                return False
+            return True
+        finally:
+            os.unlink(tmp)
+
+    def _try_commit(
+        self,
+        version: int,
+        files: list[str],
+        op: str,
+        schema_json: str | None = None,
+    ) -> bool:
+        """Atomically create v<version>.json; False if that version exists.
+
+        ``schema_json`` (the DataFrame schema at commit time) pins the
+        snapshot's read schema in the manifest, the way Delta/Iceberg
+        resolve schemas from the log rather than by sampling data files.
+        """
+        manifest = {"version": version, "op": op, "files": sorted(files)}
+        if schema_json is not None:
+            manifest["schema"] = schema_json
+        return self._publish_log_file(
+            f"v{version}.json", json.dumps(manifest, indent=1)
+        )
 
     # --------------------------------------------------------- data writes
 
@@ -132,7 +170,13 @@ class ManifestTable:
         os.rmdir(scratch)
         return names
 
-    def append(self, df: DataFrame, max_retries: int = 20, op: str = "append") -> int:
+    def append(
+        self,
+        df: DataFrame,
+        max_retries: int = 20,
+        op: str = "append",
+        expected_version: int | None = None,
+    ) -> int:
         """ACID append: land files, then commit log-state ∪ new files.
 
         Safe under concurrent appenders: each retry re-reads the newest
@@ -140,13 +184,31 @@ class ManifestTable:
         ``op`` labels the commit in the log (see :meth:`committed_ops`) —
         idempotent writers tag commits with their unit of work (e.g. a
         streaming batch id) and skip re-application on replay.
+
+        ``expected_version`` turns the append into a compare-and-swap: the
+        commit is attempted only on top of exactly that version and
+        :class:`CommitConflict` is raised if any other writer committed
+        first. Writers whose *content* depends on the snapshot they read
+        (e.g. streaming dedup: survivors were probed against version N's
+        bands) use this so a racing commit forces a re-probe instead of
+        silently appending rows derived from a stale view. Data files
+        landed by the failed attempt are unreferenced — invisible to
+        readers and reclaimed by :meth:`vacuum`.
+
         Returns the committed version.
         """
         new_names = self._write_data_files(df)
+        schema_json = df.schema.json()
         for _ in range(max_retries):
             v = self.version()
+            if expected_version is not None and v != expected_version:
+                raise CommitConflict(
+                    f"expected to append on v{expected_version} but table is "
+                    f"at v{v} at {self.root}"
+                )
             live = self._manifest(v)["files"] if v >= 0 else []
-            if self._try_commit(v + 1, live + new_names, op=op):
+            if self._try_commit(v + 1, live + new_names, op=op, schema_json=schema_json):
+                self._maybe_checkpoint(v + 1)
                 return v + 1
         raise CommitConflict(
             f"append lost the commit race {max_retries} times at {self.root}"
@@ -157,9 +219,11 @@ class ManifestTable:
     ) -> int:
         """Replace the table contents in one atomic commit."""
         new_names = self._write_data_files(df)
+        schema_json = df.schema.json()
         for _ in range(max_retries):
             v = self.version()
-            if self._try_commit(v + 1, new_names, op=op):
+            if self._try_commit(v + 1, new_names, op=op, schema_json=schema_json):
+                self._maybe_checkpoint(v + 1)
                 return v + 1
         raise CommitConflict(
             f"overwrite lost the commit race {max_retries} times at {self.root}"
@@ -170,9 +234,87 @@ class ManifestTable:
 
         The replay-detection hook: a writer that tags its commit with its
         unit of work checks membership here before re-applying — the same
-        role Delta's txn appId/version pair plays.
+        role Delta's txn appId/version pair plays. History older than the
+        newest checkpoint is read from the checkpoint's consolidated op
+        list (per-version manifests below it may have been truncated).
         """
-        return {self._manifest(v)["op"] for v in self._versions()}
+        for _ in range(3):
+            ckpt_v, ckpt = self._latest_checkpoint()
+            ops = set(ckpt["ops"]) if ckpt is not None else set()
+            try:
+                ops.update(
+                    self._manifest(v)["op"]
+                    for v in self._versions()
+                    if v > ckpt_v
+                )
+            except FileNotFoundError:
+                continue  # concurrent checkpoint truncated mid-listing; redo
+            return ops
+        raise CommitConflict(f"checkpoint churn while listing ops at {self.root}")
+
+    # ---------------------------------------------------------- checkpoints
+
+    def _checkpoint_versions(self) -> list[int]:
+        try:
+            names = os.listdir(self._log_dir)
+        except FileNotFoundError:
+            return []
+        return sorted(
+            int(m.group(1)) for n in names if (m := _CHECKPOINT_RE.match(n))
+        )
+
+    def _latest_checkpoint(self) -> tuple[int, dict | None]:
+        vs = self._checkpoint_versions()
+        if not vs:
+            return -1, None
+        with open(
+            os.path.join(self._log_dir, f"checkpoint-v{vs[-1]}.json")
+        ) as f:
+            return vs[-1], json.load(f)
+
+    def checkpoint(self) -> int:
+        """Consolidate op history ≤ newest version; truncate older manifests.
+
+        Writes ``checkpoint-v<N>.json`` holding the full op list up to N
+        (atomically, same publication rule as commits), then deletes
+        ``v<k>.json`` for k < N. The newest manifest is self-contained (it
+        lists the snapshot's full file set), so after truncation the log
+        holds O(1) files regardless of commit count — Delta's checkpoint +
+        log-retention design. Time travel to versions < N stops working,
+        which is the documented retention trade. Returns N (or -1 on an
+        empty table).
+        """
+        n = self.version()
+        if n < 0:
+            return -1
+        ops = self.committed_ops()
+        self._publish_log_file(
+            f"checkpoint-v{n}.json",
+            json.dumps({"version": n, "ops": sorted(ops)}, indent=1),
+        )
+        for v in self._versions():
+            if v < n:
+                try:
+                    os.unlink(os.path.join(self._log_dir, f"v{v}.json"))
+                except FileNotFoundError:
+                    pass  # a concurrent checkpoint already truncated it
+        for cv in self._checkpoint_versions():
+            if cv < n:
+                try:
+                    os.unlink(
+                        os.path.join(self._log_dir, f"checkpoint-v{cv}.json")
+                    )
+                except FileNotFoundError:
+                    pass
+        return n
+
+    def _maybe_checkpoint(self, committed_version: int) -> None:
+        if (
+            self.checkpoint_interval
+            and committed_version > 0
+            and committed_version % self.checkpoint_interval == 0
+        ):
+            self.checkpoint()
 
     # ---------------------------------------------------------------- read
 
@@ -187,17 +329,27 @@ class ManifestTable:
         ``merge_schema=True`` unions the schemas across the snapshot's files
         (columns added by later appends surface as nulls on older rows) —
         additive schema evolution without rewriting history, the same
-        contract Delta/Iceberg readers give. The default keeps the
-        first-file schema, which is the cheap path when the schema is
-        known-stable.
+        contract Delta/Iceberg readers give. The default reads with the
+        schema pinned in the snapshot's manifest (recorded at commit time,
+        the way Delta/Iceberg resolve snapshot schemas from the log), so
+        the column set is deterministic regardless of which data file
+        Spark would have sampled; manifests from before schema pinning
+        fall back to the first file's footer, explicitly, for the same
+        determinism.
         """
-        files = self.files(version)
+        v = self.version() if version is None else version
+        files = self.files(v)
         if not files:
             raise FileNotFoundError(f"no committed version at {self.root}")
         reader = spark.read
         if merge_schema:
-            reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*files)
+            return reader.option("mergeSchema", "true").parquet(*files)
+        schema_json = self._manifest(v).get("schema")
+        if schema_json is not None:
+            schema = StructType.fromJson(json.loads(schema_json))
+        else:
+            schema = spark.read.parquet(files[0]).schema
+        return reader.schema(schema).parquet(*files)
 
     # --------------------------------------------------------- maintenance
 
@@ -225,7 +377,10 @@ class ManifestTable:
             new_names = self._write_data_files(df.coalesce(num_files))
             if self.version() != base:
                 continue  # an append landed mid-rewrite; redo on new base
-            if self._try_commit(base + 1, new_names, op="compact"):
+            if self._try_commit(
+                base + 1, new_names, op="compact", schema_json=df.schema.json()
+            ):
+                self._maybe_checkpoint(base + 1)
                 return base + 1
         raise CommitConflict(
             f"compact lost the commit race {max_retries} times at {self.root}"

@@ -30,7 +30,7 @@ from ..functions.caching import (
     release_persisted_since,
 )
 from ..operators.dedup import bands_of_docs, dedup_batch_against_bands
-from ..sources.manifest_table import ManifestTable
+from ..sources.manifest_table import CommitConflict, ManifestTable
 from .sinks import write_batch_idempotent
 
 
@@ -61,6 +61,18 @@ def ingest_batch(
     first the optimistic retry folds both — an ``overwrite`` here would
     discard the racer's committed bands.
 
+    Cross-writer dedup is serializable, not best-effort: the batch's index
+    append is a compare-and-swap on the version the probe read
+    (``expected_version``), so if a concurrent writer (the advertised
+    backfill shape) commits between our probe and our append, the CAS
+    fails and we re-probe the *delta files only* — the racer's bands —
+    before retrying. Without this, two racing writers each probing a
+    snapshot that lacks the other's bands would both keep their copies of
+    a shared near-duplicate. Cost stays batch-shaped: the common case is
+    one CAS that lands, and a conflict re-probes survivors against only
+    the files added since the last probe (a compaction swap degrades to a
+    full re-probe, which is rare and still batch × index, never corpus²).
+
     Caches created for this batch (the probe's persisted signature/band
     frames and the survivors checkpoint) are released before returning —
     a long-running stream must not accumulate per-batch storage.
@@ -69,16 +81,51 @@ def ingest_batch(
     if op in tbl.committed_ops():
         return False
     mark = persisted_count()
-    if tbl.version() < 0:
+    probed_v = tbl.version()
+    if probed_v < 0:
         old_bands = spark.createDataFrame([], "band_idx int, band_hash string")
     else:
-        old_bands = tbl.read(spark)
+        old_bands = tbl.read(spark, probed_v)
     survivors = dedup_batch_against_bands(batch_df, old_bands).localCheckpoint(
         eager=True
     )
-    surviving_docs = batch_df.join(survivors, "doc_id", "left_semi")
-    write_batch_idempotent(surviving_docs.select("doc_id", "text"), batch_id, out_dir)
-    tbl.append(bands_of_docs(surviving_docs), op=op)
+    committed = False
+    for _ in range(10):
+        cur_v = tbl.version()
+        if cur_v != probed_v:
+            # a racer committed since our probe: dedup the remaining
+            # survivors against just the bands it added, then CAS again
+            try:
+                prev = set(tbl.files(probed_v)) if probed_v >= 0 else set()
+            except FileNotFoundError:
+                prev = set()  # log truncated by a checkpoint; full re-probe
+            delta = [f for f in tbl.files(cur_v) if f not in prev]
+            if delta:
+                remaining = batch_df.join(survivors, "doc_id", "left_semi")
+                superseded = survivors
+                survivors = dedup_batch_against_bands(
+                    remaining, spark.read.parquet(*delta)
+                ).localCheckpoint(eager=True)
+                free_local_checkpoint(superseded)
+            probed_v = cur_v
+            continue
+        surviving_docs = batch_df.join(survivors, "doc_id", "left_semi")
+        write_batch_idempotent(
+            surviving_docs.select("doc_id", "text"), batch_id, out_dir
+        )
+        try:
+            tbl.append(bands_of_docs(surviving_docs), op=op, expected_version=probed_v)
+            committed = True
+            break
+        except CommitConflict:
+            continue  # loop re-reads the version and probes the delta
+    if not committed:
+        release_persisted_since(mark)
+        free_local_checkpoint(survivors)
+        raise CommitConflict(
+            f"batch {batch_id} re-probed 10 times without landing its append "
+            f"at {tbl.root}; Spark will retry the batch"
+        )
     if max_files is not None and len(tbl.files()) > max_files:
         # maintenance rides the ingest loop: every append adds a file set,
         # so a long-running stream would otherwise accumulate thousands of

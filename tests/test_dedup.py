@@ -251,3 +251,58 @@ def test_graph_triangles_consistent(spark, sf_dir):
     total = sum(r["n_triangles"] for r in rows)
     assert total % 3 == 0 and total > 0
     assert all(r["n_triangles"] >= 1 for r in rows)
+
+
+def test_substring_spans_known_boilerplate(spark):
+    """A 20-token boilerplate block shared by two docs is recovered as one
+    maximal span in each, with exact start/end; a unique doc reports none;
+    spans shorter than the floor are suppressed."""
+    from map_reduce_in_go_spark.functions.caching import release_persisted
+    from map_reduce_in_go_spark.operators.dedup import (
+        SUBSTR_MIN_TOKENS,
+        substring_spans,
+    )
+
+    boiler = " ".join(f"legal{i}" for i in range(20))  # 20-token shared block
+    short = " ".join(f"tiny{i}" for i in range(10))  # 10 < floor: suppressed
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"alpha bravo {boiler} charlie delta"),
+            Row(doc_id=2, text=f"{boiler} echo foxtrot golf hotel india one two"),
+            Row(doc_id=3, text="nothing here repeats with any other document at all"),
+            Row(doc_id=4, text=f"intro words {short} outro words closing remark done"),
+            Row(doc_id=5, text=f"other leadin {short} trailer text finale statement over"),
+        ]
+    )
+    rows = substring_spans(docs).collect()
+    release_persisted()
+    got = {r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"]) for r in rows}
+    assert set(got) == {1, 2}, f"unexpected span docs: {got}"
+    # doc 1: boiler occupies token positions 2..21; doc 2: 0..19
+    assert got[1] == (2, 21, 20)
+    assert got[2] == (0, 19, 20)
+    assert all(r["span_len"] >= SUBSTR_MIN_TOKENS for r in rows)
+
+
+def test_substring_spans_merge_overlapping_windows(spark):
+    """Two duplicated regions that overlap merge into one maximal span —
+    the run-merge gap rule (<= K) must bridge non-adjacent window starts."""
+    from map_reduce_in_go_spark.functions.caching import release_persisted
+    from map_reduce_in_go_spark.operators.dedup import substring_spans
+
+    a = " ".join(f"a{i}" for i in range(16))
+    b = " ".join(f"b{i}" for i in range(16))
+    # doc 10 holds a+b contiguously; docs 11/12 each share one half, so the
+    # duplicated coverage of doc 10 is the full 32 tokens in one span
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=f"{a} {b}"),
+            Row(doc_id=11, text=f"pre1 pre2 pre3 {a} post1 post2 post3 post4"),
+            Row(doc_id=12, text=f"lead1 lead2 lead3 {b} tail1 tail2 tail3 tail4"),
+        ]
+    )
+    rows = substring_spans(docs).collect()
+    release_persisted()
+    got = {r["doc_id"]: (r["span_start"], r["span_end"]) for r in rows}
+    assert got[10] == (0, 31), f"halves not merged: {got}"
+    assert got[11] == (3, 18) and got[12] == (3, 18)

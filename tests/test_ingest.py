@@ -138,6 +138,44 @@ def test_ingest_stream_restart_resumes(spark, tmp_path):
     assert {"ingest-batch-0", "ingest-batch-1"} <= tbl.committed_ops()
 
 
+def test_cross_writer_race_reprobes_delta(spark, tmp_path, monkeypatch):
+    """A backfill writer committing between this batch's probe and its append
+    must not leave both writers' copies of a shared near-duplicate: the CAS
+    append fails, the batch re-probes the racer's delta files, and only the
+    novel doc survives."""
+    from map_reduce_in_go_spark.operators.dedup import bands_of_docs
+    from map_reduce_in_go_spark.streaming import ingest as ing
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    batch = spark.createDataFrame(
+        [(1, shared), (2, "completely different words about manifest logs here")],
+        DOC_SCHEMA,
+    )
+    racer = spark.createDataFrame([(100, shared)], DOC_SCHEMA)
+    tbl = ManifestTable(str(tmp_path / "idx"))
+    out = str(tmp_path / "landing")
+    state = {"raced": False}
+    orig_write = ing.write_batch_idempotent
+
+    def racing_write(df, bid, out_dir):
+        if not state["raced"]:
+            state["raced"] = True  # backfill lands AFTER our probe ran
+            ManifestTable(tbl.root).append(
+                bands_of_docs(racer), op="backfill-batch-0"
+            )
+        return orig_write(df, bid, out_dir)
+
+    monkeypatch.setattr(ing, "write_batch_idempotent", racing_write)
+    assert ing.ingest_batch(spark, batch, tbl, out, 0, app_id="stream") is True
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {2}, "doc 1 duplicated the racer's doc 100 and must drop"
+    idx_docs = {
+        r["doc_id"] for r in tbl.read(spark).select("doc_id").distinct().collect()
+    }
+    assert idx_docs == {100, 2}
+    assert {"backfill-batch-0", "stream-batch-0"} <= tbl.committed_ops()
+
+
 def test_ingest_auto_compaction_bounds_files(spark, sf_dir, tmp_path):
     """With max_files set, repeated batches keep the index's file count
     bounded and the dedup content intact."""

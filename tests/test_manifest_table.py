@@ -164,6 +164,95 @@ def test_compact_retries_over_concurrent_append(spark, tmp_path):
     assert got == [1, 2, 9], "append landed mid-compaction was lost"
 
 
+def test_crashed_commit_leaves_log_usable(spark, tmp_path):
+    """A writer that dies mid-manifest-write must not wedge the table.
+
+    Manifests are published via temp-write + fsync + os.link, so the only
+    artifact of a crash between open and link is an inert temp file that no
+    reader pattern matches — never an empty v<N>.json that would make
+    version() report a state json.load can't read.
+    """
+    tbl = ManifestTable(str(tmp_path / "t"))
+    tbl.overwrite(_df(spark, [1]))
+    # simulate the crash window: payload partially on disk, never linked
+    with open(os.path.join(tbl._log_dir, "_tmp_deadbeef"), "w") as f:
+        f.write('{"version": 99, "op":')
+    assert tbl.version() == 0
+    assert sorted(r["doc_id"] for r in tbl.read(spark).collect()) == [1]
+    assert tbl.append(_df(spark, [2])) == 1  # table not wedged
+
+
+def test_publish_loser_leaves_no_debris(spark, tmp_path):
+    tbl = ManifestTable(str(tmp_path / "t"))
+    tbl.overwrite(_df(spark, [1]))
+    assert not tbl._publish_log_file("v0.json", "{}")  # loses to the commit
+    leftovers = [n for n in os.listdir(tbl._log_dir) if n.startswith("_tmp_")]
+    assert leftovers == []
+    assert tbl._manifest(0)["files"]  # winner's content untouched
+
+
+def test_checkpoint_truncates_log_preserving_ops_and_state(spark, tmp_path):
+    tbl = ManifestTable(str(tmp_path / "t"), checkpoint_interval=None)
+    tbl.overwrite(_df(spark, [1]), op="batch-0")
+    for i in range(2, 5):
+        tbl.append(_df(spark, [i]), op=f"batch-{i - 1}")
+    assert tbl.checkpoint() == 3
+    manifests = [n for n in os.listdir(tbl._log_dir) if n.startswith("v")]
+    assert manifests == ["v3.json"], "older per-version manifests truncated"
+    # state, history, and subsequent commits all survive truncation
+    assert sorted(r["doc_id"] for r in tbl.read(spark).collect()) == [1, 2, 3, 4]
+    assert tbl.committed_ops() == {"batch-0", "batch-1", "batch-2", "batch-3"}
+    tbl.append(_df(spark, [5]), op="batch-4")
+    assert tbl.version() == 4
+    assert "batch-4" in tbl.committed_ops() and "batch-0" in tbl.committed_ops()
+
+
+def test_auto_checkpoint_bounds_log_listing(spark, tmp_path):
+    """With an interval set, the log never accumulates unbounded manifests —
+    the O(1)-listing property the Delta paper's checkpoints exist for."""
+    tbl = ManifestTable(str(tmp_path / "t"), checkpoint_interval=3)
+    tbl.overwrite(_df(spark, [0]))
+    for i in range(1, 8):
+        tbl.append(_df(spark, [i]))
+    log = os.listdir(tbl._log_dir)
+    manifests = [n for n in log if n.startswith("v")]
+    assert len(manifests) <= 3  # newest checkpointed version .. head, not 8
+    assert len([n for n in log if n.startswith("checkpoint-")]) == 1
+    got = sorted(r["doc_id"] for r in tbl.read(spark).collect())
+    assert got == list(range(8))
+
+
+def test_vacuum_retention_protects_active_snapshot(spark, tmp_path):
+    """A reader inside the retention window keeps a readable snapshot even
+    after compaction rewrites the live file set."""
+    tbl = ManifestTable(str(tmp_path / "t"))
+    tbl.overwrite(_df(spark, [1, 2]))
+    snap = tbl.read(spark)  # resolves v0's files
+    tbl.compact(spark)  # v1 swaps in fresh files; v0's are now dead
+    assert tbl.vacuum() == 0  # default horizon: dead-but-fresh files retained
+    assert sorted(r["doc_id"] for r in snap.collect()) == [1, 2]
+    # outside the window (simulated with horizon 0) the dead files go away —
+    # the documented point at which old snapshots stop being readable
+    assert tbl.vacuum(retain_seconds=0) > 0
+    assert sorted(r["doc_id"] for r in tbl.read(spark).collect()) == [1, 2]
+
+
+def test_default_read_schema_is_pinned_to_manifest(spark, tmp_path):
+    """After additive evolution, the default read's column set comes from
+    the commit-time schema in the manifest — deterministic, not whichever
+    data file Spark happens to sample."""
+    tbl = ManifestTable(str(tmp_path / "t"))
+    tbl.overwrite(_df(spark, [1, 2]))
+    evolved = spark.createDataFrame(
+        [Row(doc_id=3, band_idx=0, band_hash="h3", source="crawl-2")]
+    )
+    tbl.append(evolved)
+    got = tbl.read(spark)
+    assert got.columns == evolved.columns  # newest commit's schema, exactly
+    by_id = {r["doc_id"]: r["source"] for r in got.collect()}
+    assert by_id[3] == "crawl-2" and by_id[1] is None
+
+
 def test_schema_evolution_merge_read(spark, tmp_path):
     """A later append may add columns; merge_schema reads surface them with
     nulls on pre-evolution rows, and the default read still works."""
