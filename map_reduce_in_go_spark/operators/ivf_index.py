@@ -1,0 +1,379 @@
+"""Evolvable IVF index: per-cell tables under an ACID catalog commit.
+
+``build_ivf_index`` (operators/similarity.py) materializes the inverted
+file as static parquet — the serving layout, but with no evolution story:
+``cluster_silhouette`` measures cell quality and nothing acts on it. This
+module is the maintenance layer a vector database runs around that layout:
+
+- **Catalog-as-commit-point.** The index is a set of per-cell
+  :class:`ManifestTable`\\ s plus one *catalog* table whose rows are
+  ``(cid, centroid, path, version)``. Readers resolve ONE catalog snapshot
+  and then read exactly the referenced cell tables at their **pinned
+  versions** — so any maintenance operation (split, rebalance, re-center)
+  becomes visible atomically at the catalog commit, and a reader holding
+  an older catalog keeps a fully consistent older index. This is the
+  two-level metadata layering lakehouse metastores use: data commits are
+  per-table, atomicity across tables comes from the catalog swap.
+- **Silhouette-driven splitting.** ``split_worst_cell`` picks the cell
+  with the worst mean assignment margin (the :func:`cluster_silhouette`
+  statistic, recomputed from catalog centroids), splits it on the median
+  projection along its most marginal member's direction (deterministic —
+  no iterative k-means, ties on vec_id), writes the two children as fresh
+  cell tables, and CAS-commits the catalog on the version it planned
+  against — a racing maintenance job loses the commit, not the index.
+
+Scale posture: a split reads and rewrites ONLY the split cell's rows
+(cost ∝ cell size, never index size); probes read only the NPROBE
+referenced cell tables; the catalog is O(#cells) rows of metadata. Old
+cell tables stay on disk for snapshot readers until ``vacuum``.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.manifest_table import ManifestTable
+from .similarity import (
+    NPROBE,
+    QUERY_MOD,
+    TOP_K,
+    _assign_cells,
+    _centroids,
+    _exact_pair_scores,
+    _vectors,
+)
+
+
+def _dot_lit(vec):
+    """Catalyst dot product of column ``e`` with a literal vector."""
+    return F.aggregate(
+        F.zip_with(
+            "e", F.array(*[F.lit(float(x)) for x in vec]), lambda a, b: a * b
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+class EvolvableIvfIndex:
+    """IVF inverted file with atomic, snapshot-safe cell evolution."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.catalog = ManifestTable(os.path.join(root, "catalog"))
+
+    # ------------------------------------------------------------- building
+
+    def _new_cell_table(self, df: DataFrame) -> tuple[str, int]:
+        """Write (vec_id, e) rows as a fresh cell table; returns (relpath, v)."""
+        rel = os.path.join("cells", uuid.uuid4().hex[:12])
+        tbl = ManifestTable(os.path.join(self.root, rel))
+        v = tbl.overwrite(df.select("vec_id", "e"))
+        return rel, v
+
+    def build(self, spark: SparkSession, sf_dir: str) -> None:
+        """Assign every vector to its argmax-cosine centroid and commit.
+
+        Same deterministic coarse quantizer and assignment kernel as
+        ``ann_ivf`` (similarity.py), so the initial index is the one the
+        oracle-checked queries serve from.
+        """
+        bc = spark.sparkContext.broadcast(_centroids(spark, sf_dir))
+        c_ids, c_mat, _, _ = bc.value
+        vecs = _vectors(spark, sf_dir).select("vec_id", "e")
+        assign = (
+            vecs.repartition(spark.sparkContext.defaultParallelism)
+            .mapInPandas(
+                lambda it: _assign_cells(it, bc, 1),
+                schema="vec_id long, rank int, cid long",
+            )
+            .filter(F.col("rank") == 1)
+            .select("vec_id", "cid")
+        )
+        rows = vecs.join(assign, "vec_id")
+        entries = []
+        for i, cid in enumerate(c_ids):
+            rel, v = self._new_cell_table(rows.filter(F.col("cid") == int(cid)))
+            entries.append(
+                (int(cid), [float(x) for x in c_mat[i]], rel, v)
+            )
+        self.catalog.overwrite(
+            spark.createDataFrame(
+                entries, "cid long, centroid array<double>, path string, version int"
+            )
+        )
+
+    # -------------------------------------------------------------- reading
+
+    def snapshot(self, spark: SparkSession, catalog_version: int | None = None):
+        """One consistent view: [(cid, centroid, path, pinned version)]."""
+        rows = self.catalog.read(spark, catalog_version).collect()
+        return sorted(
+            (r["cid"], np.array(r["centroid"]), r["path"], r["version"])
+            for r in rows
+        )
+
+    def _centroid_pack(self, snap):
+        c_ids = np.array([c for c, _, _, _ in snap], dtype=np.int64)
+        c_mat = np.stack([e for _, e, _, _ in snap])
+        c_unit = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+        c_norms = np.sqrt(np.cumsum(c_mat * c_mat, axis=1)[:, -1])
+        return c_ids, c_mat, c_unit, c_norms
+
+    def _read_cells(self, spark: SparkSession, snap, cids) -> DataFrame:
+        """Union of the referenced cell tables, each at its pinned version."""
+        want = set(int(c) for c in cids)
+        parts = [
+            ManifestTable(os.path.join(self.root, path))
+            .read(spark, version)
+            .withColumn("cid", F.lit(cid))
+            for cid, _, path, version in snap
+            if cid in want
+        ]
+        if not parts:
+            raise ValueError(f"no cells among {sorted(want)} in catalog")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def probe(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        nprobe: int = NPROBE,
+        catalog_version: int | None = None,
+    ) -> DataFrame:
+        """Top-k ANN for the standard query subset, served from the index.
+
+        Identical probe shape to ``ann_ivf_indexed``: query → nprobe cells
+        via one tiny GEMM against the catalog's centroids, then exact
+        rescoring of only those cells' members.
+        """
+        snap = self.snapshot(spark, catalog_version)
+        bc = spark.sparkContext.broadcast(self._centroid_pack(snap))
+        vecs = _vectors(spark, sf_dir)
+        queries = (
+            vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
+            .select("vec_id", "e")
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+        probes = queries.mapInPandas(
+            lambda it: _assign_cells(it, bc, nprobe),
+            schema="vec_id long, rank int, cid long",
+        ).select(F.col("vec_id").alias("query_id"), "cid")
+        from ..functions.caching import scoped_persist
+
+        probes = scoped_persist(probes)
+        probe_cids = [r["cid"] for r in probes.select("cid").distinct().collect()]
+        members = self._read_cells(spark, snap, probe_cids)
+        cand = (
+            members.join(F.broadcast(probes), "cid")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id")
+            .distinct()
+        )
+        qv = vecs.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+        scored = _exact_pair_scores(
+            cand.join(F.broadcast(qv), "query_id").join(
+                vecs.select("vec_id", "e"), "vec_id"
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos", "rank")
+        )
+
+    # ---------------------------------------------------------- maintenance
+
+    def cell_margins(
+        self, spark: SparkSession, catalog_version: int | None = None
+    ) -> DataFrame:
+        """Per-cell (n_members, mean a-cos, mean margin) from the catalog.
+
+        The silhouette statistic over the *index's own* members and
+        centroid set — the signal :meth:`split_worst_cell` acts on.
+        """
+        snap = self.snapshot(spark, catalog_version)
+        bc = spark.sparkContext.broadcast(self._centroid_pack(snap))
+        members = self._read_cells(spark, snap, [c for c, _, _, _ in snap])
+        ranked = (
+            members.select("vec_id", "e")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .mapInPandas(
+                lambda it: _assign_cells(it, bc, 2, with_cos=True),
+                schema="vec_id long, rank int, cid long, cos double",
+            )
+        )
+        a = ranked.filter(F.col("rank") == 1).select(
+            "vec_id", F.col("cid").alias("assigned_cid"), F.col("cos").alias("a")
+        )
+        b = ranked.filter(F.col("rank") == 2).select(
+            "vec_id", F.col("cos").alias("b")
+        )
+        return (
+            a.join(b, "vec_id")
+            .groupBy("assigned_cid")
+            .agg(
+                F.count("*").alias("n_members"),
+                F.round(F.avg("a"), 6).alias("mean_a"),
+                F.round(F.avg(F.col("a") - F.col("b")), 6).alias("mean_margin"),
+            )
+        )
+
+    def stored_cell_stats(
+        self, spark: SparkSession, catalog_version: int | None = None
+    ) -> DataFrame:
+        """Per-cell (n_members, mean cos to OWN centroid) from *storage*.
+
+        :meth:`cell_margins` re-derives argmax assignment (the quality a
+        probe experiences); this reads the membership as committed — the
+        pair of views diverges exactly when cells are stale enough that
+        members would migrate, which is itself a rebalance signal.
+        """
+        snap = self.snapshot(spark, catalog_version)
+        parts = []
+        for cid, cvec, path, version in snap:
+            members = ManifestTable(os.path.join(self.root, path)).read(
+                spark, version
+            )
+            parts.append(
+                members.select(
+                    F.lit(int(cid)).alias("cid"),
+                    (
+                        _dot_lit(cvec)
+                        / (
+                            F.sqrt(
+                                F.aggregate(
+                                    F.zip_with("e", "e", lambda a, b: a * b),
+                                    F.lit(0.0),
+                                    lambda acc, x: acc + x,
+                                )
+                            )
+                            * float(np.linalg.norm(cvec))
+                        )
+                    ).alias("cos_c"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.groupBy("cid").agg(
+            F.count("*").alias("n_members"),
+            F.round(F.avg("cos_c"), 6).alias("mean_cos"),
+        )
+
+    def split_worst_cell(self, spark: SparkSession, max_retries: int = 5) -> int:
+        """Split the worst-margin cell in two; atomic catalog swap.
+
+        Deterministic median-plane split: direction = the member with the
+        lowest cosine to its centroid (ties → lower vec_id); members are
+        ranked by (projection onto that direction, vec_id) and the lower
+        half becomes one child, the rest the other; each child's centroid
+        is its arithmetic mean. Readers never see a half-built index: the
+        children's tables are invisible until the one catalog commit, which
+        is CAS'd on the planned-against version (a racing maintenance job
+        retries against the new state). Returns the new catalog version.
+        """
+        from ..sources.manifest_table import CommitConflict
+
+        for _ in range(max_retries):
+            base = self.catalog.version()
+            snap = self.snapshot(spark, base)
+            worst = (
+                self.cell_margins(spark, base)
+                .orderBy(F.asc("mean_margin"), F.asc("assigned_cid"))
+                .first()["assigned_cid"]
+            )
+            entry = next(s for s in snap if s[0] == worst)
+            members = self._read_cells(spark, [entry], [worst]).select("vec_id", "e")
+
+            cvec = entry[1]
+            dots_to_c = members.select(
+                "vec_id",
+                F.aggregate(
+                    F.zip_with(
+                        "e",
+                        F.array(*[F.lit(float(x)) for x in cvec]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dot_c"),
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with("e", "e", lambda a, b: a * b),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ).alias("nrm"),
+            ).withColumn("cos_c", F.col("dot_c") / F.col("nrm"))
+            far = (
+                members.join(dots_to_c.select("vec_id", "cos_c"), "vec_id")
+                .orderBy(F.asc("cos_c"), F.asc("vec_id"))
+                .select("e")
+                .first()["e"]
+            )
+            proj = members.select(
+                "vec_id",
+                "e",
+                F.aggregate(
+                    F.zip_with(
+                        "e",
+                        F.array(*[F.lit(float(x)) for x in far]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("p"),
+            )
+            w = Window.orderBy("p", "vec_id")
+            n = members.count()
+            halves = proj.withColumn(
+                "side", (F.row_number().over(w) > n // 2).cast("int")
+            )
+            new_entries = []
+            max_cid = max(c for c, _, _, _ in snap)
+            for side in (0, 1):
+                part = halves.filter(F.col("side") == side)
+                cent = (
+                    part.select(F.posexplode("e").alias("pos", "x"))
+                    .groupBy("pos")
+                    .agg(F.avg("x").alias("m"))
+                    .orderBy("pos")
+                    .collect()
+                )
+                rel, v = self._new_cell_table(part)
+                new_entries.append(
+                    (
+                        int(max_cid + 1 + side),
+                        [float(r["m"]) for r in cent],
+                        rel,
+                        v,
+                    )
+                )
+            kept = [
+                (c, [float(x) for x in e], p, v)
+                for c, e, p, v in snap
+                if c != worst
+            ]
+            new_cat = spark.createDataFrame(
+                kept + new_entries,
+                "cid long, centroid array<double>, path string, version int",
+            )
+            try:
+                return self.catalog.overwrite(
+                    new_cat, op=f"split-{worst}", expected_version=base
+                )
+            except CommitConflict:
+                continue  # replan against the racer's committed state
+        raise CommitConflict(
+            f"split lost the catalog race {max_retries} times at {self.root}"
+        )

@@ -215,13 +215,29 @@ class ManifestTable:
         )
 
     def overwrite(
-        self, df: DataFrame, max_retries: int = 20, op: str = "overwrite"
+        self,
+        df: DataFrame,
+        max_retries: int = 20,
+        op: str = "overwrite",
+        expected_version: int | None = None,
     ) -> int:
-        """Replace the table contents in one atomic commit."""
+        """Replace the table contents in one atomic commit.
+
+        ``expected_version`` makes the replace a compare-and-swap (see
+        :meth:`append`): writers whose new contents were *derived from* a
+        snapshot (read-modify-write maintenance like an index split) pass
+        the version they planned against so a racing commit forces a
+        replan instead of silently clobbering it.
+        """
         new_names = self._write_data_files(df)
         schema_json = df.schema.json()
         for _ in range(max_retries):
             v = self.version()
+            if expected_version is not None and v != expected_version:
+                raise CommitConflict(
+                    f"expected to overwrite v{expected_version} but table is "
+                    f"at v{v} at {self.root}"
+                )
             if self._try_commit(v + 1, new_names, op=op, schema_json=schema_json):
                 self._maybe_checkpoint(v + 1)
                 return v + 1
