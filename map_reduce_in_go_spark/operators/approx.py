@@ -37,4 +37,27 @@ def events_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-aggregated mergeable HLL sketches: the 100 TB distinct-count cube.
+
+    Builds one Datasketches HLL sketch per (day, event_type) — the stored
+    rollup a real pipeline materializes once per partition — then answers
+    the per-type distinct-user question by ``hll_union_agg`` over the day
+    sketches, never re-touching the raw events. The pytest twin asserts the
+    union-of-parts estimate equals the single-pass whole-table sketch
+    estimate exactly (register-state merging is order- and
+    partitioning-invariant), which is the property that lets sketches
+    answer any date-range query from per-partition state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"), F.count("*").alias("n"))
+    return daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.sum("n").alias("n_events"),
+        F.count("*").alias("n_days"),
+    )
+
+
 ORACLES: dict[str, str] = {}

@@ -955,6 +955,49 @@ def substring_spans(docs: DataFrame) -> DataFrame:
     )
 
 
+def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaned corpus after substring-dedup span subtraction.
+
+    The user-facing end of :func:`dedup_substring` (what Lee et al. 2022
+    actually ship to training): every document keeps its token sequence
+    minus the tokens inside its duplicated spans. Span coordinates are in
+    token space, so the cleaned text is the surviving tokens space-joined —
+    plus before/after/dropped token counts for the curation ledger.
+
+    Plan: spans collapse to one per-doc array (spans are non-overlapping by
+    the run-merge construction), one left join onto the tokenized corpus,
+    and the subtraction is a single positional-lambda ``filter`` over the
+    token array — no token-level explosion, no shuffle beyond the one
+    doc_id join (span side ≪ corpus side).
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    spans = substring_spans(docs)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("sp")
+    )
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    empty = F.array().cast("array<struct<span_start:bigint,span_end:bigint>>")
+    j = toks.join(per_doc, "doc_id", "left").withColumn(
+        "sp", F.coalesce(F.col("sp"), empty)
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda t, i: ~F.exists(
+            F.col("sp"),
+            lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+        ),
+    )
+    return j.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_dropped"),
+    )
+
+
 def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The surviving corpus after cluster-level near-dedup.
 
@@ -1422,7 +1465,9 @@ ORACLES["sentence_dedup"] = """
     GROUP BY s.doc_id
     """
 
-ORACLES["dedup_substring"] = f"""
+# shared CTE chain: tokenized docs → positioned K-grams → duplicated-run
+# labels; both substring oracles build on it
+_SUBSTR_CTES = f"""
     WITH toks AS (
       SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
     ), sh AS (
@@ -1448,15 +1493,56 @@ ORACLES["dedup_substring"] = f"""
              sum(new_run) OVER (PARTITION BY doc_id ORDER BY pos
                                 ROWS UNBOUNDED PRECEDING) AS run_id
       FROM runs
+    )"""
+
+_SUBSTR_SPAN_SELECT = f"""
+      SELECT doc_id,
+             CAST(min(pos) AS BIGINT) AS span_start,
+             CAST(max(pos) + {SUBSTR_K - 1} AS BIGINT) AS span_end,
+             CAST(max(pos) + {SUBSTR_K} - min(pos) AS BIGINT) AS span_len
+      FROM labeled
+      GROUP BY doc_id, run_id
+      HAVING max(pos) + {SUBSTR_K} - min(pos) >= {SUBSTR_MIN_TOKENS}"""
+
+ORACLES["dedup_substring"] = _SUBSTR_CTES + "\n" + _SUBSTR_SPAN_SELECT
+
+# the apply form wraps the span query as one more CTE, anti-joins token
+# positions against spans, and reassembles each survivor sequence in order
+ORACLES["dedup_substring_apply"] = (
+    _SUBSTR_CTES
+    + f"""
+    , spans AS (
+{_SUBSTR_SPAN_SELECT}
+    ), tok_pos AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, tok
+      FROM (
+        SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i,
+               unnest(toks) AS tok
+        FROM toks
+      )
+    ), kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM tok_pos t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = t.doc_id
+          AND t.pos BETWEEN s.span_start AND s.span_end
+      )
+    ), agg AS (
+      SELECT doc_id,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             CAST(count(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(min(pos) AS BIGINT) AS span_start,
-           CAST(max(pos) + {SUBSTR_K - 1} AS BIGINT) AS span_end,
-           CAST(max(pos) + {SUBSTR_K} - min(pos) AS BIGINT) AS span_len
-    FROM labeled
-    GROUP BY doc_id, run_id
-    HAVING max(pos) + {SUBSTR_K} - min(pos) >= {SUBSTR_MIN_TOKENS}
+    SELECT tk.doc_id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+           COALESCE(a.n_kept, 0) AS n_kept,
+           CAST(len(tk.toks) AS BIGINT) - COALESCE(a.n_kept, 0) AS n_dropped
+    FROM toks tk
+    LEFT JOIN agg a ON a.doc_id = tk.doc_id
     """
+)
 
 
 def _signatures_fast(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -270,6 +270,112 @@ class EvolvableIvfIndex:
             F.round(F.avg("cos_c"), 6).alias("mean_cos"),
         )
 
+    def recenter_cells(self, spark: SparkSession, max_retries: int = 5) -> int:
+        """Move every centroid to its stored members' mean (k-means half-step).
+
+        Pure metadata operation: no data file is touched — the catalog
+        commit swaps only the centroid column, so the cost is one
+        aggregation pass over the index regardless of how stale the
+        sampled centroids were. Improves assignment margins after drift
+        (appends, splits) without any rewrite. CAS-committed like a split.
+        """
+        from ..sources.manifest_table import CommitConflict
+
+        for _ in range(max_retries):
+            base = self.catalog.version()
+            snap = self.snapshot(spark, base)
+            members = self._read_cells(spark, snap, [c for c, _, _, _ in snap])
+            means = {
+                (r["cid"], r["pos"]): r["m"]
+                for r in members.select("cid", F.posexplode("e").alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            }
+            dim = max(p for _, p in means) + 1
+            new_cat = spark.createDataFrame(
+                [
+                    (
+                        int(cid),
+                        [float(means[(cid, p)]) for p in range(dim)],
+                        path,
+                        version,
+                    )
+                    for cid, _, path, version in snap
+                ],
+                "cid long, centroid array<double>, path string, version int",
+            )
+            try:
+                return self.catalog.overwrite(
+                    new_cat, op="recenter", expected_version=base
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"recenter lost the catalog race {max_retries} times at {self.root}"
+        )
+
+    def merge_closest_cells(self, spark: SparkSession, max_retries: int = 5) -> int:
+        """Merge the two cells with the most similar centroids.
+
+        The inverse maintenance op to a split — undoes over-partitioning
+        (tiny cells cost a probe each without shrinking scan volume).
+        Centroid pair selection is driver-side over the O(#cells) catalog;
+        the rewrite unions ONLY the two merged cells' rows (cost ∝ their
+        size); the merged centroid is the member-count-weighted mean. One
+        CAS catalog commit swaps both rows for the merged one.
+        """
+        from ..sources.manifest_table import CommitConflict
+
+        for _ in range(max_retries):
+            base = self.catalog.version()
+            snap = self.snapshot(spark, base)
+            if len(snap) < 2:
+                raise ValueError("need at least two cells to merge")
+            _, c_mat, c_unit, _ = self._centroid_pack(snap)
+            sims = c_unit @ c_unit.T
+            np.fill_diagonal(sims, -np.inf)
+            i, j = np.unravel_index(np.argmax(sims), sims.shape)
+            i, j = sorted((int(i), int(j)))
+            a, b = snap[i], snap[j]
+            counts = {
+                r["cid"]: r["n_members"]
+                for r in self.stored_cell_stats(spark, base).collect()
+            }
+            na, nb = counts[a[0]], counts[b[0]]
+            merged_centroid = (na * c_mat[i] + nb * c_mat[j]) / (na + nb)
+            union = self._read_cells(spark, [a, b], [a[0], b[0]]).select(
+                "vec_id", "e"
+            )
+            rel, v = self._new_cell_table(union)
+            max_cid = max(c for c, _, _, _ in snap)
+            kept = [
+                (c, [float(x) for x in e], p, ver)
+                for c, e, p, ver in snap
+                if c not in (a[0], b[0])
+            ]
+            new_cat = spark.createDataFrame(
+                kept
+                + [
+                    (
+                        int(max_cid + 1),
+                        [float(x) for x in merged_centroid],
+                        rel,
+                        v,
+                    )
+                ],
+                "cid long, centroid array<double>, path string, version int",
+            )
+            try:
+                return self.catalog.overwrite(
+                    new_cat, op=f"merge-{a[0]}-{b[0]}", expected_version=base
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"merge lost the catalog race {max_retries} times at {self.root}"
+        )
+
     def split_worst_cell(self, spark: SparkSession, max_retries: int = 5) -> int:
         """Split the worst-margin cell in two; atomic catalog swap.
 

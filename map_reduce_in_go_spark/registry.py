@@ -189,6 +189,7 @@ def _build() -> None:
         "dedup_containment",
         "sentence_dedup",
         "dedup_substring",
+        "dedup_substring_apply",
     ])
 
     from .operators import tfidf as _tfidf
@@ -202,7 +203,11 @@ def _build() -> None:
 
     from .operators import approx as _approx
 
-    _register(_approx, ["distinct_words_approx", "events_quantiles_approx"])
+    _register(_approx, [
+        "distinct_words_approx",
+        "events_quantiles_approx",
+        "sketch_rollup_users",
+    ])
 
     from .operators import similarity as _sim
 

@@ -8,7 +8,11 @@ index — so the next micro-batch dedups against everything that ever
 survived. State that outlives the stream lives in the index table, not the
 state store: a restarted (or re-deployed, or scaled-out) query picks up
 exactly where the table is, and a backfill batch job can share the same
-index concurrently thanks to the manifest commit protocol.
+index concurrently — not just without lost commits (the manifest
+protocol) but with *serializable dedup*: each batch's append is a CAS on
+the version its probe read, and a conflict re-probes the racer's delta
+files before retrying, so racing writers can never both keep a shared
+near-duplicate (see :func:`ingest_batch`).
 
 Exactly-once discipline (Spark's foreachBatch is at-least-once): the output
 zone is per-batch-id overwrite (streaming/sinks.py), and the index append is

@@ -306,3 +306,25 @@ def test_substring_spans_merge_overlapping_windows(spark):
     got = {r["doc_id"]: (r["span_start"], r["span_end"]) for r in rows}
     assert got[10] == (0, 31), f"halves not merged: {got}"
     assert got[11] == (3, 18) and got[12] == (3, 18)
+
+
+def test_substring_apply_removes_only_span_tokens(spark, sf_dir):
+    """The cleaned corpus drops exactly the span tokens: counts reconcile
+    per doc with the span table, untouched docs round-trip their tokens."""
+    from map_reduce_in_go_spark.functions.caching import release_persisted
+    from map_reduce_in_go_spark.operators.dedup import (
+        dedup_substring,
+        dedup_substring_apply,
+    )
+
+    spans = {}
+    for r in dedup_substring(spark, sf_dir).collect():
+        spans[r["doc_id"]] = spans.get(r["doc_id"], 0) + r["span_len"]
+    release_persisted()
+    rows = dedup_substring_apply(spark, sf_dir).collect()
+    release_persisted()
+    assert rows and all(r["n_kept"] + r["n_dropped"] == r["n_tokens"] for r in rows)
+    for r in rows:
+        assert r["n_dropped"] == spans.get(r["doc_id"], 0)
+        if r["n_dropped"] == 0 and r["n_tokens"] > 0:
+            assert len(r["clean_text"].split(" ")) == r["n_tokens"]

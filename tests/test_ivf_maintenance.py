@@ -144,3 +144,49 @@ def test_split_cas_replans_on_concurrent_commit(spark, sf_dir, tmp_path):
     ix.split_worst_cell(spark)
     release_persisted()
     assert len(ix.snapshot(spark)) == n0 + 2  # both splits present
+
+
+def test_recenter_tightens_all_cells_without_rewrite(spark, sf_dir, tmp_path):
+    """Moving centroids to member means improves (or holds) every cell's
+    stored mean cosine, touches zero data files, and bumps one version."""
+    ix = EvolvableIvfIndex(str(tmp_path / "index"))
+    ix.build(spark, sf_dir)
+    before = {
+        r["cid"]: r["mean_cos"] for r in ix.stored_cell_stats(spark).collect()
+    }
+    paths_before = {(p, v) for _, _, p, v in ix.snapshot(spark)}
+    v0 = ix.catalog.version()
+    assert ix.recenter_cells(spark) == v0 + 1
+    after = {
+        r["cid"]: r["mean_cos"] for r in ix.stored_cell_stats(spark).collect()
+    }
+    assert {(p, v) for _, _, p, v in ix.snapshot(spark)} == paths_before
+    assert set(after) == set(before)
+    assert all(after[c] >= before[c] for c in before), (before, after)
+    assert sum(after.values()) > sum(before.values())
+
+
+def test_merge_closest_cells_preserves_membership(spark, sf_dir, tmp_path):
+    """Merging rewrites only the two merged cells, keeps every vector, and
+    the probe path still serves full top-k afterwards."""
+    ix = EvolvableIvfIndex(str(tmp_path / "index"))
+    ix.build(spark, sf_dir)
+    stats0 = {
+        r["cid"]: r["n_members"] for r in ix.stored_cell_stats(spark).collect()
+    }
+    snap0 = {c: (p, v) for c, _, p, v in ix.snapshot(spark)}
+    ix.merge_closest_cells(spark)
+    stats1 = {
+        r["cid"]: r["n_members"] for r in ix.stored_cell_stats(spark).collect()
+    }
+    snap1 = {c: (p, v) for c, _, p, v in ix.snapshot(spark)}
+    assert len(stats1) == len(stats0) - 1
+    assert sum(stats1.values()) == sum(stats0.values())  # no vector lost
+    merged = [c for c in stats1 if c not in stats0]
+    assert len(merged) == 1
+    untouched = set(stats1) - set(merged)
+    for c in untouched:  # untouched cells' tables not rewritten
+        assert snap1[c] == snap0[c]
+    topk = ix.probe(spark, sf_dir).collect()
+    release_persisted()
+    assert topk and len({r["query_id"] for r in topk}) >= 1
