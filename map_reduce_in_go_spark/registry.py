@@ -259,11 +259,26 @@ def _build() -> None:
     ])
 
 
+# Queries whose OUTPUT changed after their most recent driver-green round:
+# their stale rows validate a behavior that no longer exists, so they jump
+# the rotation ahead of everything with merely-old evidence. Remove a name
+# once a fresh driver row lands. (ann_lsh: multiprobe landed in r6; its
+# newest driver row is the pre-multiprobe r5 output.)
+_CHANGED_SINCE_VERIFIED: set[str] = {"ann_lsh"}
+
+
 def _priority_order() -> list[str]:
-    """Registered names, least-recently-driver-verified first (stable ties)."""
+    """Registered names, least-recently-driver-verified first (stable ties);
+    behavior-changed queries front the whole window."""
     verified = _verified_round()
     names = list(_QUERIES)
-    return sorted(names, key=lambda n: (verified.get(n, 0), names.index(n)))
+    return sorted(
+        names,
+        key=lambda n: (
+            0 if n in _CHANGED_SINCE_VERIFIED else verified.get(n, 0),
+            names.index(n),
+        ),
+    )
 
 
 def queries() -> dict[str, QueryFn]:
