@@ -844,6 +844,58 @@ def dedup_incremental_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_incremental_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`dedup_incremental_two_batch` as MULTI-TABLE transactions.
+
+    The incremental pipelines above keep ONE durable table (the band
+    index); a real ingest keeps at least two that must move together — the
+    accepted-corpus table and its index. A reader must never observe the
+    corpus from ingest N next to the index from ingest N−1 (a doc present
+    but unprobeable, or bands for a doc that "doesn't exist"). This twin
+    runs the same corpus/batch-1/batch-2 split through
+    :class:`~..sources.catalog.TableCatalog`: every ingest step appends the
+    surviving *documents* to ``corpus`` and their *bands* to ``band_index``
+    and publishes both in one atomic catalog commit (Iceberg-style catalog
+    swap over the Delta-paper log — see sources/catalog.py). Batch 2 probes
+    the bands pinned by one catalog snapshot, so its result is identical to
+    the plain-parquet and manifest-table twins — the shared oracle proves
+    the transactional layering changes no surviving row.
+    """
+    import tempfile
+
+    from ..sources.catalog import TableCatalog
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+    batch1 = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 1)
+    batch2 = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 2)
+    cat = TableCatalog(
+        tempfile.mkdtemp(prefix="txn_ingest_", dir=band_index_home())
+    )
+    # Bootstrap: corpus docs + their band index appear in one commit.
+    txn0 = cat.transaction(spark)
+    txn0.overwrite("corpus", corpus.select("doc_id", "text"))
+    txn0.overwrite("band_index", bands_of_docs(corpus))
+    txn0.commit(op="ingest-bootstrap")
+    # Ingest batch 1: probe the snapshot's bands, then append surviving
+    # docs AND their bands in one transaction (checkpoint the survivors so
+    # their probe plan finishes before the tables change underneath it).
+    surv1 = dedup_batch_against_bands(
+        batch1, cat.read(spark, "band_index")
+    ).localCheckpoint(eager=True)
+    kept1 = batch1.join(surv1, "doc_id", "left_semi")
+    txn1 = cat.transaction(spark)
+    txn1.append("corpus", kept1.select("doc_id", "text"))
+    txn1.append("band_index", bands_of_docs(kept1))
+    txn1.commit(op="ingest-batch-1")
+    # Ingest batch 2 against the new snapshot — collisions with the corpus
+    # OR batch-1 survivors, which only txn1's atomic publication provides.
+    surv2 = dedup_batch_against_bands(batch2, cat.read(spark, "band_index"))
+    return surv1.select(F.lit(1).cast("int").alias("batch"), "doc_id").unionAll(
+        surv2.select(F.lit(2).cast("int").alias("batch"), "doc_id")
+    )
+
+
 def sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document dedup signal: per-doc duplicated-sentence ratio.
 
@@ -1444,6 +1496,9 @@ WHERE doc_id % 3 = 2 AND doc_id NOT IN (SELECT doc_id FROM drop2)
 # the manifest-log twin must be row-identical: the storage/commit protocol
 # is not allowed to change dedup semantics
 ORACLES["dedup_incremental_acid"] = ORACLES["dedup_incremental_two_batch"]
+# ...and so must the multi-table-transaction twin: atomic cross-table
+# publication is a visibility guarantee, not a semantics change
+ORACLES["dedup_incremental_txn"] = ORACLES["dedup_incremental_two_batch"]
 
 # star contraction must converge to the identical component labeling
 ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]

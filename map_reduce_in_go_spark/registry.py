@@ -186,6 +186,7 @@ def _build() -> None:
         "dedup_incremental_indexed",
         "dedup_incremental_two_batch",
         "dedup_incremental_acid",
+        "dedup_incremental_txn",
         "dedup_containment",
         "sentence_dedup",
         "dedup_substring",

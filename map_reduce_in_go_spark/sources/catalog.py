@@ -1,0 +1,221 @@
+"""Multi-table ACID transactions over the manifest-log catalog pattern.
+
+:class:`~.manifest_table.ManifestTable` gives single-table ACID commits,
+and the evolvable IVF index (operators/ivf_index.py) hand-rolls a
+two-level layering on top of it: per-cell tables plus one *catalog* table
+whose snapshot pins exact member versions. This module generalizes that
+layering into reusable **multi-table transactions** — the thing a real
+training-data pipeline needs whenever two tables must move together
+(corpus + its band index, documents + their drop-list, inverted file +
+centroids): a reader must never observe the corpus from commit N next to
+an index from commit N-1.
+
+Design (the public lakehouse recipe — Delta-paper log protocol underneath,
+Iceberg/Nessie-style catalog pointer on top):
+
+- **Member tables are plain ManifestTables.** Each keeps its own data
+  files, manifest log, checkpoints, vacuum. Nothing about a member table
+  changes; it can still be read/written standalone.
+- **The catalog snapshot IS the transaction boundary.** The catalog is
+  itself a ManifestTable whose rows are ``(name, path, version)`` — one
+  row per member, pinning the exact member version belonging to this
+  catalog snapshot. Readers resolve ONE catalog snapshot and then read
+  each member **at its pinned version**, so every multi-table read is
+  consistent by construction.
+- **Transactions stage first, publish once.** ``Transaction.append/
+  overwrite`` commit to the member tables immediately (those commits are
+  real, durable, and per-table atomic) but the new versions stay
+  *unreferenced* by the catalog until ``commit()`` CAS-publishes one new
+  catalog snapshot pinning all of them. A crash mid-transaction leaves
+  orphan member versions — invisible to catalog readers, reclaimable —
+  and the catalog still points at the last fully-committed snapshot.
+  This is exactly how an Iceberg catalog swap makes N table commits
+  appear atomically.
+- **Optimistic cross-table concurrency.** ``commit()`` uses the catalog's
+  ``expected_version`` CAS: two racing transactions both stage, one wins
+  the catalog swap, the loser raises :class:`CommitConflict` and must
+  re-plan against the new snapshot (its staged member versions are
+  orphans). Serializability across tables reduces to the single catalog
+  version chain — the same reduction the IVF maintenance ops rely on.
+
+Scale posture: the catalog holds O(#tables) metadata rows; member data
+operations are distributed Spark jobs; the only driver-side critical
+section is the one catalog log-file link. Snapshot readers pin versions,
+so long jobs survive concurrent transactions untouched.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Row, SparkSession
+
+from .manifest_table import CommitConflict, ManifestTable
+
+__all__ = ["TableCatalog", "Transaction", "CommitConflict"]
+
+
+class TableCatalog:
+    """A set of ManifestTables published atomically via one catalog table."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self._catalog = ManifestTable(os.path.join(root, "_catalog"))
+
+    # ------------------------------------------------------------ snapshots
+
+    def version(self) -> int:
+        """Newest catalog snapshot version; -1 if never committed."""
+        return self._catalog.version()
+
+    def snapshot(self, spark: SparkSession, version: int | None = None) -> dict[str, tuple[str, int]]:
+        """``name -> (path, pinned member version)`` for one catalog snapshot."""
+        v = self._catalog.version() if version is None else version
+        if v < 0:
+            return {}
+        rows = self._catalog.read(spark, v).collect()  # O(#tables) rows
+        return {r["name"]: (r["path"], int(r["version"])) for r in rows}
+
+    def table(self, name: str) -> ManifestTable:
+        """The member table handle (standalone reads/maintenance)."""
+        return ManifestTable(os.path.join(self.root, name))
+
+    def read(
+        self,
+        spark: SparkSession,
+        name: str,
+        version: int | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
+        """Read member ``name`` at the version pinned by a catalog snapshot.
+
+        ``version`` is the CATALOG snapshot version (default newest) — two
+        ``read`` calls against the same snapshot are mutually consistent
+        even while transactions land concurrently.
+        """
+        snap = self.snapshot(spark, version)
+        if name not in snap:
+            raise KeyError(f"table {name!r} not in catalog snapshot at {self.root}")
+        path, pinned = snap[name]
+        return ManifestTable(os.path.join(self.root, path)).read(
+            spark, version=pinned, merge_schema=merge_schema
+        )
+
+    # --------------------------------------------------------- transactions
+
+    def transaction(self, spark: SparkSession) -> "Transaction":
+        """Start a transaction against the CURRENT catalog snapshot."""
+        return Transaction(self, spark)
+
+    def _publish(
+        self,
+        spark: SparkSession,
+        pins: dict[str, tuple[str, int]],
+        expected_version: int,
+        op: str,
+    ) -> int:
+        rows = [
+            Row(name=n, path=p, version=v) for n, (p, v) in sorted(pins.items())
+        ]
+        df = spark.createDataFrame(rows, schema="name string, path string, version long")
+        return self._catalog.overwrite(
+            df.coalesce(1), op=op, expected_version=expected_version
+        )
+
+
+class Transaction:
+    """Stage member-table writes; publish them in one catalog CAS commit.
+
+    Usage::
+
+        txn = catalog.transaction(spark)
+        txn.append("documents", new_docs)
+        txn.overwrite("band_index", rebuilt_index)
+        txn.commit()          # all-or-nothing at the catalog level
+
+    Reads inside the transaction (:meth:`read`) see the base snapshot plus
+    this transaction's own staged writes (read-your-writes), never another
+    in-flight transaction's.
+    """
+
+    def __init__(self, catalog: TableCatalog, spark: SparkSession) -> None:
+        self._cat = catalog
+        self._spark = spark
+        self.base_version = catalog.version()
+        self._base = catalog.snapshot(spark, self.base_version)
+        # name -> (path, staged member version) overriding the base pins
+        self._staged: dict[str, tuple[str, int]] = {}
+        self._committed: int | None = None
+
+    # ------------------------------------------------------------- staging
+
+    def _member(self, name: str) -> tuple[ManifestTable, str, int]:
+        path, pinned = self._staged.get(name, self._base.get(name, (name, -1)))
+        return ManifestTable(os.path.join(self._cat.root, path)), path, pinned
+
+    def append(self, name: str, df: DataFrame, op: str = "txn-stage-append") -> int:
+        """Stage an append to member ``name`` (created if new).
+
+        The member-table commit happens now (durable, per-table atomic);
+        catalog visibility waits for :meth:`commit`. ``op`` labels the
+        member commit for :meth:`ManifestTable.committed_ops` replay checks.
+        The append unions with this transaction's pinned view of the member
+        (``base_version``), NOT the member's latest chain entry — so a
+        racing transaction's staged-but-unpublished files can never leak
+        into this transaction's committed content.
+        """
+        self._check_open()
+        tbl, path, pinned = self._member(name)
+        # pinned == -1 (member new in this txn) unions with nothing — a
+        # concurrent creator's staged files must not leak in either.
+        v = tbl.append(df, op=op, base_version=pinned)
+        self._staged[name] = (path, v)
+        return v
+
+    def overwrite(self, name: str, df: DataFrame, op: str = "txn-stage-overwrite") -> int:
+        """Stage a full replace of member ``name`` (created if new)."""
+        self._check_open()
+        tbl, path, _pinned = self._member(name)
+        v = tbl.overwrite(df, op=op)
+        self._staged[name] = (path, v)
+        return v
+
+    def read(self, name: str) -> DataFrame:
+        """Read-your-writes view: staged version if written, else base pin."""
+        self._check_open()
+        if name in self._staged:
+            path, v = self._staged[name]
+        elif name in self._base:
+            path, v = self._base[name]
+        else:
+            raise KeyError(f"table {name!r} in neither base snapshot nor staged writes")
+        return ManifestTable(os.path.join(self._cat.root, path)).read(
+            self._spark, version=v
+        )
+
+    # ------------------------------------------------------------- publish
+
+    def commit(self, op: str = "txn") -> int:
+        """CAS-publish one catalog snapshot pinning base + staged versions.
+
+        Raises :class:`CommitConflict` if another transaction advanced the
+        catalog since this one started — the staged member versions become
+        orphans (invisible to catalog readers; their data files age out of
+        member vacuums), and the caller re-plans against the new snapshot.
+        Returns the new catalog version.
+        """
+        self._check_open()
+        if not self._staged:
+            self._committed = self.base_version
+            return self.base_version
+        pins = dict(self._base)
+        pins.update(self._staged)
+        v = self._cat._publish(
+            self._spark, pins, expected_version=self.base_version, op=op
+        )
+        self._committed = v
+        return v
+
+    def _check_open(self) -> None:
+        if self._committed is not None:
+            raise RuntimeError("transaction already committed")

@@ -176,6 +176,7 @@ class ManifestTable:
         max_retries: int = 20,
         op: str = "append",
         expected_version: int | None = None,
+        base_version: int | None = None,
     ) -> int:
         """ACID append: land files, then commit log-state ∪ new files.
 
@@ -195,6 +196,16 @@ class ManifestTable:
         landed by the failed attempt are unreferenced — invisible to
         readers and reclaimed by :meth:`vacuum`.
 
+        ``base_version`` pins WHICH snapshot's files the append unions
+        with: the committed content is exactly ``files(base_version) ∪ new
+        files`` even if other versions landed since. Multi-table
+        transactions (sources/catalog.py) stage with this so one
+        transaction's uncommitted files can never leak into another's
+        pinned content — the staged version's content depends only on the
+        catalog-pinned base, never on a racing stager's chain entry.
+        Default (None) unions with the newest version, the single-writer
+        read-modify-write behavior.
+
         Returns the committed version.
         """
         new_names = self._write_data_files(df)
@@ -206,7 +217,8 @@ class ManifestTable:
                     f"expected to append on v{expected_version} but table is "
                     f"at v{v} at {self.root}"
                 )
-            live = self._manifest(v)["files"] if v >= 0 else []
+            base = v if base_version is None else base_version
+            live = self._manifest(base)["files"] if base >= 0 else []
             if self._try_commit(v + 1, live + new_names, op=op, schema_json=schema_json):
                 self._maybe_checkpoint(v + 1)
                 return v + 1

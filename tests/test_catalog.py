@@ -1,0 +1,184 @@
+"""Multi-table transaction semantics of sources/catalog.py.
+
+The properties under test are the catalog pattern's contract:
+atomic cross-table publication, snapshot isolation across tables,
+read-your-writes inside a transaction, CAS conflict on racing
+transactions, and no content leak from a racing stager's member commits.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from map_reduce_in_go_spark.sources.catalog import CommitConflict, TableCatalog
+
+
+def _df(spark, rows, schema="id long, val string"):
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_transaction_atomic_publication(spark, tmp_path):
+    """Two member tables move together: readers see both writes or neither."""
+    cat = TableCatalog(str(tmp_path / "cat"))
+    txn = cat.transaction(spark)
+    txn.overwrite("docs", _df(spark, [(1, "a"), (2, "b")]))
+    txn.overwrite("index", _df(spark, [(10, "x")]))
+    # Before commit: catalog has NO snapshot — neither table is visible.
+    assert cat.version() == -1
+    assert cat.snapshot(spark) == {}
+    v = txn.commit()
+    assert v == 0
+    assert _ids(cat.read(spark, "docs")) == [1, 2]
+    assert _ids(cat.read(spark, "index")) == [10]
+
+
+def test_crash_mid_transaction_leaves_old_snapshot(spark, tmp_path):
+    """Staged member commits without a catalog commit are invisible."""
+    cat = TableCatalog(str(tmp_path / "cat"))
+    txn0 = cat.transaction(spark)
+    txn0.overwrite("docs", _df(spark, [(1, "a")]))
+    txn0.overwrite("index", _df(spark, [(10, "x")]))
+    txn0.commit()
+
+    # Simulate a crash: stage writes to both tables, never commit.
+    txn1 = cat.transaction(spark)
+    txn1.append("docs", _df(spark, [(2, "b")]))
+    txn1.overwrite("index", _df(spark, [(20, "y")]))
+    del txn1
+
+    # Catalog readers still see the v0 world, consistently.
+    assert cat.version() == 0
+    assert _ids(cat.read(spark, "docs")) == [1]
+    assert _ids(cat.read(spark, "index")) == [10]
+    # The member tables' chains DID advance (durable staging) — the
+    # orphan versions are simply unreferenced by any catalog snapshot.
+    assert cat.table("docs").version() == 1
+
+
+def test_snapshot_isolation_across_tables(spark, tmp_path):
+    """A reader holding catalog v0 sees v0 pins for every member, even
+    after a later transaction rewrites both tables."""
+    cat = TableCatalog(str(tmp_path / "cat"))
+    t0 = cat.transaction(spark)
+    t0.overwrite("docs", _df(spark, [(1, "a")]))
+    t0.overwrite("index", _df(spark, [(10, "x")]))
+    v0 = t0.commit()
+
+    t1 = cat.transaction(spark)
+    t1.append("docs", _df(spark, [(2, "b")]))
+    t1.overwrite("index", _df(spark, [(20, "y")]))
+    v1 = t1.commit()
+
+    assert (v0, v1) == (0, 1)
+    assert _ids(cat.read(spark, "docs", version=v0)) == [1]
+    assert _ids(cat.read(spark, "index", version=v0)) == [10]
+    assert _ids(cat.read(spark, "docs", version=v1)) == [1, 2]
+    assert _ids(cat.read(spark, "index", version=v1)) == [20]
+
+
+def test_read_your_writes_not_others(spark, tmp_path):
+    cat = TableCatalog(str(tmp_path / "cat"))
+    t0 = cat.transaction(spark)
+    t0.overwrite("docs", _df(spark, [(1, "a")]))
+    t0.commit()
+
+    ta = cat.transaction(spark)
+    tb = cat.transaction(spark)
+    ta.append("docs", _df(spark, [(2, "b")]))
+    # ta sees its own staged append; tb sees only the base snapshot.
+    assert _ids(ta.read("docs")) == [1, 2]
+    assert _ids(tb.read("docs")) == [1]
+
+
+def test_racing_transactions_cas_conflict_and_no_leak(spark, tmp_path):
+    """Loser raises CommitConflict; winner's content excludes loser's rows."""
+    cat = TableCatalog(str(tmp_path / "cat"))
+    t0 = cat.transaction(spark)
+    t0.overwrite("docs", _df(spark, [(1, "a")]))
+    t0.commit()
+
+    ta = cat.transaction(spark)
+    tb = cat.transaction(spark)
+    # Both stage appends to the SAME member table.
+    ta.append("docs", _df(spark, [(2, "ta")]))
+    tb.append("docs", _df(spark, [(3, "tb")]))
+    assert ta.commit() == 1
+    # tb must conflict — and ta's committed snapshot must not contain tb's
+    # staged row even though tb's member commit landed on the same chain.
+    with pytest.raises(CommitConflict):
+        tb.commit()
+    assert _ids(cat.read(spark, "docs")) == [1, 2]
+
+    # tb re-plans against the new snapshot and succeeds.
+    tb2 = cat.transaction(spark)
+    tb2.append("docs", _df(spark, [(3, "tb")]))
+    tb2.commit()
+    assert _ids(cat.read(spark, "docs")) == [1, 2, 3]
+
+
+def test_concurrent_threads_exactly_one_winner(spark, tmp_path):
+    cat = TableCatalog(str(tmp_path / "cat"))
+    t0 = cat.transaction(spark)
+    t0.overwrite("docs", _df(spark, [(0, "base")]))
+    t0.commit()
+
+    results: dict[str, object] = {}
+
+    def run(tag: str, row_id: int) -> None:
+        try:
+            txn = cat.transaction(spark)
+            txn.append("docs", _df(spark, [(row_id, tag)]))
+            results[tag] = txn.commit()
+        except CommitConflict:
+            results[tag] = "conflict"
+
+    threads = [
+        threading.Thread(target=run, args=(f"w{i}", 100 + i)) for i in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    wins = [v for v in results.values() if isinstance(v, int)]
+    conflicts = [v for v in results.values() if v == "conflict"]
+    assert len(wins) >= 1 and len(wins) + len(conflicts) == 4
+    # Every committed snapshot is internally consistent: the final docs
+    # content equals base + exactly the winners' rows.
+    final = _ids(cat.read(spark, "docs"))
+    assert final[0] == 0 and len(final) == 1 + len(wins)
+
+
+def test_transaction_with_no_writes_is_noop(spark, tmp_path):
+    cat = TableCatalog(str(tmp_path / "cat"))
+    t0 = cat.transaction(spark)
+    t0.overwrite("docs", _df(spark, [(1, "a")]))
+    t0.commit()
+    t1 = cat.transaction(spark)
+    assert t1.commit() == 0
+    assert cat.version() == 0
+
+
+def test_member_table_standalone_access(spark, tmp_path):
+    """Members stay plain ManifestTables — maintenance works beneath the
+    catalog, and the catalog pin is unaffected until a txn republishes."""
+    cat = TableCatalog(str(tmp_path / "cat"))
+    t0 = cat.transaction(spark)
+    t0.overwrite("docs", _df(spark, [(1, "a"), (1, "a"), (2, "b")]))
+    t0.commit()
+
+    tbl = cat.table("docs")
+    tbl.compact(spark, dedup_cols=["id"])  # standalone maintenance commit
+    # Catalog still pins the pre-compaction version (3 rows).
+    assert cat.read(spark, "docs").count() == 3
+    # A transaction that re-reads and republishes picks up fresh state.
+    txn = cat.transaction(spark)
+    txn.overwrite("docs", tbl.read(spark))
+    txn.commit()
+    assert cat.read(spark, "docs").count() == 2

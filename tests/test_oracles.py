@@ -37,6 +37,7 @@ def test_every_query_has_oracle_or_is_declared():
         "distinct_words_approx",  # HLL sketch values are engine-specific
         "events_quantiles_approx",  # t-digest-style estimates likewise
         "dedup_minhash_fast",  # xxhash64 has no DuckDB twin; containment-tested
+        "sketch_rollup_users",  # Datasketches-HLL estimates are engine-specific
     }
     assert oracles <= qs
     assert qs - oracles == rows_only
