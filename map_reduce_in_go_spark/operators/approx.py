@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import sql_tokens
 from ..sources.tables import load_table
 from .wordcount import _doc_words
 
@@ -60,4 +61,76 @@ def sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES: dict[str, str] = {}
+# Heavy-hitter support threshold: report words with count·K > total tokens
+# (frequency above 1/K). K is also the Misra-Gries summary capacity — the
+# size that guarantees the candidate pass misses no true heavy hitter.
+HH_K = 500
+
+
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters via sketch-pruned two-pass counting.
+
+    ``wordcount + HAVING`` shuffles the entire key universe to answer a
+    question whose output is at most K rows. The streaming-literature plan
+    (Misra-Gries summaries, mergeable per Agarwal et al., PODS'12) does it
+    with bounded state:
+
+    1. **Candidate pass, zero shuffle**: each partition folds its tokens
+       into a Misra-Gries summary of capacity K (Arrow-batched pandas:
+       exact value_counts per batch merged into the running summary, then
+       shrunk to K by subtracting the (K+1)-th count — the mergeable-MG
+       reduction). Any word with global count > n/K must exceed its
+       partition share n_p/K somewhere, and MG keeps everything above
+       n_p/(K+1), so the union of partition candidates is a SUPERSET of
+       the true heavy hitters regardless of partitioning. One row per
+       partition: (part_n, candidate array) — KB-sized state per task.
+    2. **Exact recount, shuffle only candidates**: semi-join the token
+       stream against the broadcast candidate set (≤ #partitions·K words),
+       count exactly, keep ``cnt·K > n``. False candidates die here, so
+       the output is exact and partitioning-invariant — which is what lets
+       the driver hash-check this row against plain SQL.
+
+    At 100 TB the shuffle carries only candidate-word rows instead of the
+    full token keyspace — the classic sketch-then-verify reduction.
+    """
+    from ..functions.caching import scoped_persist
+
+    words = _doc_words(spark, sf_dir).select("word")
+
+    def mg_summaries(batches):
+        import pandas as pd
+
+        counts: dict[str, int] = {}
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+            for w, c in pdf["word"].value_counts().items():
+                counts[w] = counts.get(w, 0) + int(c)
+            if len(counts) > HH_K:
+                cut = sorted(counts.values(), reverse=True)[HH_K]
+                counts = {w: c - cut for w, c in counts.items() if c > cut}
+        yield pd.DataFrame({"part_n": [n], "cands": [list(counts)]})
+
+    summaries = scoped_persist(
+        words.mapInPandas(mg_summaries, "part_n long, cands array<string>")
+    )
+    total = summaries.agg(F.sum("part_n")).collect()[0][0] or 0  # bounded scalar
+    cands = summaries.select(F.explode("cands").alias("word")).distinct()
+    return (
+        words.join(F.broadcast(cands), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * HH_K > F.lit(int(total)))
+    )
+
+
+ORACLES: dict[str, str] = {
+    "heavy_hitters": f"""
+    WITH words AS (
+      SELECT unnest({sql_tokens('text')}) AS word
+      FROM documents
+    ), tot AS (SELECT count(*) AS n FROM words)
+    SELECT word, count(*) AS cnt FROM words GROUP BY word
+    HAVING count(*) * {HH_K} > (SELECT n FROM tot)
+    """,
+}

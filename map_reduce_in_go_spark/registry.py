@@ -208,6 +208,7 @@ def _build() -> None:
         "distinct_words_approx",
         "events_quantiles_approx",
         "sketch_rollup_users",
+        "heavy_hitters",
     ])
 
     from .operators import similarity as _sim
