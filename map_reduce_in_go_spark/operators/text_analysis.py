@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.caching import scoped_persist
-from ..functions.text import sql_tokens, tokens
+from ..functions.text import shingles_of, sql_shingles, sql_tokens, tokens
 from ..sources.tables import load_documents_parallel, load_table
 
 # Tiny per-language stopword lists for the n-gram/stopword langid heuristic.
@@ -204,6 +204,46 @@ def winnow_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-ngrams linear classifier scoring — as a pure map.
+
+    The quality-filter shape real pipelines run at corpus scale (a
+    fastText-style linear model over hashed uni+bigram features — Joulin
+    et al. 2016, hashing trick per Weinberger et al. 2009): every feature
+    is a hash bucket, the model is a weight per bucket, and scoring a doc
+    is Σ w(feature) over its term bag. Here the weights are hash-DERIVED
+    placeholders (md5 → 16-bit value → integer milliweight in ±1000)
+    standing in for trained parameters, which keeps the whole scorer
+    deterministic and exactly replayable in the DuckDB oracle; a real
+    deployment broadcasts a weight map and looks buckets up instead.
+
+    Scale shape: scoring is ``F.aggregate`` over the per-row term array —
+    codegen, ZERO shuffle, no explode; the score lands as a column on the
+    same scan that read the text. Integer milliweights make the sum exact,
+    so the driver can hash-check the row.
+    """
+    docs = load_documents_parallel(spark, sf_dir).withColumn("toks", _toks())
+    docs = docs.filter(F.size("toks") > 0)
+
+    def _w(t: Column) -> Column:
+        # md5("qw:"+term) → first 4 hex digits as int → milliweight ±1000
+        val = F.conv(
+            F.substring(F.md5(F.concat(F.lit("qw:"), t)), 1, 4), 16, 10
+        ).cast("long")
+        return val % 2001 - 1000
+
+    terms = F.concat(F.col("toks"), shingles_of(F.col("toks"), 2))
+    score = F.aggregate(
+        terms, F.lit(0).cast("long"), lambda acc, t: acc + _w(t)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(terms).alias("n_terms"),
+        score.alias("score_milli"),
+        F.when(score > 0, F.lit("keep")).otherwise(F.lit("drop")).alias("label"),
+    )
+
+
 _TOK = sql_tokens("text")
 
 
@@ -247,7 +287,31 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# one 16-bit hash value per term, exactly as Spark's conv(substr(md5,1,4))
+_QW_VAL = (
+    "((instr('0123456789abcdef', substr(md5('qw:' || t), 1, 1)) - 1) * 4096 "
+    "+ (instr('0123456789abcdef', substr(md5('qw:' || t), 2, 1)) - 1) * 256 "
+    "+ (instr('0123456789abcdef', substr(md5('qw:' || t), 3, 1)) - 1) * 16 "
+    "+ (instr('0123456789abcdef', substr(md5('qw:' || t), 4, 1)) - 1))"
+)
+
 ORACLES: dict[str, str] = {
+    "quality_classifier": f"""
+    WITH t AS (
+      SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+    ), tt AS (
+      SELECT doc_id, list_concat(toks, {sql_shingles('toks', 2)}) AS terms
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(len(terms) AS INTEGER) AS n_terms,
+           CAST(coalesce(list_sum(list_transform(terms,
+             t -> {_QW_VAL} % 2001 - 1000)), 0) AS BIGINT) AS score_milli,
+           CASE WHEN coalesce(list_sum(list_transform(terms,
+             t -> {_QW_VAL} % 2001 - 1000)), 0) > 0
+                THEN 'keep' ELSE 'drop' END AS label
+    FROM tt
+    """,
     "langid_confusion": f"""
     WITH t AS (
       SELECT doc_id, lang, {{_TOK}} AS toks FROM documents

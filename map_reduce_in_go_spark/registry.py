@@ -232,6 +232,7 @@ def _build() -> None:
         "doc_fingerprint",
         "langid_confusion",
         "winnow_contamination",
+        "quality_classifier",
     ])
 
     from .operators import multimodal as _mm
