@@ -32,6 +32,7 @@ from ..functions.caching import free_local_checkpoint, scoped_persist
 from ..functions.hashing import sql_minhash_signature
 from ..functions.text import shingles, sql_shingles, sql_tokens, tokens
 from ..functions.vectors import sql_cosine, sql_double_array
+from .similarity import CENTROID_MOD, CENTROID_OFF
 from ..sources.tables import load_documents_parallel, load_table
 
 NUM_PERM = 32
@@ -1050,6 +1051,77 @@ def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster-then-dedup over embeddings (Abbas et al., 2023).
+
+    The published semantic-dedup recipe for web-scale corpora: cluster the
+    embedding space with a coarse quantizer (k-means in the paper; here
+    the SAME deterministic data-sampled quantizer ``ann_ivf`` uses, so the
+    DuckDB oracle replays assignment exactly), then compare pairs ONLY
+    within a cluster and drop every vector that has an in-cluster neighbor
+    above the cosine threshold with a smaller vec_id (keep-the-minimum —
+    deterministic where the paper keeps a random/farthest member). Emits
+    one row per vector: (vec_id, cid, n_dups, status).
+
+    vs :func:`dedup_embedding_blocked`: same per-cell GEMM kernel shape,
+    but cells come from the DATA-ADAPTIVE quantizer instead of fixed
+    sign-plane hashing — semantic clusters concentrate near-dups into the
+    same cell, which is what makes the quadratic-within-cell cost useful
+    at corpus scale (the paper runs it at 100 k-means clusters over CC).
+    Cost: one broadcast-GEMM assignment pass (no shuffle), one shuffle on
+    cell id, per-cell pairwise GEMM bounded by cell size; never all-pairs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _assign_cells, _centroids, _vectors
+
+    vecs = _vectors(spark, sf_dir)
+    bc = spark.sparkContext.broadcast(_centroids(spark, sf_dir))
+    assigned = (
+        vecs.select("vec_id", "e")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            lambda it: _assign_cells(it, bc, top_n=1),
+            schema="vec_id long, rank int, cid long",
+        )
+        .select("vec_id", "cid")
+    )
+    vt = vecs.select("vec_id", "e").join(assigned, "vec_id")
+
+    def _cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        cid = np.int64(pdf["cid"].iloc[0])
+        m = len(pdf)
+        n_dups = np.zeros(m, dtype=np.int64)
+        if m >= 2:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["e"]])
+            unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+            sims = unit @ unit.T  # GEMM prefilter
+            ia, ib = np.nonzero(sims >= EMBED_COS_MIN - 1e-4)
+            lower = ids[ia] < ids[ib]
+            ia, ib = ia[lower], ib[lower]
+            if len(ia):
+                # exact sequential-fold rescore → engine-exact 6dp values
+                dots = np.cumsum(mat[ia] * mat[ib], axis=1)[:, -1]
+                cos = _duck_round6(dots / (norms[ia] * norms[ib]))
+                ib = ib[cos >= EMBED_COS_MIN]
+                np.add.at(n_dups, ib, 1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids.astype(np.int64),
+                "cid": np.full(m, cid),
+                "n_dups": n_dups,
+                "status": np.where(n_dups == 0, "keep", "drop"),
+            }
+        )
+
+    return vt.groupBy("cid").applyInPandas(
+        _cell, schema="vec_id long, cid long, n_dups long, status string"
+    )
+
+
 def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The surviving corpus after cluster-level near-dedup.
 
@@ -1424,6 +1496,37 @@ ORACLES: dict[str, str] = {
     FROM e a, e b
     WHERE a.vec_id < b.vec_id
       AND round({sql_cosine('a.ed', 'b.ed')}, 6) >= {EMBED_COS_MIN}
+    """,
+    # same quantizer-assignment CTEs as the ann_ivf oracle, then pairwise
+    # within cells only — keep-the-minimum per neighbor set
+    "semdedup": f"""
+    WITH e AS (
+      SELECT vec_id, {sql_double_array('embedding')} AS ed FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cid, ed AS ce FROM e
+      WHERE vec_id % {CENTROID_MOD} = {CENTROID_OFF}
+    ), sc AS (
+      SELECT e.vec_id, c.cid, round({sql_cosine('e.ed', 'c.ce')}, 6) AS cos
+      FROM e CROSS JOIN cent c
+    ), r AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cid ASC) AS rnk
+      FROM sc
+    ), m AS (
+      SELECT r.vec_id, r.cid, e.ed
+      FROM r JOIN e ON r.vec_id = e.vec_id WHERE r.rnk = 1
+    ), dups AS (
+      SELECT b.vec_id AS vec_id, count(*) AS n_dups
+      FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE round({sql_cosine('a.ed', 'b.ed')}, 6) >= {EMBED_COS_MIN}
+      GROUP BY b.vec_id
+    )
+    SELECT m.vec_id, m.cid,
+           CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups,
+           CASE WHEN coalesce(d.n_dups, 0) = 0 THEN 'keep' ELSE 'drop' END
+             AS status
+    FROM m LEFT JOIN dups d ON m.vec_id = d.vec_id
     """,
 }
 

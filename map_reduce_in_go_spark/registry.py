@@ -188,6 +188,7 @@ def _build() -> None:
         "dedup_incremental_acid",
         "dedup_incremental_txn",
         "dedup_containment",
+        "semdedup",
         "sentence_dedup",
         "dedup_substring",
         "dedup_substring_apply",
