@@ -54,7 +54,12 @@ class CommitConflict(RuntimeError):
 class ManifestTable:
     """Parquet table with a JSON manifest log (see module docstring)."""
 
-    def __init__(self, root: str, checkpoint_interval: int | None = 16) -> None:
+    def __init__(
+        self,
+        root: str,
+        checkpoint_interval: int | None = 16,
+        stats_cols: list[str] | None = None,
+    ) -> None:
         self.root = root
         self._data_dir = os.path.join(root, "data")
         self._log_dir = os.path.join(root, "_manifests")
@@ -63,6 +68,12 @@ class ManifestTable:
         # at high commit counts (the Delta-paper checkpoint idea). None
         # disables auto-checkpointing; checkpoint() can still be called.
         self.checkpoint_interval = checkpoint_interval
+        # Data-skipping stats: per-file [min, max] recorded in the manifest
+        # at commit time for these columns (Delta's per-file stats /
+        # dataSkippingNumIndexedCols design — bounded so manifests stay KB).
+        # read_pruned() then skips whole files whose range can't match a
+        # predicate — the reader-side half of the lakehouse skipping story.
+        self.stats_cols = list(stats_cols) if stats_cols else []
 
     # ------------------------------------------------------------- log I/O
 
@@ -128,19 +139,154 @@ class ManifestTable:
         files: list[str],
         op: str,
         schema_json: str | None = None,
+        stats: dict[str, dict] | None = None,
     ) -> bool:
         """Atomically create v<version>.json; False if that version exists.
 
         ``schema_json`` (the DataFrame schema at commit time) pins the
         snapshot's read schema in the manifest, the way Delta/Iceberg
         resolve schemas from the log rather than by sampling data files.
+        ``stats`` maps file name → {col: [min, max]} for data skipping.
         """
         manifest = {"version": version, "op": op, "files": sorted(files)}
         if schema_json is not None:
             manifest["schema"] = schema_json
+        if stats:
+            manifest["stats"] = stats
         return self._publish_log_file(
             f"v{version}.json", json.dumps(manifest, indent=1)
         )
+
+    # ------------------------------------------------------- skipping stats
+
+    @staticmethod
+    def _norm_stat(v):
+        """JSON-safe normalization of a parquet statistics value."""
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        if isinstance(v, (int, float, str, bool)) or v is None:
+            return v
+        return None
+
+    def _file_stats(self, names: list[str]) -> dict[str, dict]:
+        """Per-file [min, max] for ``stats_cols`` from parquet footers.
+
+        Footer metadata only — no data pages are read; at 100 TB this is
+        the stats-collection pass every Delta/Iceberg writer performs at
+        commit time (here driver-side over the commit's own files, which
+        are bounded by the write; the Spark job already wrote the footers).
+        """
+        if not self.stats_cols:
+            return {}
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for name in names:
+            md = pq.ParquetFile(os.path.join(self._data_dir, name)).metadata
+            cols: dict[str, list] = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    cname = col.path_in_schema
+                    if cname not in self.stats_cols:
+                        continue
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    lo = self._norm_stat(st.min)
+                    hi = self._norm_stat(st.max)
+                    if lo is None or hi is None:
+                        continue
+                    cur = cols.get(cname)
+                    if cur is None:
+                        cols[cname] = [lo, hi]
+                    else:
+                        cols[cname] = [min(cur[0], lo), max(cur[1], hi)]
+            out[name] = cols
+        return out
+
+    def _merged_stats(
+        self, base_version: int, files: list[str], new_stats: dict[str, dict]
+    ) -> dict[str, dict]:
+        """Stats for a commit's full file list: carried-forward + new."""
+        if not self.stats_cols:
+            return {}
+        carried = {}
+        if base_version >= 0:
+            carried = self._manifest(base_version).get("stats", {})
+        out = {}
+        for name in files:
+            if name in new_stats:
+                out[name] = new_stats[name]
+            elif name in carried:
+                out[name] = carried[name]
+        return out
+
+    def files_pruned(
+        self, ranges: dict[str, tuple], version: int | None = None
+    ) -> tuple[list[str], int]:
+        """(kept data files, total snapshot files) for conjunctive ranges.
+
+        ``ranges`` maps column → (lo, hi); either bound may be None. A
+        file is SKIPPED only when its recorded [min, max] for some column
+        provably cannot intersect — files with no stats are conservatively
+        kept, so pruning never changes query results, only work. Bounds
+        compare with python ordering, so use it for numeric and string
+        columns (the same caveat Delta's string stats carry).
+        """
+        v = self.version() if version is None else version
+        if v < 0:
+            return [], 0
+        man = self._manifest(v)
+        stats = man.get("stats", {})
+        kept = []
+        for name in man["files"]:
+            cols = stats.get(name, {})
+            skip = False
+            for col, (lo, hi) in ranges.items():
+                if col not in cols:
+                    continue
+                fmin, fmax = cols[col]
+                if (hi is not None and fmin > hi) or (
+                    lo is not None and fmax < lo
+                ):
+                    skip = True
+                    break
+            if not skip:
+                kept.append(os.path.join(self._data_dir, name))
+        return kept, len(man["files"])
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        ranges: dict[str, tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Snapshot read that scans ONLY files surviving stats pruning.
+
+        The caller still applies the actual predicate — pruning is a
+        strict superset guarantee (file granularity), exactly like
+        Delta/Iceberg data skipping. Combine with a Z-order layout
+        (:func:`~.layout.zorder_layout`) to make multi-column boxes prune.
+        """
+        v = self.version() if version is None else version
+        files, _total = self.files_pruned(ranges, v)
+        if not files:
+            # empty selection: preserve schema via an empty frame
+            base = self.read(spark, v)
+            return base.limit(0)
+        schema_json = self._manifest(v).get("schema")
+        if schema_json is not None:
+            schema = StructType.fromJson(json.loads(schema_json))
+        else:
+            schema = spark.read.parquet(files[0]).schema
+        return spark.read.schema(schema).parquet(*files)
 
     # --------------------------------------------------------- data writes
 
@@ -210,6 +356,7 @@ class ManifestTable:
         """
         new_names = self._write_data_files(df)
         schema_json = df.schema.json()
+        new_stats = self._file_stats(new_names)
         for _ in range(max_retries):
             v = self.version()
             if expected_version is not None and v != expected_version:
@@ -219,7 +366,14 @@ class ManifestTable:
                 )
             base = v if base_version is None else base_version
             live = self._manifest(base)["files"] if base >= 0 else []
-            if self._try_commit(v + 1, live + new_names, op=op, schema_json=schema_json):
+            files = live + new_names
+            if self._try_commit(
+                v + 1,
+                files,
+                op=op,
+                schema_json=schema_json,
+                stats=self._merged_stats(base, files, new_stats),
+            ):
                 self._maybe_checkpoint(v + 1)
                 return v + 1
         raise CommitConflict(
@@ -243,6 +397,7 @@ class ManifestTable:
         """
         new_names = self._write_data_files(df)
         schema_json = df.schema.json()
+        new_stats = self._file_stats(new_names)
         for _ in range(max_retries):
             v = self.version()
             if expected_version is not None and v != expected_version:
@@ -250,7 +405,13 @@ class ManifestTable:
                     f"expected to overwrite v{expected_version} but table is "
                     f"at v{v} at {self.root}"
                 )
-            if self._try_commit(v + 1, new_names, op=op, schema_json=schema_json):
+            if self._try_commit(
+                v + 1,
+                new_names,
+                op=op,
+                schema_json=schema_json,
+                stats=new_stats or None,
+            ):
                 self._maybe_checkpoint(v + 1)
                 return v + 1
         raise CommitConflict(
@@ -406,7 +567,11 @@ class ManifestTable:
             if self.version() != base:
                 continue  # an append landed mid-rewrite; redo on new base
             if self._try_commit(
-                base + 1, new_names, op="compact", schema_json=df.schema.json()
+                base + 1,
+                new_names,
+                op="compact",
+                schema_json=df.schema.json(),
+                stats=self._file_stats(new_names) or None,
             ):
                 self._maybe_checkpoint(base + 1)
                 return base + 1

@@ -115,3 +115,51 @@ def test_multiformat_round_trip(spark, sf_dir, tmp_path):
         write_table_as(src, path, fmt)
         got = read_table_as(spark, path, fmt, schema=src.schema)
         assert sorted(map(tuple, got.collect())) == want, fmt
+
+
+def test_runtime_bloom_filter_semijoin_reduction(spark, sf_dir):
+    """Catalyst injects a runtime bloom filter on the fact side of a
+    selective dim⋈fact join — the semi-join reduction that keeps a 100 TB
+    probe side from shuffling rows the build side will discard anyway.
+
+    The application-side scan threshold (default 10 GB — sized for real
+    clusters) is lowered to let test-scale parquet qualify, and broadcast
+    is disabled because the broadcast path uses DPP instead; the assert is
+    that the optimizer plants bloom_filter_agg/might_contain and that the
+    filtered plan returns bit-identical results to the unfiltered one.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 200000)
+    )
+
+    def q():
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"),
+            )
+        )
+
+    base = q().collect()
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = q()
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan, plan[:2000]
+        assert df.collect() == base
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1,0 +1,138 @@
+"""Manifest per-file stats + Z-order layout: the file-skipping story.
+
+Properties under test:
+- stats are recorded at commit and survive append/compaction;
+- read_pruned is a strict superset (never loses a matching row);
+- a Z-ordered layout actually PRUNES on both clustered dimensions,
+  while a single-column sort prunes only its own column;
+- files without stats are conservatively kept.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from map_reduce_in_go_spark.sources.layout import zorder_layout
+from map_reduce_in_go_spark.sources.manifest_table import ManifestTable
+from map_reduce_in_go_spark.sources.tables import load_table
+
+N_FILES = 16
+
+
+def _li(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+
+
+def _box(df, ok_hi, pk_hi):
+    return df.filter((F.col("l_orderkey") <= ok_hi) & (F.col("l_partkey") <= pk_hi))
+
+
+def test_stats_recorded_and_pruning_is_lossless(spark, sf_dir, tmp_path):
+    tbl = ManifestTable(
+        str(tmp_path / "t"), stats_cols=["l_orderkey", "l_partkey"]
+    )
+    df = zorder_layout(_li(spark, sf_dir), ["l_orderkey", "l_partkey"], N_FILES)
+    tbl.overwrite(df)
+
+    man = json.load(
+        open(os.path.join(tbl.root, "_manifests", "v0.json"))
+    )
+    assert "stats" in man and len(man["stats"]) == len(man["files"])
+    some = next(iter(man["stats"].values()))
+    assert set(some) == {"l_orderkey", "l_partkey"}
+
+    full = tbl.read(spark)
+    ok_hi = full.agg(F.expr("percentile(l_orderkey, 0.25)")).first()[0]
+    pk_hi = full.agg(F.expr("percentile(l_partkey, 0.25)")).first()[0]
+    ranges = {"l_orderkey": (None, ok_hi), "l_partkey": (None, pk_hi)}
+
+    pruned = tbl.read_pruned(spark, ranges)
+    want = sorted(map(tuple, _box(full, ok_hi, pk_hi).collect()))
+    got = sorted(map(tuple, _box(pruned, ok_hi, pk_hi).collect()))
+    assert got == want  # pruning only skips files that cannot match
+
+
+def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """The layout claim itself: a 2-D box predicate must skip files under
+    Z-order on BOTH columns, while a linear sort's secondary column
+    cannot prune."""
+    li = _li(spark, sf_dir)
+    ok_hi = li.agg(F.expr("percentile(l_orderkey, 0.25)")).first()[0]
+    pk_hi = li.agg(F.expr("percentile(l_partkey, 0.25)")).first()[0]
+
+    z = ManifestTable(str(tmp_path / "z"), stats_cols=["l_orderkey", "l_partkey"])
+    z.overwrite(zorder_layout(li, ["l_orderkey", "l_partkey"], N_FILES))
+
+    lin = ManifestTable(
+        str(tmp_path / "lin"), stats_cols=["l_orderkey", "l_partkey"]
+    )
+    lin.overwrite(
+        li.repartitionByRange(N_FILES, "l_orderkey").sortWithinPartitions(
+            "l_orderkey"
+        )
+    )
+
+    # one-dimension predicates: both layouts prune their leading column
+    kept_ok, total = z.files_pruned({"l_orderkey": (None, ok_hi)})
+    assert len(kept_ok) < total
+
+    # the 2-D box: z-order prunes strictly harder than the linear sort,
+    # because the linear layout's partkey file-ranges span the domain
+    zk, zt = z.files_pruned(
+        {"l_orderkey": (None, ok_hi), "l_partkey": (None, pk_hi)}
+    )
+    lk, lt = lin.files_pruned(
+        {"l_orderkey": (None, ok_hi), "l_partkey": (None, pk_hi)}
+    )
+    assert zt == lt == N_FILES
+    assert len(zk) < len(lk), (len(zk), len(lk))
+    # partkey alone prunes under z-order, not under the orderkey sort
+    zp, _ = z.files_pruned({"l_partkey": (None, pk_hi)})
+    lp, _ = lin.files_pruned({"l_partkey": (None, pk_hi)})
+    assert len(zp) < N_FILES
+    assert len(lp) == N_FILES
+
+
+def test_stats_survive_append_and_compact(spark, sf_dir, tmp_path):
+    tbl = ManifestTable(str(tmp_path / "t"), stats_cols=["l_orderkey"])
+    li = _li(spark, sf_dir)
+    half = li.filter(F.col("l_orderkey") % 2 == 0)
+    other = li.filter(F.col("l_orderkey") % 2 == 1)
+    tbl.overwrite(half.repartition(4))
+    tbl.append(other.repartition(4))
+
+    man = json.load(
+        open(os.path.join(tbl.root, "_manifests", f"v{tbl.version()}.json"))
+    )
+    # every file in the snapshot carries stats (carried-forward + new)
+    assert set(man["stats"]) == set(man["files"])
+
+    tbl.compact(spark, num_files=2)
+    man2 = json.load(
+        open(os.path.join(tbl.root, "_manifests", f"v{tbl.version()}.json"))
+    )
+    assert set(man2["stats"]) == set(man2["files"])
+    assert tbl.read(spark).count() == li.count()
+
+
+def test_files_without_stats_are_kept(spark, sf_dir, tmp_path):
+    """A table whose earlier commits predate stats_cols must stay
+    readable and conservatively unpruned."""
+    plain = ManifestTable(str(tmp_path / "t"))  # no stats recorded
+    li = _li(spark, sf_dir)
+    plain.overwrite(li.repartition(4))
+
+    statted = ManifestTable(str(tmp_path / "t"), stats_cols=["l_orderkey"])
+    kept, total = statted.files_pruned({"l_orderkey": (None, 1)})
+    assert total > 0 and len(kept) == total  # nothing skipped blindly
+    # ...and a later append records stats for ITS files only
+    statted.append(li.limit(100))
+    man = json.load(
+        open(os.path.join(statted.root, "_manifests", f"v{statted.version()}.json"))
+    )
+    assert 0 < len(man.get("stats", {})) < len(man["files"])
