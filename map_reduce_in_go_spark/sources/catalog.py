@@ -80,6 +80,17 @@ class TableCatalog:
         """The member table handle (standalone reads/maintenance)."""
         return ManifestTable(os.path.join(self.root, name))
 
+    def committed_ops(self) -> set[str]:
+        """Op labels of every published catalog commit — the multi-table
+        transaction ledger. A writer that tags ``commit(op=...)`` with its
+        unit of work (e.g. a streaming batch id) checks membership here for
+        replay detection; member-table ops don't count, because a staged
+        member commit whose catalog publication never landed is an orphan,
+        not a completed transaction."""
+        if self._catalog.version() < 0:
+            return set()
+        return self._catalog.committed_ops()
+
     def read(
         self,
         spark: SparkSession,

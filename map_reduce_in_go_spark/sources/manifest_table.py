@@ -548,6 +548,7 @@ class ManifestTable:
         dedup_cols: list[str] | None = None,
         num_files: int = 1,
         max_retries: int = 20,
+        zorder_cols: list[str] | None = None,
     ) -> int:
         """Rewrite the live rows into ``num_files`` fresh files and swap.
 
@@ -557,13 +558,26 @@ class ManifestTable:
         appends. The commit races like any other: if an append lands while
         compaction is rewriting, the swap would lose it, so compaction
         verifies its base version is still newest and retries otherwise.
+
+        ``zorder_cols`` re-clusters the rewrite on a Morton curve (the
+        ``OPTIMIZE ... ZORDER BY`` maintenance verb): appends land in
+        arrival order, which erodes file-range tightness; a z-ordered
+        compaction restores multi-column skipping for every file in one
+        atomic swap, with stats re-recorded from the fresh footers.
         """
         for _ in range(max_retries):
             base = self.version()
             df = self.read(spark, base)
             if dedup_cols:
                 df = df.dropDuplicates(dedup_cols)
-            new_names = self._write_data_files(df.coalesce(num_files))
+            if zorder_cols:
+                from .layout import zorder_layout
+
+                # zorder_layout already range-partitions into num_files
+                df = zorder_layout(df, zorder_cols, num_files)
+            else:
+                df = df.coalesce(num_files)
+            new_names = self._write_data_files(df)
             if self.version() != base:
                 continue  # an append landed mid-rewrite; redo on new base
             if self._try_commit(

@@ -142,6 +142,88 @@ def ingest_batch(
     return True
 
 
+def ingest_batch_txn(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    cat,
+    batch_id: int,
+    app_id: str = "ingest",
+) -> bool:
+    """:func:`ingest_batch` as ONE multi-table catalog transaction.
+
+    The single-table form needs a separate idempotent landing zone for
+    survivors plus the index append, stitched together by write order and
+    a ledger. With :class:`~..sources.catalog.TableCatalog` the accepted
+    corpus IS a member table: each micro-batch appends surviving docs to
+    ``corpus`` and their bands to ``band_index`` and publishes both in one
+    atomic catalog CAS — a reader can never observe a doc whose bands
+    aren't probeable (or vice versa), at any crash point.
+
+    Exactly-once falls out of the catalog ledger alone: the commit is
+    tagged ``<app_id>-batch-<id>`` and replays are detected from
+    *published catalog commits* — a crash after the member appends but
+    before the catalog CAS leaves only orphan member versions, so the
+    replay recomputes and stages fresh ones (content-identical; the
+    orphans age out of member vacuums). On a CAS conflict (a racing
+    backfill writer) the batch re-plans against the new snapshot with a
+    full re-probe — survivors were derived from the old snapshot, so this
+    is the serializable behavior; the delta-only re-probe optimization of
+    :func:`ingest_batch` applies the same way if the conflict rate ever
+    warrants it.
+    """
+    from ..sources.catalog import CommitConflict as _Conflict
+
+    op = f"{app_id}-batch-{batch_id}"
+    if op in cat.committed_ops():
+        return False
+    for _ in range(10):
+        mark = persisted_count()
+        txn = cat.transaction(spark)
+        try:
+            old_bands = txn.read("band_index")
+        except KeyError:
+            old_bands = spark.createDataFrame([], "band_idx int, band_hash string")
+        survivors = dedup_batch_against_bands(batch_df, old_bands).localCheckpoint(
+            eager=True
+        )
+        kept = batch_df.join(survivors, "doc_id", "left_semi")
+        txn.append("corpus", kept.select("doc_id", "text"), op=op)
+        txn.append("band_index", bands_of_docs(kept), op=op)
+        try:
+            txn.commit(op=op)
+            return True
+        except _Conflict:
+            continue  # re-plan on the new catalog snapshot
+        finally:
+            release_persisted_since(mark)
+            free_local_checkpoint(survivors)
+    raise CommitConflict(
+        f"batch {batch_id} lost the catalog race 10 times at {cat.root}; "
+        "Spark will retry the batch"
+    )
+
+
+def start_dedup_ingest_txn(
+    stream_docs: DataFrame,
+    catalog_root: str,
+    checkpoint_dir: str,
+    app_id: str = "ingest",
+):
+    """documents stream → per-batch multi-table transactions on a catalog."""
+    from ..sources.catalog import TableCatalog
+
+    spark = stream_docs.sparkSession
+    cat = TableCatalog(catalog_root)
+    return (
+        stream_docs.writeStream.foreachBatch(
+            lambda df, bid: ingest_batch_txn(spark, df, cat, bid, app_id)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_dedup_ingest(
     stream_docs: DataFrame,
     index_root: str,

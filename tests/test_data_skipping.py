@@ -136,3 +136,31 @@ def test_files_without_stats_are_kept(spark, sf_dir, tmp_path):
         open(os.path.join(statted.root, "_manifests", f"v{statted.version()}.json"))
     )
     assert 0 < len(man.get("stats", {})) < len(man["files"])
+
+
+def test_zorder_compaction_restores_skipping(spark, sf_dir, tmp_path):
+    """OPTIMIZE-ZORDER verb: arrival-order appends erode pruning; a
+    z-ordered compaction restores it atomically."""
+    li = _li(spark, sf_dir)
+    tbl = ManifestTable(
+        str(tmp_path / "t"), stats_cols=["l_orderkey", "l_partkey"]
+    )
+    # arrival-order ingestion: random-ish splits, no clustering
+    tbl.overwrite(li.filter(F.col("l_quantity") <= 25).repartition(8))
+    tbl.append(li.filter(F.col("l_quantity") > 25).repartition(8))
+
+    ok_hi = li.agg(F.expr("percentile(l_orderkey, 0.25)")).first()[0]
+    pk_hi = li.agg(F.expr("percentile(l_partkey, 0.25)")).first()[0]
+    box = {"l_orderkey": (None, ok_hi), "l_partkey": (None, pk_hi)}
+
+    before_kept, before_total = tbl.files_pruned(box)
+    assert len(before_kept) == before_total  # arrival order: nothing prunes
+
+    v = tbl.compact(
+        spark, num_files=N_FILES, zorder_cols=["l_orderkey", "l_partkey"]
+    )
+    after_kept, after_total = tbl.files_pruned(box, version=v)
+    assert after_total == N_FILES
+    assert len(after_kept) < after_total // 2, (len(after_kept), after_total)
+    # and the rewrite lost nothing
+    assert tbl.read(spark).count() == li.count()

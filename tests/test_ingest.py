@@ -193,3 +193,84 @@ def test_ingest_auto_compaction_bounds_files(spark, sf_dir, tmp_path):
     }
     assert idx_docs <= landed
     assert len(landed) > 0
+
+
+def test_ingest_batch_txn_sequence_replay_and_atomicity(spark, sf_dir, tmp_path):
+    """Catalog-transaction ingest: corpus + band index move together, the
+    catalog ledger gives replay detection, and orphan member commits (a
+    crash between member appends and the catalog CAS) stay invisible."""
+    from map_reduce_in_go_spark.sources.catalog import TableCatalog
+    from map_reduce_in_go_spark.streaming.ingest import ingest_batch_txn
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.pmod("doc_id", F.lit(3)) == 1)
+    b2 = docs.filter(F.pmod("doc_id", F.lit(3)) == 2)
+    cat = TableCatalog(str(tmp_path / "cat"))
+
+    assert ingest_batch_txn(spark, b1, cat, 0) is True
+    surv1 = {r["doc_id"] for r in cat.read(spark, "corpus").collect()}
+    assert surv1 and surv1 <= {r["doc_id"] for r in b1.collect()}
+
+    assert ingest_batch_txn(spark, b2, cat, 1) is True
+    surv_all = {r["doc_id"] for r in cat.read(spark, "corpus").collect()}
+    assert all(i % 3 == 2 for i in surv_all - surv1)
+    # index ⊆ corpus at every published snapshot (the atomicity invariant)
+    idx_docs = {
+        r["doc_id"]
+        for r in cat.read(spark, "band_index").select("doc_id").distinct().collect()
+    }
+    assert idx_docs <= surv_all
+
+    # replay: catalog ledger short-circuits, nothing moves
+    v = cat.version()
+    assert ingest_batch_txn(spark, b1, cat, 0) is False
+    assert ingest_batch_txn(spark, b2, cat, 1) is False
+    assert cat.version() == v
+
+    # simulated crash mid-transaction: member appends land, catalog CAS
+    # never does → published snapshot unchanged, and the replayed batch
+    # completes the work (the orphans stay unreferenced)
+    txn = cat.transaction(spark)
+    txn.append("corpus", docs.filter(F.col("doc_id") == 0).select("doc_id", "text"))
+    del txn
+    assert {r["doc_id"] for r in cat.read(spark, "corpus").collect()} == surv_all
+
+
+def test_ingest_txn_stream_end_to_end(spark, tmp_path):
+    """foreachBatch wiring for the catalog form: same dedup outcome as the
+    single-table stream, exactly-once via the catalog ledger."""
+    from map_reduce_in_go_spark.sources.catalog import TableCatalog
+    from map_reduce_in_go_spark.streaming.ingest import start_dedup_ingest_txn
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    texts1 = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+        (3, "one two three four five six seven eight"),
+    ]
+    texts2 = [
+        (4, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of corpus
+        (5, "nine ten eleven twelve thirteen fourteen fifteen"),
+    ]
+    (drop / "b1.json").write_text(
+        "\n".join(json.dumps({"doc_id": d, "text": t}) for d, t in texts1)
+    )
+    time.sleep(1.1)
+    (drop / "b2.json").write_text(
+        "\n".join(json.dumps({"doc_id": d, "text": t}) for d, t in texts2)
+    )
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(drop))
+    )
+    cat_root = str(tmp_path / "cat")
+    q = start_dedup_ingest_txn(stream, cat_root, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    cat = TableCatalog(cat_root)
+    got = {r["doc_id"] for r in cat.read(spark, "corpus").collect()}
+    assert got == {1, 3, 5}
+    assert {"ingest-batch-0", "ingest-batch-1"} <= cat.committed_ops()
+    assert cat.version() == 1  # one catalog publication per micro-batch
