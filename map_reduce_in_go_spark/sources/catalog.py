@@ -112,6 +112,28 @@ class TableCatalog:
             spark, version=pinned, merge_schema=merge_schema
         )
 
+    # ---------------------------------------------------------- maintenance
+
+    def vacuum(self, spark: SparkSession, retain_seconds: float = 3600.0) -> int:
+        """Vacuum every member with the published snapshot's files protected.
+
+        A member's newest chain entry can be a racing transaction's staged
+        (unpublished) commit — after a staged OVERWRITE, the files the
+        catalog actually serves are absent from the member's newest
+        manifest, and a bare ``ManifestTable.vacuum`` would delete them.
+        This verb passes each member's catalog-pinned file set as
+        ``extra_live``, so published snapshots stay intact while true
+        orphans (failed transactions past the retention horizon) are
+        reclaimed. Returns total files removed.
+        """
+        removed = 0
+        snap = self.snapshot(spark)
+        for _name, (path, pinned) in snap.items():
+            tbl = ManifestTable(os.path.join(self.root, path))
+            pinned_files = {os.path.basename(p) for p in tbl.files(pinned)}
+            removed += tbl.vacuum(retain_seconds, extra_live=pinned_files)
+        return removed
+
     # --------------------------------------------------------- transactions
 
     def transaction(self, spark: SparkSession) -> "Transaction":

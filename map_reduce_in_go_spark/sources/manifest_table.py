@@ -593,7 +593,9 @@ class ManifestTable:
             f"compact lost the commit race {max_retries} times at {self.root}"
         )
 
-    def vacuum(self, retain_seconds: float = 3600.0) -> int:
+    def vacuum(
+        self, retain_seconds: float = 3600.0, extra_live: set[str] | None = None
+    ) -> int:
         """Delete unreferenced data files older than ``retain_seconds``.
 
         Returns the number of files removed. The retention horizon guards
@@ -606,10 +608,21 @@ class ManifestTable:
         stop being readable once their files age out; the manifest log
         itself is retained — it is the table's history (and
         :meth:`committed_ops`' replay ledger), and it costs KBs.
+
+        ``extra_live`` protects additional file names beyond the newest
+        manifest's. A table serving as a :class:`~.catalog.TableCatalog`
+        member MUST be vacuumed through ``TableCatalog.vacuum`` (which
+        passes the catalog-pinned snapshot's files here): the member's
+        newest chain entry may be another transaction's staged-but-
+        unpublished overwrite, in which case "live in newest" and "served
+        by the catalog" are different sets and a bare vacuum would delete
+        files the published snapshot still reads.
         """
         import time
 
         live = {os.path.basename(p) for p in self.files()}
+        if extra_live:
+            live |= extra_live
         cutoff = time.time() - retain_seconds
         removed = 0
         try:

@@ -182,3 +182,38 @@ def test_member_table_standalone_access(spark, tmp_path):
     txn.overwrite("docs", tbl.read(spark))
     txn.commit()
     assert cat.read(spark, "docs").count() == 2
+
+
+def test_catalog_vacuum_protects_published_snapshot(spark, tmp_path):
+    """The hazard: a staged-but-unpublished OVERWRITE becomes the member's
+    newest chain entry, so a bare member vacuum would delete the files the
+    published catalog snapshot still serves. Catalog.vacuum must not."""
+    cat = TableCatalog(str(tmp_path / "cat"))
+    t0 = cat.transaction(spark)
+    t0.overwrite("docs", _df(spark, [(1, "a"), (2, "b")]))
+    t0.commit()
+    published = _ids(cat.read(spark, "docs"))
+
+    # crash mid-transaction AFTER staging an overwrite
+    t1 = cat.transaction(spark)
+    t1.overwrite("docs", _df(spark, [(9, "z")]))
+    del t1
+
+    # the member's newest manifest now references ONLY the orphan files —
+    # exactly the state where a bare vacuum(0) would destroy the snapshot
+    assert cat.table("docs").version() > cat.snapshot(spark)["docs"][1]
+
+    removed = cat.vacuum(spark, retain_seconds=0)
+    # published snapshot fully readable afterwards
+    assert _ids(cat.read(spark, "docs")) == published
+    # and nothing the orphan references was removed either (it is the
+    # newest member manifest, hence live by the member's own rule)
+    assert removed == 0
+
+    # a later committed transaction supersedes the orphan; the orphan's
+    # files then become genuinely unreferenced and reclaimable
+    t2 = cat.transaction(spark)
+    t2.overwrite("docs", _df(spark, [(3, "c")]))
+    t2.commit()
+    assert cat.vacuum(spark, retain_seconds=0) >= 0
+    assert _ids(cat.read(spark, "docs")) == [3]
