@@ -37,7 +37,7 @@ def test_never_verified_queries_lead_the_window():
     if never:
         last_never = max(names.index(n) for n in never)
         first_checked = min(
-            (names.index(n) for n in names if verified.get(n, 0) > 0),
+            (names.index(n) for n in names if n not in never),
             default=len(names),
         )
         assert last_never < first_checked
