@@ -578,3 +578,324 @@ ORACLES["corpus_budget_select"] = f"""
            CAST(cum_tokens AS BIGINT) AS cum_tokens
     FROM cum WHERE cum_tokens <= {BUDGET_TOKENS}
     """
+
+
+# --- sequence packing (concat-and-chunk) -----------------------------------
+
+CTX_TOKENS = 256  # training context length in tokens
+
+
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence packing ledger for GPT-style concat-and-chunk training.
+
+    :func:`shard_pack` answers "which shard does each document land in";
+    this answers the sequence-grain question the attention-mask builder and
+    the packing-efficiency report need: concatenate all documents in
+    ``doc_id`` order into one token stream, cut it into ``CTX_TOKENS``-token
+    training sequences, and emit ONE ROW PER SEQUENCE with its fill level
+    and document-boundary structure:
+
+    - ``n_tokens``   — tokens of the sequence actually covered (== CTX for
+      every sequence but the final partial one): the utilization number.
+    - ``n_docs``     — documents overlapping the sequence (cross-document
+      attention boundaries inside this context window).
+    - ``n_starts``   — documents whose first token falls in this sequence
+      (BOS insertions).
+    - ``head_doc``   — smallest doc_id overlapping (the resume cursor a
+      restartable packer seeks to).
+
+    Plan: the global token prefix-sum is the same hierarchical two-level
+    construction as :func:`shard_pack` (per-block partial sums → tiny
+    block-level cumsum → within-block window) — no single-partition window
+    over the corpus. Each document then fans out to the few sequences its
+    token span covers (``explode(sequence(first_seq, last_seq))`` — a doc
+    spans ⌈n_tok/CTX⌉+1 sequences at most), and one partial-agg groupBy on
+    ``seq_id`` builds the ledger. Interval-overlap token counts are exact
+    integer min/max arithmetic, so the oracle (flat global window + the
+    same fan-out) matches bit-for-bit.
+    """
+    d = (
+        load_documents_parallel(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        )
+        .filter(F.col("n_tok") > 0)
+        .withColumn("blk", F.expr(f"doc_id DIV {SHARD_BLOCK}"))
+    )
+    blk = d.groupBy("blk").agg(F.sum("n_tok").alias("bsum"))
+    wblk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    blk_off = blk.select(
+        "blk", F.coalesce(F.sum("bsum").over(wblk), F.lit(0)).alias("boff")
+    )
+    win = (
+        Window.partitionBy("blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        d.join(F.broadcast(blk_off), "blk")
+        .withColumn(
+            "start", F.col("boff") + F.coalesce(F.sum("n_tok").over(win), F.lit(0))
+        )
+        .withColumn("end", F.col("start") + F.col("n_tok") - 1)
+    )
+    ctx = F.lit(CTX_TOKENS)
+    fan = spans.select(
+        "doc_id",
+        "start",
+        "end",
+        F.explode(
+            F.expr(f"sequence(start DIV {CTX_TOKENS}, `end` DIV {CTX_TOKENS})")
+        ).alias("seq_id"),
+    )
+    lo = F.greatest(F.col("start"), F.col("seq_id") * ctx)
+    hi = F.least(F.col("end"), (F.col("seq_id") + 1) * ctx - 1)
+    return (
+        fan.withColumn("cov", (hi - lo + 1))
+        .groupBy("seq_id")
+        .agg(
+            F.sum("cov").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                (F.expr(f"start DIV {CTX_TOKENS}") == F.col("seq_id")).cast("long")
+            ).alias("n_starts"),
+            F.min("doc_id").alias("head_doc"),
+        )
+    )
+
+
+ORACLES["sequence_pack"] = f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS n_tok FROM documents
+    ), nz AS (
+      SELECT doc_id, n_tok FROM t WHERE n_tok > 0
+    ), c AS (
+      SELECT doc_id, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS s
+      FROM nz
+    ), spans AS (
+      SELECT doc_id, s AS "start", s + n_tok - 1 AS "end" FROM c
+    ), fan AS (
+      SELECT doc_id, "start", "end",
+             unnest(range("start" // {CTX_TOKENS}, "end" // {CTX_TOKENS} + 1))
+               AS seq_id
+      FROM spans
+    )
+    SELECT seq_id,
+           CAST(sum(least("end", (seq_id + 1) * {CTX_TOKENS} - 1)
+                    - greatest("start", seq_id * {CTX_TOKENS}) + 1) AS BIGINT)
+             AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN "start" // {CTX_TOKENS} = seq_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+           min(doc_id) AS head_doc
+    FROM fan GROUP BY seq_id
+    """
+
+
+# --- temperature-scaled language mixing ------------------------------------
+
+MIX_ALPHA = 0.3  # the multilingual-LM temperature exponent (τ = 1/α ≈ 3.3)
+
+
+def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling distribution over languages.
+
+    The public multilingual recipe (mBERT/XLM-R exponential smoothing):
+    sampling probability q_i ∝ p_i^α with p_i the language's token share —
+    α=1 reproduces the natural (head-dominated) mixture, α→0 the uniform
+    one; 0.3 is the published sweet spot. Output per language: the natural
+    share, the smoothed share, and the up/down-sampling factor q/p a shard
+    writer multiplies into per-language keep rates.
+
+    Determinism: n_tokens are exact ints; p is one IEEE divide; p^α is
+    rounded at 9dp and fixed to DECIMAL(18,9) so the normalizer Z = Σp^α
+    aggregates exactly in any partition order; the final q and q/p are
+    single divides rounded at 6dp.
+    """
+    docs = load_documents_parallel(spark, sf_dir)
+    g = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    tot = g.agg(F.sum("n_tokens").alias("tot_tokens"))
+    p = F.col("n_tokens") / F.col("tot_tokens")
+    pa = F.round(F.pow(p, F.lit(MIX_ALPHA)), 9).cast("decimal(18,9)")
+    scored = g.crossJoin(F.broadcast(tot)).withColumn("pa", pa)
+    z = scored.agg(F.sum("pa").alias("z"))
+    out = scored.crossJoin(F.broadcast(z))
+    q = F.col("pa").cast("double") / F.col("z").cast("double")
+    return out.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(p, 6).alias("token_share"),
+        F.round(q, 6).alias("mix_share"),
+        F.round(q / p, 6).alias("sample_factor"),
+    )
+
+
+ORACLES["mix_temperature"] = f"""
+    WITH g AS (
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(len({_TOK})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM g
+    ), s AS (
+      SELECT lang, n_docs, n_tokens,
+             CAST(n_tokens AS DOUBLE) / tot_tokens AS p,
+             CAST(round(pow(CAST(n_tokens AS DOUBLE) / tot_tokens,
+                            {MIX_ALPHA!r}), 9)
+                  AS DECIMAL(18,9)) AS pa
+      FROM g CROSS JOIN tot
+    ), z AS (
+      SELECT sum(pa) AS z FROM s
+    )
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+           round(p, 6) AS token_share,
+           round(CAST(pa AS DOUBLE) / CAST(z.z AS DOUBLE), 6) AS mix_share,
+           round((CAST(pa AS DOUBLE) / CAST(z.z AS DOUBLE)) / p, 6)
+             AS sample_factor
+    FROM s CROSS JOIN z
+    """
+
+
+# --- DSIR data selection ----------------------------------------------------
+
+DSIR_BUCKETS = 512  # hashed n-gram feature space
+DSIR_TARGET_LANG = "en"  # the "target distribution" slice
+
+
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al., NeurIPS 2023).
+
+    The published recipe for "pick raw-web documents that look like the
+    target corpus": fit two bag-of-hashed-n-gram unigram models — one on a
+    target sample (here the ``lang='en'`` slice standing in for the curated
+    target), one on the full raw corpus — and score every document by its
+    log importance weight  log ŵ(x) = Σ_b c_b(x)·(log p_target(b) − log
+    p_raw(b))  over hashed (uni+bi)-gram buckets with add-one smoothing.
+    Documents with positive log-weight look more target-like than raw-like
+    and are kept (the paper then resamples ∝ ŵ; the sign cut is the
+    deterministic variant that needs no global sort).
+
+    Plan shape for 100 TB: one tokenize+hash pass (codegen: md5 mod B —
+    portable to the oracle), one partial-agg groupBy to per-bucket counts
+    (B=512 rows — broadcast back), and one per-doc weighted sum. The two
+    "models" are B-row tables, so scoring is a broadcast join, never a
+    shuffle of the corpus.
+
+    Determinism: bucket counts are exact ints; each bucket's λ_b =
+    round(ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B)), 9) is fixed to
+    DECIMAL(18,9) so the per-doc Σ c_b·λ_b aggregates exactly in any
+    order; the final score is one divide-free double cast rounded at 6dp.
+    """
+    from ..functions.caching import scoped_persist
+
+    docs = load_documents_parallel(spark, sf_dir).withColumn(
+        "toks", tokens(F.col("text"))
+    )
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.concat(F.col("toks"), _ngrams(F.col("toks"), 2))
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint")
+            % DSIR_BUCKETS
+        ).alias("b"),
+    )
+    grams = scoped_persist(grams)
+    raw = grams.groupBy("b").agg(F.count(F.lit(1)).alias("r"))
+    tgt = (
+        grams.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    totals = raw.agg(F.sum("r").alias("rt")).collect()[0]  # bounded scalar
+    t_total = (
+        tgt.agg(F.sum("t").alias("tt")).collect()[0]["tt"] or 0
+    )  # bounded scalar
+    r_total = totals["rt"] or 0
+    lam = raw.join(tgt, "b", "left").select(
+        "b",
+        F.round(
+            F.log(
+                (F.coalesce(F.col("t"), F.lit(0)) + F.lit(1.0))
+                / F.lit(float(t_total + DSIR_BUCKETS))
+            )
+            - F.log(
+                (F.col("r") + F.lit(1.0)) / F.lit(float(r_total + DSIR_BUCKETS))
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("lam"),
+    )
+    feats = grams.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        feats.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            # the Σ c·λ is EXACT decimal arithmetic in both engines; the
+            # lossless double cast of the same decimal value is identical
+            # IEEE, so no rounding step (whose .5 boundary the two engines
+            # resolve differently) is needed at all. c must be a NARROW
+            # decimal: bigint×decimal(18,9) promotes past precision 38 and
+            # Spark silently truncates the scale to 8.
+            F.sum(F.col("c").cast("decimal(9,0)") * F.col("lam"))
+            .cast("double")
+            .alias("log_weight"),
+        )
+        .withColumn("selected", F.col("log_weight") > 0)
+    )
+
+
+_DSIR_BUCKET = (
+    f"CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % {DSIR_BUCKETS}"
+)
+
+ORACLES["dsir_select"] = f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_TOK} AS toks FROM documents
+    ), grams AS (
+      SELECT doc_id, lang, {_DSIR_BUCKET} AS b
+      FROM (
+        SELECT doc_id, lang, unnest(toks || {sql_shingles('toks', 2)}) AS g
+        FROM t
+      )
+    ), raw AS (
+      SELECT b, count(*) AS r FROM grams GROUP BY b
+    ), tgt AS (
+      SELECT b, count(*) AS tc FROM grams
+      WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b
+    ), tots AS (
+      SELECT (SELECT CAST(sum(r) AS BIGINT) FROM raw) AS rt,
+             (SELECT CAST(coalesce(sum(tc), 0) AS BIGINT) FROM tgt) AS tt
+    ), lam AS (
+      SELECT raw.b,
+             CAST(round(
+               ln((coalesce(tgt.tc, 0) + 1.0) / (tots.tt + {DSIR_BUCKETS}))
+               - ln((raw.r + 1.0) / (tots.rt + {DSIR_BUCKETS})), 9)
+             AS DECIMAL(18,9)) AS lam
+      FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tots
+    ), feats AS (
+      SELECT doc_id, b, count(*) AS c FROM grams GROUP BY doc_id, b
+    )
+    SELECT f.doc_id,
+           CAST(sum(f.c) AS BIGINT) AS n_feats,
+           CAST(sum(f.c * l.lam) AS DOUBLE) AS log_weight,
+           CAST(sum(f.c * l.lam) AS DOUBLE) > 0 AS selected
+    FROM feats f JOIN lam l ON f.b = l.b
+    GROUP BY f.doc_id
+    """

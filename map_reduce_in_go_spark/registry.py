@@ -260,6 +260,9 @@ def _build() -> None:
         "pii_redact",
         "sample_weighted",
         "corpus_budget_select",
+        "sequence_pack",
+        "mix_temperature",
+        "dsir_select",
     ])
 
 

@@ -104,3 +104,75 @@ def test_domain_mix_shares_sum_to_one(spark, sf_dir):
             (1.0 / len(rows)) / (r["n_tokens"] / sum(x["n_tokens"] for x in rows)),
             rel=1e-4,
         )
+
+
+def test_sequence_pack_invariants(spark, sf_dir):
+    """The packing ledger must conserve tokens and fill every non-final
+    sequence to exactly CTX_TOKENS."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_in_go_spark.operators.curation import (
+        CTX_TOKENS,
+        sequence_pack,
+    )
+    from map_reduce_in_go_spark.functions.text import tokens
+    from map_reduce_in_go_spark.sources.tables import load_table
+
+    seqs = sequence_pack(spark, sf_dir).orderBy("seq_id").collect()
+    total = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.sum(F.size(tokens(F.col("text")))).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert [r["seq_id"] for r in seqs] == list(range(len(seqs)))
+    assert sum(r["n_tokens"] for r in seqs) == total
+    for r in seqs[:-1]:
+        assert r["n_tokens"] == CTX_TOKENS
+    assert 0 < seqs[-1]["n_tokens"] <= CTX_TOKENS
+    assert sum(r["n_starts"] for r in seqs) == 500  # every doc starts once
+    for r in seqs:
+        assert r["n_docs"] >= r["n_starts"]
+        assert r["n_docs"] >= 1
+
+
+def test_mix_temperature_flattens_the_mixture(spark, sf_dir):
+    """q must sum to 1 and sit strictly between natural and uniform:
+    head languages downweighted, tail languages upweighted."""
+    from map_reduce_in_go_spark.operators.curation import mix_temperature
+
+    rows = mix_temperature(spark, sf_dir).collect()
+    assert abs(sum(r["mix_share"] for r in rows) - 1.0) < 1e-4
+    uniform = 1.0 / len(rows)
+    for r in rows:
+        p, q = r["token_share"], r["mix_share"]
+        if p > uniform:
+            assert p > q > uniform - 1e-9  # head: shrunk toward uniform
+        elif p < uniform:
+            assert p < q < uniform + 1e-9  # tail: boosted toward uniform
+        # q here is the 6dp-rounded share; the operator divides pre-rounding
+        assert r["sample_factor"] == pytest.approx(q / p, abs=1e-4)
+
+
+def test_dsir_selects_target_like_documents(spark, sf_dir):
+    """Importance weights must separate the target slice: the average
+    log-weight of en docs must exceed the non-en average, and the selected
+    set must be majority-target."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_in_go_spark.operators.curation import (
+        DSIR_TARGET_LANG,
+        dsir_select,
+    )
+    from map_reduce_in_go_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = dsir_select(spark, sf_dir).join(docs, "doc_id").collect()
+    tgt = [r for r in j if r["lang"] == DSIR_TARGET_LANG]
+    other = [r for r in j if r["lang"] != DSIR_TARGET_LANG]
+    assert tgt and other
+    mean = lambda rs: sum(r["log_weight"] for r in rs) / len(rs)  # noqa: E731
+    assert mean(tgt) > mean(other)
+    sel = [r for r in j if r["selected"]]
+    assert sel, "selection must be non-empty"
+    n_tgt_sel = sum(1 for r in sel if r["lang"] == DSIR_TARGET_LANG)
+    assert n_tgt_sel / len(sel) > 0.5
