@@ -134,3 +134,118 @@ ORACLES: dict[str, str] = {
     HAVING count(*) * {HH_K} > (SELECT n FROM tot)
     """,
 }
+
+
+# Count-Min sketch shape: D independent hash rows × W counters. With the
+# corpus at n tokens, a CMS estimate overshoots by at most ~n/W per row
+# (ε = e/W); W=4096 keeps the false-candidate screen tight at HH_K=500.
+CMS_W = 4096
+CMS_D = 4
+
+
+def _cms_hashes(word: str) -> list[int]:
+    """D row-indices from one md5: 4 disjoint 8-hex-char slices mod W.
+
+    One digest per distinct word per partition; slices are independent
+    uniform 32-bit draws, the standard cheap stand-in for D pairwise-
+    independent hash functions.
+    """
+    import hashlib
+
+    h = hashlib.md5(word.encode("utf-8")).hexdigest()
+    return [int(h[8 * d : 8 * d + 8], 16) % CMS_W for d in range(CMS_D)]
+
+
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters via a Count-Min candidate screen (Cormode &
+    Muthukrishnan 2005) — the sketch-comparison twin of
+    :func:`heavy_hitters` (Misra-Gries).
+
+    Same two-pass exact-output contract, different sketch trade:
+
+    1. **Sketch pass**: each partition folds its tokens into a D×W
+       Count-Min array (exact value_counts per Arrow batch, one md5 per
+       distinct word, vectorized scatter-add). Partition sketches MERGE BY
+       PLAIN ADDITION — the property Misra-Gries lacks (its merge must
+       re-shrink and loses mass), and why CMS is the one you pre-aggregate
+       per shard and union later at 100 TB. Driver folds P sketches of
+       fixed size (D·W·8 B ≈ 128 KB) — bounded state, no key universe.
+    2. **Candidate + exact count pass**: re-scan tokens; each partition
+       counts locally (exact), queries the broadcast global sketch for its
+       distinct words, and emits local counts ONLY for words whose CMS
+       estimate clears the n/K support. CMS never underestimates, so the
+       candidate set is a superset of the true heavy hitters regardless of
+       partitioning; summing the per-partition exact local counts then
+       gives exact global counts for every candidate with NO third scan.
+       The final ``cnt·K > n`` filter kills false candidates.
+
+    Output is identical to :func:`heavy_hitters` (same support threshold),
+    so the same plain-SQL oracle hash-checks it; the pytest twin compares
+    the two sketches' candidate-set sizes — the measurable cost difference
+    between an overestimate screen (CMS) and a summary screen (MG).
+    """
+    import numpy as np
+
+    from ..functions.caching import scoped_persist
+    from .wordcount import _doc_words
+
+    words = scoped_persist(_doc_words(spark, sf_dir).select("word"))
+
+    def sketch_pass(batches):
+        import pandas as pd
+
+        cms = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        n = 0
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            n += len(pdf)
+            for w, c in pdf["word"].value_counts().items():
+                counts[w] = counts.get(w, 0) + int(c)
+        for w, c in counts.items():
+            for d, h in enumerate(_cms_hashes(w)):
+                cms[d, h] += c
+        yield pd.DataFrame({"part_n": [n], "sketch": [cms.ravel().tolist()]})
+
+    parts = words.mapInPandas(
+        sketch_pass, "part_n long, sketch array<long>"
+    ).collect()  # ≤ #partitions rows × 128 KB — bounded driver state
+    total = int(sum(r["part_n"] for r in parts))
+    global_cms = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+    for r in parts:
+        global_cms += np.asarray(r["sketch"], dtype=np.int64)  # sketch merge
+    global_cms = global_cms.reshape(CMS_D, CMS_W)
+    bc = spark.sparkContext.broadcast(global_cms)
+
+    def count_pass(batches):
+        import pandas as pd
+
+        cms = bc.value
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for w, c in pdf["word"].value_counts().items():
+                counts[w] = counts.get(w, 0) + int(c)
+        if not counts:
+            return
+        ws = list(counts)
+        est = np.array(
+            [min(cms[d, h] for d, h in enumerate(_cms_hashes(w))) for w in ws],
+            dtype=np.int64,
+        )
+        keep = est * HH_K > total
+        yield pd.DataFrame(
+            {
+                "word": [w for w, k in zip(ws, keep) if k],
+                "c": [counts[w] for w, k in zip(ws, keep) if k],
+            }
+        )
+
+    return (
+        words.mapInPandas(count_pass, "word string, c long")
+        .groupBy("word")
+        .agg(F.sum("c").alias("cnt"))
+        .filter(F.col("cnt") * HH_K > F.lit(total))
+    )
+
+
+# identical output contract → identical oracle
+ORACLES["heavy_hitters_cms"] = ORACLES["heavy_hitters"]

@@ -210,6 +210,7 @@ def _build() -> None:
         "events_quantiles_approx",
         "sketch_rollup_users",
         "heavy_hitters",
+        "heavy_hitters_cms",
     ])
 
     from .operators import similarity as _sim
