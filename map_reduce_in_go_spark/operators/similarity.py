@@ -215,7 +215,7 @@ def _with_buckets(vecs: DataFrame, with_vec: bool = False) -> DataFrame:
     return spread.mapInPandas(gen, schema=schema)
 
 
-def _query_probes(vecs: DataFrame) -> DataFrame:
+def _query_probes(vecs: DataFrame, all_vectors: bool = False) -> DataFrame:
     """(query_id, tbl, bucket) multiprobe rows for the query subset.
 
     Per query per table: the base sign bucket plus ``MULTIPROBE`` buckets
@@ -262,7 +262,10 @@ def _query_probes(vecs: DataFrame) -> DataFrame:
                 }
             )
 
-    q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select("vec_id", "e")
+    q = vecs
+    if not all_vectors:
+        q = q.filter(F.col("vec_id") % QUERY_MOD == 0)
+    q = q.select("vec_id", "e")
     q = q.repartition(q.sparkSession.sparkContext.defaultParallelism)
     return q.mapInPandas(gen, schema="query_id long, tbl int, bucket string")
 
@@ -833,3 +836,91 @@ ORACLES: dict[str, str] = {
     FROM e
     """,
 }
+
+
+# ----------------------------------------------------------- kNN graph
+
+KNN_K = 5  # neighbors per vector in the corpus graph
+
+
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus k-nearest-neighbor graph via multiprobe LSH blocking.
+
+    The batch primitive under SemDeDup-style clustering, agglomerative
+    topic grouping, and graph-based coreset selection: EVERY vector gets
+    its top-``KNN_K`` cosine neighbors — :func:`ann_lsh`'s probe plan with
+    the query subset widened to the whole corpus. Each vector probes its
+    base sign-bucket plus the ``MULTIPROBE`` one-bit-flip buckets whose
+    hyperplane boundary it sits nearest (measured multiprobe recall ~0.8
+    at this blocking, vs ~0.5 for base buckets alone), in each of the
+    ``LSH_TABLES`` tables.
+
+    Plan difference vs ann_lsh: the probe table is corpus-sized, so the
+    probe⋈cell match is a shuffle equality join on (tbl, bucket) — both
+    sides hash-partitioned by cell key, bucket sizes bounded by the B sign
+    bits — instead of a broadcast; likewise the two vector re-attach joins
+    shuffle on id. Pair-ids dedup BEFORE vectors re-attach (the
+    shuffle-weight discipline), exact sequential-fold rescoring, one
+    per-vector top-k window. Nothing is ever all-pairs.
+    """
+    vecs = _vectors(spark, sf_dir)
+    vt = _with_buckets(vecs).select("vec_id", "tbl", "bucket")
+    probes = _query_probes(vecs, all_vectors=True)
+    pair_ids = (
+        vt.join(probes, ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    qv = vecs.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    cands = _exact_pair_scores(
+        pair_ids.join(qv, "query_id").join(vecs.select("vec_id", "e"), "vec_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            "cos",
+            "rank",
+        )
+    )
+
+
+# ann_lsh's probe replay without the query-subset filter: every vector
+# contributes its base bucket + MULTIPROBE nearest-boundary flips.
+ORACLES["knn_graph"] = sql_bucket_ctes() + f"""
+    , qsb AS (
+      SELECT vec_id, tbl, bit, ch, round(abs(dot), 6) AS ad FROM sb
+    ), flips AS (
+      SELECT vec_id, tbl, bit FROM qsb
+      QUALIFY row_number() OVER (PARTITION BY vec_id, tbl
+              ORDER BY ad ASC, bit ASC) <= {MULTIPROBE}
+    ), q AS (
+      SELECT vec_id AS query_id, tbl, bucket FROM bt
+      UNION
+      SELECT s.vec_id AS query_id, s.tbl,
+             string_agg(CASE WHEN s.bit = f.bit
+                             THEN CASE s.ch WHEN '1' THEN '0' ELSE '1' END
+                             ELSE s.ch END, '' ORDER BY s.bit) AS bucket
+      FROM qsb s JOIN flips f ON f.vec_id = s.vec_id AND f.tbl = s.tbl
+      GROUP BY s.vec_id, s.tbl, f.bit
+    ), pair_ids AS (
+      SELECT DISTINCT q.query_id, bt.vec_id
+      FROM bt JOIN q ON bt.tbl = q.tbl AND bt.bucket = q.bucket
+                    AND bt.vec_id <> q.query_id
+    ), scored AS (
+      SELECT p.query_id, p.vec_id AS neighbor_id,
+             round({sql_cosine('qa.ed', 'ca.ed')}, 6) AS cos
+      FROM pair_ids p
+      JOIN e qa ON qa.vec_id = p.query_id
+      JOIN e ca ON ca.vec_id = p.vec_id
+    )
+    SELECT query_id AS vec_id, neighbor_id, cos,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= {KNN_K}
+    """

@@ -223,6 +223,7 @@ def _build() -> None:
         "ann_ivf_indexed",
         "cluster_silhouette",
         "vector_norms",
+        "knn_graph",
     ])
 
     from .operators import text_analysis as _ta

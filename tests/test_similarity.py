@@ -105,3 +105,41 @@ def test_ivf_indexed_matches_inflight_and_prunes(spark, sf_dir):
     }
     assert probed, "index scan reported no cell partitions"
     assert {f"cid={c}" for c in probed} <= all_cells
+
+
+def test_knn_graph_invariants_and_recall(spark, sf_dir):
+    """Every vector gets a contiguous rank-1..k list, no self loops, and
+    the blocked graph recovers most of the exact kNN edges."""
+    import numpy as np
+
+    rows = similarity.knn_graph(spark, sf_dir).collect()
+    by_vec: dict[int, list] = {}
+    for r in rows:
+        assert r["vec_id"] != r["neighbor_id"]
+        assert -1.0 <= r["cos"] <= 1.0
+        by_vec.setdefault(r["vec_id"], []).append(r)
+    vecs = similarity._vectors(spark, sf_dir).select("vec_id", "e").collect()
+    assert len(by_vec) == len(vecs)  # every vector appears as a query
+    for vs in by_vec.values():
+        ranks = sorted(v["rank"] for v in vs)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= similarity.KNN_K
+        cos_sorted = [
+            v["cos"] for v in sorted(vs, key=lambda v: v["rank"])
+        ]
+        assert cos_sorted == sorted(cos_sorted, reverse=True)
+    # recall vs the exact graph (small corpus → numpy all-pairs is fine)
+    ids = np.array([r["vec_id"] for r in vecs])
+    mat = np.stack([np.asarray(r["e"], dtype=np.float64) for r in vecs])
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    np.fill_diagonal(sims, -np.inf)
+    hits = total = 0
+    order = np.argsort(ids)
+    for pos, i in enumerate(order):
+        k = min(similarity.KNN_K, len(ids) - 1)
+        top = ids[np.argsort(-sims[i])[:k]]
+        got = {v["neighbor_id"] for v in by_vec[int(ids[i])]}
+        hits += len(set(top.tolist()) & got)
+        total += k
+    assert hits / total >= 0.6, f"knn_graph recall {hits/total:.2f} < 0.6"
