@@ -655,6 +655,62 @@ def dedup_batch_against_bands(
     )
 
 
+MAX_PROBE_KEYS = 100_000  # past this, point-set pruning buys nothing
+
+
+def dedup_batch_against_stats_index(
+    spark: SparkSession, batch_docs: DataFrame, tbl
+) -> DataFrame:
+    """Probe the manifest-log band index reading ONLY files that can match.
+
+    The stats-aware point-lookup path: the batch's band hashes are a
+    bounded probe-key set (32 per doc); with the index compacted into a
+    ``band_hash``-sorted layout (``compact(zorder_cols=["band_hash"])``,
+    stats in the manifest), :meth:`ManifestTable.files_pruned_in` keeps
+    only files whose [min, max] hash range contains a probe key — the
+    point-lookup half of Delta-style data skipping. Results are identical
+    to probing the full snapshot (file-granularity superset guarantee,
+    proven in tests/test_data_skipping.py); only scan volume changes.
+
+    Falls back to the full snapshot read past ``MAX_PROBE_KEYS`` probe
+    hashes — a batch that large touches essentially every file of any
+    real index, so the metadata pass would be pure overhead.
+    """
+    batch_sigs = scoped_persist(
+        signatures_of(batch_docs.withColumn("toks", tokens(F.col("text"))))
+    )
+    new_bands = scoped_persist(_bands(batch_sigs))
+    n_probe = new_bands.count()
+    if n_probe <= MAX_PROBE_KEYS:
+        probes = [
+            r["band_hash"]
+            for r in new_bands.select("band_hash").distinct().collect()
+        ]
+        old = tbl.read_pruned_in(spark, "band_hash", probes)
+    else:
+        old = tbl.read(spark)
+    drop_old = new_bands.join(
+        old.select("band_idx", "band_hash").distinct(),
+        ["band_idx", "band_hash"],
+        "left_semi",
+    ).select("doc_id")
+    a, b = new_bands.alias("a"), new_bands.alias("b")
+    drop_new = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+    )
+    return (
+        batch_docs.select("doc_id")
+        .join(drop_old.union(drop_new).distinct(), "doc_id", "left_anti")
+        .select("doc_id")
+    )
+
+
 # Per-process home for durable band indexes. ``mkdtemp`` makes the path
 # unique per interpreter, so two concurrent sessions on the same sf can
 # never race on an overwrite, and a testdata regeneration can never be

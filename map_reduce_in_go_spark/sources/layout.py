@@ -60,11 +60,18 @@ def zvalue(scaled: list[Column]) -> Column:
 def zorder_layout(df: DataFrame, cols: list[str], num_files: int) -> DataFrame:
     """Return ``df`` clustered for writing as ``num_files`` z-ordered files.
 
-    Numeric columns only (the bit interleave needs a linear scale). The
-    caller writes the result (e.g. ``ManifestTable.overwrite``) — each
-    part file then covers a compact box in ``cols`` space and per-file
-    min/max stats prune on any of the clustered columns.
+    Numeric columns only (the bit interleave needs a linear scale), except
+    the single-column case: a Morton curve of one dimension IS the linear
+    sort, so ``cols=[c]`` range-sorts directly and works for any orderable
+    type (string band hashes included). The caller writes the result
+    (e.g. ``ManifestTable.overwrite``) — each part file then covers a
+    compact box in ``cols`` space and per-file min/max stats prune on any
+    of the clustered columns.
     """
+    if len(cols) == 1:
+        return df.repartitionByRange(num_files, cols[0]).sortWithinPartitions(
+            cols[0]
+        )
     bounds = df.agg(
         *[F.min(c).alias(f"lo_{c}") for c in cols],
         *[F.max(c).alias(f"hi_{c}") for c in cols],

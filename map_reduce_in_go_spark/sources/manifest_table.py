@@ -262,6 +262,64 @@ class ManifestTable:
                 kept.append(os.path.join(self._data_dir, name))
         return kept, len(man["files"])
 
+    def files_pruned_in(
+        self, col: str, values, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """Point-set skipping: (kept files, total) for a probe-key list.
+
+        The index-probe half of the skipping story: a batch of point
+        lookups (band hashes, join keys) keeps a file only if AT LEAST ONE
+        probe value falls inside the file's recorded [min, max]. With the
+        table compacted into a sort/Z-order layout the files partition the
+        key space, so a probe set touching few key ranges reads few files —
+        the daily-small-delta shape; a probe set uniform over the whole
+        space keeps everything, which is also the correct answer. Files
+        with no stats are conservatively kept. Driver cost is
+        O(#files · log #probes) (one bisect per file over the sorted probe
+        list) on metadata alone.
+        """
+        import bisect
+
+        v = self.version() if version is None else version
+        if v < 0:
+            return [], 0
+        man = self._manifest(v)
+        stats = man.get("stats", {})
+        probes = sorted(set(values))
+        kept = []
+        for name in man["files"]:
+            cols = stats.get(name, {})
+            if col in cols and probes:
+                fmin, fmax = cols[col]
+                i = bisect.bisect_left(probes, fmin)
+                if i >= len(probes) or probes[i] > fmax:
+                    continue  # no probe value can live in this file
+            kept.append(os.path.join(self._data_dir, name))
+        return kept, len(man["files"])
+
+    def read_pruned_in(
+        self,
+        spark: SparkSession,
+        col: str,
+        values,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Snapshot read scanning only files that can hold a probe value.
+
+        Same superset guarantee as :meth:`read_pruned` — the caller still
+        applies the real join/filter; skipping changes work, never results.
+        """
+        v = self.version() if version is None else version
+        files, _total = self.files_pruned_in(col, values, v)
+        if not files:
+            return self.read(spark, v).limit(0)
+        schema_json = self._manifest(v).get("schema")
+        if schema_json is not None:
+            schema = StructType.fromJson(json.loads(schema_json))
+        else:
+            schema = spark.read.parquet(files[0]).schema
+        return spark.read.schema(schema).parquet(*files)
+
     def read_pruned(
         self,
         spark: SparkSession,

@@ -164,3 +164,70 @@ def test_zorder_compaction_restores_skipping(spark, sf_dir, tmp_path):
     assert len(after_kept) < after_total // 2, (len(after_kept), after_total)
     # and the rewrite lost nothing
     assert tbl.read(spark).count() == li.count()
+
+
+def test_point_set_pruning_is_lossless_and_skips(spark, sf_dir, tmp_path):
+    """files_pruned_in: a clustered probe set over a sorted layout reads a
+    strict subset of files; an empty-range probe reads none; results are
+    identical to the full snapshot either way."""
+    from map_reduce_in_go_spark.operators.dedup import bands_of_docs
+    from map_reduce_in_go_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tbl = ManifestTable(str(tmp_path / "bands"), stats_cols=["band_hash"])
+    tbl.overwrite(bands_of_docs(docs))
+    tbl.compact(spark, num_files=16, zorder_cols=["band_hash"])
+
+    all_hashes = sorted(
+        r["band_hash"]
+        for r in tbl.read(spark).select("band_hash").distinct().collect()
+    )
+    # probes clustered at the bottom of the hash space → few files match
+    probes = all_hashes[: max(4, len(all_hashes) // 50)]
+    kept, total = tbl.files_pruned_in("band_hash", probes)
+    assert total == 16
+    assert 0 < len(kept) < total, f"no skipping: kept {len(kept)}/{total}"
+    # losslessness: the pruned read contains every row matching a probe
+    full = {
+        (r["doc_id"], r["band_idx"], r["band_hash"])
+        for r in tbl.read(spark)
+        .filter(F.col("band_hash").isin(probes))
+        .collect()
+    }
+    pruned = {
+        (r["doc_id"], r["band_idx"], r["band_hash"])
+        for r in tbl.read_pruned_in(spark, "band_hash", probes)
+        .filter(F.col("band_hash").isin(probes))
+        .collect()
+    }
+    assert pruned == full and full
+    # probe keys outside every file range → zero files, empty same-schema frame
+    none = tbl.read_pruned_in(spark, "band_hash", ["zzzz_no_such_hash"])
+    assert none.count() == 0
+    assert none.columns == tbl.read(spark).columns
+
+
+def test_stats_probe_dedup_matches_full_probe(spark, sf_dir, tmp_path):
+    """The pruned probe path must return bit-identical survivors to the
+    full-snapshot probe."""
+    from map_reduce_in_go_spark.operators.dedup import (
+        bands_of_docs,
+        dedup_batch_against_bands,
+        dedup_batch_against_stats_index,
+    )
+    from map_reduce_in_go_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 1)
+    tbl = ManifestTable(str(tmp_path / "idx"), stats_cols=["band_hash"])
+    tbl.overwrite(bands_of_docs(corpus))
+    tbl.compact(spark, num_files=8, zorder_cols=["band_hash"])
+    full = {
+        r["doc_id"] for r in dedup_batch_against_bands(batch, tbl.read(spark)).collect()
+    }
+    pruned = {
+        r["doc_id"]
+        for r in dedup_batch_against_stats_index(spark, batch, tbl).collect()
+    }
+    assert pruned == full and full
