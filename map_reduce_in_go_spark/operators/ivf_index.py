@@ -1,31 +1,41 @@
-"""Evolvable IVF index: per-cell tables under an ACID catalog commit.
+"""Evolvable IVF index: per-cell tables under generic catalog transactions.
 
 ``build_ivf_index`` (operators/similarity.py) materializes the inverted
 file as static parquet — the serving layout, but with no evolution story:
 ``cluster_silhouette`` measures cell quality and nothing acts on it. This
-module is the maintenance layer a vector database runs around that layout:
+module is the maintenance layer a vector database runs around that layout,
+built ON the repo's generic multi-table transaction machinery
+(:class:`~..sources.catalog.TableCatalog`) rather than a bespoke pinning
+scheme:
 
 - **Catalog-as-commit-point.** The index is a set of per-cell
-  :class:`ManifestTable`\\ s plus one *catalog* table whose rows are
-  ``(cid, centroid, path, version)``. Readers resolve ONE catalog snapshot
-  and then read exactly the referenced cell tables at their **pinned
-  versions** — so any maintenance operation (split, rebalance, re-center)
-  becomes visible atomically at the catalog commit, and a reader holding
-  an older catalog keeps a fully consistent older index. This is the
-  two-level metadata layering lakehouse metastores use: data commits are
-  per-table, atomicity across tables comes from the catalog swap.
+  :class:`ManifestTable`\\ s plus one ``centroids`` member table whose rows
+  are ``(cid, centroid, cell)`` — ``cell`` naming the member table holding
+  that cell's vectors. A :class:`Transaction` stages every cell write and
+  the centroids replacement, then ONE catalog CAS publishes them together:
+  any maintenance operation (split, merge, re-center) becomes visible
+  atomically, and a reader holding an older catalog version keeps a fully
+  consistent older index — the snapshot is the catalog's, so the pinned
+  member versions and the centroid table always agree. This is the
+  two-level metadata layering lakehouse metastores use, now literally the
+  shared implementation instead of a parallel one.
 - **Silhouette-driven splitting.** ``split_worst_cell`` picks the cell
   with the worst mean assignment margin (the :func:`cluster_silhouette`
   statistic, recomputed from catalog centroids), splits it on the median
   projection along its most marginal member's direction (deterministic —
-  no iterative k-means, ties on vec_id), writes the two children as fresh
-  cell tables, and CAS-commits the catalog on the version it planned
-  against — a racing maintenance job loses the commit, not the index.
+  no iterative k-means, ties on vec_id), stages the two children plus the
+  centroid swap, drops the parent member, and commits — a racing
+  maintenance job loses the catalog CAS, not the index, and replans.
+
+Crash story: a maintenance job that dies mid-transaction leaves staged
+member commits the catalog never references — orphans, invisible to every
+reader, reclaimed by ``TableCatalog.vacuum`` — and the catalog still
+serves the last published index.
 
 Scale posture: a split reads and rewrites ONLY the split cell's rows
 (cost ∝ cell size, never index size); probes read only the NPROBE
-referenced cell tables; the catalog is O(#cells) rows of metadata. Old
-cell tables stay on disk for snapshot readers until ``vacuum``.
+referenced cell tables; the catalog is O(#cells) metadata rows. Old
+cell tables stay on disk for snapshot readers until vacuum.
 """
 
 from __future__ import annotations
@@ -37,6 +47,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..sources.catalog import CommitConflict, TableCatalog
 from ..sources.manifest_table import ManifestTable
 from .similarity import (
     NPROBE,
@@ -47,6 +58,9 @@ from .similarity import (
     _exact_pair_scores,
     _vectors,
 )
+
+CENTROIDS = "centroids"  # the metadata member table's name
+_CENTROID_SCHEMA = "cid long, centroid array<double>, cell string"
 
 
 def _dot_lit(vec):
@@ -65,23 +79,22 @@ class EvolvableIvfIndex:
 
     def __init__(self, root: str) -> None:
         self.root = root
-        self.catalog = ManifestTable(os.path.join(root, "catalog"))
+        self.catalog = TableCatalog(root)
 
     # ------------------------------------------------------------- building
 
-    def _new_cell_table(self, df: DataFrame) -> tuple[str, int]:
-        """Write (vec_id, e) rows as a fresh cell table; returns (relpath, v)."""
-        rel = os.path.join("cells", uuid.uuid4().hex[:12])
-        tbl = ManifestTable(os.path.join(self.root, rel))
-        v = tbl.overwrite(df.select("vec_id", "e"))
-        return rel, v
+    @staticmethod
+    def _new_cell_name() -> str:
+        return os.path.join("cells", uuid.uuid4().hex[:12])
 
     def build(self, spark: SparkSession, sf_dir: str) -> None:
         """Assign every vector to its argmax-cosine centroid and commit.
 
         Same deterministic coarse quantizer and assignment kernel as
         ``ann_ivf`` (similarity.py), so the initial index is the one the
-        oracle-checked queries serve from.
+        oracle-checked queries serve from. All cells plus the centroids
+        table land in ONE transaction: there is no observable state in
+        which some cells exist and others don't.
         """
         bc = spark.sparkContext.broadcast(_centroids(spark, sf_dir))
         c_ids, c_mat, _, _ = bc.value
@@ -96,26 +109,43 @@ class EvolvableIvfIndex:
             .select("vec_id", "cid")
         )
         rows = vecs.join(assign, "vec_id")
+        txn = self.catalog.transaction(spark)
         entries = []
         for i, cid in enumerate(c_ids):
-            rel, v = self._new_cell_table(rows.filter(F.col("cid") == int(cid)))
-            entries.append(
-                (int(cid), [float(x) for x in c_mat[i]], rel, v)
+            rel = self._new_cell_name()
+            txn.overwrite(
+                rel, rows.filter(F.col("cid") == int(cid)).select("vec_id", "e")
             )
-        self.catalog.overwrite(
-            spark.createDataFrame(
-                entries, "cid long, centroid array<double>, path string, version int"
-            )
+            entries.append((int(cid), [float(x) for x in c_mat[i]], rel))
+        txn.overwrite(
+            CENTROIDS, spark.createDataFrame(entries, _CENTROID_SCHEMA)
         )
+        txn.commit(op="build")
 
     # -------------------------------------------------------------- reading
 
     def snapshot(self, spark: SparkSession, catalog_version: int | None = None):
-        """One consistent view: [(cid, centroid, path, pinned version)]."""
-        rows = self.catalog.read(spark, catalog_version).collect()
+        """One consistent view: [(cid, centroid, cell name, pinned version)].
+
+        Both halves — the centroid table's content and every cell's pinned
+        version — come from the SAME catalog snapshot, so they can never
+        disagree even while a transaction publishes concurrently.
+        """
+        pins = self.catalog.snapshot(spark, catalog_version)
+        if CENTROIDS not in pins:
+            return []
+        cpath, cver = pins[CENTROIDS]
+        rows = (
+            ManifestTable(os.path.join(self.root, cpath))
+            .read(spark, cver)
+            .collect()
+        )
         return sorted(
-            (r["cid"], np.array(r["centroid"]), r["path"], r["version"])
-            for r in rows
+            (
+                (r["cid"], np.array(r["centroid"]), r["cell"], pins[r["cell"]][1])
+                for r in rows
+            ),
+            key=lambda t: t[0],
         )
 
     def _centroid_pack(self, snap):
@@ -270,20 +300,22 @@ class EvolvableIvfIndex:
             F.round(F.avg("cos_c"), 6).alias("mean_cos"),
         )
 
+    @staticmethod
+    def _centroid_rows(entries):
+        return [(int(c), [float(x) for x in e], p) for c, e, p in entries]
+
     def recenter_cells(self, spark: SparkSession, max_retries: int = 5) -> int:
         """Move every centroid to its stored members' mean (k-means half-step).
 
-        Pure metadata operation: no data file is touched — the catalog
-        commit swaps only the centroid column, so the cost is one
+        Pure metadata transaction: no cell table is touched — the staged
+        write replaces only the centroids member, so the cost is one
         aggregation pass over the index regardless of how stale the
         sampled centroids were. Improves assignment margins after drift
         (appends, splits) without any rewrite. CAS-committed like a split.
         """
-        from ..sources.manifest_table import CommitConflict
-
         for _ in range(max_retries):
-            base = self.catalog.version()
-            snap = self.snapshot(spark, base)
+            txn = self.catalog.transaction(spark)
+            snap = self.snapshot(spark, txn.base_version)
             members = self._read_cells(spark, snap, [c for c, _, _, _ in snap])
             means = {
                 (r["cid"], r["pos"]): r["m"]
@@ -293,22 +325,18 @@ class EvolvableIvfIndex:
                 .collect()
             }
             dim = max(p for _, p in means) + 1
-            new_cat = spark.createDataFrame(
-                [
-                    (
-                        int(cid),
-                        [float(means[(cid, p)]) for p in range(dim)],
-                        path,
-                        version,
-                    )
-                    for cid, _, path, version in snap
-                ],
-                "cid long, centroid array<double>, path string, version int",
+            txn.overwrite(
+                CENTROIDS,
+                spark.createDataFrame(
+                    self._centroid_rows(
+                        (cid, [means[(cid, p)] for p in range(dim)], path)
+                        for cid, _, path, _ in snap
+                    ),
+                    _CENTROID_SCHEMA,
+                ),
             )
             try:
-                return self.catalog.overwrite(
-                    new_cat, op="recenter", expected_version=base
-                )
+                return txn.commit(op="recenter")
             except CommitConflict:
                 continue
         raise CommitConflict(
@@ -323,13 +351,12 @@ class EvolvableIvfIndex:
         Centroid pair selection is driver-side over the O(#cells) catalog;
         the rewrite unions ONLY the two merged cells' rows (cost ∝ their
         size); the merged centroid is the member-count-weighted mean. One
-        CAS catalog commit swaps both rows for the merged one.
+        transaction stages the merged cell, drops the two parents, and
+        swaps the centroid table.
         """
-        from ..sources.manifest_table import CommitConflict
-
         for _ in range(max_retries):
-            base = self.catalog.version()
-            snap = self.snapshot(spark, base)
+            txn = self.catalog.transaction(spark)
+            snap = self.snapshot(spark, txn.base_version)
             if len(snap) < 2:
                 raise ValueError("need at least two cells to merge")
             _, c_mat, c_unit, _ = self._centroid_pack(snap)
@@ -340,36 +367,32 @@ class EvolvableIvfIndex:
             a, b = snap[i], snap[j]
             counts = {
                 r["cid"]: r["n_members"]
-                for r in self.stored_cell_stats(spark, base).collect()
+                for r in self.stored_cell_stats(spark, txn.base_version).collect()
             }
             na, nb = counts[a[0]], counts[b[0]]
             merged_centroid = (na * c_mat[i] + nb * c_mat[j]) / (na + nb)
             union = self._read_cells(spark, [a, b], [a[0], b[0]]).select(
                 "vec_id", "e"
             )
-            rel, v = self._new_cell_table(union)
+            rel = self._new_cell_name()
+            txn.overwrite(rel, union)
+            txn.drop(a[2])
+            txn.drop(b[2])
             max_cid = max(c for c, _, _, _ in snap)
             kept = [
-                (c, [float(x) for x in e], p, ver)
-                for c, e, p, ver in snap
-                if c not in (a[0], b[0])
+                (c, e, p) for c, e, p, _ in snap if c not in (a[0], b[0])
             ]
-            new_cat = spark.createDataFrame(
-                kept
-                + [
-                    (
-                        int(max_cid + 1),
-                        [float(x) for x in merged_centroid],
-                        rel,
-                        v,
-                    )
-                ],
-                "cid long, centroid array<double>, path string, version int",
+            txn.overwrite(
+                CENTROIDS,
+                spark.createDataFrame(
+                    self._centroid_rows(
+                        kept + [(max_cid + 1, merged_centroid, rel)]
+                    ),
+                    _CENTROID_SCHEMA,
+                ),
             )
             try:
-                return self.catalog.overwrite(
-                    new_cat, op=f"merge-{a[0]}-{b[0]}", expected_version=base
-                )
+                return txn.commit(op=f"merge-{a[0]}-{b[0]}")
             except CommitConflict:
                 continue
         raise CommitConflict(
@@ -384,17 +407,16 @@ class EvolvableIvfIndex:
         ranked by (projection onto that direction, vec_id) and the lower
         half becomes one child, the rest the other; each child's centroid
         is its arithmetic mean. Readers never see a half-built index: the
-        children's tables are invisible until the one catalog commit, which
-        is CAS'd on the planned-against version (a racing maintenance job
-        retries against the new state). Returns the new catalog version.
+        children's tables are staged member commits — invisible until the
+        one catalog publication, which CASes on the version the plan was
+        made against (a racing maintenance job retries against the new
+        state). Returns the new catalog version.
         """
-        from ..sources.manifest_table import CommitConflict
-
         for _ in range(max_retries):
-            base = self.catalog.version()
-            snap = self.snapshot(spark, base)
+            txn = self.catalog.transaction(spark)
+            snap = self.snapshot(spark, txn.base_version)
             worst = (
-                self.cell_margins(spark, base)
+                self.cell_margins(spark, txn.base_version)
                 .orderBy(F.asc("mean_margin"), F.asc("assigned_cid"))
                 .first()["assigned_cid"]
             )
@@ -448,7 +470,7 @@ class EvolvableIvfIndex:
             new_entries = []
             max_cid = max(c for c, _, _, _ in snap)
             for side in (0, 1):
-                part = halves.filter(F.col("side") == side)
+                part = halves.filter(F.col("side") == side).select("vec_id", "e")
                 cent = (
                     part.select(F.posexplode("e").alias("pos", "x"))
                     .groupBy("pos")
@@ -456,28 +478,21 @@ class EvolvableIvfIndex:
                     .orderBy("pos")
                     .collect()
                 )
-                rel, v = self._new_cell_table(part)
+                rel = self._new_cell_name()
+                txn.overwrite(rel, part)
                 new_entries.append(
-                    (
-                        int(max_cid + 1 + side),
-                        [float(r["m"]) for r in cent],
-                        rel,
-                        v,
-                    )
+                    (max_cid + 1 + side, [r["m"] for r in cent], rel)
                 )
-            kept = [
-                (c, [float(x) for x in e], p, v)
-                for c, e, p, v in snap
-                if c != worst
-            ]
-            new_cat = spark.createDataFrame(
-                kept + new_entries,
-                "cid long, centroid array<double>, path string, version int",
+            txn.drop(entry[2])
+            kept = [(c, e, p) for c, e, p, _ in snap if c != worst]
+            txn.overwrite(
+                CENTROIDS,
+                spark.createDataFrame(
+                    self._centroid_rows(kept + new_entries), _CENTROID_SCHEMA
+                ),
             )
             try:
-                return self.catalog.overwrite(
-                    new_cat, op=f"split-{worst}", expected_version=base
-                )
+                return txn.commit(op=f"split-{worst}")
             except CommitConflict:
                 continue  # replan against the racer's committed state
         raise CommitConflict(

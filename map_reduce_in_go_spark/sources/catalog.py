@@ -178,6 +178,7 @@ class Transaction:
         self._base = catalog.snapshot(spark, self.base_version)
         # name -> (path, staged member version) overriding the base pins
         self._staged: dict[str, tuple[str, int]] = {}
+        self._dropped: set[str] = set()
         self._committed: int | None = None
 
     # ------------------------------------------------------------- staging
@@ -208,14 +209,32 @@ class Transaction:
     def overwrite(self, name: str, df: DataFrame, op: str = "txn-stage-overwrite") -> int:
         """Stage a full replace of member ``name`` (created if new)."""
         self._check_open()
+        self._dropped.discard(name)
         tbl, path, _pinned = self._member(name)
         v = tbl.overwrite(df, op=op)
         self._staged[name] = (path, v)
         return v
 
+    def drop(self, name: str) -> None:
+        """Stage removal of member ``name`` from the catalog (DROP TABLE).
+
+        The member's data and manifest log stay on disk — snapshot readers
+        holding an older catalog keep reading it; the files age out of
+        :meth:`TableCatalog.vacuum`'s protection once no published snapshot
+        pins them. Dropping a member staged in this same transaction
+        un-stages it (its staged commit becomes an orphan).
+        """
+        self._check_open()
+        if name not in self._staged and name not in self._base:
+            raise KeyError(f"table {name!r} in neither base snapshot nor staged writes")
+        self._staged.pop(name, None)
+        self._dropped.add(name)
+
     def read(self, name: str) -> DataFrame:
         """Read-your-writes view: staged version if written, else base pin."""
         self._check_open()
+        if name in self._dropped:
+            raise KeyError(f"table {name!r} dropped in this transaction")
         if name in self._staged:
             path, v = self._staged[name]
         elif name in self._base:
@@ -238,11 +257,13 @@ class Transaction:
         Returns the new catalog version.
         """
         self._check_open()
-        if not self._staged:
+        if not self._staged and not self._dropped:
             self._committed = self.base_version
             return self.base_version
         pins = dict(self._base)
         pins.update(self._staged)
+        for name in self._dropped:
+            pins.pop(name, None)
         v = self._cat._publish(
             self._spark, pins, expected_version=self.base_version, op=op
         )

@@ -217,3 +217,35 @@ def test_catalog_vacuum_protects_published_snapshot(spark, tmp_path):
     t2.commit()
     assert cat.vacuum(spark, retain_seconds=0) >= 0
     assert _ids(cat.read(spark, "docs")) == [3]
+
+
+def test_drop_member_in_transaction(spark, tmp_path):
+    """DROP TABLE inside a transaction: gone from the new snapshot, intact
+    in older snapshots, and un-stages a same-transaction write."""
+    cat = TableCatalog(str(tmp_path / "cat"))
+    txn = cat.transaction(spark)
+    txn.overwrite("docs", _df(spark, [(1, "a")]))
+    txn.overwrite("index", _df(spark, [(10, "x")]))
+    v0 = txn.commit()
+
+    txn2 = cat.transaction(spark)
+    txn2.drop("index")
+    with pytest.raises(KeyError):
+        txn2.read("index")  # dropped within this txn
+    v1 = txn2.commit()
+    assert v1 == v0 + 1
+    assert set(cat.snapshot(spark)) == {"docs"}
+    with pytest.raises(KeyError):
+        cat.read(spark, "index")
+    # snapshot isolation: the old catalog version still serves the member
+    assert _ids(cat.read(spark, "index", version=v0)) == [10]
+
+    # dropping an unknown member is an error, not a silent no-op
+    txn3 = cat.transaction(spark)
+    with pytest.raises(KeyError):
+        txn3.drop("nope")
+    # staging a write then dropping it leaves the member absent
+    txn3.overwrite("tmp", _df(spark, [(5, "t")]))
+    txn3.drop("tmp")
+    txn3.commit()
+    assert "tmp" not in cat.snapshot(spark)
