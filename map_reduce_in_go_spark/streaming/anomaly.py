@@ -145,7 +145,9 @@ _ZSCORE_STATE_SCHEMA = StructType(
 )
 
 
-def zscore_running_stateful(events: DataFrame) -> DataFrame:
+def zscore_running_stateful(
+    events: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
     """Per-user running moments (n, mean, var) with exact-cents state.
 
     Incremental twin of the batch ``events_zscore`` statistics: values are
@@ -156,7 +158,11 @@ def zscore_running_stateful(events: DataFrame) -> DataFrame:
     user a micro-batch touches (outputMode update); the anomaly *flags*
     over history are the snapshot detector's job
     (:func:`start_anomaly_monitor`) — state here is O(1) per user, which is
-    what lets this run forever on an unbounded stream.
+    what lets this run forever on an unbounded stream. ``idle_timeout_ms``
+    bounds it across KEYS too: an idle user's moments are evicted after the
+    TTL (the snapshot detector still covers their history), keeping total
+    state proportional to active users. Default None preserves the exact
+    batch-parity semantics the parity tests pin.
     """
 
     def update(
@@ -165,6 +171,9 @@ def zscore_running_stateful(events: DataFrame) -> DataFrame:
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()  # idle TTL: drop this key's running moments
+            return
         n, s1, s2 = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             # HALF_UP (away from zero) at the cent, matching the
@@ -177,6 +186,8 @@ def zscore_running_stateful(events: DataFrame) -> DataFrame:
             s1 += int(cents.sum())
             s2 += int((cents * cents).sum())
         state.update((n, s1, s2))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         mean = (s1 / 100.0) / n
         var = (s2 / 10000.0) / n - mean * mean
         yield pd.DataFrame(
@@ -188,5 +199,9 @@ def zscore_running_stateful(events: DataFrame) -> DataFrame:
         outputStructType=ZSCORE_STATS_SCHEMA,
         stateStructType=_ZSCORE_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -49,6 +50,7 @@ SESSION_OUTPUT_SCHEMA = StructType(
         StructField("user_id", LongType()),
         StructField("n_events", LongType()),
         StructField("sum_value", DoubleType()),
+        StructField("closed", BooleanType()),
     ]
 )
 
@@ -81,11 +83,20 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     )
 
 
-def sessionize_stateful(events: DataFrame) -> DataFrame:
-    """Running per-user totals via explicit group state (+30 min idle timeout).
+def sessionize_stateful(
+    events: DataFrame, idle_timeout_ms: int = 30 * 60 * 1000
+) -> DataFrame:
+    """Running per-user totals via explicit group state + idle-TTL eviction.
 
     The stateful analog of a custom Reducer: state lives per key, updates
-    per micro-batch, emits the running aggregate.
+    per micro-batch, emits the running aggregate (``closed=false``). When a
+    key stays idle past ``idle_timeout_ms`` of processing time, the timeout
+    invocation emits the FINAL session row (``closed=true``) and
+    ``state.remove()``s the key — the state-store TTL contract that keeps
+    total state proportional to *active* users, not the all-time key
+    universe. (Re-arming the timer without removing, the tempting default,
+    grows state forever.) A later event for the same user starts a fresh
+    session — observable as the count resetting, which the TTL test pins.
     """
 
     def update(
@@ -94,14 +105,31 @@ def sessionize_stateful(events: DataFrame) -> DataFrame:
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if state.hasTimedOut:
+            n, total = state.get if state.exists else (0, 0.0)
+            state.remove()  # evict: the session is closed, state freed
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "sum_value": [total],
+                    "closed": [True],
+                }
+            )
+            return
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
         state.update((n, total))
-        state.setTimeoutDuration(30 * 60 * 1000)
+        state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
-            {"user_id": [user_id], "n_events": [n], "sum_value": [total]}
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "sum_value": [total],
+                "closed": [False],
+            }
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
@@ -201,7 +229,9 @@ def topk_stateful(events: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def topk_stateful_compat(events: DataFrame, k: int = 3) -> DataFrame:
+def topk_stateful_compat(
+    events: DataFrame, k: int = 3, idle_timeout_ms: int | None = None
+) -> DataFrame:
     """Executing twin of :func:`topk_stateful` on ``applyInPandasWithState``.
 
     Identical semantics — per-user running top-k (value desc, event_id asc)
@@ -211,7 +241,10 @@ def topk_stateful_compat(events: DataFrame, k: int = 3) -> DataFrame:
     protobuf, which not every runtime has (this sandbox doesn't); keeping
     the compat form executable means the top-k semantics are *run*, not
     just plan-checked, everywhere. State is the top-k itself, as two
-    parallel arrays (bounded by k — no unbounded growth).
+    parallel arrays (bounded by k per key); ``idle_timeout_ms`` adds the
+    TTL across KEYS — a user idle past it is evicted (top-k forgotten), so
+    total state tracks active users rather than the all-time universe.
+    Default None keeps the run-forever semantics of the batch twin.
     """
     from pyspark.sql.types import ArrayType, IntegerType
 
@@ -236,6 +269,9 @@ def topk_stateful_compat(events: DataFrame, k: int = 3) -> DataFrame:
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()  # idle TTL: forget this key's top-k entirely
+            return
         if state.exists:
             vals, eids = state.get
             cur = [(float(v), int(e)) for v, e in zip(vals, eids)]
@@ -246,6 +282,8 @@ def topk_stateful_compat(events: DataFrame, k: int = 3) -> DataFrame:
         cur.sort(key=lambda t: (-t[0], t[1]))
         cur = cur[:k]
         state.update(([v for v, _ in cur], [e for _, e in cur]))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
             {
                 "user_id": [int(user_id)] * len(cur),
@@ -260,7 +298,11 @@ def topk_stateful_compat(events: DataFrame, k: int = 3) -> DataFrame:
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -368,3 +368,74 @@ def test_session_window_matches_batch_sessionize(spark, sf_dir, tmp_path):
     assert [g[:2] for g in got] == [w[:2] for w in want]  # session structure
     for g, w in zip(got, want):  # float-vs-decimal sums within rounding slack
         assert abs(g[2] - w[2]) <= 0.01, (g, w)
+
+
+def test_sessionize_idle_ttl_evicts_state(spark, tmp_path):
+    """The state-store TTL contract, end-to-end: an idle user's session is
+    CLOSED (final row emitted, state removed), and a later event for the
+    same user starts a fresh session — the count resets instead of
+    resuming, proving the state was evicted rather than re-armed."""
+    import time
+
+    p = tmp_path / "ttl"
+    p.mkdir()
+
+    def drop(i, ev):
+        (p / f"part-{i}.json").write_text(json.dumps(ev) + "\n")
+
+    def ev(eid, uid, val):
+        return {
+            "event_id": eid,
+            "ts": "2024-01-01T00:05:00.000Z",
+            "user_id": uid,
+            "event_type": "view",
+            "value": val,
+            "props": "{}",
+        }
+
+    drop(0, ev(1, 1, 1.0))
+    drop(1, ev(2, 1, 2.0))
+    stream = read_event_stream(spark, str(p))
+    q = (
+        sessionize_stateful(stream, idle_timeout_ms=1500)
+        .writeStream.format("memory")
+        .queryName("ttl_test")
+        .outputMode("update")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+
+    def rows():
+        return [
+            (r["user_id"], r["n_events"], r["sum_value"], r["closed"])
+            for r in spark.sql(
+                "SELECT * FROM ttl_test ORDER BY user_id, n_events, closed"
+            ).collect()
+        ]
+
+    def wait_for(pred, timeout=30.0):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            if pred(rows()):
+                return True
+            time.sleep(0.3)
+        return False
+
+    try:
+        # batch 1: user 1's running session
+        assert wait_for(lambda rs: (1, 2, 3.0, False) in rs)
+        # let user 1 idle past the TTL; other-user traffic keeps batches
+        # flowing (processing-time timeouts fire on subsequent batches)
+        time.sleep(2.0)
+        drop(2, ev(3, 2, 9.0))
+        assert wait_for(lambda rs: (1, 2, 3.0, True) in rs), (
+            f"no closed row for the idle user: {rows()}"
+        )
+        # user 1 returns: a FRESH session (n resets to 1), not a resumed one
+        drop(3, ev(4, 1, 5.0))
+        assert wait_for(lambda rs: (1, 1, 5.0, False) in rs), (
+            f"state not evicted — count did not reset: {rows()}"
+        )
+        assert (1, 3, 8.0, False) not in rows()
+    finally:
+        q.stop()
