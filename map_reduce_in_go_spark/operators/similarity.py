@@ -862,6 +862,14 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on id. Pair-ids dedup BEFORE vectors re-attach (the
     shuffle-weight discipline), exact sequential-fold rescoring, one
     per-vector top-k window. Nothing is ever all-pairs.
+
+    Cost model, honestly: candidate volume is Σ_cells m_c² — bounded by
+    the B sign bits, but m_c grows linearly with corpus size at FIXED B,
+    so production runs size B ∝ log n (more bits, same per-cell m_c) the
+    way every LSH deployment does; B is pinned at ann_lsh's 5 here so the
+    DuckDB oracle replays the identical blocking. The 10× replica stresses
+    the worst case deliberately: it duplicates every vector 10×, which
+    inflates each cell 10× and the pair volume ~100× (see SURVEY §6).
     """
     vecs = _vectors(spark, sf_dir)
     vt = _with_buckets(vecs).select("vec_id", "tbl", "bucket")
