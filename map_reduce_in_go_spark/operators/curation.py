@@ -899,3 +899,61 @@ ORACLES["dsir_select"] = f"""
     FROM feats f JOIN lam l ON f.b = l.b
     GROUP BY f.doc_id
     """
+
+
+# --- exact-k per-group reservoir sampling ----------------------------------
+
+RESERVOIR_K = 20  # exact sample size per language
+RESERVOIR_SALT = "resv:"
+
+
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-K uniform sample per language — distributed reservoir sampling.
+
+    :func:`sample_stratified` keeps a RATE per language (output size is
+    binomial); eval-set construction and per-domain audits need EXACTLY K
+    rows per group. The classic reservoir algorithm is sequential; its
+    distributed, rerun-stable form is priority sampling (Efraimidis-
+    Spirakis shape with a deterministic key): assign every doc the salted
+    md5 priority of its id, keep each language's K smallest. Uniformity
+    comes from md5's uniformity over ids; determinism (same sample on any
+    rerun/partitioning — what a training pipeline needs from its eval
+    split) comes from hashing ids instead of ``rand()``.
+
+    Two-phase plan, scale-honest: a per-(group, input-partition) window
+    keeps K local winners first — bounded rows per task, map-side — so the
+    global per-group window ranks only ``partitions×K`` candidates, never
+    the group's full membership. The classic giant-group window accident
+    at 100 TB is a single reducer sorting a billion-row language; phase 1
+    caps what reaches it.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    pri = F.md5(F.concat(F.lit(RESERVOIR_SALT), F.col("doc_id").cast("string")))
+    local = Window.partitionBy("lang", F.spark_partition_id()).orderBy(
+        "pri", "doc_id"
+    )
+    cand = (
+        docs.withColumn("pri", pri)
+        .withColumn("lrk", F.row_number().over(local))
+        .filter(F.col("lrk") <= RESERVOIR_K)
+    )
+    w = Window.partitionBy("lang").orderBy("pri", "doc_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RESERVOIR_K)
+        .select("doc_id", "lang", "rk")
+    )
+
+
+ORACLES["sample_reservoir"] = f"""
+    WITH pri AS (
+      SELECT doc_id, lang,
+             md5('{RESERVOIR_SALT}' || CAST(doc_id AS VARCHAR)) AS pri
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY pri, doc_id) AS INTEGER) AS rk
+    FROM pri
+    QUALIFY rk <= {RESERVOIR_K}
+    """

@@ -333,3 +333,134 @@ ORACLES["doc_similarity_tfidf"] = _MINHASH_CTES + f"""
     JOIN norms nb ON nb.doc_id = d.doc_b
     WHERE round(d.dot / (na.norm * nb.norm), 6) >= {SIM_THRESHOLD}
 """
+
+
+# ----------------------------------------- Kneser-Ney bigram LM scoring
+
+KN_DISCOUNT = 0.75  # the standard absolute-discount value
+
+
+def ngram_lm_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram Kneser-Ney LM scoring — the perplexity-filter upgrade.
+
+    :func:`doc_surprisal` scores with a unigram LM; real quality filters
+    (CCNet, Gopher's perplexity buckets) use higher-order smoothed LMs.
+    Interpolated Kneser-Ney (Kneser & Ney 1995; Chen & Goodman 1999) is
+    the public-standard smoothing, and the corpus is its own model:
+
+        P_cont(w)   = N1+(·w) / N1+(··)            (continuation prob)
+        λ(v)        = d · N1+(v·) / c(v)
+        P_KN(w|v)   = max(c(v,w) − d, 0)/c(v) + λ(v)·P_cont(w)
+
+    with d = 0.75. Output per doc: bigram count and mean −ln P_KN over its
+    bigram occurrences (high = surprising under the corpus LM → gibberish
+    / boilerplate-explosion candidates, now context-sensitive).
+
+    Plan: one bigram explode → per-(doc, v, w) counts; model tables
+    (c(v,w), c(v), N1+(v·), N1+(·w)) are re-aggregations of the same
+    frame, joined back on (v, w) — bigram-vocabulary-grain shuffles, all
+    partial-agg friendly; nothing is corpus-quadratic. Every doc bigram
+    occurs in the corpus counts by construction (the corpus IS the
+    training data), so no OOV branch exists.
+
+    Determinism: all counts exact ints; each distinct bigram's
+    s = −ln P_KN rounded at 9dp → DECIMAL(18,9), per-doc Σ tf·s exact,
+    final mean one divide rounded at 6dp (the doc_surprisal discipline).
+    """
+    from ..functions.text import tokens
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    idx = F.sequence(F.lit(1), F.size("toks") - 1)
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("v"),
+                    F.element_at("toks", i + 1).alias("w"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.v").alias("v"), F.col("b.w").alias("w"))
+    per_doc = scoped_persist(
+        big.groupBy("doc_id", "v", "w").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cvw = scoped_persist(
+        per_doc.groupBy("v", "w").agg(F.sum("tf").alias("cvw"))
+    )
+    cv = cvw.groupBy("v").agg(
+        F.sum("cvw").alias("cv"), F.count(F.lit(1)).alias("n1p_v")
+    )
+    n1p_w = cvw.groupBy("w").agg(F.count(F.lit(1)).alias("n1p_w"))
+    n_types = cvw.count()  # N1+(··), bounded scalar
+    d = F.lit(KN_DISCOUNT)
+    p_kn = (
+        F.greatest(F.col("cvw") - d, F.lit(0.0)) / F.col("cv")
+        + (d * F.col("n1p_v") / F.col("cv"))
+        * (F.col("n1p_w") / F.lit(float(n_types)))
+    )
+    model = cvw.join(cv, "v").join(n1p_w, "w").select(
+        "v",
+        "w",
+        F.round(-F.log(p_kn), 9).cast("decimal(18,9)").alias("s"),
+    )
+    return (
+        per_doc.join(model, ["v", "w"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("tf").cast("decimal(9,0)") * F.col("s"))
+                .cast("double")
+                / F.sum("tf").cast("double"),
+                6,
+            ).alias("avg_kn_surprisal"),
+        )
+    )
+
+
+from ..functions.text import sql_tokens as _sql_tokens_kn  # noqa: E402
+
+_KN_TOK = _sql_tokens_kn("text")
+
+ORACLES["ngram_lm_kn"] = f"""
+    WITH t AS (
+      SELECT doc_id, {_KN_TOK} AS toks FROM documents
+    ), t2 AS (
+      SELECT doc_id, toks FROM t WHERE len(toks) >= 2
+    ), big AS (
+      SELECT doc_id, toks[i] AS v, toks[i+1] AS w
+      FROM t2, unnest(range(1, len(toks))) AS u(i)
+    ), per_doc AS (
+      SELECT doc_id, v, w, count(*) AS tf FROM big GROUP BY doc_id, v, w
+    ), cvw AS (
+      SELECT v, w, sum(tf) AS cvw FROM per_doc GROUP BY v, w
+    ), cv AS (
+      SELECT v, sum(cvw) AS cv, count(*) AS n1p_v FROM cvw GROUP BY v
+    ), nw AS (
+      SELECT w, count(*) AS n1p_w FROM cvw GROUP BY w
+    ), nt AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_types FROM cvw
+    ), model AS (
+      SELECT cvw.v, cvw.w,
+             CAST(round(-ln(
+               greatest(cvw.cvw - {KN_DISCOUNT!r}, 0.0) / cv.cv
+               + ({KN_DISCOUNT!r} * cv.n1p_v / cv.cv)
+                 * (nw.n1p_w / nt.n_types)
+             ), 9) AS DECIMAL(18,9)) AS s
+      FROM cvw JOIN cv USING (v) JOIN nw USING (w) CROSS JOIN nt
+    )
+    SELECT p.doc_id,
+           CAST(sum(p.tf) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(p.tf * m.s) AS DOUBLE)
+                 / CAST(sum(p.tf) AS DOUBLE), 6) AS avg_kn_surprisal
+    FROM per_doc p JOIN model m ON p.v = m.v AND p.w = m.w
+    GROUP BY p.doc_id
+    """

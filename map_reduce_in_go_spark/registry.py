@@ -201,6 +201,7 @@ def _build() -> None:
         "doc_similarity_tfidf",
         "bm25_search",
         "doc_surprisal",
+        "ngram_lm_kn",
     ])
 
     from .operators import approx as _approx
@@ -265,6 +266,7 @@ def _build() -> None:
         "sequence_pack",
         "mix_temperature",
         "dsir_select",
+        "sample_reservoir",
     ])
 
 

@@ -176,3 +176,40 @@ def test_dsir_selects_target_like_documents(spark, sf_dir):
     assert sel, "selection must be non-empty"
     n_tgt_sel = sum(1 for r in sel if r["lang"] == DSIR_TARGET_LANG)
     assert n_tgt_sel / len(sel) > 0.5
+
+
+def test_reservoir_exact_k_and_rerun_stable(spark, sf_dir):
+    """Exactly K per language (or the whole group when smaller), identical
+    sample under a different partitioning, and disjoint from rate-based
+    sampling semantics (fixed size, not binomial)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_in_go_spark.operators.curation import (
+        RESERVOIR_K,
+        sample_reservoir,
+    )
+    from map_reduce_in_go_spark.sources.tables import load_table
+
+    got = sample_reservoir(spark, sf_dir).collect()
+    sizes = {}
+    for r in got:
+        sizes[r["lang"]] = sizes.get(r["lang"], 0) + 1
+    group_n = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(sizes) == set(group_n)
+    for lang, n in group_n.items():
+        assert sizes[lang] == min(RESERVOIR_K, n)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        again = sample_reservoir(spark, sf_dir).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert {(r["doc_id"], r["rk"]) for r in again} == {
+        (r["doc_id"], r["rk"]) for r in got
+    }

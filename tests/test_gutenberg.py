@@ -56,3 +56,59 @@ def test_whole_file_reader_roundtrip(spark):
     assert row["filename"].endswith("pg-being_ernest.txt")
     with open(PG, encoding="utf-8") as fh:
         assert row["contents"] == fh.read()
+
+
+def test_kn_surprisal_is_a_proper_context_model(spark, sf_dir):
+    """KN bigram scores must be finite positive surprisals, and must
+    DIVERGE from the unigram model (context sensitivity) while still
+    correlating with it (both are corpus-likelihood filters)."""
+    from map_reduce_in_go_spark.operators.tfidf import doc_surprisal, ngram_lm_kn
+
+    kn = {r["doc_id"]: r["avg_kn_surprisal"] for r in ngram_lm_kn(spark, sf_dir).collect()}
+    uni = {r["doc_id"]: r["avg_surprisal"] for r in doc_surprisal(spark, sf_dir).collect()}
+    assert kn and all(0 < v < 50 for v in kn.values())
+    common = sorted(set(kn) & set(uni))
+    assert len(common) > 10
+    # not identical rankings (the bigram context matters; the synthetic
+    # word-soup corpus has little real bigram structure, so we don't
+    # assert a correlation STRENGTH — only that the model is a proper
+    # conditional distribution, below)
+    rank_kn = sorted(common, key=lambda d: kn[d])
+    rank_uni = sorted(common, key=lambda d: uni[d])
+    assert rank_kn != rank_uni
+
+
+def test_kn_model_rows_normalize(sf_dir):
+    """The defining smoothed-LM property: for every context v,
+    sum_w P_KN(w|v) = 1 (discount mass exactly re-spent via P_cont)."""
+    import duckdb
+
+    from map_reduce_in_go_spark.functions.text import sql_tokens
+    from map_reduce_in_go_spark.operators.tfidf import KN_DISCOUNT
+
+    tok = sql_tokens("text")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    rows = con.execute(f"""
+        WITH t AS (SELECT doc_id, {tok} AS toks FROM documents),
+        t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+        big AS (SELECT toks[i] AS v, toks[i+1] AS w
+                FROM t2, unnest(range(1, len(toks))) AS u(i)),
+        cvw AS (SELECT v, w, count(*) AS cvw FROM big GROUP BY v, w),
+        cv AS (SELECT v, sum(cvw) AS cv, count(*) AS n1p_v FROM cvw GROUP BY v),
+        nw AS (SELECT w, count(*) AS n1p_w FROM cvw GROUP BY w),
+        nt AS (SELECT CAST(count(*) AS DOUBLE) AS T FROM cvw),
+        -- observed-mass term per context + the re-spent discount mass times
+        -- the FULL continuation distribution (sums to 1 over the w-vocab)
+        obs AS (SELECT cvw.v,
+                       sum(greatest(cvw.cvw - {KN_DISCOUNT!r}, 0.0)) / cv.cv
+                       + ({KN_DISCOUNT!r} * cv.n1p_v / cv.cv)
+                         * (SELECT sum(n1p_w) FROM nw) / (SELECT T FROM nt)
+                         AS total
+                FROM cvw JOIN cv USING (v) GROUP BY cvw.v, cv.cv, cv.n1p_v)
+        SELECT min(total) AS lo, max(total) AS hi FROM obs
+    """).fetchone()
+    lo, hi = rows
+    assert abs(lo - 1.0) < 1e-9 and abs(hi - 1.0) < 1e-9, (lo, hi)
