@@ -1,0 +1,195 @@
+"""Product quantization (PQ) ANN: compressed codes + ADC scoring.
+
+The missing third leg of the vector-serving stack (Jégou, Douze, Schmid,
+TPAMI 2011 — the FAISS `IVF,PQ` recipe): LSH (`ann_lsh`) and IVF
+(`ann_ivf_indexed`) cut *candidates*; PQ cuts *bytes*. Each 64-dim float
+vector is split into ``PQ_M`` subspaces and every sub-vector replaced by
+the id of its nearest codebook entry — ``PQ_M`` small ints instead of 64
+floats (32× here). Queries score compressed vectors WITHOUT decompression
+via Asymmetric Distance Computation: per query, one ``PQ_M × PQ_K`` table
+of exact query-subvector · code dot products; a vector's approximate dot
+is then ``PQ_M`` table lookups. Top candidates are exact-rescored from
+the uncompressed source — the standard serve path, so the final scores
+are true cosines and only the *candidate cut* is approximate.
+
+Scale posture: codebook training is sample-based (it always is in
+practice — FAISS trains on ~100k vectors regardless of corpus size) and
+driver-side over a BOUNDED deterministic sample; encoding is one
+distributed Arrow pass (corpus × M·K small GEMMs, embarrassingly
+parallel); ADC probing broadcasts per-query LUTs (queries × M × K floats)
+and scans codes — the scan reads PQ_M bytes per vector instead of 256,
+which is the whole point at 100 TB. No step shuffles the corpus.
+
+Determinism: the sample, the Lloyd iteration count, and all tie-breaks
+are fixed, so codes and candidates are identical across runs — pinned by
+test. PQ candidates are NOT SQL-replayable (the codebook is a trained
+artifact), so this ships as a pytest-verified component with a recall
+floor against the exact `ann_bruteforce`, not an oracle row — the same
+honesty contract as the evolvable IVF index.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .similarity import (
+    QUERY_MOD,
+    TOP_K,
+    _duck_round6_np,
+    _exact_pair_scores,
+    _vectors,
+)
+
+PQ_M = 8  # subspaces (64 dims → 8 dims each)
+PQ_K = 16  # codes per subspace (4 bits); M×log2(K) = 32 bits + id per vector
+PQ_SAMPLE_MOD = 2  # vec_id % 2 == 0 → training sample (bounded, deterministic)
+PQ_LLOYD_ITERS = 5
+PQ_CAND = 50  # ADC candidates per query before exact rescore
+
+
+def train_codebooks(spark: SparkSession, sf_dir: str) -> np.ndarray:
+    """(M, K, d/M) codebooks from a deterministic sample, few Lloyd steps.
+
+    Init = the sample's first K distinct sub-vectors in vec_id order (ties
+    impossible: ids unique); then ``PQ_LLOYD_ITERS`` standard k-means
+    steps per subspace. Empty clusters keep their previous center. All
+    numpy over the bounded sample — the training cost is O(sample), never
+    O(corpus).
+    """
+    sample = (
+        _vectors(spark, sf_dir)
+        .filter(F.col("vec_id") % PQ_SAMPLE_MOD == 0)
+        .select("vec_id", "e")
+        .orderBy("vec_id")
+        .collect()
+    )
+    mat = np.stack([np.asarray(r["e"], dtype=np.float64) for r in sample])
+    d = mat.shape[1]
+    sub = d // PQ_M
+    books = np.empty((PQ_M, PQ_K, sub))
+    for m in range(PQ_M):
+        x = mat[:, m * sub : (m + 1) * sub]
+        centers = x[:PQ_K].copy()
+        for _ in range(PQ_LLOYD_ITERS):
+            d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(PQ_K):
+                members = x[assign == k]
+                if len(members):
+                    centers[k] = members.mean(axis=0)
+        books[m] = centers
+    return books
+
+
+def encode(spark: SparkSession, sf_dir: str, books: np.ndarray) -> DataFrame:
+    """(vec_id, codes array<int>) — each vector as M nearest-code ids."""
+    bc = spark.sparkContext.broadcast(books)
+
+    def enc(batches):
+        import pandas as pd
+
+        bks = bc.value
+        sub = bks.shape[2]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["e"]])
+            codes = np.empty((len(pdf), PQ_M), dtype=np.int32)
+            for m in range(PQ_M):
+                x = mat[:, m * sub : (m + 1) * sub]
+                d2 = ((x[:, None, :] - bks[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "codes": list(codes)}
+            )
+
+    return (
+        _vectors(spark, sf_dir)
+        .select("vec_id", "e")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(enc, schema="vec_id long, codes array<int>")
+    )
+
+
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k ANN: ADC candidate scan over PQ codes, exact rescore.
+
+    Per corpus partition: reconstruct each query's approximate dot from M
+    LUT lookups, keep the partition-local top-``PQ_CAND`` per query, then
+    one global candidate cut and an exact cosine rescore of only those
+    pairs (same `_exact_pair_scores` kernel and 6dp discipline as every
+    other ANN query — final scores are true cosines).
+    """
+    from ..functions.caching import scoped_persist
+
+    books = train_codebooks(spark, sf_dir)
+    codes = encode(spark, sf_dir, books)
+    vecs = _vectors(spark, sf_dir)
+    qdf = (
+        vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select("vec_id", "e")
+        .orderBy("vec_id")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in qdf])
+    q_mat = np.stack([np.asarray(r["e"], dtype=np.float64) for r in qdf])
+    sub = books.shape[2]
+    # per-query M×K LUT of exact query-subvector · code dots
+    luts = np.stack(
+        [
+            np.stack(
+                [q_mat[:, m * sub : (m + 1) * sub] @ books[m].T for m in range(PQ_M)],
+                axis=1,
+            )
+        ]
+    )[0]  # (nq, M, K)
+    bc = spark.sparkContext.broadcast((q_ids, luts))
+
+    def adc(batches):
+        import pandas as pd
+
+        b_qids, b_luts = bc.value
+        nq = len(b_qids)
+        for pdf in batches:
+            m_rows = len(pdf)
+            if not m_rows:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            cds = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            # approx dot(q, v) = Σ_m LUT[q, m, code_m(v)]
+            approx = np.zeros((nq, m_rows))
+            for m in range(PQ_M):
+                approx += b_luts[:, m, cds[:, m]]
+            approx[b_qids[:, None] == ids[None, :]] = -np.inf
+            out_q, out_v = [], []
+            for qi in range(nq):
+                c = min(PQ_CAND, m_rows)
+                top = np.argpartition(-approx[qi], c - 1)[:c]
+                out_q.append(np.full(len(top), b_qids[qi]))
+                out_v.append(ids[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                }
+            )
+
+    cand = scoped_persist(
+        codes.repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(adc, schema="query_id long, vec_id long")
+        .distinct()
+    )
+    qv = vecs.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    scored = _exact_pair_scores(
+        cand.join(F.broadcast(qv), "query_id").join(
+            vecs.select("vec_id", "e"), "vec_id"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos", "rank")
+    )

@@ -1,0 +1,57 @@
+"""Product-quantization ANN: compression ratio, determinism, recall floor,
+and the exact-rescore contract (reported cosines are true cosines)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from map_reduce_in_go_spark.functions.caching import release_persisted
+from map_reduce_in_go_spark.operators import pq
+from map_reduce_in_go_spark.operators.similarity import _vectors, ann_bruteforce
+
+
+def test_codes_compress_and_are_deterministic(spark, sf_dir):
+    books = pq.train_codebooks(spark, sf_dir)
+    assert books.shape == (pq.PQ_M, pq.PQ_K, 64 // pq.PQ_M)
+    codes = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in pq.encode(spark, sf_dir, books).collect()
+    }
+    n_vecs = _vectors(spark, sf_dir).count()
+    assert len(codes) == n_vecs
+    for c in codes.values():
+        assert len(c) == pq.PQ_M
+        assert all(0 <= x < pq.PQ_K for x in c)
+    # compression: M × log2(K) bits vs 64 float32 dims
+    compressed_bits = pq.PQ_M * int(np.log2(pq.PQ_K))
+    assert 64 * 32 / compressed_bits >= 32
+    # determinism: retrain + re-encode reproduces every code
+    books2 = pq.train_codebooks(spark, sf_dir)
+    assert np.array_equal(books, books2)
+    codes2 = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in pq.encode(spark, sf_dir, books2).collect()
+    }
+    assert codes2 == codes
+
+
+def test_pq_recall_floor_and_true_cosines(spark, sf_dir):
+    exact = {}
+    for r in ann_bruteforce(spark, sf_dir).collect():
+        exact.setdefault(r["query_id"], {})[r["neighbor_id"]] = r["cos"]
+    release_persisted()
+    got = {}
+    for r in pq.ann_pq(spark, sf_dir).collect():
+        got.setdefault(r["query_id"], {})[r["neighbor_id"]] = r["cos"]
+    release_persisted()
+    assert set(got) == set(exact)  # every query answered
+    hits = total = 0
+    for q, nbrs in exact.items():
+        overlap = set(nbrs) & set(got[q])
+        hits += len(overlap)
+        total += len(nbrs)
+        for n in overlap:  # exact rescore: identical 6dp cosines
+            assert got[q][n] == nbrs[n]
+    recall = hits / total
+    assert recall >= 0.6, f"PQ recall@10 {recall:.2f} < 0.6"
