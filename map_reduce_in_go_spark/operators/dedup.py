@@ -621,18 +621,23 @@ def dedup_batch_against_index(
 
 
 def dedup_batch_against_bands(
-    batch_docs: DataFrame, old_bands: DataFrame
+    batch_docs: DataFrame, old_bands: DataFrame, batch_bands: DataFrame | None = None
 ) -> DataFrame:
     """Core batch-vs-standing-bands dedup, storage-agnostic.
 
     ``old_bands`` may come from any reader — the plain parquet index, the
     manifest-log table, or a derived frame; only (band_idx, band_hash) is
-    consumed.
+    consumed. ``batch_bands`` lets a caller that already materialized the
+    batch's band table (e.g. to derive probe keys for stats pruning) skip
+    the second signature pass; it must be ``bands_of_docs(batch_docs)``.
     """
-    batch_sigs = scoped_persist(
-        signatures_of(batch_docs.withColumn("toks", tokens(F.col("text"))))
-    )
-    new_bands = scoped_persist(_bands(batch_sigs))
+    if batch_bands is not None:
+        new_bands = batch_bands
+    else:
+        batch_sigs = scoped_persist(
+            signatures_of(batch_docs.withColumn("toks", tokens(F.col("text"))))
+        )
+        new_bands = scoped_persist(_bands(batch_sigs))
     drop_old = new_bands.join(
         old_bands.select("band_idx", "band_hash").distinct(),
         ["band_idx", "band_hash"],
@@ -896,6 +901,53 @@ def dedup_incremental_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file list atomically — batch 2 must see identical content after it
     tbl.compact(spark, dedup_cols=["doc_id", "band_idx", "band_hash"])
     surv2 = dedup_batch_against_bands(batch2, tbl.read(spark))
+    return surv1.select(F.lit(1).cast("int").alias("batch"), "doc_id").unionAll(
+        surv2.select(F.lit(2).cast("int").alias("batch"), "doc_id")
+    )
+
+
+def dedup_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`dedup_incremental_two_batch` through the STATS-PROBED index.
+
+    Same corpus/batch-1/batch-2 split and the shared two-batch oracle, but
+    the standing index is a ManifestTable with ``band_hash`` skipping
+    stats, compacted into a hash-sorted layout after bootstrap AND after
+    the batch-1 append, and every probe goes through
+    :func:`dedup_batch_against_stats_index` — so the driver hash-checking
+    this row proves the point-set file pruning changes NO surviving row
+    while each probe reads only the files whose hash range a batch key can
+    hit (the daily-small-delta serving shape; pruning strictness itself is
+    pinned by tests/test_data_skipping.py).
+    """
+    import tempfile
+
+    from ..sources.manifest_table import ManifestTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+    batch1 = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 1)
+    batch2 = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 2)
+    tbl = ManifestTable(
+        os.path.join(
+            tempfile.mkdtemp(prefix="stats_", dir=band_index_home()), "bands"
+        ),
+        stats_cols=["band_hash"],
+    )
+    tbl.overwrite(bands_of_docs(corpus))
+    tbl.compact(spark, num_files=8, zorder_cols=["band_hash"])
+    surv1 = dedup_batch_against_stats_index(spark, batch1, tbl).localCheckpoint(
+        eager=True
+    )
+    tbl.append(bands_of_docs(batch1.join(surv1, "doc_id", "left_semi")))
+    # restore the sorted layout so batch 2's probe prunes again (appends
+    # land in arrival order and erode range tightness — the OPTIMIZE loop)
+    tbl.compact(
+        spark,
+        dedup_cols=["doc_id", "band_idx", "band_hash"],
+        num_files=8,
+        zorder_cols=["band_hash"],
+    )
+    surv2 = dedup_batch_against_stats_index(spark, batch2, tbl)
     return surv1.select(F.lit(1).cast("int").alias("batch"), "doc_id").unionAll(
         surv2.select(F.lit(2).cast("int").alias("batch"), "doc_id")
     )
@@ -1655,6 +1707,8 @@ WHERE doc_id % 3 = 2 AND doc_id NOT IN (SELECT doc_id FROM drop2)
 # the manifest-log twin must be row-identical: the storage/commit protocol
 # is not allowed to change dedup semantics
 ORACLES["dedup_incremental_acid"] = ORACLES["dedup_incremental_two_batch"]
+# ...and the stats-probed twin: file skipping must be invisible to results
+ORACLES["dedup_incremental_stats"] = ORACLES["dedup_incremental_two_batch"]
 # ...and so must the multi-table-transaction twin: atomic cross-table
 # publication is a visibility guarantee, not a semantics change
 ORACLES["dedup_incremental_txn"] = ORACLES["dedup_incremental_two_batch"]

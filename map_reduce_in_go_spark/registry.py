@@ -187,6 +187,7 @@ def _build() -> None:
         "dedup_incremental_two_batch",
         "dedup_incremental_acid",
         "dedup_incremental_txn",
+        "dedup_incremental_stats",
         "dedup_containment",
         "semdedup",
         "sentence_dedup",

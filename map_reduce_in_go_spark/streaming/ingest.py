@@ -85,14 +85,33 @@ def ingest_batch(
     if op in tbl.committed_ops():
         return False
     mark = persisted_count()
+    from ..functions.caching import scoped_persist
+    from ..operators.dedup import MAX_PROBE_KEYS
+
+    batch_bands = scoped_persist(bands_of_docs(batch_df))
     probed_v = tbl.version()
     if probed_v < 0:
         old_bands = spark.createDataFrame([], "band_idx int, band_hash string")
+    elif tbl.stats_cols:
+        # stats-probed read: with band_hash skipping stats and the in-loop
+        # compaction keeping a hash-sorted layout, each micro-batch scans
+        # only the index files its probe keys can hit — the shape that
+        # keeps per-batch cost flat as the standing index grows for years
+        probes = [
+            r["band_hash"]
+            for r in batch_bands.select("band_hash").distinct().limit(
+                MAX_PROBE_KEYS + 1
+            ).collect()
+        ]
+        if len(probes) > MAX_PROBE_KEYS:
+            old_bands = tbl.read(spark, probed_v)  # huge batch: prune is moot
+        else:
+            old_bands = tbl.read_pruned_in(spark, "band_hash", probes, probed_v)
     else:
         old_bands = tbl.read(spark, probed_v)
-    survivors = dedup_batch_against_bands(batch_df, old_bands).localCheckpoint(
-        eager=True
-    )
+    survivors = dedup_batch_against_bands(
+        batch_df, old_bands, batch_bands=batch_bands
+    ).localCheckpoint(eager=True)
     committed = False
     for _ in range(10):
         cur_v = tbl.version()
@@ -136,7 +155,14 @@ def ingest_batch(
         # small files and slow every probe's scan. Compaction is just
         # another commit (replay-safe: rewriting the same live rows twice
         # is content-idempotent), so no ledger entry is needed.
-        tbl.compact(spark, dedup_cols=["doc_id", "band_idx", "band_hash"])
+        tbl.compact(
+            spark,
+            dedup_cols=["doc_id", "band_idx", "band_hash"],
+            # a stats-enabled index recovers its hash-sorted (pruning-
+            # tight) layout with the same rewrite it was paying anyway
+            num_files=8 if tbl.stats_cols else 1,
+            zorder_cols=["band_hash"] if tbl.stats_cols else None,
+        )
     release_persisted_since(mark)
     free_local_checkpoint(survivors)
     return True

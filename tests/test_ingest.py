@@ -274,3 +274,39 @@ def test_ingest_txn_stream_end_to_end(spark, tmp_path):
     assert got == {1, 3, 5}
     assert {"ingest-batch-0", "ingest-batch-1"} <= cat.committed_ops()
     assert cat.version() == 1  # one catalog publication per micro-batch
+
+
+def test_ingest_stats_probed_index_same_survivors(spark, sf_dir, tmp_path):
+    """A stats-enabled index (band_hash skipping + hash-sorted in-loop
+    compaction) must produce the identical survivor set, while probes
+    provably skip files on the sorted layout."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.pmod("doc_id", F.lit(3)) == 1)
+    b2 = docs.filter(F.pmod("doc_id", F.lit(3)) == 2)
+
+    plain = ManifestTable(str(tmp_path / "plain"))
+    out_p = str(tmp_path / "landing_plain")
+    ingest_batch(spark, b1, plain, out_p, 0)
+    ingest_batch(spark, b2, plain, out_p, 1)
+    want = {r["doc_id"] for r in spark.read.parquet(out_p).collect()}
+
+    statted = ManifestTable(
+        str(tmp_path / "statted"), stats_cols=["band_hash"]
+    )
+    out_s = str(tmp_path / "landing_statted")
+    # max_files=1 forces the in-loop compaction whenever the index holds
+    # more than one file, which (for a stats table) rewrites into the
+    # 8-file hash-sorted layout
+    ingest_batch(spark, b1, statted, out_s, 0, max_files=1)
+    ingest_batch(spark, b2, statted, out_s, 1, max_files=1)
+    got = {r["doc_id"] for r in spark.read.parquet(out_s).collect()}
+    assert got == want
+    assert len(statted.files()) == 8  # sorted multi-file layout in place
+
+    # the sorted layout + a clustered probe set actually skips files
+    hashes = sorted(
+        r["band_hash"]
+        for r in statted.read(spark).select("band_hash").distinct().collect()
+    )
+    kept, total = statted.files_pruned_in("band_hash", hashes[:4])
+    assert total == 8 and 0 < len(kept) < total
