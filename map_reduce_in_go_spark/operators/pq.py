@@ -193,3 +193,114 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos", "rank")
     )
+
+
+def ann_ivf_pq(spark: SparkSession, sf_dir: str, nprobe: int | None = None) -> DataFrame:
+    """IVF,PQ composed — the full FAISS serving recipe.
+
+    :func:`ann_pq` still scans EVERY vector's code (cheap bytes, full
+    candidate set); ``ann_ivf`` reads full vectors but only NPROBE cells.
+    Composing them is what a production index does: the coarse quantizer
+    (the same deterministic one `ann_ivf` uses) cuts the candidate set to
+    the probed cells, and within those cells only the PQ codes are
+    scanned — NPROBE/C of the corpus at PQ_M bytes per vector, the
+    byte-budget that makes 100 TB of embeddings probeable from disk.
+    ADC-ranked cell candidates are exact-rescored as always, so reported
+    cosines are true cosines.
+    """
+    from ..functions.caching import scoped_persist
+    from .similarity import NPROBE, _assign_cells, _centroids
+
+    nprobe = NPROBE if nprobe is None else nprobe
+    books = train_codebooks(spark, sf_dir)
+    codes = encode(spark, sf_dir, books)
+    bc_cent = spark.sparkContext.broadcast(_centroids(spark, sf_dir))
+    vecs = _vectors(spark, sf_dir)
+    assign = (
+        vecs.select("vec_id", "e")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            lambda it: _assign_cells(it, bc_cent, 1),
+            schema="vec_id long, rank int, cid long",
+        )
+        .filter(F.col("rank") == 1)
+        .select("vec_id", "cid")
+    )
+    coded = codes.join(assign, "vec_id")  # (vec_id, codes, cid)
+
+    qdf = (
+        vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select("vec_id", "e")
+        .orderBy("vec_id")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in qdf])
+    q_mat = np.stack([np.asarray(r["e"], dtype=np.float64) for r in qdf])
+    sub = books.shape[2]
+    luts = np.stack(
+        [q_mat[:, m * sub : (m + 1) * sub] @ books[m].T for m in range(PQ_M)],
+        axis=1,
+    )  # (nq, M, K)
+    lut_by_qid = {int(q): luts[i] for i, q in enumerate(q_ids)}
+    bc_lut = spark.sparkContext.broadcast(lut_by_qid)
+
+    probes = (
+        spark.createDataFrame(
+            [(int(q), list(map(float, q_mat[i]))) for i, q in enumerate(q_ids)],
+            "vec_id long, e array<double>",
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            lambda it: _assign_cells(it, bc_cent, nprobe),
+            schema="vec_id long, rank int, cid long",
+        )
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    pairs = coded.join(F.broadcast(probes), "cid").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+
+    def adc(batches):
+        import pandas as pd
+
+        tables = bc_lut.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cds = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            qid = pdf["query_id"].to_numpy()
+            approx = np.zeros(len(pdf))
+            for m in range(PQ_M):
+                # per-row lookup in that row's query table
+                approx += np.array(
+                    [tables[int(q)][m, c] for q, c in zip(qid, cds[:, m])]
+                )
+            yield pd.DataFrame(
+                {
+                    "query_id": qid,
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "approx": approx,
+                }
+            )
+
+    scored_approx = scoped_persist(
+        pairs.mapInPandas(adc, schema="query_id long, vec_id long, approx double")
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("vec_id"))
+    cand = (
+        scored_approx.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") <= PQ_CAND)
+        .select("query_id", "vec_id")
+    )
+    qv = vecs.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    scored = _exact_pair_scores(
+        cand.join(F.broadcast(qv), "query_id").join(
+            vecs.select("vec_id", "e"), "vec_id"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos", "rank")
+    )
