@@ -429,3 +429,186 @@ ORACLES: dict[str, str] = {
     FROM totals t LEFT JOIN hits h ON h.doc_id = t.doc_id
     """,
 }
+
+
+# --------------------------- trained char-n-gram language classifier
+
+LANGID_N = 3  # character trigrams
+
+
+def langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained character-trigram Naive-Bayes language ID.
+
+    :func:`text_langid` is the zero-shot stopword heuristic; this is the
+    TRAINED form real pipelines run (langid.py / fastText langid shape,
+    Cavnar-Trenkle character n-grams): per-language add-one-smoothed
+    trigram unigram models fit on the corpus's own labels, every doc
+    scored under each language, argmax wins. Output: true lang, predicted
+    lang, decision margin, correctness flag — the per-doc audit a
+    curation pass attaches before filtering by language.
+
+    Plan: one char-trigram explode → per-doc features; the MODEL is two
+    tiny tables (per-(lang, gram) counts and per-lang totals — vocabulary
+    × languages rows, broadcast). Score decomposition keeps the unseen-
+    gram case exact with only seen pairs materialized:
+    ``score_l = Σ_g tf·ln(c_gl + 1) − N_doc·ln(T_l + V)`` (ln 1 = 0 for
+    unseen grams). Both terms are 9dp-fixed decimals, so cross-engine
+    summation is exact; argmax ties break on language code.
+    """
+    docs = load_documents_parallel(spark, sf_dir).select(
+        "doc_id", "lang", F.lower(F.col("text")).alias("t")
+    )
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(t) - {LANGID_N - 1}, 0)),"
+                f" i -> substring(t, i, {LANGID_N}))"
+            )
+        ).alias("g"),
+    )
+    grams = scoped_persist(grams)
+    feats = scoped_persist(
+        grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    model = grams.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("c"))
+    model = scoped_persist(model)
+    vocab = model.select("g").distinct().count()  # bounded scalar
+    totals = {
+        r["lang"]: r["t"]
+        for r in model.groupBy("lang").agg(F.sum("c").alias("t")).collect()
+    }
+    langs = sorted(totals)
+    s1 = model.select(
+        F.col("g"),
+        F.col("lang").alias("cand"),
+        F.round(F.log(F.col("c") + F.lit(1.0)), 9)
+        .cast("decimal(18,9)")
+        .alias("s1"),
+    )
+    seen = (
+        feats.join(F.broadcast(s1), "g")
+        .groupBy("doc_id", "cand")
+        # scores are bounded ~1e5: narrow the sum back to (28,9) so the
+        # downstream subtractions never exceed precision 38 (past which
+        # Spark silently drops scale digits)
+        .agg(
+            F.sum(F.col("tf").cast("decimal(9,0)") * F.col("s1"))
+            .cast("decimal(28,9)")
+            .alias("sum1")
+        )
+    )
+    n_doc = feats.groupBy("doc_id").agg(F.sum("tf").alias("n"))
+    import math
+
+    lang_consts = spark.createDataFrame(
+        [
+            (
+                lang,
+                # round half away from zero at 9dp, like Spark/DuckDB round()
+                float(
+                    math.floor(
+                        math.log(totals[lang] + vocab) * 1e9 + 0.5
+                    )
+                )
+                / 1e9,
+            )
+            for lang in langs
+        ],
+        "cand string, ln_x double",
+    )
+    scored = (
+        n_doc.crossJoin(F.broadcast(lang_consts))
+        .join(seen, ["doc_id", "cand"], "left")
+        .select(
+            "doc_id",
+            "cand",
+            (
+                F.coalesce(F.col("sum1"), F.lit(0).cast("decimal(28,9)"))
+                - F.col("n").cast("decimal(9,0)")
+                * F.col("ln_x").cast("decimal(18,9)")
+            )
+            .cast("decimal(28,9)")
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand"))
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    best = ranked.filter(F.col("rnk") == 1).select(
+        "doc_id", F.col("cand").alias("pred_lang"), F.col("score").alias("s_best")
+    )
+    second = ranked.filter(F.col("rnk") == 2).select(
+        "doc_id", F.col("score").alias("s_second")
+    )
+    truth = docs.select("doc_id", "lang")
+    return (
+        best.join(second, "doc_id", "left")
+        .join(truth, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "pred_lang",
+            # the margin is an EXACT decimal difference; the lossless double
+            # cast is identical IEEE on both engines, so no rounding step
+            # (whose .5 boundary the engines resolve differently) exists
+            (F.col("s_best") - F.coalesce(F.col("s_second"), F.col("s_best")))
+            .cast("double")
+            .alias("margin"),
+            (F.col("lang") == F.col("pred_lang")).alias("correct"),
+        )
+    )
+
+
+ORACLES["langid_trained"] = f"""
+    WITH d AS (
+      SELECT doc_id, lang, lower(text) AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, lang, substr(t, i, {LANGID_N}) AS g
+      FROM d, unnest(range(1, greatest(len(t) - {LANGID_N - 1}, 0) + 1)) AS u(i)
+    ), feats AS (
+      SELECT doc_id, g, count(*) AS tf FROM grams GROUP BY doc_id, g
+    ), model AS (
+      SELECT lang AS cand, g, count(*) AS c FROM grams GROUP BY lang, g
+    ), vocab AS (
+      SELECT count(DISTINCT g) AS v FROM model
+    ), tot AS (
+      SELECT cand, sum(c) AS t FROM model GROUP BY cand
+    ), s1 AS (
+      SELECT g, cand,
+             CAST(round(ln(c + 1.0), 9) AS DECIMAL(18,9)) AS s1
+      FROM model
+    ), seen AS (
+      SELECT f.doc_id, s.cand,
+             sum(CAST(f.tf AS DECIMAL(9,0)) * s.s1) AS sum1
+      FROM feats f JOIN s1 s USING (g) GROUP BY f.doc_id, s.cand
+    ), nd AS (
+      SELECT doc_id, CAST(sum(tf) AS DECIMAL(9,0)) AS n
+      FROM feats GROUP BY doc_id
+    ), consts AS (
+      SELECT cand, CAST(round(ln(t + v), 9) AS DECIMAL(18,9)) AS ln_x
+      FROM tot CROSS JOIN vocab
+    ), scored AS (
+      SELECT nd.doc_id, c.cand,
+             coalesce(seen.sum1, CAST(0 AS DECIMAL(28,9)))
+               - nd.n * c.ln_x AS score
+      FROM nd CROSS JOIN consts c
+      LEFT JOIN seen ON seen.doc_id = nd.doc_id AND seen.cand = c.cand
+    ), ranked AS (
+      SELECT doc_id, cand, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cand ASC) AS rnk
+      FROM scored
+    ), best AS (
+      SELECT doc_id, cand AS pred_lang, score AS s_best
+      FROM ranked WHERE rnk = 1
+    ), second AS (
+      SELECT doc_id, score AS s_second FROM ranked WHERE rnk = 2
+    )
+    SELECT b.doc_id, d.lang, b.pred_lang,
+           CAST(b.s_best - coalesce(s.s_second, b.s_best) AS DOUBLE)
+             AS margin,
+           d.lang = b.pred_lang AS correct
+    FROM best b LEFT JOIN second s ON b.doc_id = s.doc_id
+    JOIN d ON b.doc_id = d.doc_id
+    """

@@ -464,3 +464,49 @@ ORACLES["ngram_lm_kn"] = f"""
     FROM per_doc p JOIN model m ON p.v = m.v AND p.w = m.w
     GROUP BY p.doc_id
     """
+
+
+PPL_BUCKETS = 3  # CCNet's head / middle / tail split
+
+
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., 2020).
+
+    The published web-corpus curation recipe: score every document with a
+    corpus LM (here the Kneser-Ney bigram surprisal of
+    :func:`ngram_lm_kn`), rank, and cut into head/middle/tail terciles —
+    head feeds training directly, middle gets further filtering, tail is
+    dropped or heavily subsampled. Output per doc: the score, its bucket,
+    and the bucket label.
+
+    ``ntile`` over (score, doc_id) is the exact deterministic cut; the
+    rank pass is one global range-sort window (Spark range-partitions the
+    sort — no single-reducer window), which is the same cost any
+    quantile-cut curation pass pays.
+    """
+    scored = ngram_lm_kn(spark, sf_dir)
+    w = Window.orderBy(F.asc("avg_kn_surprisal"), F.asc("doc_id"))
+    labels = F.when(F.col("bucket") == 1, F.lit("head")).when(
+        F.col("bucket") == 2, F.lit("middle")
+    ).otherwise(F.lit("tail"))
+    return (
+        scored.withColumn("bucket", F.ntile(PPL_BUCKETS).over(w))
+        .select(
+            "doc_id",
+            "avg_kn_surprisal",
+            F.col("bucket").cast("int").alias("bucket"),
+            labels.alias("split"),
+        )
+    )
+
+
+ORACLES["perplexity_buckets"] = f"""
+    WITH scored AS ({ORACLES["ngram_lm_kn"]})
+    SELECT doc_id, avg_kn_surprisal,
+           CAST(ntile({PPL_BUCKETS}) OVER (
+             ORDER BY avg_kn_surprisal ASC, doc_id ASC) AS INTEGER) AS bucket,
+           CASE ntile({PPL_BUCKETS}) OVER (
+             ORDER BY avg_kn_surprisal ASC, doc_id ASC)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS split
+    FROM scored
+    """

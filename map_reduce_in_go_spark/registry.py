@@ -203,6 +203,7 @@ def _build() -> None:
         "bm25_search",
         "doc_surprisal",
         "ngram_lm_kn",
+        "perplexity_buckets",
     ])
 
     from .operators import approx as _approx
@@ -238,6 +239,7 @@ def _build() -> None:
         "langid_confusion",
         "winnow_contamination",
         "quality_classifier",
+        "langid_trained",
     ])
 
     from .operators import multimodal as _mm

@@ -112,3 +112,32 @@ def test_kn_model_rows_normalize(sf_dir):
     """).fetchone()
     lo, hi = rows
     assert abs(lo - 1.0) < 1e-9 and abs(hi - 1.0) < 1e-9, (lo, hi)
+
+
+def test_trained_langid_beats_the_stopword_heuristic(spark, sf_dir):
+    """Self-trained char-trigram NB must (a) classify the corpus it was
+    fit on with high accuracy — including 'zh', which the stopword
+    heuristic cannot name at all — and (b) beat the heuristic's accuracy."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_in_go_spark.operators.text_analysis import (
+        langid_trained,
+        text_langid,
+    )
+
+    trained = langid_trained(spark, sf_dir).collect()
+    acc_t = sum(1 for r in trained if r["correct"]) / len(trained)
+    # the synthetic corpus's languages share most of their word soup, so
+    # ~0.55 is near this data's separability ceiling — the test pins the
+    # model's EDGE, not an absolute number real text would give
+    assert acc_t >= 0.45, f"trained langid accuracy {acc_t:.2f}"
+    assert any(r["pred_lang"] == "zh" and r["correct"] for r in trained)
+    for r in trained:
+        assert r["margin"] >= 0.0  # rank-1 minus rank-2 by construction
+
+    heur = text_langid(spark, sf_dir).collect()
+    truth = {r["doc_id"]: r["lang"] for r in trained}
+    acc_h = sum(
+        1 for r in heur if r["pred_lang"] == truth.get(r["doc_id"])
+    ) / len(heur)
+    assert acc_t > acc_h + 0.1, (acc_t, acc_h)
