@@ -196,9 +196,17 @@ class Transaction:
         The append unions with this transaction's pinned view of the member
         (``base_version``), NOT the member's latest chain entry — so a
         racing transaction's staged-but-unpublished files can never leak
-        into this transaction's committed content.
+        into this transaction's committed content. Appending to a member
+        DROPPED earlier in this transaction re-creates it fresh (DROP then
+        INSERT semantics) rather than resurrecting the base content.
         """
         self._check_open()
+        if name in self._dropped:
+            self._dropped.discard(name)
+            tbl = ManifestTable(os.path.join(self._cat.root, name))
+            v = tbl.append(df, op=op, base_version=-1)
+            self._staged[name] = (name, v)
+            return v
         tbl, path, pinned = self._member(name)
         # pinned == -1 (member new in this txn) unions with nothing — a
         # concurrent creator's staged files must not leak in either.

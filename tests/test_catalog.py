@@ -249,3 +249,18 @@ def test_drop_member_in_transaction(spark, tmp_path):
     txn3.drop("tmp")
     txn3.commit()
     assert "tmp" not in cat.snapshot(spark)
+
+
+def test_append_after_drop_recreates_fresh(spark, tmp_path):
+    """DROP then INSERT within one transaction must not resurrect the
+    dropped member's base content."""
+    cat = TableCatalog(str(tmp_path / "cat"))
+    txn = cat.transaction(spark)
+    txn.overwrite("t", _df(spark, [(1, "a"), (2, "b")]))
+    txn.commit()
+
+    txn2 = cat.transaction(spark)
+    txn2.drop("t")
+    txn2.append("t", _df(spark, [(9, "z")]))
+    txn2.commit()
+    assert _ids(cat.read(spark, "t")) == [9]  # fresh, not [1, 2, 9]
