@@ -1,0 +1,91 @@
+"""WebDataset-style tar shard export — the training-loader hand-off format.
+
+Large-scale training jobs stream samples from sequential tar shards
+(the public WebDataset convention: one tar per shard, one file per sample
+member, sample key as the member basename) because object-store sequential
+reads at shard granularity beat per-sample random reads by orders of
+magnitude. This sink is the last mile of the curation pipeline: take the
+deterministic :func:`~..operators.curation.shard_pack` assignment, write
+each shard as one tar, and return the shard MANIFEST (id, sample count,
+token count, byte size, content digest) as a DataFrame — the index a
+training launcher shuffles and assigns to data-loader workers.
+
+Plan shape: one repartition on ``shard_id`` co-locates each shard's
+samples on one task, then ``applyInPandas`` writes that shard's tar
+sequentially (samples in doc_id order → byte-deterministic tars, digest
+pinned by test) and emits its one manifest row. At 100 TB this is the
+standard export topology: #tasks = #shards, each task streams its
+samples once, no driver involvement. Tar members carry fixed mtime/uid
+so replayed exports produce byte-identical shards (rerun-stable like
+every sink here).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import os
+import tarfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.curation import shard_pack
+from ..sources.tables import load_table
+
+
+def export_webdataset(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> DataFrame:
+    """Write shard-%05d.tar files under ``out_dir``; returns the manifest."""
+    os.makedirs(out_dir, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    assign = shard_pack(spark, sf_dir).select("doc_id", "n_tok", "shard_id")
+    samples = docs.join(assign, "doc_id").repartition(
+        spark.sparkContext.defaultParallelism, "shard_id"
+    )
+
+    def write_shard(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        shard_id = int(pdf["shard_id"].iloc[0])
+        path = os.path.join(out_dir, f"shard-{shard_id:05d}.tar")
+        tmp = path + ".tmp"
+        with tarfile.open(tmp, "w") as tar:
+            for _, row in pdf.iterrows():
+                key = f"{int(row['doc_id']):09d}"
+                for ext, payload in (
+                    ("txt", row["text"].encode("utf-8")),
+                    (
+                        "json",
+                        (
+                            '{"doc_id": %d, "lang": "%s", "source": "%s"}'
+                            % (int(row["doc_id"]), row["lang"], row["source"])
+                        ).encode("utf-8"),
+                    ),
+                ):
+                    info = tarfile.TarInfo(f"{key}.{ext}")
+                    info.size = len(payload)
+                    info.mtime = 0  # fixed: byte-identical re-exports
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    tar.addfile(info, io.BytesIO(payload))
+        os.replace(tmp, path)  # atomic publish per shard
+        digest = hashlib.md5(open(path, "rb").read()).hexdigest()
+        return pd.DataFrame(
+            {
+                "shard_id": [shard_id],
+                "n_samples": [len(pdf)],
+                "n_tokens": [int(pdf["n_tok"].sum())],
+                "n_bytes": [os.path.getsize(path)],
+                "tar_md5": [digest],
+            }
+        )
+
+    return samples.groupBy("shard_id").applyInPandas(
+        write_shard,
+        schema="shard_id long, n_samples long, n_tokens long, n_bytes long, tar_md5 string",
+    )
