@@ -851,42 +851,96 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     its top-``KNN_K`` cosine neighbors — :func:`ann_lsh`'s probe plan with
     the query subset widened to the whole corpus. Each vector probes its
     base sign-bucket plus the ``MULTIPROBE`` one-bit-flip buckets whose
-    hyperplane boundary it sits nearest (measured multiprobe recall ~0.8
-    at this blocking, vs ~0.5 for base buckets alone), in each of the
-    ``LSH_TABLES`` tables.
+    hyperplane boundary it sits nearest (measured multiprobe recall@5
+    ~0.84 at this blocking, vs ~0.5 for base buckets alone), in each of
+    the ``LSH_TABLES`` tables.
 
-    Plan difference vs ann_lsh: the probe table is corpus-sized, so the
-    probe⋈cell match is a shuffle equality join on (tbl, bucket) — both
-    sides hash-partitioned by cell key, bucket sizes bounded by the B sign
-    bits — instead of a broadcast; likewise the two vector re-attach joins
-    shuffle on id. Pair-ids dedup BEFORE vectors re-attach (the
-    shuffle-weight discipline), exact sequential-fold rescoring, one
-    per-vector top-k window. Nothing is ever all-pairs.
+    Physical plan — the shuffle carries VECTORS ONCE, never pairs: member
+    rows (vector × L tables) and probe rows (vector × L·(1+MULTIPROBE)
+    probes) union into one frame tagged by role, hash-partitioned by the
+    (tbl, bucket) cell key; ``applyInPandas`` then runs one probes×members
+    GEMM per cell, keeps each probe's cell-local top-k with the 2e-6
+    prefilter margin (the :func:`_bruteforce_topk` argument), and
+    exact-rescoples survivors with the oracle's sequential-fold recipe.
+    Cell-local top-k is globally sufficient: a true global top-k neighbor
+    shares a probed cell, and anything outcompeting it there outcompetes
+    it globally. One id-only distinct dedups cross-table repeats (exact
+    6dp cos is identical wherever the pair met), one window takes the
+    global top-k. The naive alternative — materialize pair-ids, re-attach
+    both vectors per pair — shuffles two 64-double payloads per CANDIDATE
+    (~40× this plan's bytes at sf0.1); measured 7.7 s → this plan's shape
+    keeps the heavy payload linear in corpus × tables.
 
-    Cost model, honestly: candidate volume is Σ_cells m_c² — bounded by
-    the B sign bits, but m_c grows linearly with corpus size at FIXED B,
-    so production runs size B ∝ log n (more bits, same per-cell m_c) the
-    way every LSH deployment does; B is pinned at ann_lsh's 5 here so the
-    DuckDB oracle replays the identical blocking. The 10× replica stresses
-    the worst case deliberately: it duplicates every vector 10×, which
-    inflates each cell 10× and the pair volume ~100× (see SURVEY §6).
+    Cost model, honestly: candidate volume is Σ_cells m_c·p_c — bounded
+    by the B sign bits, but cell sizes grow linearly with corpus size at
+    FIXED B, so production runs size B ∝ log n (more bits, same per-cell
+    size) the way every LSH deployment does; B is pinned at ann_lsh's 5
+    here so the DuckDB oracle replays the identical blocking. The 10×
+    replica stresses the worst case deliberately: exact duplicates
+    inflate every cell 10× and no hash can separate them — that input
+    belongs to the dedup family upstream (see SURVEY §6 and
+    tests/test_similarity.py's bits-scaling evidence).
     """
+    import pandas as pd
+
     vecs = _vectors(spark, sf_dir)
-    vt = _with_buckets(vecs).select("vec_id", "tbl", "bucket")
-    probes = _query_probes(vecs, all_vectors=True)
-    pair_ids = (
-        vt.join(probes, ["tbl", "bucket"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id")
-        .distinct()
+    members = _with_buckets(vecs, with_vec=True).withColumn(
+        "is_probe", F.lit(0)
     )
-    qv = vecs.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
-    cands = _exact_pair_scores(
-        pair_ids.join(qv, "query_id").join(vecs.select("vec_id", "e"), "vec_id")
+    probes = (
+        _query_probes(vecs, all_vectors=True)
+        .join(vecs.select(F.col("vec_id").alias("query_id"), "e"), "query_id")
+        .select(
+            F.col("query_id").alias("vec_id"), "tbl", "bucket", "e",
+            F.lit(1).alias("is_probe"),
+        )
+    )
+    tagged = members.unionByName(probes)
+
+    def _cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "vec_id": [], "cos": []}).astype(
+            {"query_id": "int64", "vec_id": "int64", "cos": "float64"}
+        )
+        mem = pdf[pdf["is_probe"] == 0]
+        prb = pdf[pdf["is_probe"] == 1]
+        if not len(mem) or not len(prb):
+            return empty
+        m_ids = mem["vec_id"].to_numpy()
+        m_mat = np.stack([np.asarray(v, dtype=np.float64) for v in mem["e"]])
+        m_unit = m_mat / np.linalg.norm(m_mat, axis=1, keepdims=True)
+        m_nrm = np.sqrt(np.cumsum(m_mat * m_mat, axis=1)[:, -1])
+        p_ids = prb["vec_id"].to_numpy()
+        p_mat = np.stack([np.asarray(v, dtype=np.float64) for v in prb["e"]])
+        p_unit = p_mat / np.linalg.norm(p_mat, axis=1, keepdims=True)
+        p_nrm = np.sqrt(np.cumsum(p_mat * p_mat, axis=1)[:, -1])
+        sims = p_unit @ m_unit.T
+        sims[p_ids[:, None] == m_ids[None, :]] = -np.inf  # self-pairs out
+        k = min(KNN_K, sims.shape[1])
+        kth = np.partition(sims, -k, axis=1)[:, -k]
+        ia, ib = np.nonzero(sims >= (kth[:, None] - 2e-6))
+        # -inf >= -inf-margin is True: the masked self-pairs survive the
+        # cut whenever they sit at the kth boundary — drop them explicitly
+        finite = np.isfinite(sims[ia, ib])
+        ia, ib = ia[finite], ib[finite]
+        if not len(ia):
+            return empty
+        dots = np.cumsum(p_mat[ia] * m_mat[ib], axis=1)[:, -1]
+        cos = _duck_round6_np(dots / (p_nrm[ia] * m_nrm[ib]))
+        return pd.DataFrame(
+            {
+                "query_id": p_ids[ia].astype(np.int64),
+                "vec_id": m_ids[ib].astype(np.int64),
+                "cos": cos,
+            }
+        )
+
+    cand = tagged.groupBy("tbl", "bucket").applyInPandas(
+        _cell_topk, schema="query_id long, vec_id long, cos double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
-        cands.withColumn("rank", F.row_number().over(w))
+        cand.distinct()
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= KNN_K)
         .select(
             F.col("query_id").alias("vec_id"),
