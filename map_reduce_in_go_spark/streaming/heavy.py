@@ -1,0 +1,143 @@
+"""Streaming heavy hitters: durable mergeable Count-Min rollup.
+
+The streaming form of :func:`~..operators.approx.heavy_hitters_cms` —
+"trending tokens over an unbounded document stream". The property doing
+the work is CMS MERGEABILITY BY ADDITION: each micro-batch lands ONE
+fixed-size sketch row (batch token count + its D×W Count-Min array) in a
+:class:`ManifestTable`, ledgered like every ingest append so replays are
+detected before recompute. Any later question folds the stored rows —
+sum of per-batch sketches ≡ the sketch of the concatenated stream, in
+any arrival order — screens candidates, and exact-recounts them against
+the landed documents, so the answer is EXACT over everything ingested so
+far while per-batch state stays ~128 KB regardless of stream length.
+
+``compact_sketches`` is the log-structured-sketch maintenance verb: it
+replaces all committed sketch rows by their elementwise sum in one
+atomic overwrite — the table stays O(1) rows over years of batches, and
+the answer is unchanged (mergeability again, proven in test).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.approx import CMS_D, CMS_W, HH_K, _cms_hashes
+from ..sources.manifest_table import ManifestTable
+
+
+def _batch_sketch(docs: DataFrame):
+    """(n_tokens, summed D×W sketch) for one batch of documents."""
+    from ..functions.text import tokens
+
+    words = docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+
+    def sketch_pass(batches):
+        import pandas as pd
+
+        cms = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        n = 0
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            n += len(pdf)
+            for w, c in pdf["word"].value_counts().items():
+                counts[w] = counts.get(w, 0) + int(c)
+        for w, c in counts.items():
+            for d, h in enumerate(_cms_hashes(w)):
+                cms[d, h] += c
+        yield pd.DataFrame({"part_n": [n], "sketch": [cms.ravel().tolist()]})
+
+    parts = words.mapInPandas(
+        sketch_pass, "part_n long, sketch array<long>"
+    ).collect()  # ≤ #partitions fixed-size rows
+    total = int(sum(r["part_n"] for r in parts))
+    agg = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+    for r in parts:
+        agg += np.asarray(r["sketch"], dtype=np.int64)
+    return total, agg
+
+
+def heavy_batch(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    tbl: ManifestTable,
+    batch_id: int,
+    app_id: str = "trend",
+) -> bool:
+    """Land one micro-batch's sketch row; False if replayed (ledger hit)."""
+    op = f"{app_id}-batch-{batch_id}"
+    if op in tbl.committed_ops():
+        return False
+    total, agg = _batch_sketch(batch_docs)
+    row = spark.createDataFrame(
+        [Row(batch_id=batch_id, n=total, sketch=agg.tolist())],
+        schema="batch_id long, n long, sketch array<long>",
+    )
+    tbl.append(row.coalesce(1), op=op)
+    return True
+
+
+def _merged_state(spark: SparkSession, tbl: ManifestTable):
+    rows = tbl.read(spark).collect()  # bounded: one row per (un-compacted) batch
+    total = int(sum(r["n"] for r in rows))
+    agg = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+    for r in rows:
+        agg += np.asarray(r["sketch"], dtype=np.int64)
+    return total, agg.reshape(CMS_D, CMS_W)
+
+
+def compact_sketches(spark: SparkSession, tbl: ManifestTable) -> int:
+    """Fold all sketch rows into one (mergeability) — atomic overwrite."""
+    total, agg = _merged_state(spark, tbl)
+    one = spark.createDataFrame(
+        [Row(batch_id=-1, n=total, sketch=agg.ravel().tolist())],
+        schema="batch_id long, n long, sketch array<long>",
+    )
+    return tbl.overwrite(one.coalesce(1), op="sketch-compact")
+
+
+def trending_exact(
+    spark: SparkSession, tbl: ManifestTable, landed_docs: DataFrame
+) -> DataFrame:
+    """EXACT heavy hitters over everything ingested, from the sketch store.
+
+    Screen with the folded sketches (superset guarantee — CMS never
+    underestimates), exact-recount only candidates against the landed
+    corpus: the same one-scan screen+count pass as the batch twin.
+    """
+    from ..functions.text import tokens
+
+    total, cms = _merged_state(spark, tbl)
+    bc = spark.sparkContext.broadcast(cms)
+    words = landed_docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+
+    def count_pass(batches):
+        import pandas as pd
+
+        sk = bc.value
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for w, c in pdf["word"].value_counts().items():
+                counts[w] = counts.get(w, 0) + int(c)
+        if not counts:
+            return
+        ws = list(counts)
+        est = np.array(
+            [min(sk[d, h] for d, h in enumerate(_cms_hashes(w))) for w in ws],
+            dtype=np.int64,
+        )
+        keep = est * HH_K > total
+        yield pd.DataFrame(
+            {
+                "word": [w for w, k in zip(ws, keep) if k],
+                "c": [counts[w] for w, k in zip(ws, keep) if k],
+            }
+        )
+
+    return (
+        words.mapInPandas(count_pass, "word string, c long")
+        .groupBy("word")
+        .agg(F.sum("c").alias("cnt"))
+        .filter(F.col("cnt") * HH_K > F.lit(total))
+    )
