@@ -48,8 +48,26 @@ HEADLINE = [
 ]
 
 
+def read_steal_seconds() -> float | None:
+    """Hypervisor CPU-steal seconds from /proc/stat (aggregate cpu line).
+
+    Recorded before/after the run so every bench number self-annotates
+    its machine honesty: a large steal delta means the absolute seconds
+    are elevated by the hypervisor, not by code (see BENCH_NOTES.md).
+    """
+    try:
+        with open("/proc/stat") as fh:
+            fields = fh.readline().split()
+        # cpu user nice system idle iowait irq softirq steal ...
+        ticks = int(fields[8])
+        return round(ticks / os.sysconf("SC_CLK_TCK"), 1)
+    except (OSError, IndexError, ValueError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    steal0 = read_steal_seconds()
     from map_reduce_in_go_spark import registry
     from map_reduce_in_go_spark.session import get_spark
 
@@ -90,6 +108,10 @@ def main() -> None:
         sf = float(sf)
     except ValueError:
         pass  # non-standard dir name (e.g. a scale-replica path): keep the string
+    steal1 = read_steal_seconds()
+    steal_delta = (
+        round(steal1 - steal0, 1) if steal0 is not None and steal1 is not None else None
+    )
     print(
         json.dumps(
             {
@@ -98,6 +120,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf or None,
+                "cpu_steal_delta_sec": steal_delta,
             }
         )
     )

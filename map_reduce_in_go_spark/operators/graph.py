@@ -79,22 +79,22 @@ def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.lit(PR_SCALE).cast("long").alias("r")
     ).localCheckpoint(eager=True)
     last_ckpt = ranks
+    # The edge set is undirected-by-construction (both directions emitted),
+    # so every vertex with an out-edge also has an in-edge: the groupBy(dst)
+    # aggregate covers EXACTLY deg's vertex set, and re-attaching it to deg
+    # with a per-round left join (the textbook dangling-node guard) would be
+    # a no-op costing one extra shuffle join × PR_ITERS. Dropped; the oracle
+    # keeps the LEFT JOIN form and agrees because COALESCE never fires.
     for i in range(PR_ITERS):
         src_rank = ranks.select(F.col("doc_id").alias("src"), "r")
-        agg = (
+        new_ranks = (
             edges_deg.join(src_rank, "src")
             .select(F.col("dst").alias("doc_id"), F.expr("r div d").alias("c"))
             .groupBy("doc_id")
             .agg(F.sum("c").alias("contrib"))
-        )
-        new_ranks = (
-            deg.select("doc_id")
-            .join(agg, "doc_id", "left")
             .select(
                 "doc_id",
-                F.expr(
-                    f"(15 * {PR_SCALE}L + 85 * coalesce(contrib, 0L)) div 100"
-                ).alias("r"),
+                F.expr(f"(15 * {PR_SCALE}L + 85 * contrib) div 100").alias("r"),
             )
         )
         if (i + 1) % PR_CKPT_EVERY == 0 or i == PR_ITERS - 1:

@@ -44,9 +44,30 @@ from .similarity import (
 
 PQ_M = 8  # subspaces (64 dims → 8 dims each)
 PQ_K = 16  # codes per subspace (4 bits); M×log2(K) = 32 bits + id per vector
-PQ_SAMPLE_MOD = 2  # vec_id % 2 == 0 → training sample (bounded, deterministic)
+PQ_TRAIN_MAX = 4096  # hard cap on driver-collected training rows (O(1) in corpus)
 PQ_LLOYD_ITERS = 5
 PQ_CAND = 50  # ADC candidates per query before exact rescore
+
+
+def _train_sample(spark: SparkSession, sf_dir: str) -> list:
+    """≤ ``PQ_TRAIN_MAX`` rows, deterministic, O(1) in corpus size.
+
+    The stride is derived from a corpus count (``ceil(n / PQ_TRAIN_MAX)``),
+    so the executor-side filter keeps ~PQ_TRAIN_MAX evenly-spaced vec_ids
+    and the driver collect is capped regardless of N — FAISS's
+    train-on-a-fixed-sample posture. (A fixed mod was O(corpus): at 100 TB
+    of embeddings the driver would die in training before Lloyd ran.)
+    """
+    vecs = _vectors(spark, sf_dir)
+    n = vecs.count()
+    stride = max(1, -(-n // PQ_TRAIN_MAX))  # ceil division
+    return (
+        vecs.filter(F.col("vec_id") % stride == 0)
+        .select("vec_id", "e")
+        .orderBy("vec_id")
+        .limit(PQ_TRAIN_MAX)
+        .collect()
+    )
 
 
 def train_codebooks(spark: SparkSession, sf_dir: str) -> np.ndarray:
@@ -58,13 +79,7 @@ def train_codebooks(spark: SparkSession, sf_dir: str) -> np.ndarray:
     numpy over the bounded sample — the training cost is O(sample), never
     O(corpus).
     """
-    sample = (
-        _vectors(spark, sf_dir)
-        .filter(F.col("vec_id") % PQ_SAMPLE_MOD == 0)
-        .select("vec_id", "e")
-        .orderBy("vec_id")
-        .collect()
-    )
+    sample = _train_sample(spark, sf_dir)
     mat = np.stack([np.asarray(r["e"], dtype=np.float64) for r in sample])
     d = mat.shape[1]
     sub = d // PQ_M

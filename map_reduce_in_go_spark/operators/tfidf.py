@@ -479,24 +479,55 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped or heavily subsampled. Output per doc: the score, its bucket,
     and the bucket label.
 
-    ``ntile`` over (score, doc_id) is the exact deterministic cut; the
-    rank pass is one global range-sort window (Spark range-partitions the
-    sort — no single-reducer window), which is the same cost any
-    quantile-cut curation pass pays.
+    The cut is exact ``ntile`` semantics but computed WITHOUT a global
+    window (``Window.orderBy`` with no partitionBy funnels every row
+    through one reducer): range-repartition on the sort key, take
+    per-partition counts (≤ #partitions rows to the driver), broadcast the
+    cumulative offsets back, and derive each row's global rank as
+    offset + partition-local row_number — the same hierarchical-prefix
+    shape as ``shard_pack``. Bucket boundaries replay ntile's exact
+    integer rule (first ``N mod n`` buckets get ``ceil(N/n)`` rows), so
+    the DuckDB ntile oracle agrees row-for-row.
     """
+    from ..functions.caching import scoped_persist
+
     scored = ngram_lm_kn(spark, sf_dir)
-    w = Window.orderBy(F.asc("avg_kn_surprisal"), F.asc("doc_id"))
+    n_part = spark.sparkContext.defaultParallelism
+    part = scoped_persist(
+        scored.repartitionByRange(
+            n_part, F.asc("avg_kn_surprisal"), F.asc("doc_id")
+        ).withColumn("_pid", F.spark_partition_id())
+    )
+    sizes = sorted(
+        part.groupBy("_pid").agg(F.count("*").alias("c")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    offs: dict[int, int] = {}
+    total = 0
+    for r in sizes:
+        offs[r["_pid"]] = total
+        total += r["c"]
+    q, rem = divmod(total, PPL_BUCKETS)
+    head = rem * (q + 1)  # rows in the (q+1)-sized leading buckets
+    off_expr = F.create_map(
+        *[F.lit(x) for pid_off in offs.items() for x in pid_off]
+    )
+    wloc = Window.partitionBy("_pid").orderBy(
+        F.asc("avg_kn_surprisal"), F.asc("doc_id")
+    )
+    rank = (off_expr[F.col("_pid")] + F.row_number().over(wloc)).alias("r")
+    # ntile's exact integer rule, all-integer arithmetic (div, no floats)
+    bucket = F.expr(
+        f"CAST(CASE WHEN r <= {head} THEN (r - 1) div {q + 1} "
+        f"ELSE {rem} + (r - {head} - 1) div {max(q, 1)} END + 1 AS INT)"
+    )
     labels = F.when(F.col("bucket") == 1, F.lit("head")).when(
         F.col("bucket") == 2, F.lit("middle")
     ).otherwise(F.lit("tail"))
     return (
-        scored.withColumn("bucket", F.ntile(PPL_BUCKETS).over(w))
-        .select(
-            "doc_id",
-            "avg_kn_surprisal",
-            F.col("bucket").cast("int").alias("bucket"),
-            labels.alias("split"),
-        )
+        part.select("doc_id", "avg_kn_surprisal", rank)
+        .withColumn("bucket", bucket)
+        .select("doc_id", "avg_kn_surprisal", "bucket", labels.alias("split"))
     )
 
 

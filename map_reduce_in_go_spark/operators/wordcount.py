@@ -138,6 +138,12 @@ def cooccurrence_topk(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFram
     over document order emits each (word, neighbor) pair once per position,
     then one aggregation counts them. Pairs are canonicalized (a ≤ b) so
     direction doesn't split counts.
+
+    Both lead distances are computed in ONE window pass (one sort of each
+    doc partition), then stacked with posexplode — two passes over the same
+    Window was the one redundant-sort shape left in the codebase (r7
+    verdict finding #2); plan now has a single Window node, pinned in
+    tests/test_plans.py.
     """
     from pyspark.sql import Window
 
@@ -148,17 +154,18 @@ def cooccurrence_topk(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFram
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "word")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
-    pairs = None
-    for d in (1, 2):
-        nxt = words.select(
-            "doc_id",
+    pairs = (
+        words.select(
             "word",
-            F.lead("word", d).over(w).alias("nbr"),
-        ).filter(F.col("nbr").isNotNull())
-        canon = nxt.select(
+            F.lead("word", 1).over(w).alias("n1"),
+            F.lead("word", 2).over(w).alias("n2"),
+        )
+        .select("word", F.explode(F.array("n1", "n2")).alias("nbr"))
+        .filter(F.col("nbr").isNotNull())
+        .select(
             F.least("word", "nbr").alias("w1"), F.greatest("word", "nbr").alias("w2")
         )
-        pairs = canon if pairs is None else pairs.unionAll(canon)
+    )
     return (
         pairs.groupBy("w1", "w2")
         .agg(F.count("*").alias("cnt"))

@@ -24,8 +24,10 @@ from __future__ import annotations
 
 import hashlib
 import io
+import json
 import os
 import tarfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,19 +55,25 @@ def export_webdataset(
         pdf = pdf.sort_values("doc_id")
         shard_id = int(pdf["shard_id"].iloc[0])
         path = os.path.join(out_dir, f"shard-{shard_id:05d}.tar")
-        tmp = path + ".tmp"
+        # attempt-unique tmp: two concurrent attempts of the same task
+        # (speculation, zombie retry) must not interleave writes into one
+        # file — each writes its own tmp and the os.replace publishes
+        # whichever byte-identical attempt lands last, atomically
+        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
         with tarfile.open(tmp, "w") as tar:
             for _, row in pdf.iterrows():
                 key = f"{int(row['doc_id']):09d}"
+                meta = json.dumps(
+                    {
+                        "doc_id": int(row["doc_id"]),
+                        "lang": row["lang"],
+                        "source": row["source"],
+                    },
+                    sort_keys=True,
+                )  # proper escaping, still byte-deterministic
                 for ext, payload in (
                     ("txt", row["text"].encode("utf-8")),
-                    (
-                        "json",
-                        (
-                            '{"doc_id": %d, "lang": "%s", "source": "%s"}'
-                            % (int(row["doc_id"]), row["lang"], row["source"])
-                        ).encode("utf-8"),
-                    ),
+                    ("json", meta.encode("utf-8")),
                 ):
                     info = tarfile.TarInfo(f"{key}.{ext}")
                     info.size = len(payload)
@@ -85,7 +93,16 @@ def export_webdataset(
             }
         )
 
-    return samples.groupBy("shard_id").applyInPandas(
-        write_shard,
-        schema="shard_id long, n_samples long, n_tokens long, n_bytes long, tar_md5 string",
+    manifest_schema = (
+        "shard_id long, n_samples long, n_tokens long, n_bytes long, tar_md5 string"
     )
+    # Eagerly materialize: the export is a side-effecting transformation, so
+    # the write must run exactly once — a lazily returned plan would rewrite
+    # every shard on each downstream action. The manifest is one row per
+    # shard (bounded), so collect + re-create is the honest shape.
+    rows = (
+        samples.groupBy("shard_id")
+        .applyInPandas(write_shard, schema=manifest_schema)
+        .collect()
+    )
+    return spark.createDataFrame(rows, schema=manifest_schema)

@@ -78,8 +78,9 @@ def heavy_batch(
     return True
 
 
-def _merged_state(spark: SparkSession, tbl: ManifestTable):
-    rows = tbl.read(spark).collect()  # bounded: one row per (un-compacted) batch
+def _merged_state(spark: SparkSession, tbl: ManifestTable, version: int | None = None):
+    # bounded: one row per (un-compacted) batch
+    rows = tbl.read(spark, version).collect()
     total = int(sum(r["n"] for r in rows))
     agg = np.zeros(CMS_D * CMS_W, dtype=np.int64)
     for r in rows:
@@ -87,14 +88,36 @@ def _merged_state(spark: SparkSession, tbl: ManifestTable):
     return total, agg.reshape(CMS_D, CMS_W)
 
 
-def compact_sketches(spark: SparkSession, tbl: ManifestTable) -> int:
-    """Fold all sketch rows into one (mergeability) — atomic overwrite."""
-    total, agg = _merged_state(spark, tbl)
-    one = spark.createDataFrame(
-        [Row(batch_id=-1, n=total, sketch=agg.ravel().tolist())],
-        schema="batch_id long, n long, sketch array<long>",
+def compact_sketches(
+    spark: SparkSession, tbl: ManifestTable, max_retries: int = 20
+) -> int:
+    """Fold all sketch rows into one (mergeability) — atomic CAS overwrite.
+
+    The fold is a read-modify-write, so it races with concurrent
+    ``heavy_batch`` appends: a batch landing between the read and the
+    swap would be silently discarded — and since its op is already in
+    ``committed_ops()``, the ledger would mark any replay as a duplicate,
+    losing those tokens from every later :func:`trending_exact` answer
+    permanently. Same remedy as :meth:`ManifestTable.compact`: pin the
+    base version, CAS the overwrite on it, and redo the fold on conflict.
+    """
+    from ..sources.manifest_table import CommitConflict
+
+    for _ in range(max_retries):
+        base = tbl.version()
+        total, agg = _merged_state(spark, tbl, base)
+        one = spark.createDataFrame(
+            [Row(batch_id=-1, n=total, sketch=agg.ravel().tolist())],
+            schema="batch_id long, n long, sketch array<long>",
+        )
+        try:
+            return tbl.overwrite(one.coalesce(1), op="sketch-compact",
+                                 expected_version=base)
+        except CommitConflict:
+            continue  # an append landed mid-fold; redo on the new base
+    raise CommitConflict(
+        f"sketch-compact lost the commit race {max_retries} times at {tbl.root}"
     )
-    return tbl.overwrite(one.coalesce(1), op="sketch-compact")
 
 
 def trending_exact(

@@ -160,6 +160,18 @@ def test_value_position_single_window(spark, sf_dir):
     assert len(re.findall(r"^\(\d+\) Window$", plan, re.M)) == 1
 
 
+def test_cooccurrence_single_window(spark, sf_dir):
+    """Both lead distances (±1, ±2) share one doc-order sort → exactly one
+    Window operator; the old two-pass union paid the partition sort twice
+    (r7 verdict finding #2)."""
+    from map_reduce_in_go_spark.operators.wordcount import cooccurrence_topk
+
+    import re
+
+    plan = _plan(cooccurrence_topk(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Window$", plan, re.M)) == 1
+
+
 def test_aqe_splits_skewed_join(spark):
     """Skew survival at scale is AQE's job: a Zipf-headed join partition
     must be split at runtime (SortMergeJoin(skew=true)), not processed as

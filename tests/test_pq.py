@@ -36,6 +36,34 @@ def test_codes_compress_and_are_deterministic(spark, sf_dir):
     assert codes2 == codes
 
 
+def test_train_sample_bounded_under_replication(spark, sf_dir, tmp_path):
+    """Codebook training's driver collect is O(1) in corpus size: a 20×
+    replica (10k vectors > PQ_TRAIN_MAX) still collects ≤ PQ_TRAIN_MAX
+    rows, deterministically — the 100 TB posture the module docstring
+    claims. (The old fixed-mod sample was N/2 = O(corpus).)"""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    src = papq.read_table(f"{sf_dir}/embeddings.parquet")
+    n = src.num_rows
+    reps = []
+    for i in range(20):
+        t = src.set_column(
+            0, "vec_id", pa.array([v + i * n for v in range(n)], pa.int64())
+        )
+        reps.append(t)
+    big = pa.concat_tables(reps)
+    papq.write_table(big, str(tmp_path / "embeddings.parquet"))
+
+    s1 = pq._train_sample(spark, str(tmp_path))
+    s2 = pq._train_sample(spark, str(tmp_path))
+    assert len(s1) <= pq.PQ_TRAIN_MAX
+    assert len(s1) >= pq.PQ_TRAIN_MAX // 2  # still a real sample, not degenerate
+    assert [r["vec_id"] for r in s1] == [r["vec_id"] for r in s2]  # deterministic
+    # and the small corpus is used in full (no cap distortion below the max)
+    assert len(pq._train_sample(spark, sf_dir)) == n
+
+
 def test_pq_recall_floor_and_true_cosines(spark, sf_dir):
     exact = {}
     for r in ann_bruteforce(spark, sf_dir).collect():
