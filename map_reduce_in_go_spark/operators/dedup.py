@@ -1841,15 +1841,15 @@ def _signatures_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """xxhash64 MinHash-LSH candidate pairs (fast path, no SQL oracle).
+def minhash_fast_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 MinHash-LSH candidate pairs (production fast path).
 
     Identical shingle sets give identical signatures under any hash family;
-    high-Jaccard pairs collide with the same b·r probability curve. The
-    pytest stand-in for the oracle pins recall on the test corpus: every
-    pair the portable md5 variant reports must be recovered here with high
-    signature agreement. ~1.7× faster than the md5 family at sf0.1 (native
-    long math, 32 longs/doc on the shuffle instead of 32 hex strings).
+    high-Jaccard pairs collide with the same b·r probability curve.
+    ~1.7× faster than the md5 family at sf0.1 (native long math, 32
+    longs/doc on the shuffle instead of 32 hex strings). Use this when
+    throughput matters more than cross-engine replay; the registered
+    :func:`dedup_minhash_fast` wraps it with a hash-checkable verdict.
     """
     sigs = scoped_persist(_signatures_fast(spark, sf_dir))
     pairs = _band_pairs(sigs)
@@ -1867,3 +1867,43 @@ def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_match"),
         )
     )
+
+
+# Agreement floor for the fast-family verdict: a true near-dup pair that
+# collides in any band agrees on far more than 24/32 positions (exact dups
+# agree on 32/32); 24 is the pinned-corpus floor from tests/test_dedup.py.
+FAST_AGREE_FLOOR = 24
+
+
+def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-family pairs + xxhash64 fast-family recovery verdict.
+
+    The fast path's raw pairs (:func:`minhash_fast_pairs`) use
+    engine-specific xxhash64, so they can't be replayed in SQL. The
+    registered query instead emits the md5 family's (oracle-replayable)
+    pairs with a ``fast_ok`` verdict — "the fast family recovered this
+    pair with ≥ FAST_AGREE_FLOOR signature agreement" — pinned TRUE by
+    the oracle: a fast-path regression (hash recipe drift, band bug)
+    flips the flag and fails the driver's value hash, the same verdict
+    contract as the sketch queries in operators/approx.py.
+    """
+    fast = minhash_fast_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.col("n_match").alias("fast_match")
+    )
+    ok = F.coalesce(F.col("fast_match"), F.lit(0)) >= FAST_AGREE_FLOOR
+    return (
+        dedup_minhash(spark, sf_dir)
+        .join(fast, ["doc_a", "doc_b"], "left")
+        .select("doc_a", "doc_b", "n_match", ok.alias("fast_ok"))
+    )
+
+
+ORACLES["dedup_minhash_fast"] = _MINHASH_CTES + f"""
+    SELECT p.doc_a, p.doc_b,
+           CAST(len(list_filter(range(1, {NUM_PERM + 1}),
+                i -> sa.sig[i] = sb.sig[i])) AS INTEGER) AS n_match,
+           TRUE AS fast_ok
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.doc_a
+    JOIN sigs sb ON sb.doc_id = p.doc_b
+    """

@@ -276,9 +276,15 @@ def _build() -> None:
 # Queries whose OUTPUT changed after their most recent driver-green round:
 # their stale rows validate a behavior that no longer exists, so they jump
 # the rotation ahead of everything with merely-old evidence. Remove a name
-# once a fresh driver row lands. (ann_lsh: multiprobe landed in r6; its
-# newest driver row is the pre-multiprobe r5 output.)
-_CHANGED_SINCE_VERIFIED: set[str] = {"ann_lsh"}
+# once a fresh driver row lands. (r8: the four former rows-only sketch
+# queries now emit exact-columns + pinned-TRUE verdicts with full SQL
+# oracles — every prior record was a weaker rows-only check.)
+_CHANGED_SINCE_VERIFIED: set[str] = {
+    "distinct_words_approx",
+    "events_quantiles_approx",
+    "sketch_rollup_users",
+    "dedup_minhash_fast",
+}
 
 
 def _priority_order() -> list[str]:

@@ -85,6 +85,7 @@ def test_minhash_fast_recovers_md5_pairs(spark, sf_dir):
     from map_reduce_in_go_spark.operators.dedup import (
         dedup_minhash,
         dedup_minhash_fast,
+        minhash_fast_pairs,
     )
 
     md5_pairs = {
@@ -92,12 +93,16 @@ def test_minhash_fast_recovers_md5_pairs(spark, sf_dir):
     }
     fast = {
         (r["doc_a"], r["doc_b"]): r["n_match"]
-        for r in dedup_minhash_fast(spark, sf_dir).collect()
+        for r in minhash_fast_pairs(spark, sf_dir).collect()
     }
     assert md5_pairs, "corpus should contain near-duplicates"
     for p in md5_pairs:
         assert p in fast, p
         assert fast[p] >= 24, (p, fast[p])
+    # the registered verdict wrapper reports the same recovery as TRUE rows
+    wrapped = dedup_minhash_fast(spark, sf_dir).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in wrapped} == md5_pairs
+    assert all(r["fast_ok"] for r in wrapped)
 
 
 def test_doc_similarity_tfidf_bounds(spark, sf_dir):

@@ -4,7 +4,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from map_reduce_in_go_spark.operators.approx import sketch_rollup_users
+from map_reduce_in_go_spark.operators.approx import (
+    sketch_rollup_raw,
+    sketch_rollup_users,
+)
 from map_reduce_in_go_spark.sources.tables import load_table
 
 
@@ -13,8 +16,12 @@ def test_rollup_union_equals_single_pass_sketch(spark, sf_dir):
     sketch over the whole table — the partitioned-rollup contract."""
     got = {
         r["event_type"]: (r["approx_users"], r["n_events"])
-        for r in sketch_rollup_users(spark, sf_dir).collect()
+        for r in sketch_rollup_raw(spark, sf_dir).collect()
     }
+    # the registered (hash-checkable) wrapper must agree: verdict TRUE
+    # everywhere with the same exact counts
+    wrapped = sketch_rollup_users(spark, sf_dir).collect()
+    assert all(r["approx_ok"] for r in wrapped)
     whole = {
         r["event_type"]: r["u"]
         for r in load_table(spark, sf_dir, "events")
