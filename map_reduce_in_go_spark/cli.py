@@ -74,6 +74,35 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def install_signal_handlers(spark, owned: bool) -> None:
+    """SIGINT/SIGTERM → drain and exit (main.go:32-66 parity).
+
+    The reference traps both signals and drains in-flight work before
+    exiting. Here: stop every active streaming query (flushes their last
+    committed micro-batch), then stop the session — but only if this CLI
+    created it (``owned``): getOrCreate may have joined a caller's session
+    (tests, notebooks) whose lifecycle isn't ours to end. Exits with the
+    conventional 128+signum code either way.
+    """
+    import signal
+
+    def _drain(signum, frame):  # noqa: ARG001 — signal handler signature
+        for q in list(spark.streams.active):
+            try:
+                q.stop()
+            except Exception:  # noqa: BLE001 — already-stopped races are fine
+                pass
+        if owned:
+            spark.stop()
+        raise SystemExit(128 + signum)
+
+    try:
+        for s in (signal.SIGINT, signal.SIGTERM):
+            signal.signal(s, _drain)
+    except ValueError:  # not the main thread — caller owns signal disposition
+        pass
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     from .engine import WordCountMapper, WordCountReducer, run_mapreduce, write_output
@@ -101,8 +130,12 @@ def main(argv: list[str] | None = None) -> int:
         sf_dir = args.sf_dir or _os.environ.get(
             "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
         )
+        from pyspark.sql import SparkSession
+
+        owned = SparkSession.getActiveSession() is None
         spark = get_spark("mr-cli", cpus=args.workers, master=args.master)
         spark.sparkContext.setLogLevel("WARN")
+        install_signal_handlers(spark, owned)
         df = qs[args.run_query](spark, sf_dir)
         if args.output:
             df.write.mode("overwrite").parquet(args.output)
@@ -116,8 +149,12 @@ def main(argv: list[str] | None = None) -> int:
         print("--input and --output are required for MR apps", file=sys.stderr)
         return 2
 
+    from pyspark.sql import SparkSession
+
+    owned = SparkSession.getActiveSession() is None
     spark = get_spark("mr-cli", cpus=args.workers, master=args.master)
     spark.sparkContext.setLogLevel("WARN")
+    install_signal_handlers(spark, owned)
     paths = args.input.split(",")
 
     if args.app == "grep":

@@ -77,3 +77,62 @@ def test_cli_run_query_unknown():
     from map_reduce_in_go_spark.cli import main
 
     assert main(["--run-query", "nope"]) == 2
+
+
+def test_cli_signal_handler_drains_and_exits(spark):
+    """main.go:32-66 parity: the installed SIGTERM handler stops active
+    streaming queries, stops the session only when CLI-owned, and exits
+    with 128+signum. Simulated: install against a stub session, retrieve
+    the registered handler, and invoke it."""
+    import signal
+
+    from map_reduce_in_go_spark.cli import install_signal_handlers
+
+    class StubQuery:
+        def __init__(self):
+            self.stopped = False
+
+        def stop(self):
+            self.stopped = True
+
+    class StubStreams:
+        def __init__(self, qs):
+            self.active = qs
+
+    class StubSession:
+        def __init__(self):
+            self.queries = [StubQuery(), StubQuery()]
+            self.streams = StubStreams(self.queries)
+            self.stopped = False
+
+        def stop(self):
+            self.stopped = True
+
+    saved = {s: signal.getsignal(s) for s in (signal.SIGINT, signal.SIGTERM)}
+    try:
+        # not CLI-owned: queries drain, session left running
+        stub = StubSession()
+        install_signal_handlers(stub, owned=False)
+        handler = signal.getsignal(signal.SIGTERM)
+        try:
+            handler(signal.SIGTERM, None)
+        except SystemExit as e:
+            assert e.code == 128 + signal.SIGTERM
+        else:
+            raise AssertionError("handler must exit")
+        assert all(q.stopped for q in stub.queries)
+        assert not stub.stopped
+
+        # CLI-owned: session stopped too
+        stub2 = StubSession()
+        install_signal_handlers(stub2, owned=True)
+        handler2 = signal.getsignal(signal.SIGINT)
+        try:
+            handler2(signal.SIGINT, None)
+        except SystemExit as e:
+            assert e.code == 128 + signal.SIGINT
+        assert all(q.stopped for q in stub2.queries)
+        assert stub2.stopped
+    finally:
+        for s, h in saved.items():
+            signal.signal(s, h)
