@@ -1907,3 +1907,83 @@ ORACLES["dedup_minhash_fast"] = _MINHASH_CTES + f"""
     JOIN sigs sa ON sa.doc_id = p.doc_a
     JOIN sigs sb ON sb.doc_id = p.doc_b
     """
+
+
+# ------------------------------------------------- exact containment (full-doc)
+
+# Minimum contained-doc length (chars). Containment dedup below ~64 chars is
+# noise (boilerplate fragments match everywhere), and the anchor-gram
+# candidate scheme needs the contained doc to be at least one anchor long —
+# the same "don't dedup tiny spans" floor Lee et al. 2022 apply at 50 tokens.
+CONTAIN_MIN_CHARS = 64
+
+
+def dedup_containment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT cross-document containment: doc_a's full text occurs verbatim
+    inside doc_b. Generalizes :func:`dedup_containment` (3-gram Jaccard
+    containment over LSH candidates — approximate, fixed-K resolution) to
+    arbitrary-length exact substring semantics.
+
+    Spark-first plan — candidates from anchor-gram hashing, NEVER all-pairs
+    (a distributed suffix array answers the same membership query; the
+    anchor form is the shape that maps onto Catalyst joins):
+
+    1. **Anchor**: each eligible doc (len ≥ CONTAIN_MIN_CHARS) is keyed by
+       ``xxhash64`` of its FIRST ``CONTAIN_MIN_CHARS`` chars. One row/doc.
+    2. **Gram scan**: every doc emits the hash of each
+       ``CONTAIN_MIN_CHARS``-gram with its offset — the rolling scan of a
+       suffix-structure build, kept as codegen'd expressions. If a occurs
+       in b at offset p, b's gram at p hashes equal to a's anchor, so the
+       hash equijoin yields every true occurrence (completeness); the
+       shuffle carries (hash, doc, pos) — O(corpus chars) like
+       `dedup_substring`, and Spark's runtime bloom filter on the anchor
+       side prunes non-candidate grams before the exchange.
+    3. **Offset-exact verify**: for each candidate (a, b, pos), check
+       ``substr(b.text, pos, len_a) = a.text`` — no scan, no false
+       positives from hash collisions. First occurrence = min(pos),
+       matching the oracle's ``strpos``.
+
+    At 100 TB: stages are one corpus scan + one hash-keyed shuffle + one
+    candidate-only text join; the quadratic verify of the shingle variant
+    is replaced by O(1)-per-candidate offset comparison.
+    """
+    A = CONTAIN_MIN_CHARS
+    docs = load_documents_parallel(spark, sf_dir).select("doc_id", "text")
+    anchors = docs.filter(F.length("text") >= A).select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("ta"),
+        F.length("text").alias("len_a"),
+        F.xxhash64(F.substring("text", 1, A)).alias("h"),
+    )
+    grams = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(text) - {A} + 1, 0)),"
+                f" i -> xxhash64(substr(text, i, {A})))"
+            )
+        ).alias("pos0", "h"),
+    ).select("doc_b", (F.col("pos0") + 1).alias("pos"), "h")
+    cand = anchors.join(grams, "h").filter(F.col("doc_a") != F.col("doc_b"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    verified = (
+        cand.join(tb, "doc_b")
+        .filter(F.expr("substr(tb, pos, len_a) = ta"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("len_a").alias("len_a"), F.min("pos").alias("first_pos"))
+    )
+    return verified.select(
+        "doc_a", "doc_b", F.col("len_a").cast("long").alias("len_a"),
+        F.col("first_pos").cast("long").alias("first_pos"),
+    )
+
+
+ORACLES["dedup_containment_exact"] = f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(a.text) AS BIGINT) AS len_a,
+           CAST(strpos(b.text, a.text) AS BIGINT) AS first_pos
+    FROM documents a JOIN documents b
+      ON a.doc_id <> b.doc_id
+     AND len(a.text) >= {CONTAIN_MIN_CHARS}
+     AND contains(b.text, a.text)
+    """

