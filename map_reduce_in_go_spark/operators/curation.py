@@ -957,3 +957,55 @@ ORACLES["sample_reservoir"] = f"""
     FROM pri
     QUALIFY rk <= {RESERVOIR_K}
     """
+
+
+# -------------------------------------------------------- global shuffle
+
+SHUFFLE_SALT = "epoch0"  # change per epoch for a fresh permutation
+SHUFFLE_LOADER_SHARDS = 16
+
+
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle: every doc gets a dense 1..N position
+    in a pseudorandom permutation, plus its round-robin loader shard.
+
+    The step between curation and sharding in every training pipeline:
+    examples must be globally shuffled BEFORE being packed into sequential
+    shards, or each loader sees long runs of one domain/source. The
+    permutation is content-keyed (md5 of salt+doc_id), so it is
+    reproducible across runs and engines, and re-saltable per epoch.
+
+    Plan: one md5 per doc, then the hierarchical global rank
+    (``functions/ranks.py`` — range repartition + broadcast offsets +
+    partitioned row_number), NO single-reducer window. At 100 TB this is
+    one range shuffle of (doc_id, 32-byte hash) rows — the permutation
+    never materializes on one node.
+    """
+    from ..functions.ranks import with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit(SHUFFLE_SALT), F.col("doc_id").cast("string"))).alias(
+            "h"
+        ),
+    )
+    ranked, _ = with_global_rank(docs, [F.asc("h"), F.asc("doc_id")], "pos")
+    return ranked.select(
+        "doc_id",
+        F.col("pos").alias("shuffle_pos"),
+        (F.col("pos") % SHUFFLE_LOADER_SHARDS).cast("int").alias("loader_shard"),
+    )
+
+
+ORACLES["corpus_shuffle"] = f"""
+    WITH h AS (
+      SELECT doc_id,
+             md5('{SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS shuffle_pos,
+           CAST(row_number() OVER (ORDER BY h, doc_id)
+                % {SHUFFLE_LOADER_SHARDS} AS INTEGER) AS loader_shard
+    FROM h
+    """

@@ -489,33 +489,14 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer rule (first ``N mod n`` buckets get ``ceil(N/n)`` rows), so
     the DuckDB ntile oracle agrees row-for-row.
     """
-    from ..functions.caching import scoped_persist
+    from ..functions.ranks import with_global_rank
 
     scored = ngram_lm_kn(spark, sf_dir)
-    n_part = spark.sparkContext.defaultParallelism
-    part = scoped_persist(
-        scored.repartitionByRange(
-            n_part, F.asc("avg_kn_surprisal"), F.asc("doc_id")
-        ).withColumn("_pid", F.spark_partition_id())
+    ranked, total = with_global_rank(
+        scored, [F.asc("avg_kn_surprisal"), F.asc("doc_id")]
     )
-    sizes = sorted(
-        part.groupBy("_pid").agg(F.count("*").alias("c")).collect(),
-        key=lambda r: r["_pid"],
-    )
-    offs: dict[int, int] = {}
-    total = 0
-    for r in sizes:
-        offs[r["_pid"]] = total
-        total += r["c"]
     q, rem = divmod(total, PPL_BUCKETS)
     head = rem * (q + 1)  # rows in the (q+1)-sized leading buckets
-    off_expr = F.create_map(
-        *[F.lit(x) for pid_off in offs.items() for x in pid_off]
-    )
-    wloc = Window.partitionBy("_pid").orderBy(
-        F.asc("avg_kn_surprisal"), F.asc("doc_id")
-    )
-    rank = (off_expr[F.col("_pid")] + F.row_number().over(wloc)).alias("r")
     # ntile's exact integer rule, all-integer arithmetic (div, no floats)
     bucket = F.expr(
         f"CAST(CASE WHEN r <= {head} THEN (r - 1) div {q + 1} "
@@ -525,7 +506,7 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket") == 2, F.lit("middle")
     ).otherwise(F.lit("tail"))
     return (
-        part.select("doc_id", "avg_kn_surprisal", rank)
+        ranked.select("doc_id", "avg_kn_surprisal", F.col("r"))
         .withColumn("bucket", bucket)
         .select("doc_id", "avg_kn_surprisal", "bucket", labels.alias("split"))
     )

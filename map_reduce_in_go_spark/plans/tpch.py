@@ -1066,3 +1066,59 @@ ORACLES["basket_pairs"] = f"""
     CROSS JOIN n
     QUALIFY rank <= {BASKET_TOP}
     """
+
+
+# ------------------------------------------------- fuzzy entity resolution
+
+FUZZY_MAX_DIST = 2  # Levenshtein budget for a name-variant match
+
+
+def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution over the part-name vocabulary.
+
+    The classic ER shape (catalog reconciliation, vendor-name matching):
+    candidate pairs from a cheap BLOCKING key, then an edit-distance
+    verify — never an all-pairs Levenshtein. Here: names sharing their
+    final token (the product noun — "old rod" / "red rod") within
+    Levenshtein ≤ FUZZY_MAX_DIST. Completeness is defined BY the blocking
+    key, which is the production trade every ER system makes explicit.
+
+    Scale posture: the self-join runs at NAME-VOCABULARY grain (distinct
+    names, counts attached), not row grain — at any TPC-H scale the name
+    vocabulary is bounded, so the quadratic-within-block verify never
+    touches part rows; the only corpus-sized step is the count aggregate.
+    """
+    part = load_table(spark, sf_dir, "part")
+    names = (
+        part.groupBy("p_name")
+        .agg(F.count("*").alias("n"))
+        .withColumn("blk", F.regexp_extract("p_name", "[^ ]+$", 0))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"), F.col("n").alias("n_a"), "blk"
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), F.col("n").alias("n_b"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+        .select("name_a", "name_b", "dist", "n_a", "n_b")
+    )
+
+
+ORACLES["fuzzy_match_parts"] = f"""
+    WITH names AS (
+      SELECT p_name, count(*) AS n,
+             regexp_extract(p_name, '[^ ]+$') AS blk
+      FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+           a.n AS n_a, b.n AS n_b
+    FROM names a JOIN names b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+     AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+    """

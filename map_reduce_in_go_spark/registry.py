@@ -115,6 +115,7 @@ def _build() -> None:
         "orders_global_topn",
         "top_customers",
         "basket_pairs",
+        "fuzzy_match_parts",
     ])
 
     from .plans import olap as _olap
@@ -271,6 +272,7 @@ def _build() -> None:
         "mix_temperature",
         "dsir_select",
         "sample_reservoir",
+        "corpus_shuffle",
     ])
 
 
