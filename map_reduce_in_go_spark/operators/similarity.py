@@ -998,3 +998,65 @@ ORACLES["knn_graph"] = sql_bucket_ctes() + f"""
     FROM scored
     QUALIFY rank <= {KNN_K}
     """
+
+
+# ------------------------------------------------- int8 vector quantization
+
+INT8_LEVELS = 127  # symmetric int8 range [-127, 127]
+
+
+def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization with a verified error bound.
+
+    The standard embedding-serving compression (4× smaller than float32,
+    8× than the float64 compute form): ``scale = max|e| / 127``,
+    ``q_i = round(e_i / scale)``, reconstruction ``q_i · scale``. Output
+    is one row per vector — (scale at 6dp via the shared DuckDB-parity
+    rounding, dims, and the ``quant_ok`` verdict "max reconstruction
+    error ≤ scale/2", which is the arithmetic guarantee of symmetric
+    rounding: pinned TRUE by the oracle, it flips only if the kernel is
+    broken). One Arrow pass over the corpus, no shuffle at all; the codes
+    themselves stay executor-side (they'd be the stored column in a real
+    serving table — PQ in operators/pq.py is the aggressive-compression
+    sibling).
+    """
+    import pandas as pd
+
+    vecs = _vectors(spark, sf_dir)
+
+    def quant(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["e"]])
+            scale = np.abs(mat).max(axis=1) / INT8_LEVELS
+            # all-zero vectors would divide by zero; corpus has none, but
+            # guard deterministically (scale 0 → codes 0 → error 0)
+            safe = np.where(scale == 0, 1.0, scale)
+            q = np.clip(np.round(mat / safe[:, None]), -INT8_LEVELS, INT8_LEVELS)
+            err = np.abs(mat - q * safe[:, None]).max(axis=1)
+            ok = err <= safe / 2 * (1 + 1e-9)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "scale": _duck_round6_np(scale),
+                    "dims": np.full(len(pdf), mat.shape[1], dtype=np.int32),
+                    "quant_ok": ok,
+                }
+            )
+
+    return (
+        vecs.select("vec_id", "e")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(quant, schema="vec_id long, scale double, dims int, quant_ok boolean")
+    )
+
+
+ORACLES["vector_quantize_int8"] = f"""
+    SELECT vec_id,
+           round(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) / {INT8_LEVELS}, 6) AS scale,
+           CAST(len(embedding) AS INTEGER) AS dims,
+           TRUE AS quant_ok
+    FROM embeddings
+    """

@@ -229,6 +229,7 @@ def _build() -> None:
         "cluster_silhouette",
         "vector_norms",
         "knn_graph",
+        "vector_quantize_int8",
     ])
 
     from .operators import text_analysis as _ta

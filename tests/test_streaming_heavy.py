@@ -42,3 +42,39 @@ def test_stream_sketch_rollup_equals_batch_exact(spark, sf_dir, tmp_path):
     doubled_docs = docs.unionAll(docs)
     got2 = {(r["word"], r["cnt"]) for r in trending_exact(spark, tbl, doubled_docs).collect()}
     assert got2 == {(w, 2 * c) for w, c in want}
+
+
+def test_compact_cas_retries_on_concurrent_append(spark, sf_dir, tmp_path):
+    """The r7-advice race, pinned: a heavy_batch landing between
+    compaction's fold and its overwrite must NOT be silently discarded
+    (its op is already ledgered, so the loss would be permanent).
+    compact_sketches CASes on its base version and refolds; the late
+    batch's tokens survive into trending_exact."""
+    from map_reduce_in_go_spark.streaming import heavy
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tbl = ManifestTable(str(tmp_path / "sketches"))
+    heavy_batch(spark, docs.filter(F.pmod("doc_id", F.lit(2)) == 0), tbl, 0)
+
+    late = docs.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    real_merged = heavy._merged_state
+    fired = {"n": 0}
+
+    def race_merged(sp, t, version=None):
+        state = real_merged(sp, t, version)
+        if fired["n"] == 0:  # inject the concurrent append AFTER the fold
+            fired["n"] += 1
+            heavy_batch(sp, late, t, 1)
+        return state
+
+    heavy._merged_state = race_merged
+    try:
+        compact_sketches(spark, tbl)
+    finally:
+        heavy._merged_state = real_merged
+
+    assert fired["n"] == 1  # the race actually happened
+    # compaction retried on the new base: nothing lost, answer == batch-exact
+    want = {(r["word"], r["cnt"]) for r in heavy_hitters(spark, sf_dir).collect()}
+    got = {(r["word"], r["cnt"]) for r in trending_exact(spark, tbl, docs).collect()}
+    assert got == want and got
