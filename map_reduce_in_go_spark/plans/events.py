@@ -750,3 +750,109 @@ SELECT event_type, count(*) AS n,
        round(CAST(sum(CAST(props->>'k' AS BIGINT)) AS DOUBLE) / count(*), 6) AS avg_k
 FROM events GROUP BY event_type
 """
+
+
+def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, direction = NEAREST: each purchase gets its closest
+    click in time, either side (pandas ``merge_asof(direction='nearest')``
+    parity — completing the as-of family beside the backward-only
+    :func:`events_asof_join`).
+
+    Same single-sort composition: one tagged union, ONE window ordering
+    (ts, kind, id) with TWO frames over it — ``last`` over the strictly
+    -preceding rows (latest prior click, max id at max ts) and ``first``
+    over the strictly-following rows (earliest later-or-equal click, min
+    id at min ts). Spark emits one Window operator per frame but both
+    share the SAME partition sort: the plan has exactly one Exchange and
+    one Sort (pinned in tests/test_plans.py). Nearest = smaller absolute
+    gap; exact ties prefer the PRIOR click (the pandas rule). Still one
+    shuffle on user_id, no inequality self-join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", "event_id", F.lit(1).alias("is_click")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "event_id", F.lit(0).alias("is_click")
+    )
+    un = clicks.unionByName(purchases)
+    order = [F.col("ts_us"), F.col("is_click"), F.col("event_id")]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    click_info = F.when(
+        F.col("is_click") == 1, F.struct(F.col("ts_us"), F.col("event_id"))
+    )
+    tagged = (
+        un.withColumn("prev_c", F.last(click_info, ignorenulls=True).over(w_prev))
+        .withColumn("next_c", F.first(click_info, ignorenulls=True).over(w_next))
+        .filter(F.col("is_click") == 0)
+    )
+    d_prev = F.col("ts_us") - F.col("prev_c.ts_us")
+    d_next = F.col("next_c.ts_us") - F.col("ts_us")
+    use_next = F.col("prev_c").isNull() | (
+        F.col("next_c").isNotNull() & (d_next < d_prev)
+    )
+    chosen = F.when(use_next, F.col("next_c")).otherwise(F.col("prev_c"))
+    return tagged.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        chosen["ts_us"].alias("click_ts_us"),
+        chosen["event_id"].alias("click_id"),
+        F.when(chosen.isNull(), F.lit(None).cast("string"))
+        .when(use_next, F.lit("next"))
+        .otherwise(F.lit("prior"))
+        .alias("direction"),
+    )
+
+
+ORACLES["events_asof_nearest"] = """
+    WITH c AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+      WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+      WHERE event_type = 'purchase'
+    ), prev_ts AS (
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts_us,
+             max(c.ts_us) AS pts
+      FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts_us < p.ts_us
+      GROUP BY 1, 2, 3
+    ), prev_pick AS (
+      SELECT g.purchase_id, g.user_id, g.ts_us, g.pts,
+             max(c.event_id) AS pid
+      FROM prev_ts g LEFT JOIN c
+        ON c.user_id = g.user_id AND c.ts_us = g.pts
+      GROUP BY 1, 2, 3, 4
+    ), next_ts AS (
+      SELECT p.event_id AS purchase_id, min(c.ts_us) AS nts
+      FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+      GROUP BY 1
+    ), next_pick AS (
+      SELECT g.purchase_id, g.nts, min(c.event_id) AS nid
+      FROM next_ts g
+      LEFT JOIN p ON p.event_id = g.purchase_id
+      LEFT JOIN c ON c.user_id = p.user_id AND c.ts_us = g.nts
+      GROUP BY 1, 2
+    )
+    SELECT pp.purchase_id, pp.user_id, pp.ts_us AS purchase_ts_us,
+           CASE WHEN use_next THEN np.nts ELSE pp.pts END AS click_ts_us,
+           CASE WHEN use_next THEN np.nid ELSE pp.pid END AS click_id,
+           CASE WHEN pp.pts IS NULL AND np.nts IS NULL THEN NULL
+                WHEN use_next THEN 'next' ELSE 'prior' END AS direction
+    FROM (
+      SELECT pp.*, np.nts, np.nid,
+             (pp.pts IS NULL OR (np.nts IS NOT NULL
+              AND (np.nts - pp.ts_us) < (pp.ts_us - pp.pts))) AS use_next
+      FROM prev_pick pp LEFT JOIN next_pick np USING (purchase_id)
+    ) pp
+    LEFT JOIN next_pick np USING (purchase_id)
+    """

@@ -143,6 +143,7 @@ def _build() -> None:
         "events_running",
         "events_zscore",
         "events_asof_join",
+        "events_asof_nearest",
         "events_attribution",
         "events_range_join",
         "events_range_join_bucketed",

@@ -240,3 +240,16 @@ def test_events_anomaly_mad_invariants(spark, sf_dir):
     for r in rows:
         assert r["mad"] >= 0.0
         assert 0 <= r["n_anomalies"] <= r["n_total"]
+
+
+def test_asof_nearest_single_sort(spark, sf_dir):
+    """Both as-of directions (prior last / next first) share one window
+    ordering: the plan pays exactly one Exchange and one Sort — a second
+    sort (or an inequality self-join) would be the 100 TB accident."""
+    import re
+
+    from map_reduce_in_go_spark.plans.events import events_asof_nearest
+
+    plan = _plan(events_asof_nearest(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Sort", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
