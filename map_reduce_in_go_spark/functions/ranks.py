@@ -5,21 +5,31 @@ reducer (Spark emits a plan warning for it); the scalable shape is the
 two-level hierarchical prefix the repo already uses for token prefix sums
 (``shard_pack``):
 
-1. ``repartitionByRange`` on the sort key — partition boundaries respect
-   the global order, so partition id determines an order-contiguous slab;
-2. per-partition counts (≤ #partitions rows) to the driver, cumulative
-   offsets broadcast back as a literal map;
-3. global rank = offset[partition] + partition-local ``row_number`` (a
-   partitioned window — parallel, no single reducer).
+1. ``repartitionByRange`` on the sort key + ``sortWithinPartitions`` —
+   partition boundaries respect the global order, so partition id
+   determines an order-contiguous slab and rows inside it are sorted;
+2. per-partition counts (partial-agg shuffle of ≤ #partitions rows) to
+   the driver, cumulative offsets broadcast back;
+3. global rank = offset[partition] + a running counter inside ONE
+   order-preserving Arrow pass (``mapInPandas`` sees a partition's
+   batches in order, so the counter is the partition-local row number).
+
+Step 3 previously used ``Window.partitionBy(_pid)`` — correct, but that
+re-shuffles EVERY row on _pid just to sort slabs that are already
+contiguous and sorted. The Arrow counter does it shuffle-free: the only
+full-data exchange in the whole rank is the range partition itself
+(pinned in tests/test_plans.py).
 
 Ranks are exact and dense as long as the sort key is a TOTAL order (pass
 a unique tiebreaker column); ties across a range boundary would otherwise
-land either side nondeterministically.
+land either side nondeterministically. Keep the input frame NARROW (ids +
+sort keys) — every column rides through Arrow; join wide payloads back by
+id afterwards.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -29,16 +39,16 @@ def with_global_rank(
     """(df + dense 1-based ``rank_col`` over ``order_cols``, total rows).
 
     The input is range-repartitioned and persisted via ``scoped_persist``
-    (the per-partition count pass and the rank pass must see the same
-    partitioning); callers release it with ``release_persisted`` as usual.
+    (the count pass and the rank pass must see the same partitioning);
+    callers release it with ``release_persisted`` as usual.
     """
     from .caching import scoped_persist
 
     n_part = df.sparkSession.sparkContext.defaultParallelism
     part = scoped_persist(
-        df.repartitionByRange(n_part, *order_cols).withColumn(
-            "_pid", F.spark_partition_id()
-        )
+        df.repartitionByRange(n_part, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
     )
     sizes = sorted(
         part.groupBy("_pid").agg(F.count("*").alias("c")).collect(),
@@ -51,9 +61,27 @@ def with_global_rank(
         total += r["c"]
     if not offs:  # empty input: rank column still resolvable
         return part.withColumn(rank_col, F.lit(None).cast("long")).drop("_pid"), 0
-    off_expr = F.create_map(*[F.lit(x) for pid_off in offs.items() for x in pid_off])
-    wloc = Window.partitionBy("_pid").orderBy(*order_cols)
-    ranked = part.withColumn(
-        rank_col, (off_expr[F.col("_pid")] + F.row_number().over(wloc)).cast("long")
-    ).drop("_pid")
-    return ranked, total
+
+    bc = df.sparkSession.sparkContext.broadcast(offs)
+    out_fields = [f"{f.name}" for f in part.schema.fields if f.name != "_pid"]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in part.schema.fields
+        if f.name != "_pid"
+    ) + f", {rank_col} long"
+
+    def rank_gen(batches):
+        import numpy as np
+
+        offsets = bc.value
+        seen = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            base = offsets[int(pdf["_pid"].iloc[0])]
+            out = pdf[out_fields].copy()
+            out[rank_col] = base + seen + np.arange(1, len(pdf) + 1, dtype=np.int64)
+            seen += len(pdf)
+            yield out
+
+    return part.mapInPandas(rank_gen, schema=out_schema), total

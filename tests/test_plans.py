@@ -253,3 +253,22 @@ def test_asof_nearest_single_sort(spark, sf_dir):
     plan = _plan(events_asof_nearest(spark, sf_dir))
     assert len(re.findall(r"^\(\d+\) Sort", plan, re.M)) == 1
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_global_rank_single_full_data_exchange(spark, sf_dir):
+    """with_global_rank: the only full-data exchange is the range
+    partition itself — the rank pass is an order-preserving Arrow counter,
+    not a second Window shuffle. (corpus_shuffle = md5 + rank, so its plan
+    shows exactly one Exchange, and it is rangepartitioning.)"""
+    import re
+
+    from map_reduce_in_go_spark.operators.curation import corpus_shuffle
+
+    plan = _plan(corpus_shuffle(spark, sf_dir))
+    # the persisted rank frame's cached plan appears twice in formatted
+    # output (in-memory relation + its build); what matters: every
+    # Exchange is the range partition, none is a hash re-shuffle, and no
+    # Window operator exists anywhere
+    assert "rangepartitioning" in plan
+    assert "hashpartitioning" not in plan
+    assert len(re.findall(r"^\(\d+\) Window$", plan, re.M)) == 0
