@@ -85,9 +85,14 @@ def suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     release_persisted()  # drop the round's rank-frame cache (checkpointed)
     n = ranks.count()
+    max_len = docs.agg(F.max(F.length("text"))).collect()[0][0] or 0
     last_ckpt = ranks
     k = INIT_W
     for _ in range(MAX_ROUNDS):
+        if k >= max_len:
+            break  # first k chars = whole longest doc: order is final
+            # (exact-duplicate suffixes stay tied at ANY k — without this
+            # stop they would force MAX_ROUNDS every time)
         n_distinct = ranks.agg(F.max("r")).collect()[0][0]
         if n_distinct == n:
             break  # every suffix fully ordered
