@@ -612,3 +612,73 @@ ORACLES["langid_trained"] = f"""
     FROM best b LEFT JOIN second s ON b.doc_id = s.doc_id
     JOIN d ON b.doc_id = d.doc_id
     """
+
+
+def quality_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language z-normalized quality scores (the DataComp/Gopher
+    pipeline step between scoring and thresholding: absolute quality
+    scores aren't comparable across languages — stopword lists, token
+    inflation, and punctuation norms differ — so each doc's score is
+    standardized within its language before any global cut).
+
+    Float discipline: language moments are exact DECIMAL Σq and Σq² over
+    the 6dp-rounded quality score (order-independent, so Spark and DuckDB
+    agree bit-for-bit — the events_zscore recipe); the per-language stats
+    frame is languages-sized and broadcasts. One corpus scan + one
+    broadcast join at any scale.
+    """
+    docs = load_documents_parallel(spark, sf_dir).withColumn("toks", _toks())
+    docs = docs.filter(F.size("toks") > 0)
+    q = quality_columns()["quality"]
+    scored = docs.select("doc_id", "lang", q.alias("quality"))
+    qd = F.col("quality").cast("decimal(10,6)")
+    stats = scored.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(qd).cast("double").alias("s1"),
+        F.sum(qd * qd).cast("double").alias("s2"),
+    )
+    joined = scored.join(F.broadcast(stats), "lang").filter(F.col("n") >= 2)
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    z = (F.col("quality") - mean) / F.sqrt(var)
+    return (
+        joined.filter(var > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "quality",
+            F.round(mean, 6).alias("lang_mean"),
+            F.round(z, 4).alias("quality_z"),
+        )
+    )
+
+
+ORACLES["quality_normalized"] = f"""
+    WITH t AS (
+      SELECT doc_id, lang, text, {_TOK} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id, lang,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) / len(toks) AS uniq_ratio,
+             (length(text) - length(regexp_replace(text, '{PUNCT_RE}', '', 'g')))
+               / length(text) AS punct_ratio
+      FROM t WHERE len(toks) > 0
+    ), scored AS (
+      SELECT doc_id, lang,
+             round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                   + uniq_ratio * 0.3 + (1.0 - punct_ratio) * 0.3, 6) AS quality
+      FROM m
+    ), stats AS (
+      SELECT lang, count(*) AS n,
+             CAST(sum(CAST(quality AS DECIMAL(10,6))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(quality AS DECIMAL(10,6))
+                  * CAST(quality AS DECIMAL(10,6))) AS DOUBLE) AS s2
+      FROM scored GROUP BY lang
+    )
+    SELECT doc_id, s.lang, quality,
+           round(s1 / n, 6) AS lang_mean,
+           round((quality - s1 / n)
+                 / sqrt(s2 / n - (s1 / n) * (s1 / n)), 4) AS quality_z
+    FROM scored s JOIN stats USING (lang)
+    WHERE n >= 2 AND s2 / n - (s1 / n) * (s1 / n) > 0
+    """

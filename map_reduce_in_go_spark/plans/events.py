@@ -856,3 +856,80 @@ ORACLES["events_asof_nearest"] = """
     ) pp
     LEFT JOIN next_pick np USING (purchase_id)
     """
+
+
+FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000  # per-step conversion window
+
+
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel with per-step conversion windows — the product-analytics
+    form the unconstrained :func:`events_funnel` doesn't express: a click
+    only converts if it lands within 24 h of the user's FIRST view, and a
+    purchase within 24 h of that converting click.
+
+    Plan: per-user anchor times by staged conditional-min aggregation —
+    t_view = min(view ts); t_click = min(click ts in [t_view, t_view+W])
+    via one user-keyed join; t_purchase likewise off t_click. Three
+    user-grain aggregates and two user-keyed equijoins (each shuffles the
+    per-user anchor frame, not the event log twice), then a single global
+    roll-up row. No inequality self-join, no per-user windows over the
+    whole log.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_us"
+    )
+    w = FUNNEL_WINDOW_US
+    t_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_view"))
+    )
+    t_click = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t_view, "user_id")
+        .filter(F.col("ts_us").between(F.col("t_view"), F.col("t_view") + w))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_click"))
+    )
+    t_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t_click, "user_id")
+        .filter(F.col("ts_us").between(F.col("t_click"), F.col("t_click") + w))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_purchase"))
+    )
+    return (
+        t_view.join(t_click.select("user_id", F.lit(1).alias("c")), "user_id", "left")
+        .join(t_purchase.select("user_id", F.lit(1).alias("p")), "user_id", "left")
+        .agg(
+            F.count("*").alias("n_view_users"),
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).alias("n_click_conv"),
+            F.sum(F.coalesce(F.col("p"), F.lit(0))).alias("n_purchase_conv"),
+        )
+    )
+
+
+ORACLES["events_funnel_windowed"] = f"""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ), v AS (
+      SELECT user_id, min(ts_us) AS t_view FROM ev
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT ev.user_id, min(ts_us) AS t_click
+      FROM ev JOIN v USING (user_id)
+      WHERE event_type = 'click'
+        AND ts_us BETWEEN t_view AND t_view + {FUNNEL_WINDOW_US}
+      GROUP BY ev.user_id
+    ), p AS (
+      SELECT ev.user_id, min(ts_us) AS t_purchase
+      FROM ev JOIN c USING (user_id)
+      WHERE event_type = 'purchase'
+        AND ts_us BETWEEN t_click AND t_click + {FUNNEL_WINDOW_US}
+      GROUP BY ev.user_id
+    )
+    SELECT count(*) AS n_view_users,
+           CAST(count(c.user_id) AS BIGINT) AS n_click_conv,
+           CAST(count(p.user_id) AS BIGINT) AS n_purchase_conv
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """

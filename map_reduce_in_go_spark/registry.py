@@ -140,6 +140,7 @@ def _build() -> None:
         "events_windowed",
         "events_sessionize",
         "events_funnel",
+        "events_funnel_windowed",
         "events_running",
         "events_zscore",
         "events_asof_join",
@@ -244,6 +245,7 @@ def _build() -> None:
         "winnow_contamination",
         "quality_classifier",
         "langid_trained",
+        "quality_normalized",
     ])
 
     from .operators import multimodal as _mm
