@@ -106,3 +106,52 @@ def export_webdataset(
         .collect()
     )
     return spark.createDataFrame(rows, schema=manifest_schema)
+
+
+def read_webdataset(spark: SparkSession, in_dir: str) -> DataFrame:
+    """Read shard-*.tar WebDataset shards back into (doc_id, text, lang,
+    source, shard_id) — the import side of the hand-off format, so a
+    corpus can round-trip through the training-loader layout.
+
+    Plan: ``binaryFile`` scan (one task per shard — the same
+    sequential-read granularity loaders use) + tar parse per shard in
+    one Arrow pass. Sample members are re-paired by key (basename), so
+    partial shards or reordered members still parse.
+    """
+    import json as _json
+
+    files = spark.read.format("binaryFile").load(
+        os.path.join(in_dir, "shard-*.tar")
+    ).select("path", "content")
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                shard_id = int(os.path.basename(path)[6:11])
+                by_key: dict[str, dict] = {}
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tar:
+                    for m in tar.getmembers():
+                        key, ext = m.name.rsplit(".", 1)
+                        by_key.setdefault(key, {})[ext] = tar.extractfile(m).read()
+                rows = []
+                for key in sorted(by_key):
+                    parts = by_key[key]
+                    meta = _json.loads(parts["json"].decode("utf-8"))
+                    rows.append(
+                        {
+                            "doc_id": meta["doc_id"],
+                            "text": parts["txt"].decode("utf-8"),
+                            "lang": meta["lang"],
+                            "source": meta["source"],
+                            "shard_id": shard_id,
+                        }
+                    )
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    return files.mapInPandas(
+        parse,
+        schema="doc_id long, text string, lang string, source string, shard_id long",
+    )

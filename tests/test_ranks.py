@@ -1,0 +1,36 @@
+"""Property tests for the hierarchical global rank (functions/ranks.py)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from map_reduce_in_go_spark.functions.caching import release_persisted
+from map_reduce_in_go_spark.functions.ranks import with_global_rank
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=0, max_size=300
+    )
+)
+def test_global_rank_equals_sorted_order(spark, vals):
+    """For ANY input (dupes, skew, empty), the distributed rank equals the
+    single-node sorted order with the id tiebreak — dense 1..N."""
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long") if rows else (
+        spark.range(0).select(F.col("id"), F.lit(0).alias("v"))
+    )
+    ranked, total = with_global_rank(df, [F.asc("v"), F.asc("id")])
+    got = {r["id"]: r["r"] for r in ranked.collect()}
+    release_persisted()
+    assert total == len(vals)
+    want_order = sorted(rows, key=lambda t: (t[1], t[0]))
+    want = {id_: i + 1 for i, (id_, _) in enumerate(want_order)}
+    assert got == want

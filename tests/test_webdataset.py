@@ -47,3 +47,32 @@ def test_export_roundtrip_and_determinism(spark, sf_dir, tmp_path):
     out2 = str(tmp_path / "wds2")
     man2 = {r["shard_id"]: r["tar_md5"] for r in export_webdataset(spark, sf_dir, out2).collect()}
     assert man2 == {sid: r["tar_md5"] for sid, r in man.items()}
+
+
+def test_webdataset_round_trip(spark, sf_dir, tmp_path):
+    """Export → read back: the reader recovers exactly the exported docs
+    (ids, text, metadata) with shard attribution matching the manifest."""
+    from map_reduce_in_go_spark.sources.tables import load_table
+    from map_reduce_in_go_spark.sources.webdataset import (
+        export_webdataset,
+        read_webdataset,
+    )
+
+    out = str(tmp_path / "wds")
+    manifest = {r["shard_id"]: r["n_samples"]
+                for r in export_webdataset(spark, sf_dir, out).collect()}
+    back = read_webdataset(spark, out)
+    got = {r["doc_id"]: r for r in back.collect()}
+    want = {
+        r["doc_id"]: r
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang", "source")
+        .collect()
+    }
+    assert set(got) == set(want)
+    for d, r in want.items():
+        assert got[d]["text"] == r["text"]
+        assert got[d]["lang"] == r["lang"]
+        assert got[d]["source"] == r["source"]
+    per_shard = back.groupBy("shard_id").count().collect()
+    assert {r["shard_id"]: r["count"] for r in per_shard} == manifest
