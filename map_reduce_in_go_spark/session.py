@@ -23,6 +23,25 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def cluster_dynamic_allocation_conf(master: str) -> dict[str, str]:
+    """Dynamic worker pool parity (distributed/coordinator.go:149
+    ``Register``; reference README "Dynamic Worker Pool"): the reference
+    lets workers join/leave at runtime. Spark's equivalent is dynamic
+    allocation — executors are requested under load and released when
+    idle. Gated to cluster masters: local[N] has no executor pool to
+    grow, so the block is empty (inert) there. Unit-tested in
+    tests/test_cli.py without needing a cluster.
+    """
+    if master.startswith("local"):
+        return {}
+    return {
+        "spark.dynamicAllocation.enabled": "true",
+        "spark.dynamicAllocation.shuffleTracking.enabled": "true",
+        "spark.dynamicAllocation.minExecutors": "1",
+        "spark.dynamicAllocation.executorIdleTimeout": "60s",
+    }
+
+
 def get_spark(
     app_name: str = "map-reduce-in-go-spark",
     cpus: int | None = None,
@@ -66,19 +85,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    if not master.startswith("local"):
-        # Dynamic worker pool parity (distributed/coordinator.go:149
-        # `Register`; README "Dynamic Worker Pool"): the reference lets
-        # workers join/leave at runtime. Spark's equivalent is dynamic
-        # allocation — executors are requested under load and released
-        # when idle. Gated to cluster masters: local[N] has no executor
-        # pool to grow, so the block is skipped (inert) there.
-        builder = (
-            builder.config("spark.dynamicAllocation.enabled", "true")
-            .config("spark.dynamicAllocation.shuffleTracking.enabled", "true")
-            .config("spark.dynamicAllocation.minExecutors", "1")
-            .config("spark.dynamicAllocation.executorIdleTimeout", "60s")
-        )
+    for k, v in cluster_dynamic_allocation_conf(master).items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -136,3 +136,16 @@ def test_cli_signal_handler_drains_and_exits(spark):
     finally:
         for s, h in saved.items():
             signal.signal(s, h)
+
+
+def test_dynamic_allocation_gated_to_cluster_masters():
+    """Reference dynamic-worker-pool parity: the dynamicAllocation block
+    is empty under every local master and populated for cluster URLs."""
+    from map_reduce_in_go_spark.session import cluster_dynamic_allocation_conf
+
+    assert cluster_dynamic_allocation_conf("local[32]") == {}
+    assert cluster_dynamic_allocation_conf("local[*]") == {}
+    for master in ("spark://host:7077", "yarn", "k8s://https://api:6443"):
+        conf = cluster_dynamic_allocation_conf(master)
+        assert conf["spark.dynamicAllocation.enabled"] == "true"
+        assert conf["spark.dynamicAllocation.shuffleTracking.enabled"] == "true"

@@ -28,11 +28,50 @@ SHIFTS = {
 COPY_AS_IS = ("region", "nation", "supplier", "part")
 
 
+def _write_perturbed_embeddings(args) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    src = papq.read_table(f"{args.src}/embeddings.parquet")
+    n = src.num_rows
+    base = np.stack(
+        [np.asarray(v, dtype=np.float32) for v in src["embedding"].to_pylist()]
+    )
+    labels = src["label"].to_pylist()
+    rng = np.random.RandomState(7)
+    mats, ids = [base], [np.arange(n)]
+    for i in range(1, args.k):
+        mats.append(base + 0.15 * rng.randn(*base.shape).astype(np.float32))
+        ids.append(np.arange(n) + i * SHIFTS["embeddings"]["vec_id"])
+    big = np.concatenate(mats)
+    bid = np.concatenate(ids)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(bid.tolist(), pa.int64()),
+            "embedding": pa.array(
+                [r.tolist() for r in big], pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels * args.k, pa.int32()),
+        }
+    )
+    papq.write_table(tbl, f"{args.out}/embeddings.parquet")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/sfscale1")
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument(
+        "--perturb-embeddings",
+        action="store_true",
+        help="replica embeddings get seeded 0.15-sigma noise instead of "
+        "exact copies — models growth by NEW vectors (exact duplicates "
+        "are inseparable by any hash and belong to the dedup family); "
+        "this is the corpus used for the B-per-log-n LSH sizing numbers "
+        "in SURVEY section 6",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
@@ -54,6 +93,9 @@ def main() -> None:
                 sel.append("epoch_ns(ts) AS ts")
             else:
                 sel.append(c)
+        if t == "embeddings" and args.perturb_embeddings:
+            _write_perturbed_embeddings(args)
+            continue
         con.execute(
             f"COPY (SELECT {', '.join(sel)} FROM '{args.src}/{t}.parquet' "
             f"CROSS JOIN (SELECT unnest(range(0, {args.k})) AS k) k) "
