@@ -100,3 +100,38 @@ def compact_rollup(
     raise CommitConflict(
         f"rollup-compact lost the commit race {max_retries} times at {tbl.root}"
     )
+
+
+def start_wordcount_rollup(
+    stream_docs: DataFrame,
+    view_root: str,
+    checkpoint_dir: str,
+    app_id: str = "wc-view",
+    compact_every: int | None = 8,
+):
+    """documents stream → incrementally-maintained exact wordcount view.
+
+    ``foreachBatch`` is at-least-once; exactly-once comes from the
+    table's op ledger (a replayed batch id is detected and skipped before
+    any recompute), so restarts and checkpoint replays never double-count
+    — the same discipline as ``streaming/ingest.py``. ``compact_every``
+    folds the partial log back to O(keys) rows every N committed batches,
+    keeping query cost flat over an unbounded stream.
+    """
+    from ..functions.text import tokens
+
+    spark = stream_docs.sparkSession
+    tbl = ManifestTable(view_root)
+
+    def on_batch(df: DataFrame, bid: int) -> None:
+        words = df.select(F.explode(tokens(F.col("text"))).alias("word"))
+        landed = rollup_batch(words, tbl, bid, ["word"], {"cnt": "1"}, app_id)
+        if landed and compact_every and (bid + 1) % compact_every == 0:
+            compact_rollup(spark, tbl, ["word"], ["cnt"])
+
+    return (
+        stream_docs.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -97,3 +97,51 @@ def test_compact_rollup_cas_survives_concurrent_append(spark, sf_dir, tmp_path):
         for r in rollup.rollup_query(spark, tbl, ["word"], ["cnt"]).collect()
     }
     assert got == want
+
+
+def test_streaming_wordcount_view_matches_batch(spark, sf_dir, tmp_path):
+    """A real Structured Streaming query (file source, availableNow)
+    maintains the view; after the stream drains — and after a RESTART
+    replaying from the checkpoint — the fold equals batch wordcount."""
+    import json
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    rows = docs.collect()
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        with open(drops / f"part-{i}.json", "w") as fh:
+            for r in rows[i * third : (i + 1) * third]:
+                fh.write(json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(drops))
+    )
+    view_root = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    q = rollup.start_wordcount_rollup(stream, view_root, ckpt, compact_every=2)
+    q.awaitTermination(180)
+    q.stop()
+
+    want = {(r["word"], r["cnt"]) for r in wordcount(spark, sf_dir).collect()}
+    tbl = ManifestTable(view_root)
+    got = {
+        (r["word"], r["cnt"])
+        for r in rollup.rollup_query(spark, tbl, ["word"], ["cnt"]).collect()
+    }
+    assert got == want and got
+
+    # restart over the same source + checkpoint: no new contributions
+    v = tbl.version()
+    q2 = rollup.start_wordcount_rollup(stream, view_root, ckpt, compact_every=2)
+    q2.awaitTermination(180)
+    q2.stop()
+    again = {
+        (r["word"], r["cnt"])
+        for r in rollup.rollup_query(spark, tbl, ["word"], ["cnt"]).collect()
+    }
+    assert again == want
+    assert tbl.version() == v  # nothing replayed into the ledger
