@@ -70,6 +70,24 @@ def _train_sample(spark: SparkSession, sf_dir: str) -> list:
     )
 
 
+PQ_QUERY_MAX = 500_000  # same broadcast guard as ann_bruteforce
+
+
+def _collect_queries(vecs):
+    """Driver-collected query subset with the broadcast-size guard every
+    ANN query applies: the per-query LUTs broadcast is O(queries · M · K),
+    so an oversize query set must fail loudly and point at the scale path
+    rather than OOM the driver."""
+    q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    n = q.count()
+    if n > PQ_QUERY_MAX:
+        raise ValueError(
+            f"PQ probing broadcasts per-query LUTs ({n} queries > "
+            f"{PQ_QUERY_MAX}); shrink the query subset or shard the probe"
+        )
+    return q.select("vec_id", "e").orderBy("vec_id").collect()
+
+
 def train_codebooks(spark: SparkSession, sf_dir: str) -> np.ndarray:
     """(M, K, d/M) codebooks from a deterministic sample, few Lloyd steps.
 
@@ -142,12 +160,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = train_codebooks(spark, sf_dir)
     codes = encode(spark, sf_dir, books)
     vecs = _vectors(spark, sf_dir)
-    qdf = (
-        vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
-        .select("vec_id", "e")
-        .orderBy("vec_id")
-        .collect()
-    )
+    qdf = _collect_queries(vecs)
     q_ids = np.array([r["vec_id"] for r in qdf])
     q_mat = np.stack([np.asarray(r["e"], dtype=np.float64) for r in qdf])
     sub = books.shape[2]
@@ -243,12 +256,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str, nprobe: int | None = None) -> D
     )
     coded = codes.join(assign, "vec_id")  # (vec_id, codes, cid)
 
-    qdf = (
-        vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
-        .select("vec_id", "e")
-        .orderBy("vec_id")
-        .collect()
-    )
+    qdf = _collect_queries(vecs)
     q_ids = np.array([r["vec_id"] for r in qdf])
     q_mat = np.stack([np.asarray(r["e"], dtype=np.float64) for r in qdf])
     sub = books.shape[2]
