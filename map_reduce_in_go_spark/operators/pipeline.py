@@ -27,8 +27,12 @@ from ..sources.tables import load_table
 from .dedup import NUM_PERM
 from .dedup import ORACLES as _DEDUP_ORACLES
 from .dedup import dedup_minhash
+from ..functions.text import sql_tokens
 from .text_analysis import ORACLES as _TA_ORACLES
+from .text_analysis import PUNCT_RE as _PUNCT_RE
 from .text_analysis import text_langid, text_quality
+
+_SQL_TOK = sql_tokens("text")
 
 QUALITY_MIN = 0.62
 NEAR_DUP_MIN_MATCH = NUM_PERM // 2  # 16/32 agreeing minhashes ≈ J ≥ 0.5
@@ -155,3 +159,91 @@ ORACLES: dict[str, str] = {
 }
 
 ORACLES["corpus_clean_fused"] = ORACLES["corpus_clean"]
+
+
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus report card — the summary an analyst
+    pulls before and after every curation run: volume (docs, tokens,
+    token percentiles), exact-duplicate exposure, and mean quality.
+
+    Exactness discipline: token counts are integers; mean quality is an
+    exact DECIMAL sum of the 6dp-rounded score divided once; the p50 is
+    the exact interpolated percentile (the events_quantiles recipe); the
+    dup rate is an integer ratio rounded once. One corpus scan, one
+    group-level aggregate, one md5-grain self-semi-join for dup exposure
+    — every shuffle is (lang, source)- or digest-keyed.
+    """
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    base = docs.withColumn("n_tok", F.size(tokens(F.col("text")))).withColumn(
+        "digest", F.md5("text")
+    )
+    dup_digests = (
+        base.groupBy("digest")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("digest")
+    )
+    flagged = base.join(
+        F.broadcast(dup_digests), "digest", "left_semi"
+    ).select("doc_id")
+    q = text_quality(spark, sf_dir).select(
+        "doc_id", F.col("quality").cast("decimal(10,6)").alias("q6")
+    )
+    enriched = base.join(
+        flagged.withColumn("is_dup", F.lit(1)), "doc_id", "left"
+    ).join(q, "doc_id", "left")
+    return (
+        enriched.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.round(F.expr("percentile(n_tok, 0.5)"), 4).alias("p50_tokens"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_exact_dup"),
+            F.round(
+                F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+                / F.count("*"),
+                6,
+            ).alias("dup_rate"),
+            F.round(F.sum("q6").cast("double") / F.count("q6"), 6).alias(
+                "mean_quality"
+            ),
+        )
+    )
+
+
+ORACLES["corpus_report"] = f"""
+    WITH base AS (
+      SELECT doc_id, lang, source, text,
+             len({_SQL_TOK}) AS n_tok,
+             md5(text) AS digest
+      FROM documents
+    ), dupd AS (
+      SELECT digest FROM base GROUP BY digest HAVING count(*) > 1
+    ), q AS (
+      SELECT doc_id,
+             round(least(CAST(len({_SQL_TOK}) AS DOUBLE) / 100.0, 1.0) * 0.4
+                   + (len(list_distinct({_SQL_TOK})) / len({_SQL_TOK})) * 0.3
+                   + (1.0 - (length(text) - length(regexp_replace(text,
+                        '{{PUNCT}}', '', 'g'))) / length(text)) * 0.3,
+                   6) AS quality
+      FROM documents WHERE len({_SQL_TOK}) > 0
+    )
+    SELECT b.lang, b.source,
+           count(*) AS n_docs,
+           CAST(sum(b.n_tok) AS BIGINT) AS n_tokens,
+           round(quantile_cont(b.n_tok, 0.5), 4) AS p50_tokens,
+           CAST(sum(CASE WHEN d.digest IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact_dup,
+           round(sum(CASE WHEN d.digest IS NOT NULL THEN 1 ELSE 0 END)
+                 / count(*), 6) AS dup_rate,
+           round(CAST(sum(CAST(q.quality AS DECIMAL(10,6))) AS DOUBLE)
+                 / count(q.quality), 6) AS mean_quality
+    FROM base b
+    LEFT JOIN dupd d USING (digest)
+    LEFT JOIN q USING (doc_id)
+    GROUP BY b.lang, b.source
+    """.replace("{{PUNCT}}", _PUNCT_RE)

@@ -254,7 +254,7 @@ def _build() -> None:
 
     from .operators import pipeline as _pl
 
-    _register(_pl, ["corpus_clean", "corpus_clean_fused"])
+    _register(_pl, ["corpus_clean", "corpus_clean_fused", "corpus_report"])
 
     from .operators import graph as _graph
 
