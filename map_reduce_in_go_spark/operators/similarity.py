@@ -430,15 +430,26 @@ _IVF_PENDING: dict = {}
 
 
 def _centroids(spark: SparkSession, sf_dir: str):
-    """Deterministic coarse quantizer (the 1% data sample) as numpy arrays."""
+    """Deterministic coarse quantizer (the 1% data sample) as numpy arrays.
+
+    Guarded like every driver-side materialization: the centroid set is
+    broadcast to every probe task, so an oversize quantizer must fail
+    loudly (grow CENTROID_MOD / retrain a smaller codebook) rather than
+    OOM the driver at 100 TB.
+    """
     import numpy as np
 
-    vecs = _vectors(spark, sf_dir)
-    cdf = (
-        vecs.filter(F.col("vec_id") % CENTROID_MOD == CENTROID_OFF)
-        .select("vec_id", "e")
-        .toPandas()
+    cand = _vectors(spark, sf_dir).filter(
+        F.col("vec_id") % CENTROID_MOD == CENTROID_OFF
     )
+    n_cent = cand.count()
+    if n_cent > 500_000:
+        raise ValueError(
+            f"IVF coarse quantizer would broadcast {n_cent} centroids "
+            "(> 500000); raise CENTROID_MOD so the cell count stays "
+            "broadcastable"
+        )
+    cdf = cand.select("vec_id", "e").toPandas()
     c_ids = cdf["vec_id"].to_numpy()
     c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in cdf["e"]])
     c_unit = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
