@@ -362,3 +362,49 @@ def test_containment_exact_semantics(spark, tmp_path):
     assert set(got) == {(2, 1), (2, 4), (1, 4), (4, 1)}
     assert got[(2, 1)] == (len(inner), 11)
     assert got[(1, 4)] == (len(base), 1)
+
+
+def test_containment_exact_property_vs_bruteforce(spark, tmp_path):
+    """Randomized corpora (small alphabet → accidental overlaps, planted
+    substrings, short docs below the floor): the anchor-gram plan must
+    equal the quadratic python oracle exactly."""
+    import random
+
+    from map_reduce_in_go_spark.operators.dedup import (
+        CONTAIN_MIN_CHARS,
+        dedup_containment_exact,
+    )
+
+    rng = random.Random(13)
+    for case in range(3):
+        docs = []
+        for i in range(24):
+            n = rng.randint(CONTAIN_MIN_CHARS - 10, CONTAIN_MIN_CHARS * 3)
+            docs.append((i, "".join(rng.choice("abc") for _ in range(n))))
+        # plant real containments: substrings of existing docs as new docs
+        for j, (src, text) in enumerate(docs[:4]):
+            if len(text) >= CONTAIN_MIN_CHARS + 12:
+                start = rng.randint(0, 8)
+                docs.append(
+                    (100 + j, text[start : start + CONTAIN_MIN_CHARS + 4])
+                )
+        d = str(tmp_path / f"case{case}")
+        spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+            "overwrite"
+        ).parquet(f"{d}/documents.parquet")
+
+        got = {
+            (r["doc_a"], r["doc_b"]): (r["len_a"], r["first_pos"])
+            for r in dedup_containment_exact(spark, d).collect()
+        }
+        want = {}
+        for a, ta in docs:
+            if len(ta) < CONTAIN_MIN_CHARS:
+                continue
+            for b, tb in docs:
+                if a == b:
+                    continue
+                p = tb.find(ta)
+                if p >= 0:
+                    want[(a, b)] = (len(ta), p + 1)
+        assert got == want, f"case {case}"
