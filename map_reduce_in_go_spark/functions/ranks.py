@@ -85,3 +85,82 @@ def with_global_rank(
             yield out
 
     return part.mapInPandas(rank_gen, schema=out_schema), total
+
+
+def with_global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    rank_col: str = "r",
+    prefix_col: str = "cum",
+):
+    """(df + dense rank + INCLUSIVE global prefix sum of ``value_col`` over
+    ``order_cols``, total rows, total value).
+
+    The weighted generalization of :func:`with_global_rank` (same
+    two-level shape as ``shard_pack``'s token prefix sum, but over an
+    arbitrary sort order): per-partition VALUE sums ride back with the
+    row-count offsets, and the Arrow pass accumulates both counters.
+    ``value_col`` may be DECIMAL — pandas surfaces it as exact
+    ``decimal.Decimal`` objects and the running sum stays exact, so
+    cumulative money is order-independent bit-for-bit.
+    """
+    from .caching import scoped_persist
+
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    part = scoped_persist(
+        df.repartitionByRange(n_part, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    sizes = sorted(
+        part.groupBy("_pid")
+        .agg(F.count("*").alias("c"), F.sum(value_col).alias("v"))
+        .collect(),
+        key=lambda r: r["_pid"],
+    )
+    offs: dict[int, tuple] = {}
+    total_n = 0
+    total_v = None
+    for r in sizes:
+        offs[r["_pid"]] = (total_n, total_v)
+        total_n += r["c"]
+        total_v = r["v"] if total_v is None else total_v + r["v"]
+    if not offs:
+        empty = (
+            part.withColumn(rank_col, F.lit(None).cast("long"))
+            .withColumn(prefix_col, F.lit(None).cast(df.schema[value_col].dataType))
+            .drop("_pid")
+        )
+        return empty, 0, None
+
+    bc = df.sparkSession.sparkContext.broadcast(offs)
+    value_type = part.schema[value_col].dataType.simpleString()
+    out_fields = [f.name for f in part.schema.fields if f.name != "_pid"]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in part.schema.fields
+        if f.name != "_pid"
+    ) + f", {rank_col} long, {prefix_col} {value_type}"
+
+    def gen(batches):
+        import numpy as np
+
+        offsets = bc.value
+        seen = 0
+        run = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            base_n, base_v = offsets[int(pdf["_pid"].iloc[0])]
+            out = pdf[out_fields].copy()
+            out[rank_col] = base_n + seen + np.arange(1, len(pdf) + 1, dtype=np.int64)
+            seen += len(pdf)
+            cums = []
+            for v in pdf[value_col]:
+                run = v if run is None else run + v
+                cums.append(run if base_v is None else base_v + run)
+            out[prefix_col] = cums
+            yield out
+
+    return part.mapInPandas(gen, schema=out_schema), total_n, total_v

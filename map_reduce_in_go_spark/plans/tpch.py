@@ -1122,3 +1122,60 @@ ORACLES["fuzzy_match_parts"] = f"""
       ON a.blk = b.blk AND a.p_name < b.p_name
      AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
     """
+
+
+def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue Pareto curve: exact cumulative revenue share in
+    descending-revenue order, with the top-quintile flag — the 80/20
+    analysis every revenue dashboard opens with.
+
+    The global running total is the hierarchical prefix sum
+    (``functions/ranks.py``): range-partition on (revenue desc, custkey),
+    broadcast per-partition DECIMAL subtotals, accumulate exactly in one
+    Arrow pass — cumulative money stays order-independent bit-for-bit and
+    no single-reducer window appears (the oracle's flat window is the
+    quadratic-free but single-node form; same numbers).
+    """
+    from ..functions.ranks import with_global_prefix_sum
+
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("decimal(22,2)")
+            .alias("rev")
+        )
+    )
+    ranked, n, total = with_global_prefix_sum(
+        rev, [F.desc("rev"), F.asc("o_custkey")], "rev", "rnk", "cum"
+    )
+    return ranked.select(
+        "o_custkey",
+        F.col("rev").cast("double").alias("revenue"),
+        F.col("rnk").alias("rnk"),
+        F.round(
+            F.col("cum").cast("double") / F.lit(float(total)), 6
+        ).alias("cum_share"),
+        (F.col("rnk") * 5 <= F.lit(int(n))).alias("top_quintile"),
+    )
+
+
+ORACLES["orders_pareto"] = """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS rev
+      FROM orders GROUP BY o_custkey
+    ), tot AS (
+      SELECT CAST(sum(rev) AS DOUBLE) AS t, count(*) AS n FROM rev
+    )
+    SELECT o_custkey,
+           CAST(rev AS DOUBLE) AS revenue,
+           row_number() OVER w AS rnk,
+           round(CAST(sum(rev) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS DOUBLE) / (SELECT t FROM tot), 6)
+             AS cum_share,
+           row_number() OVER w * 5 <= (SELECT n FROM tot) AS top_quintile
+    FROM rev
+    WINDOW w AS (ORDER BY rev DESC, o_custkey)
+    """

@@ -116,6 +116,7 @@ def _build() -> None:
         "top_customers",
         "basket_pairs",
         "fuzzy_match_parts",
+        "orders_pareto",
     ])
 
     from .plans import olap as _olap

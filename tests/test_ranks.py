@@ -34,3 +34,26 @@ def test_global_rank_equals_sorted_order(spark, vals):
     want_order = sorted(rows, key=lambda t: (t[1], t[0]))
     want = {id_: i + 1 for i, (id_, _) in enumerate(want_order)}
     assert got == want
+
+
+def test_global_prefix_sum_exact_decimal(spark):
+    """Weighted prefix sum: exact DECIMAL running totals equal the
+    single-node sorted cumsum, any order direction, dupes included."""
+    from decimal import Decimal
+
+    from map_reduce_in_go_spark.functions.ranks import with_global_prefix_sum
+
+    rows = [(i, Decimal(f"{(i * 37) % 100}.{(i * 7) % 100:02d}")) for i in range(257)]
+    df = spark.createDataFrame(rows, "id long, v decimal(22,2)")
+    ranked, n, total = with_global_prefix_sum(
+        df, [F.desc("v"), F.asc("id")], "v", "rnk", "cum"
+    )
+    got = {r["id"]: (r["rnk"], r["cum"]) for r in ranked.collect()}
+    release_persisted()
+    assert n == len(rows)
+    order = sorted(rows, key=lambda t: (-t[1], t[0]))
+    run = Decimal(0)
+    for i, (id_, v) in enumerate(order):
+        run += v
+        assert got[id_] == (i + 1, run), id_
+    assert total == run
