@@ -123,6 +123,13 @@ def with_global_prefix_sum(
     total_n = 0
     total_v = None
     for r in sizes:
+        if r["v"] is None and r["c"] > 0:
+            # an all-NULL partition: same contract violation the Arrow pass
+            # rejects below, caught one job earlier
+            raise ValueError(
+                f"with_global_prefix_sum: NULL in {value_col!r}; "
+                "filter or fill nulls before ranking"
+            )
         offs[r["_pid"]] = (total_n, total_v)
         total_n += r["c"]
         total_v = r["v"] if total_v is None else total_v + r["v"]
@@ -156,6 +163,14 @@ def with_global_prefix_sum(
             out = pdf[out_fields].copy()
             out[rank_col] = base_n + seen + np.arange(1, len(pdf) + 1, dtype=np.int64)
             seen += len(pdf)
+            if pdf[value_col].isna().any():
+                # fail loudly: F.sum skips NULLs in the offsets while the
+                # fold below would propagate/raise on them — the two views
+                # of the data would silently disagree
+                raise ValueError(
+                    f"with_global_prefix_sum: NULL in {value_col!r}; "
+                    "filter or fill nulls before ranking"
+                )
             cums = []
             for v in pdf[value_col]:
                 run = v if run is None else run + v

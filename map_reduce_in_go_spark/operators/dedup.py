@@ -1869,9 +1869,13 @@ def minhash_fast_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Agreement floor for the fast-family verdict: a true near-dup pair that
-# collides in any band agrees on far more than 24/32 positions (exact dups
-# agree on 32/32); 24 is the pinned-corpus floor from tests/test_dedup.py.
+# Agreement floor for the fast-family PYTEST check: on the pinned test
+# corpus every md5-confirmed near-dup pair is recovered by the xxhash64
+# family with ≥ 24/32 signature agreement (tests/test_dedup.py). This is a
+# corpus-scoped property — the two families' band collisions are
+# probabilistically independent, so a borderline-Jaccard pair CAN
+# legitimately miss every fast band on a different corpus. It is therefore
+# NOT part of the registered verdict below (r8 advice).
 FAST_AGREE_FLOOR = 24
 
 
@@ -1881,19 +1885,32 @@ def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fast path's raw pairs (:func:`minhash_fast_pairs`) use
     engine-specific xxhash64, so they can't be replayed in SQL. The
     registered query instead emits the md5 family's (oracle-replayable)
-    pairs with a ``fast_ok`` verdict — "the fast family recovered this
-    pair with ≥ FAST_AGREE_FLOOR signature agreement" — pinned TRUE by
-    the oracle: a fast-path regression (hash recipe drift, band bug)
-    flips the flag and fails the driver's value hash, the same verdict
-    contract as the sketch queries in operators/approx.py.
+    pairs with a ``fast_ok`` verdict pinned TRUE by the oracle. The
+    verdict is asserted only where it is DETERMINISTIC on any corpus:
+    for a pair of byte-identical documents, the shingle sets are equal,
+    so the xxhash64 signatures are equal under any hash family, band
+    collision is certain, and agreement is exactly 32/32 — a hash-recipe
+    or banding regression flips those pairs FALSE and fails the driver's
+    value hash. Borderline-Jaccard pairs are vacuously TRUE (their fast
+    recovery is probabilistic and corpus-dependent — per r8 advice, a
+    data change must not masquerade as a fast-path regression); the
+    richer ≥ FAST_AGREE_FLOOR recovery property stays pinned on the test
+    corpus in tests/test_dedup.py.
     """
     fast = minhash_fast_pairs(spark, sf_dir).select(
         "doc_a", "doc_b", F.col("n_match").alias("fast_match")
     )
-    ok = F.coalesce(F.col("fast_match"), F.lit(0)) >= FAST_AGREE_FLOOR
+    dg = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("dg")
+    )
+    ok = (F.col("dg_a") != F.col("dg_b")) | (
+        F.coalesce(F.col("fast_match"), F.lit(0)) == NUM_PERM
+    )
     return (
         dedup_minhash(spark, sf_dir)
         .join(fast, ["doc_a", "doc_b"], "left")
+        .join(dg.select(F.col("doc_id").alias("doc_a"), F.col("dg").alias("dg_a")), "doc_a")
+        .join(dg.select(F.col("doc_id").alias("doc_b"), F.col("dg").alias("dg_b")), "doc_b")
         .select("doc_a", "doc_b", "n_match", ok.alias("fast_ok"))
     )
 
@@ -1955,11 +1972,14 @@ def dedup_containment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("len_a"),
         F.xxhash64(F.substring("text", 1, A)).alias("h"),
     )
-    grams = docs.select(
+    # docs shorter than A can't contain an eligible doc_a, and sequence(1,0)
+    # is the DESCENDING [1, 0] in Spark — without the length filter every
+    # short doc would emit two spurious prefix-hash rows (r8 advice)
+    grams = docs.filter(F.length("text") >= A).select(
         F.col("doc_id").alias("doc_b"),
         F.posexplode(
             F.expr(
-                f"transform(sequence(1, greatest(length(text) - {A} + 1, 0)),"
+                f"transform(sequence(1, length(text) - {A} + 1),"
                 f" i -> xxhash64(substr(text, i, {A})))"
             )
         ).alias("pos0", "h"),

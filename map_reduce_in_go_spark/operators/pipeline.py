@@ -190,8 +190,16 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = base.join(
         F.broadcast(dup_digests), "digest", "left_semi"
     ).select("doc_id")
+    # quality in integer micros: the mean of 6dp values over a small group
+    # lands exactly on 7th-decimal half-boundaries (n=2 → ~50% of groups),
+    # where Spark rounds the shortest decimal repr HALF_UP but DuckDB rounds
+    # the binary double — 1-ulp oracle flips. Exact integer arithmetic
+    # (round-half-up of a/n as (2a+n) div 2n) is engine-agnostic.
     q = text_quality(spark, sf_dir).select(
-        "doc_id", F.col("quality").cast("decimal(10,6)").alias("q6")
+        "doc_id",
+        (F.col("quality").cast("decimal(10,6)") * 1000000)
+        .cast("long")
+        .alias("q_micro"),
     )
     enriched = base.join(
         flagged.withColumn("is_dup", F.lit(1)), "doc_id", "left"
@@ -208,9 +216,12 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count("*"),
                 6,
             ).alias("dup_rate"),
-            F.round(F.sum("q6").cast("double") / F.count("q6"), 6).alias(
-                "mean_quality"
-            ),
+            (
+                F.expr(
+                    "(2 * sum(q_micro) + count(q_micro)) div (2 * count(q_micro))"
+                ).cast("double")
+                / 1000000
+            ).alias("mean_quality"),
         )
     )
 
@@ -228,7 +239,7 @@ ORACLES["corpus_report"] = f"""
              round(least(CAST(len({_SQL_TOK}) AS DOUBLE) / 100.0, 1.0) * 0.4
                    + (len(list_distinct({_SQL_TOK})) / len({_SQL_TOK})) * 0.3
                    + (1.0 - (length(text) - length(regexp_replace(text,
-                        '{{PUNCT}}', '', 'g'))) / length(text)) * 0.3,
+                        '{_PUNCT_RE}', '', 'g'))) / length(text)) * 0.3,
                    6) AS quality
       FROM documents WHERE len({_SQL_TOK}) > 0
     )
@@ -240,10 +251,12 @@ ORACLES["corpus_report"] = f"""
                 AS BIGINT) AS n_exact_dup,
            round(sum(CASE WHEN d.digest IS NOT NULL THEN 1 ELSE 0 END)
                  / count(*), 6) AS dup_rate,
-           round(CAST(sum(CAST(q.quality AS DECIMAL(10,6))) AS DOUBLE)
-                 / count(q.quality), 6) AS mean_quality
+           CAST((2 * sum(CAST(CAST(q.quality AS DECIMAL(10,6)) * 1000000
+                              AS BIGINT))
+                 + count(q.quality)) // (2 * count(q.quality))
+                AS DOUBLE) / 1000000 AS mean_quality
     FROM base b
     LEFT JOIN dupd d USING (digest)
     LEFT JOIN q USING (doc_id)
     GROUP BY b.lang, b.source
-    """.replace("{{PUNCT}}", _PUNCT_RE)
+    """

@@ -1150,6 +1150,14 @@ def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked, n, total = with_global_prefix_sum(
         rev, [F.desc("rev"), F.asc("o_custkey")], "rev", "rnk", "cum"
     )
+    if total is None:  # empty orders table: share of nothing is no rows
+        return ranked.select(
+            "o_custkey",
+            F.col("rev").cast("double").alias("revenue"),
+            F.col("rnk").alias("rnk"),
+            F.lit(None).cast("double").alias("cum_share"),
+            F.lit(None).cast("boolean").alias("top_quintile"),
+        )
     return ranked.select(
         "o_custkey",
         F.col("rev").cast("double").alias("revenue"),

@@ -57,3 +57,35 @@ def test_global_prefix_sum_exact_decimal(spark):
         run += v
         assert got[id_] == (i + 1, run), id_
     assert total == run
+
+
+def test_global_prefix_sum_rejects_null_values(spark):
+    """NULL in value_col must fail loudly (r8 advice): F.sum's offsets skip
+    NULLs while the Arrow fold would propagate them — two silently
+    disagreeing views of the same column."""
+    import pytest
+    from decimal import Decimal
+
+    from map_reduce_in_go_spark.functions.ranks import with_global_prefix_sum
+
+    rows = [(1, Decimal("1.00")), (2, None), (3, Decimal("3.00"))]
+    df = spark.createDataFrame(rows, "id long, v decimal(22,2)")
+    with pytest.raises(Exception, match="NULL"):
+        ranked, _, _ = with_global_prefix_sum(
+            df, [F.asc("id")], "v", "rnk", "cum"
+        )
+        ranked.collect()
+    release_persisted()
+
+
+def test_orders_pareto_empty_input(spark, tmp_path):
+    """Empty orders table: orders_pareto returns zero rows instead of
+    raising float(None) (r8 advice)."""
+    from map_reduce_in_go_spark.plans.tpch import orders_pareto
+    from map_reduce_in_go_spark.sources.tables import load_table
+
+    real = load_table(spark, "/root/testdata/sf0.001", "orders")
+    real.limit(0).write.parquet(str(tmp_path / "orders.parquet"))
+    out = orders_pareto(spark, str(tmp_path))
+    assert out.count() == 0
+    release_persisted()
