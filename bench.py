@@ -45,6 +45,16 @@ HEADLINE = [
     "dedup_incremental",
     "pagerank_docs",
     "orders_global_topn",
+    # r9 refresh: flagship operators added r3-r8 (the old 25 keep their
+    # order above so per-round numbers stay comparable)
+    "heavy_hitters",
+    "knn_graph",
+    "dedup_substring",
+    "sequence_pack",
+    "dsir_select",
+    "langid_trained",
+    "corpus_shuffle",
+    "dedup_containment_exact",
 ]
 
 
