@@ -87,6 +87,121 @@ def with_global_rank(
     return part.mapInPandas(rank_gen, schema=out_schema), total
 
 
+def with_global_dense_rank(
+    df: DataFrame,
+    cols: list[str],
+    rank_col: str = "r",
+    out_cols: list[str] | None = None,
+) -> tuple[DataFrame, int, int]:
+    """(df + dense 1-based ``rank_col`` over the ascending tuple ``cols``,
+    total rows, number of distinct tuples).
+
+    The fused form of ``distinct → with_global_rank → join-back`` (three
+    full-frame shuffles) in ONE range partition of the full frame: equal
+    tuples land in the same range partition (Spark's RangePartitioner
+    routes by key, so duplicates never straddle a boundary), an Arrow
+    pass counts per-partition DISTINCT tuples (new-tuple flags against
+    the previous sorted row), the ≤ #partitions counts become broadcast
+    offsets, and a second Arrow pass over the same cached partitioning
+    assigns rank = offset + running cumsum of the flags. Equal tuples get
+    equal ranks; ranks are dense 1..#distinct in tuple order.
+
+    ``cols`` must be non-null (nulls would need an ordering convention
+    the flag comparison doesn't define — callers fill sentinels first).
+    The distinct count comes back for free, so iterative callers (prefix
+    doubling) need no extra ``max(r)`` job per round. ``out_cols``
+    restricts the columns carried through the rank pass's Arrow transfer
+    (sort keys are often dead after ranking — a 32-char key column is
+    most of the bytes otherwise moved); default keeps every column.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .caching import scoped_persist
+
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    order_cols = [F.asc(c) for c in cols]
+    part = scoped_persist(
+        df.repartitionByRange(n_part, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+    def _new_flags(pdf: pd.DataFrame, prev: tuple | None):
+        """Boolean per row: tuple differs from the previous sorted row
+        (``prev`` carries the last tuple of the previous batch)."""
+        n = len(pdf)
+        flags = np.zeros(n, dtype=bool)
+        for c in cols:
+            v = pdf[c].to_numpy()
+            if n > 1:
+                flags[1:] |= v[1:] != v[:-1]
+        first = tuple(pdf[c].iloc[0] for c in cols)
+        flags[0] = prev is None or first != prev
+        last = tuple(pdf[c].iloc[-1] for c in cols)
+        return flags, last
+
+    def count_gen(batches):
+        prev = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            flags, prev = _new_flags(pdf, prev)
+            yield pd.DataFrame(
+                {
+                    "_pid": [int(pdf["_pid"].iloc[0])],
+                    "c": [len(pdf)],
+                    "d": [int(flags.sum())],
+                }
+            )
+
+    sizes: dict[int, list[int]] = {}
+    for r in part.mapInPandas(count_gen, schema="_pid int, c long, d long").collect():
+        agg = sizes.setdefault(r["_pid"], [0, 0])
+        agg[0] += r["c"]
+        agg[1] += r["d"]
+    offs: dict[int, int] = {}
+    total = 0
+    n_distinct = 0
+    for pid in sorted(sizes):
+        offs[pid] = n_distinct
+        total += sizes[pid][0]
+        n_distinct += sizes[pid][1]
+    if not offs:
+        empty = part.withColumn(rank_col, F.lit(None).cast("long")).drop("_pid")
+        if out_cols is not None:
+            empty = empty.select(*out_cols, rank_col)
+        return empty, 0, 0
+
+    bc = df.sparkSession.sparkContext.broadcast(offs)
+    keep = set(out_cols) if out_cols is not None else None
+    out_fields = [
+        f.name
+        for f in part.schema.fields
+        if f.name != "_pid" and (keep is None or f.name in keep)
+    ]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in part.schema.fields
+        if f.name in out_fields
+    ) + f", {rank_col} long"
+
+    def rank_gen(batches):
+        prev = None
+        seen_new = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            base = bc.value[int(pdf["_pid"].iloc[0])]
+            flags, prev = _new_flags(pdf, prev)
+            out = pdf[out_fields].copy()
+            out[rank_col] = base + seen_new + np.cumsum(flags).astype(np.int64)
+            seen_new += int(flags.sum())
+            yield out
+
+    return part.mapInPandas(rank_gen, schema=out_schema), total, n_distinct
+
+
 def with_global_prefix_sum(
     df: DataFrame,
     order_cols: list[Column],

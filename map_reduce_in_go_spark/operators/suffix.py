@@ -23,16 +23,17 @@ exactly that prefix-doubling recurrence as DataFrame rounds:
    ties (exact duplicate docs) can never separate and are broken by
    (doc_id, pos) at the end.
 
-At 100 TB the per-round cost is two hash joins and one range partition
-over fixed-width rows — the same shuffle shape as the relational
-operators; nothing ever holds a document, let alone the corpus, in one
-task. Comparisons are bounded by construction (ranks, never strings,
-after init).
+At 100 TB the per-round cost is one self-equijoin and one fused range
+partition over fixed-width rows — the same shuffle shape as the
+relational operators; nothing ever holds a document, let alone the
+corpus, in one task. Comparisons are bounded by construction (ranks,
+never strings, after init).
 
-Suffix ranks are not SQL-replayable in one query (the recurrence is
-iterative), so this ships as a pytest component with a brute-force
-sorted-suffixes oracle over the real corpus — the same honesty contract
-as the evolvable IVF index.
+Suffix RANKS are not SQL-replayable in one query (the recurrence is
+iterative) and stay pytest-pinned against a brute-force sorted-suffixes
+oracle; the :func:`longest_repeated_substring` reduction IS replayable
+(one ORDER BY + lead() + first-mismatch scan) and is the registered
+driver-checkable query for the family (r9).
 """
 
 from __future__ import annotations
@@ -40,22 +41,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.caching import free_local_checkpoint, scoped_persist
-from ..functions.ranks import with_global_rank
+from ..functions.caching import (
+    free_local_checkpoint,
+    persisted_count,
+    release_persisted_since,
+    scoped_persist,
+)
+from ..functions.ranks import with_global_dense_rank, with_global_rank
 from ..sources.tables import load_documents_parallel
 
-INIT_W = 8  # characters resolved by the initial key sort
-MAX_ROUNDS = 12  # 8 · 2^12 = 32k chars — far past any testdata doc
+# Characters resolved by the initial key sort. Each extra init char costs
+# one byte/suffix in the ONE init range partition; each halving of INIT_W
+# costs a whole extra doubling round (2 exchanges + 2 Arrow passes over
+# every suffix). 32 resolves typical natural-text suffix collisions in the
+# init sort and needs ~4 rounds to clear a ~600-char doc; the knob trades
+# init shuffle width against round count, and both are linear in corpus
+# chars at any scale.
+INIT_W = 32
+MAX_ROUNDS = 12  # 32 · 2^12 = 128k chars — far past any testdata doc
 LCP_MAX = 1024  # adjacent-LCP comparison cap (bytes moved: chars × this)
-
-
-def _dense_rank_on(df: DataFrame, cols: list[str]) -> DataFrame:
-    """Attach dense rank ``rk`` of the tuple ``cols`` (same tuple → same
-    rank, ranks 1..#distinct in tuple order) via the shuffle-lean global
-    rank over the DISTINCT tuple set, joined back."""
-    distinct = df.select(*cols).distinct()
-    ranked, _ = with_global_rank(distinct, [F.asc(c) for c in cols], "rk")
-    return df.join(ranked, cols)
 
 
 def suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,7 +70,35 @@ def suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffixes of ALL documents; exactly-equal suffixes (duplicate docs)
     tie-break by (doc_id, pos), so the output is a total order and
     deterministic.
+
+    Per-round plan (the r9 fusion — previously two distinct+rank+join
+    dense ranks per round, ~7 jobs): exactly TWO exchanges. The round
+    output is hash-partitioned on ``doc_id`` once, so the shift self-join
+    reuses both sides' partitioning (doc_id is a prefix subset of the
+    (doc_id, pos) join keys — no exchange, plan-pinned in
+    tests/test_suffix.py), and the re-rank is ONE fused range partition
+    via :func:`with_global_dense_rank`, which also returns the distinct
+    count — so the old per-round ``max(r)`` convergence job is free.
+    Round outputs are persisted (the self-join reads them twice);
+    lineage is cut by ``localCheckpoint`` every OTHER round.
     """
+    # Spark ≥3.3 refuses to reuse a join side partitioned on a SUBSET of
+    # the join keys unless this is off (skew guard for pathological
+    # few-key sides). Here the subset reuse is the point: odd-round caches
+    # are doc_id-partitioned so the (doc_id, pos) self-join needs no
+    # exchange. Scoped set/restore — every join in this function is
+    # planned (and its round materialized) before the restore runs.
+    _CO_PART = "spark.sql.requireAllClusterKeysForCoPartition"
+    co_part_old = spark.conf.get(_CO_PART, "true")
+    spark.conf.set(_CO_PART, "false")
+    try:
+        return _suffix_array_impl(spark, sf_dir)
+    finally:
+        spark.conf.set(_CO_PART, co_part_old)
+
+
+def _suffix_array_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_part = spark.sparkContext.defaultParallelism
     docs = load_documents_parallel(spark, sf_dir).select("doc_id", "text")
     sufs = (
         docs.select(
@@ -76,41 +108,69 @@ def suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "pos", F.expr(f"substr(text, pos, {INIT_W})").alias("k0")
         )
     )
-    from ..functions.caching import release_persisted
-
-    ranks = (
-        _dense_rank_on(sufs, ["k0"])
-        .select("doc_id", "pos", F.col("rk").alias("r"))
-        .localCheckpoint(eager=True)
+    mark = persisted_count()
+    ranked, n, n_distinct = with_global_dense_rank(
+        sufs, ["k0"], "rk", out_cols=["doc_id", "pos"]
     )
-    release_persisted()  # drop the round's rank-frame cache (checkpointed)
-    n = ranks.count()
+    ranks = ranked.select(
+        "doc_id", "pos", F.col("rk").alias("r")
+    ).localCheckpoint(eager=True)
+    release_persisted_since(mark)  # init rank cache (checkpointed past)
     max_len = docs.agg(F.max(F.length("text"))).collect()[0][0] or 0
     last_ckpt = ranks
     k = INIT_W
-    for _ in range(MAX_ROUNDS):
-        if k >= max_len:
-            break  # first k chars = whole longest doc: order is final
-            # (exact-duplicate suffixes stay tied at ANY k — without this
-            # stop they would force MAX_ROUNDS every time)
-        n_distinct = ranks.agg(F.max("r")).collect()[0][0]
-        if n_distinct == n:
-            break  # every suffix fully ordered
+    rounds = 0
+    # stop when every rank is unique, or the first k chars cover the whole
+    # longest doc (exact-duplicate suffixes stay tied at ANY k — without
+    # the max_len stop they would force MAX_ROUNDS every time)
+    while n_distinct < n and k < max_len:
+        if rounds >= MAX_ROUNDS:
+            # returning here would silently mis-order suffixes that agree
+            # on their first INIT_W·2^MAX_ROUNDS chars (r8 advice)
+            raise RuntimeError(
+                f"suffix_array: prefix doubling did not converge in "
+                f"{MAX_ROUNDS} rounds (k={k}, {n_distinct}/{n} distinct, "
+                f"max doc length {max_len}); raise MAX_ROUNDS for corpora "
+                f"with documents beyond {INIT_W * 2 ** MAX_ROUNDS} chars"
+            )
         shifted = ranks.select(
             "doc_id", (F.col("pos") - k).alias("pos"), F.col("r").alias("r2")
         )
         paired = ranks.join(shifted, ["doc_id", "pos"], "left").fillna(
             {"r2": 0}
         )  # sentinel 0: a proper prefix sorts before every extension
-        ranks = (
-            _dense_rank_on(paired, ["r", "r2"])
-            .select("doc_id", "pos", F.col("rk").alias("r"))
-            .localCheckpoint(eager=True)
+        prev_distinct = n_distinct
+        ranked, _, n_distinct = with_global_dense_rank(
+            paired, ["r", "r2"], "rk", out_cols=["doc_id", "pos"]
         )
-        release_persisted()
-        free_local_checkpoint(last_ckpt)
-        last_ckpt = ranks
+        if n_distinct == prev_distinct:
+            # partition-refinement fixpoint (Hopcroft invariant): a doubling
+            # round that separates NOTHING proves every remaining tie agrees
+            # at all positions — the ties are equal suffixes and the order
+            # is final, no matter how long the documents run on
+            break
+        out_round = ranked.select("doc_id", "pos", F.col("rk").alias("r"))
+        rounds += 1
         k *= 2
+        if rounds % 2 == 0 or n_distinct == n or k >= max_len:
+            # lineage cut: materialize, then free the superseded segment.
+            # (localCheckpoint erases partitioning info, so repartitioning
+            # first would be wasted — the following round's join re-exchanges
+            # both sides regardless; plan-checked in tests/test_suffix.py)
+            ranks = out_round.localCheckpoint(eager=True)
+            release_persisted_since(mark)
+            free_local_checkpoint(last_ckpt)
+            last_ckpt = ranks
+        else:
+            # odd round: cache co-partitioned on doc_id and pre-sorted, so
+            # the next round's (doc_id, pos) self-join runs exchange- and
+            # sort-free off the InMemoryTableScan (which, unlike a
+            # checkpoint scan, preserves partitioning + ordering)
+            ranks = scoped_persist(
+                out_round.repartition(n_part, "doc_id").sortWithinPartitions(
+                    "doc_id", "pos"
+                )
+            )
     # final total order: rank, then (doc_id, pos) for equal-suffix ties
     out, _ = with_global_rank(
         ranks, [F.asc("r"), F.asc("doc_id"), F.asc("pos")], "sa_rank"
@@ -119,10 +179,19 @@ def suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def longest_repeated_substring(
-    spark: SparkSession, sf_dir: str, top_n: int = 1
+    spark: SparkSession, sf_dir: str, top_n: int = 25
 ) -> DataFrame:
-    """(length, doc_a, pos_a, doc_b, pos_b): the longest substring that
-    occurs at least twice anywhere in the corpus (across or within docs).
+    """(length, doc_a, pos_a, doc_b, pos_b): the longest substrings that
+    occur at least twice anywhere in the corpus (across or within docs),
+    top ``top_n`` adjacent suffix pairs by LCP (deterministic tie-break
+    on (doc_a, pos_a, doc_b, pos_b)).
+
+    Registered driver query (r9): the DuckDB oracle rebuilds the suffix
+    order as a single ORDER BY over all suffix strings plus a lead()
+    window, and computes each adjacent pair's LCP with a first-mismatch
+    list_position — a true brute-force replay that never sees the
+    prefix-doubling recurrence, so a ranking bug anywhere in
+    :func:`suffix_array` breaks the value hash.
 
     Classical SA reduction: the longest repeat is the maximum common
     prefix of some pair of suffixes ADJACENT in suffix order — so only
@@ -181,3 +250,39 @@ def longest_repeated_substring(
     return scored.orderBy(
         F.desc("lcp"), F.asc("doc_a"), F.asc("pos_a"), F.asc("doc_b"), F.asc("pos_b")
     ).limit(top_n)
+
+
+# Brute-force SQL replay of the SA reduction: sort ALL suffix strings, pair
+# each with its successor via lead(), LCP = position of first mismatching
+# char (capped at LCP_MAX exactly like the Spark kernel's slice). O(total
+# suffix chars) sort in DuckDB — fine at oracle scale, quadratic-free.
+ORACLES = {
+    "longest_repeated_substring": f"""
+    WITH sufs AS (
+      SELECT doc_id, i AS pos, substr(text, i) AS suf
+      FROM documents, LATERAL unnest(range(1, length(text) + 1)) AS u(i)
+    ), ordered AS (
+      SELECT doc_id, pos, suf,
+             lead(doc_id) OVER w AS doc_b,
+             lead(pos) OVER w AS pos_b,
+             lead(suf) OVER w AS suf_b
+      FROM sufs
+      WINDOW w AS (ORDER BY suf, doc_id, pos)
+    ), pairs AS (
+      SELECT doc_id AS doc_a, pos AS pos_a, doc_b, pos_b,
+             coalesce(
+               nullif(list_position(
+                 list_transform(
+                   range(1, least(len(suf), len(suf_b), {LCP_MAX}) + 1),
+                   i -> substr(suf, i, 1) = substr(suf_b, i, 1)),
+                 false), 0) - 1,
+               least(len(suf), len(suf_b), {LCP_MAX})) AS lcp
+      FROM ordered WHERE doc_b IS NOT NULL
+    )
+    SELECT CAST(lcp AS BIGINT) AS lcp, doc_a, CAST(pos_a AS BIGINT) AS pos_a,
+           doc_b, CAST(pos_b AS BIGINT) AS pos_b
+    FROM pairs
+    ORDER BY lcp DESC, doc_a, pos_a, doc_b, pos_b
+    LIMIT 25
+    """,
+}

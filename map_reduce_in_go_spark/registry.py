@@ -261,6 +261,10 @@ def _build() -> None:
 
     _register(_graph, ["pagerank_docs", "graph_triangles"])
 
+    from .operators import suffix as _suffix
+
+    _register(_suffix, ["longest_repeated_substring"])
+
     from .operators import curation as _cur
 
     _register(_cur, [
@@ -284,13 +288,13 @@ def _build() -> None:
 # Queries whose OUTPUT changed after their most recent driver-green round:
 # their stale rows validate a behavior that no longer exists, so they jump
 # the rotation ahead of everything with merely-old evidence. Remove a name
-# once a fresh driver row lands. (r8: the four former rows-only sketch
-# queries now emit exact-columns + pinned-TRUE verdicts with full SQL
-# oracles — every prior record was a weaker rows-only check.)
+# once a fresh driver row lands. (r9: corpus_report's mean_quality moved to
+# exact integer-micro rounding and its oracle's punct term went live;
+# dedup_minhash_fast's fast_ok verdict was re-scoped to the deterministic
+# exact-duplicate case — values are unchanged on the test corpus but the
+# semantics the r8 row validated are gone.)
 _CHANGED_SINCE_VERIFIED: set[str] = {
-    "distinct_words_approx",
-    "events_quantiles_approx",
-    "sketch_rollup_users",
+    "corpus_report",
     "dedup_minhash_fast",
 }
 

@@ -89,3 +89,82 @@ def test_orders_pareto_empty_input(spark, tmp_path):
     out = orders_pareto(spark, str(tmp_path))
     assert out.count() == 0
     release_persisted()
+
+
+def test_global_dense_rank_matches_pandas(spark):
+    """Fused dense rank: equal tuples share a rank, ranks are dense
+    1..#distinct in tuple order, totals are exact — vs pandas."""
+    import pandas as pd
+
+    from map_reduce_in_go_spark.functions.ranks import with_global_dense_rank
+
+    rows = [(i, (i * 7) % 23, (i * 13) % 5) for i in range(997)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    ranked, n, d = with_global_dense_rank(df, ["a", "b"], "rk")
+    got = ranked.toPandas().sort_values("id").reset_index(drop=True)
+    release_persisted()
+    pdf = pd.DataFrame(rows, columns=["id", "a", "b"])
+    want = (
+        pdf[["a", "b"]]
+        .apply(tuple, axis=1)
+        .rank(method="dense")
+        .astype(int)
+    )
+    assert n == len(rows)
+    assert d == pdf[["a", "b"]].drop_duplicates().shape[0]
+    assert list(got.sort_values("id")["rk"]) == list(want)
+
+
+def test_global_dense_rank_out_cols_drops_keys(spark):
+    """out_cols trims the Arrow payload: only the requested columns plus
+    the rank come back."""
+    from map_reduce_in_go_spark.functions.ranks import with_global_dense_rank
+
+    df = spark.createDataFrame(
+        [(1, "xx"), (2, "yy"), (3, "xx")], "id long, k string"
+    )
+    ranked, n, d = with_global_dense_rank(df, ["k"], "rk", out_cols=["id"])
+    assert ranked.columns == ["id", "rk"]
+    got = {r["id"]: r["rk"] for r in ranked.collect()}
+    release_persisted()
+    assert (n, d) == (3, 2)
+    assert got == {1: 1, 3: 1, 2: 2}
+
+
+def test_suffix_round_join_is_exchange_free(spark):
+    """Plan pin for the suffix-array odd-round shape: a doc_id-partitioned,
+    (doc_id, pos)-sorted cached frame self-joined on (doc_id, pos) must
+    reuse the cache's partitioning — zero shuffle exchanges (the whole
+    point of persisting instead of checkpointing on alternate rounds)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_in_go_spark.functions.caching import scoped_persist
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_co = spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # suffix_array sets this for its rounds (see operators/suffix.py) —
+    # the pin verifies the reuse it buys
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try:
+        df = spark.range(5000).select(
+            (F.col("id") % 100).alias("doc_id"),
+            (F.col("id") % 53).alias("pos"),
+            F.col("id").alias("r"),
+        )
+        ranks = scoped_persist(
+            df.repartition(8, "doc_id").sortWithinPartitions("doc_id", "pos")
+        )
+        ranks.count()
+        shifted = ranks.select(
+            "doc_id", (F.col("pos") - 4).alias("pos"), F.col("r").alias("r2")
+        )
+        j = ranks.join(shifted, ["doc_id", "pos"], "left")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # the cached repartition's own exchange appears inside the
+        # InMemoryRelation dump; the join must add NO new one
+        assert "ENSURE_REQUIREMENTS" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", old_co)
+        release_persisted()
