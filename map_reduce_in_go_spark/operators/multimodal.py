@@ -5,12 +5,16 @@ column (or a pointer + byte-range into an object store), keep typed metadata
 columns alongside, and run decode/feature kernels as Arrow-batched Python
 (``mapInPandas``) — one Python invocation per batch, zero-copy via Arrow.
 
-The decode libraries (PIL/ffmpeg/etc.) are not in this container, so
-:func:`decode_image_stub` is a clearly-marked deterministic fake behind an
-import-try; the Spark-side plumbing (schema, batching, partitioning) is real
-and tested. ``multimodal_meta`` routes the documents corpus through the
-binary path end-to-end and emits SQL-checkable metadata, so the oracle gate
-covers the plumbing.
+The image format here is binary PPM (P6) — a REAL raster format any image
+tool opens — synthesized deterministically from each document (r9; the
+former length-derived decode stub is gone). :func:`decode_ppm` is a genuine
+parser: it reads width/height/maxval out of the header bytes and the pixel
+statistics out of the raster, and raises on malformed input. Swapping in
+PIL/ffmpeg for JPEG/mp4 changes only the two kernel bodies; the Arrow batch
+shape, schema and partitioning stay as tested. ``multimodal_meta`` routes
+the corpus through encode → decode end-to-end and emits SQL-checkable
+metadata (the synthesis recipe is arithmetic on the text bytes, so DuckDB
+replays width/height/pixel_sum without ever seeing the binary).
 """
 
 from __future__ import annotations
@@ -25,91 +29,157 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 
 META_SCHEMA = (
-    "doc_id long, n_bytes long, digest string, fake_width long, fake_height long"
+    "doc_id long, n_bytes long, digest string, width long, height long, "
+    "pixel_sum long"
 )
 FEATURE_DIM = 8
-FEATURE_SCHEMA = f"doc_id long, n_bytes long, features array<double>"
+FEATURE_SCHEMA = "doc_id long, n_bytes long, features array<double>"
+
+# Synthesized image dims: derived from the document's byte length so the
+# oracle can replay them; small and co-prime-ish moduli give a spread of
+# shapes including non-square ones.
+W_MOD, W_MIN = 29, 4
+H_MOD, H_MIN = 13, 4
 
 
-def decode_image_stub(payload: bytes) -> dict:
-    """Deterministic stand-in for an image decoder.
-
-    Real deployments replace this body with e.g. PIL decode + resize; the
-    call signature and the Arrow batch shape around it do not change.
+def encode_ppm(text_bytes: bytes) -> bytes:
+    """Deterministically synthesize a valid binary PPM (P6) image from a
+    document's bytes: dims from the length, raster = the bytes tiled
+    cyclically. The output is a real image file (``file`` says
+    'Netpbm image data'); determinism is what makes it oracle-replayable.
     """
-    try:
-        import PIL.Image  # noqa: F401  # pragma: no cover
+    if not text_bytes:
+        raise ValueError("encode_ppm: empty payload")
+    w = len(text_bytes) % W_MOD + W_MIN
+    h = len(text_bytes) % H_MOD + H_MIN
+    total = w * h * 3
+    reps = total // len(text_bytes) + 1
+    raster = (text_bytes * reps)[:total]
+    return b"P6\n%d %d\n255\n" % (w, h) + raster
 
-        raise NotImplementedError(
-            "real decode path not wired in this container build"
+
+def decode_ppm(payload: bytes) -> dict:
+    """REAL decode of a binary PPM (P6): parse the header for dims and
+    maxval, validate the raster length, return pixel statistics. Raises
+    ``ValueError`` on anything malformed — no silent fallbacks."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("decode_ppm: not a P6 PPM payload")
+    try:
+        i1 = payload.index(b"\n")
+        i2 = payload.index(b"\n", i1 + 1)
+        i3 = payload.index(b"\n", i2 + 1)
+        w, h = (int(t) for t in payload[i1 + 1 : i2].split())
+        maxval = int(payload[i2 + 1 : i3])
+    except (ValueError, IndexError) as e:
+        raise ValueError(f"decode_ppm: malformed header: {e}") from e
+    raster = payload[i3 + 1 :]
+    if len(raster) != w * h * 3:
+        raise ValueError(
+            f"decode_ppm: raster is {len(raster)} bytes, expected {w * h * 3}"
         )
-    except ImportError:
-        pass
-    n = len(payload)
     return {
-        "n_bytes": n,
-        "fake_width": n % 640 + 64,
-        "fake_height": (n * 7) % 480 + 64,
+        "width": w,
+        "height": h,
+        "maxval": maxval,
+        "pixel_sum": sum(raster),
     }
 
 
 def with_payload(docs: DataFrame) -> DataFrame:
     """Attach a binary payload column (UTF-8 bytes of the text stand in for
-    an encoded image)."""
+    an opaque media container — used by the frame/feature plumbing)."""
     return docs.withColumn("payload", F.encode(F.col("text"), "UTF-8"))
 
 
-def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column pipeline: payload → mapInPandas decode-stub → metadata."""
-    docs = with_payload(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", "payload"
+def with_ppm_payload(docs: DataFrame) -> DataFrame:
+    """Attach a real binary-PPM payload synthesized from each document."""
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": [
+                        encode_ppm(t.encode("utf-8")) for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _enc, schema="doc_id long, payload binary"
     )
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline, decode FOR REAL: synthesize a PPM per doc,
+    parse it back in an Arrow kernel (header-derived width/height, raster
+    pixel sum), emit typed metadata. ``digest`` is the md5 of the SOURCE
+    text (content addressing the oracle can replay; the payload digest is
+    pinned separately in tests/test_multimodal.py)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = with_ppm_payload(docs)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 payload = bytes(payload)
-                meta = decode_image_stub(payload)
+                meta = decode_ppm(payload)
                 rows.append(
                     {
                         "doc_id": int(doc_id),
-                        "n_bytes": meta["n_bytes"],
-                        "digest": hashlib.md5(payload).hexdigest(),
-                        "fake_width": meta["fake_width"],
-                        "fake_height": meta["fake_height"],
+                        "n_bytes": len(payload),
+                        "width": meta["width"],
+                        "height": meta["height"],
+                        "pixel_sum": meta["pixel_sum"],
                     }
                 )
             yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "n_bytes", "digest", "fake_width", "fake_height"],
+                rows, columns=["doc_id", "n_bytes", "width", "height", "pixel_sum"]
             )
 
-    return docs.mapInPandas(_extract, schema=META_SCHEMA)
+    decoded = payloads.mapInPandas(
+        _extract,
+        schema="doc_id long, n_bytes long, width long, height long, pixel_sum long",
+    )
+    digests = docs.select("doc_id", F.md5(F.encode("text", "UTF-8")).alias("digest"))
+    return decoded.join(digests, "doc_id").select(
+        "doc_id", "n_bytes", "digest", "width", "height", "pixel_sum"
+    )
 
 
-def extract_features(docs_with_payload: DataFrame) -> DataFrame:
-    """Feature-extraction plumbing: payload → fixed-dim double vector.
-
-    Deterministic fake features (byte histogram moments); the Arrow batch
-    shape is exactly what a real embedding model would use.
-    """
+def extract_features(docs_with_ppm: DataFrame) -> DataFrame:
+    """Feature extraction over REAL decoded rasters: per-channel means,
+    image shape, and raster moments — the fixed-dim vector an embedding
+    model would replace, computed from genuinely parsed pixels."""
+    import numpy as np
 
     def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 payload = bytes(payload)
+                meta = decode_ppm(payload)
+                w, h = meta["width"], meta["height"]
+                px = np.frombuffer(
+                    payload[len(payload) - w * h * 3 :], dtype=np.uint8
+                ).reshape(h, w, 3)
                 feats = [
-                    float(sum(payload[i::FEATURE_DIM]) % 1000)
-                    for i in range(FEATURE_DIM)
+                    float(w),
+                    float(h),
+                    float(px[:, :, 0].mean()),
+                    float(px[:, :, 1].mean()),
+                    float(px[:, :, 2].mean()),
+                    float(px.std()),
+                    float(px.min()),
+                    float(px.max()),
                 ]
                 out.append(
                     {"doc_id": int(doc_id), "n_bytes": len(payload), "features": feats}
                 )
             yield pd.DataFrame(out, columns=["doc_id", "n_bytes", "features"])
 
-    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+    return docs_with_ppm.select("doc_id", "payload").mapInPandas(
         _feat, schema=FEATURE_SCHEMA
     )
 
@@ -179,12 +249,36 @@ ORACLES: dict[str, str] = {
            md5(substring(text, CAST(off + 1 AS BIGINT), 32)) AS frame_digest
     FROM grid
     """,
-    "multimodal_meta": """
+    # Replays the PPM synthesis arithmetically (ASCII corpus: char codes ==
+    # payload bytes): dims from the length moduli, pixel_sum = full tiling
+    # cycles × the text's byte sum + the partial-cycle prefix sum, n_bytes =
+    # rendered header length + raster size. The Spark side must DECODE its
+    # binary back to these numbers — a header-write or parse bug lands here.
+    "multimodal_meta": f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             octet_length(encode(text)) AS len,
+             octet_length(encode(text)) % {W_MOD} + {W_MIN} AS w,
+             octet_length(encode(text)) % {H_MOD} + {H_MIN} AS h,
+             list_transform(range(1, length(text) + 1),
+                            i -> ascii(substr(text, i, 1))) AS codes
+      FROM documents
+    ), sized AS (
+      SELECT doc_id, text, len, w, h, codes,
+             w * h * 3 AS total,
+             (w * h * 3) // len AS cycles,
+             (w * h * 3) % len AS rem
+      FROM base
+    )
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(length('P6' || chr(10) || CAST(w AS VARCHAR) || ' ' ||
+                       CAST(h AS VARCHAR) || chr(10) || '255' || chr(10))
+                + total AS BIGINT) AS n_bytes,
            md5(text) AS digest,
-           CAST(octet_length(encode(text)) % 640 + 64 AS BIGINT) AS fake_width,
-           CAST((octet_length(encode(text)) * 7) % 480 + 64 AS BIGINT) AS fake_height
-    FROM documents
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(cycles * list_sum(codes)
+                + coalesce(list_sum(codes[1:rem]), 0) AS BIGINT) AS pixel_sum
+    FROM sized
     """,
 }

@@ -296,6 +296,7 @@ def _build() -> None:
 _CHANGED_SINCE_VERIFIED: set[str] = {
     "corpus_report",
     "dedup_minhash_fast",
+    "multimodal_meta",  # r9: real PPM decode replaced the fake-dims stub
 }
 
 
