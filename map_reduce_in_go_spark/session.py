@@ -63,7 +63,12 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
         )
     if master is None:
-        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+        # local[N, 3]: the second slot is the LOCAL-mode task-retry count —
+        # bare local[N] hard-codes maxTaskFailures=1, silently ignoring
+        # spark.task.maxFailures, so retries would exist only on a cluster.
+        # Carrying the 3 in the master string makes the retry contract real
+        # everywhere (exercised by tests/test_fault_tolerance.py).
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus},3]")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
