@@ -201,26 +201,18 @@ def test_lsh_bits_scale_with_corpus_restores_cell_bound(sf_dir):
     assert sq10_scaled / 10 <= 2 * sq1
 
 
-def test_knn_graph_bits_knob_executes_cell_bound(spark, sf_dir, tmp_path):
-    """The B ∝ log n rule as an EXECUTING configuration (not just the numpy
-    model above): through the real `_with_buckets` path, a perturbed 20×
-    corpus at bits = 5 + ceil(log2(20)) ≈ 10 restores per-vector candidate
-    work (Σ m²/N over real cells) to the 1× ballpark, while fixed bits
-    inflate it ~linearly; and `knn_graph(bits=...)` runs end-to-end on the
-    grown corpus returning a full graph. Measured at sf0.1-scale: the 30×
-    replica runs 17.8 s at bits=5 vs 7.2 s at bits=10 (SURVEY §6)."""
+import pytest
+
+
+@pytest.fixture(scope="module")
+def grown_embeddings_dir(sf_dir, tmp_path_factory):
+    """A perturbed 20× embeddings corpus (NEW vectors, not copies — more
+    bits can separate them) for the B ∝ log n scale tests."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as papq
-    from pyspark.sql import functions as F
 
-    from map_reduce_in_go_spark.operators.similarity import (
-        KNN_K,
-        _vectors,
-        _with_buckets,
-        knn_graph,
-    )
-
+    root = tmp_path_factory.mktemp("grown_emb")
     src = papq.read_table(f"{sf_dir}/embeddings.parquet")
     n = src.num_rows
     base = np.stack(
@@ -243,8 +235,30 @@ def test_knn_graph_bits_knob_executes_cell_bound(spark, sf_dir, tmp_path):
             "label": pa.array(labels * 20, pa.int32()),
         }
     )
-    papq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
-    grown = str(tmp_path)
+    papq.write_table(tbl, str(root / "embeddings.parquet"))
+    return str(root), n
+
+
+def test_knn_graph_bits_knob_executes_cell_bound(
+    spark, sf_dir, grown_embeddings_dir
+):
+    """The B ∝ log n rule as an EXECUTING configuration (not just the numpy
+    model above): through the real `_with_buckets` path, a perturbed 20×
+    corpus at bits = 5 + ceil(log2(20)) ≈ 10 restores per-vector candidate
+    work (Σ m²/N over real cells) to the 1× ballpark, while fixed bits
+    inflate it ~linearly; and `knn_graph(bits=...)` runs end-to-end on the
+    grown corpus returning a full graph. Measured at sf0.1-scale: the 30×
+    replica runs 17.8 s at bits=5 vs 7.2 s at bits=10 (SURVEY §6)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_in_go_spark.operators.similarity import (
+        KNN_K,
+        _vectors,
+        _with_buckets,
+        knn_graph,
+    )
+
+    grown, n = grown_embeddings_dir
 
     def work_per_vec(path, bits):
         cells = (
@@ -266,4 +280,62 @@ def test_knn_graph_bits_knob_executes_cell_bound(spark, sf_dir, tmp_path):
     out = knn_graph(spark, grown, bits=10)
     per_query = out.groupBy("vec_id").count().collect()
     assert len(per_query) == 20 * n  # every vector gets neighbors
+    assert all(r["count"] == KNN_K for r in per_query)
+
+
+def test_knn_graph_auto_sizes_bits_without_knob(spark, sf_dir, grown_embeddings_dir):
+    """Self-sizing (r9): no caller-passed bits — `auto_lsh_bits` derives
+    B from one corpus count (anchor: LSH_BITS at KNN_N0 vectors, +1 bit
+    per doubling), and through the real bucketing path that choice keeps
+    per-vector candidate work on the 20× corpus in the 1× ballpark. The
+    end-to-end `knn_graph_auto` returns a full graph on the grown corpus."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_in_go_spark.operators.similarity import (
+        KNN_K,
+        KNN_N0,
+        LSH_BITS,
+        _vectors,
+        _with_buckets,
+        auto_lsh_bits,
+        knn_graph_auto,
+    )
+
+    grown, n = grown_embeddings_dir
+    # unit pins: anchor and doubling behavior
+    assert auto_lsh_bits(KNN_N0) == LSH_BITS
+    assert auto_lsh_bits(KNN_N0 // 10) == LSH_BITS
+    assert auto_lsh_bits(2 * KNN_N0) == LSH_BITS + 1
+    assert auto_lsh_bits(20 * KNN_N0) == LSH_BITS + 5
+
+    n_grown = _vectors(spark, grown).count()
+    chosen = auto_lsh_bits(n_grown)
+    assert chosen > LSH_BITS  # the 20× corpus must trigger growth
+    # the rule's guarantee, as arithmetic: expected per-cell membership
+    # never exceeds the anchor density (2^ceil(log2 x) ≥ x)
+    assert n_grown / 2**chosen <= KNN_N0 / 2**LSH_BITS
+
+    def work_per_vec(path, bits):
+        cells = (
+            _with_buckets(_vectors(spark, path), bits=bits)
+            .groupBy("tbl", "bucket")
+            .agg(F.count("*").alias("m"))
+            .agg(F.sum(F.col("m") * F.col("m")).alias("sq"))
+            .collect()[0]["sq"]
+        )
+        return cells / _vectors(spark, path).count()
+
+    # measured per-vector candidate work stays at the anchor-density
+    # ballpark (LSH_TABLES cells of ≈ N0/2^LSH_BITS members each; 2.5×
+    # covers skew + multiprobe) — corpora below the anchor can only sit
+    # BELOW this bound, so the pin is scale-independent
+    anchor_work = similarity.LSH_TABLES * (KNN_N0 / 2**LSH_BITS)
+    w_auto = work_per_vec(grown, chosen)
+    assert w_auto <= 2.5 * anchor_work
+    # and fixed bits on the same corpus do strictly worse per vector
+    assert work_per_vec(grown, LSH_BITS) > w_auto
+
+    out = knn_graph_auto(spark, grown)
+    per_query = out.groupBy("vec_id").count().collect()
+    assert len(per_query) == 20 * n
     assert all(r["count"] == KNN_K for r in per_query)
