@@ -327,3 +327,72 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str, nprobe: int | None = None) -> D
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos", "rank")
     )
+
+
+# ----------------------------------------------- registered verdict query
+
+# Corpus-level recall floor for the registered verdict. Conservative on
+# purpose: recall@10 measures ~0.85+ on the testdata corpus at every sf;
+# the floor is far below any legitimate data wobble but far above what a
+# broken codebook/encode/ADC produces (a scrambled LUT drops recall to
+# ~candidate-rate ≈ 0.1). The r8-advice lesson from dedup_minhash_fast
+# applies: the verdict is an AGGREGATE over the whole query set, not a
+# per-query pin, so one legitimately-hard query can't flip it.
+PQ_RECALL_FLOOR = 0.5
+
+
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered driver query for the PQ family (r9): the sketch-query
+    recipe (operators/approx.py) applied to ADC. Emits, per query, the
+    EXACT brute-force top-1 neighbor (oracle-replayable: DuckDB recomputes
+    it from the raw embeddings) plus ``pq_recall_ok`` — "the full
+    train→encode→ADC→rescore pipeline achieves corpus recall@TOP_K ≥
+    PQ_RECALL_FLOOR against exact search" — pinned TRUE by the oracle. A
+    codebook, encoding, or LUT regression tanks recall and fails the
+    driver's value hash; the trained artifact itself stays pytest-pinned
+    (determinism + the tighter 0.6/0.7 floors in tests/test_pq.py).
+    """
+    from .similarity import ann_bruteforce
+
+    exact = ann_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", "cos", "rank"
+    )
+    approx = ann_pq(spark, sf_dir).select("query_id", "neighbor_id")
+    # bounded driver scalars: queries × TOP_K rows on both sides
+    n_exact = exact.count()
+    n_hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    ok = n_exact > 0 and n_hit / n_exact >= PQ_RECALL_FLOOR
+    return (
+        exact.filter(F.col("rank") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("exact_top1_id"),
+            F.col("cos").alias("exact_top1_cos"),
+            F.lit(bool(ok)).alias("pq_recall_ok"),
+        )
+    )
+
+
+from ..functions.vectors import sql_cosine, sql_double_array  # noqa: E402
+
+ORACLES = {
+    "ann_pq_recall": f"""
+    WITH e AS (
+      SELECT vec_id, {sql_double_array('embedding')} AS ed FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, ed AS qe FROM e WHERE vec_id % {QUERY_MOD} = 0
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round({sql_cosine('q.qe', 'e.ed')}, 6) AS cos
+      FROM q JOIN e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id AS exact_top1_id, cos AS exact_top1_cos,
+           TRUE AS pq_recall_ok
+    FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk = 1
+    """,
+}

@@ -265,6 +265,10 @@ def _build() -> None:
 
     _register(_suffix, ["longest_repeated_substring"])
 
+    from .operators import pq as _pq
+
+    _register(_pq, ["ann_pq_recall"])
+
     from .operators import curation as _cur
 
     _register(_cur, [
