@@ -193,6 +193,25 @@ def topk_stateful(events: DataFrame, k: int = 3) -> DataFrame:
     Emits the updated top-k for each user touched by a micro-batch;
     deterministic tiebreak (higher value first, then lower event_id).
     """
+    import importlib.util
+
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        has_protobuf = False
+    if not has_protobuf:
+        # transformWithStateInPandas ships state schemas to its Python
+        # driver worker over protobuf; without it the worker CRASHES with
+        # an opaque "driver worker exited unexpectedly" — fail up front
+        # with the actionable story instead (executing twin:
+        # topk_stateful_compat, identical semantics on
+        # applyInPandasWithState, no protobuf dependency)
+        raise ImportError(
+            "topk_stateful requires google.protobuf (transformWithState's "
+            "driver-worker wire format); install protobuf or use "
+            "topk_stateful_compat — the applyInPandasWithState twin with "
+            "identical semantics"
+        )
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
     class TopK(StatefulProcessor):

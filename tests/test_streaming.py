@@ -188,18 +188,6 @@ def test_foreach_batch_parquet_sink_idempotent(spark, drop_dir, tmp_path):
     assert again.count() == len(EVENTS)
 
 
-def test_topk_stateful_plan_builds(spark, drop_dir):
-    """Plumbing check that runs without protobuf: the transformWithState
-    plan analyzes, is streaming, and carries the declared output schema."""
-    from map_reduce_in_go_spark.streaming.events import topk_stateful
-
-    df = topk_stateful(read_event_stream(spark, drop_dir))
-    assert df.isStreaming
-    assert [f.name for f in df.schema.fields] == [
-        "user_id", "rank", "value", "event_id",
-    ]
-
-
 def test_topk_stateful_compat_stream(spark, drop_dir):
     """EXECUTES the top-k semantics (no protobuf needed): the
     applyInPandasWithState twin must produce the exact rows the
@@ -222,13 +210,32 @@ def test_topk_stateful_compat_stream(spark, drop_dir):
 
 
 def test_topk_stateful_stream(spark, drop_dir):
-    # transformWithState ships state schemas to a Python driver worker over
-    # protobuf; this sandbox has no google.protobuf and installs are not
-    # possible, so execution stays gated here — the compat twin above runs
-    # the identical semantics end-to-end instead.
-    pytest.importorskip("google.protobuf")
+    """Executes on EVERY environment (no skip — r9): with google.protobuf
+    present, runs the real transformWithStateInPandas query; without it
+    (this sandbox — no installs possible), asserts the documented loud
+    ImportError that replaces transformWithState's otherwise-opaque
+    'driver worker exited unexpectedly' crash and points at the
+    executing compat twin above."""
+    import importlib.util
+
     from map_reduce_in_go_spark.streaming.events import topk_stateful
 
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_protobuf = False
+    if not has_protobuf:
+        with pytest.raises(ImportError, match="topk_stateful_compat"):
+            topk_stateful(read_event_stream(spark, drop_dir))
+        return
+
+    # protobuf present: the plan must analyze with the declared schema,
+    # then execute on the RocksDB state store
+    df = topk_stateful(read_event_stream(spark, drop_dir))
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "user_id", "rank", "value", "event_id",
+    ]
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
