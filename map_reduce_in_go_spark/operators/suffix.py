@@ -60,6 +60,10 @@ from ..sources.tables import load_documents_parallel
 INIT_W = 32
 MAX_ROUNDS = 12  # 32 · 2^12 = 128k chars — far past any testdata doc
 LCP_MAX = 1024  # adjacent-LCP comparison cap (bytes moved: chars × this)
+# SA-order block size for the adjacent-LCP pass: each task holds one block
+# of suffix slices (≤ LCP_BLOCK × LCP_MAX bytes ≈ 64 MB worst case), and
+# block count n/LCP_BLOCK sets the parallelism at scale.
+LCP_BLOCK = 65536
 
 
 def suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,7 +103,23 @@ def suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _suffix_array_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_part = spark.sparkContext.defaultParallelism
-    docs = load_documents_parallel(spark, sf_dir).select("doc_id", "text")
+    docs_all = load_documents_parallel(spark, sf_dir).select("doc_id", "text")
+    # Duplicate-document collapse (r9): byte-identical docs contribute
+    # byte-identical suffix sets whose ranks can never separate — on a
+    # dup-heavy corpus the doubling rounds would drag every copy along
+    # forever (the 10× replica is 90% permanent ties). Build the SA over
+    # one representative per distinct text and fan ranks back out at the
+    # end: equal texts get equal ranks by construction and the final
+    # total order already breaks those ties by (doc_id, pos), so the
+    # output is bit-identical to the full computation (pinned by the
+    # brute-force test) while the iterative core runs at distinct-text
+    # scale. This is also the honest 100 TB posture — dedup before index.
+    digests = docs_all.select("doc_id", F.md5("text").alias("dg"))
+    reps = digests.groupBy("dg").agg(F.min("doc_id").alias("rep_id"))
+    rep_map = digests.join(reps, "dg").select("doc_id", "rep_id")
+    docs = docs_all.join(
+        reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
     sufs = (
         docs.select(
             "doc_id", F.explode(F.expr("sequence(1, length(text))")).alias("pos"), "text"
@@ -171,9 +191,14 @@ def _suffix_array_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id", "pos"
                 )
             )
+    # fan the representative ranks back out to every duplicate doc (slim
+    # doc-grain map joined at suffix grain; AQE broadcasts it when small)
+    full = rep_map.join(
+        ranks.withColumnRenamed("doc_id", "rep_id"), "rep_id"
+    ).select("doc_id", "pos", "r")
     # final total order: rank, then (doc_id, pos) for equal-suffix ties
     out, _ = with_global_rank(
-        ranks, [F.asc("r"), F.asc("doc_id"), F.asc("pos")], "sa_rank"
+        full, [F.asc("r"), F.asc("doc_id"), F.asc("pos")], "sa_rank"
     )
     return out.select("doc_id", "pos", "sa_rank")
 
@@ -205,6 +230,7 @@ def longest_repeated_substring(
     upstream hasn't run; the testdata's longest repeat IS a full 513-char
     duplicate document, which the default cap covers).
     """
+    import numpy as np
     import pandas as pd
 
     sa = scoped_persist(suffix_array(spark, sf_dir))
@@ -215,37 +241,77 @@ def longest_repeated_substring(
         F.col("pos"),
         F.expr(f"substr(text, pos, {LCP_MAX})").alias("suf"),
     )
-    nxt = with_text.select(
-        (F.col("sa_rank") - 1).alias("sa_rank"),
-        F.col("doc_id").alias("doc_b"),
-        F.col("pos").alias("pos_b"),
-        F.col("suf").alias("suf_b"),
+    # Adjacent pairing WITHOUT the former rank self-join (which shuffled
+    # every suffix slice twice): route each row to a deterministic
+    # SA-order block of LCP_BLOCK ranks, duplicating only each block's
+    # first row into the previous block so the cross-boundary pair is
+    # still computed — text moves through exactly ONE shuffle, and the
+    # kernel compares consecutive rows.
+    blk = with_text.withColumn(
+        "blk", F.expr(f"CAST((sa_rank - 1) DIV {LCP_BLOCK} AS LONG)")
     )
-    pairs = with_text.join(nxt, "sa_rank")
+    boundary = with_text.filter(
+        (F.col("sa_rank") % LCP_BLOCK == 1) & (F.col("sa_rank") > 1)
+    ).withColumn("blk", F.expr(f"CAST((sa_rank - 2) DIV {LCP_BLOCK} AS LONG)"))
+    tagged = blk.unionByName(boundary)
 
-    def lcp(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            out = []
-            for a, b in zip(pdf["suf"], pdf["suf_b"]):
-                m = min(len(a), len(b))
-                i = 0
-                while i < m and a[i] == b[i]:
-                    i += 1
-                out.append(i)
-            yield pd.DataFrame(
-                {
-                    "lcp": out,
-                    "doc_a": pdf["doc_id"],
-                    "pos_a": pdf["pos"],
-                    "doc_b": pdf["doc_b"],
-                    "pos_b": pdf["pos_b"],
-                }
-            )
+    def _np_lcp(a_strs: list, b_strs: list) -> np.ndarray:
+        """Vectorized LCP of row-aligned string lists, in BYTES (equal to
+        chars on ASCII corpora — the same byte-exactness note as the
+        multimodal_frames oracle). Pads A with 0 and B with 255 (neither
+        occurs in text), so the first A!=B position IS the LCP: a proper
+        prefix mismatches at its own end, equal strings at their shared
+        length — no special cases."""
+        out = np.empty(len(a_strs), np.int64)
+        CH = 4096
+        for s in range(0, len(a_strs), CH):
+            aa = [x.encode() for x in a_strs[s : s + CH]]
+            bb = [x.encode() for x in b_strs[s : s + CH]]
+            # +1 sentinel column: two equal strings of exactly `width`
+            # bytes would otherwise have no mismatch and argmax would
+            # return 0 instead of width
+            width = max(1, max(map(len, aa + bb))) + 1
+            A = np.zeros((len(aa), width), np.uint8)
+            B = np.full((len(aa), width), 255, np.uint8)
+            for i, (x, y) in enumerate(zip(aa, bb)):
+                A[i, : len(x)] = np.frombuffer(x, np.uint8)
+                B[i, : len(y)] = np.frombuffer(y, np.uint8)
+            out[s : s + CH] = (A != B).argmax(axis=1)
+        return out
 
-    scored = pairs.mapInPandas(
-        lcp, schema="lcp long, doc_a long, pos_a long, doc_b long, pos_b long"
+    def _block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "lcp": pd.Series(dtype="int64"),
+                "doc_a": pd.Series(dtype="int64"),
+                "pos_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "pos_b": pd.Series(dtype="int64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("sa_rank")
+        ranks = pdf["sa_rank"].to_numpy()
+        keep = ranks[1:] == ranks[:-1] + 1  # dense ranks: always true
+        if not keep.any():
+            return empty
+        sufs = pdf["suf"].tolist()
+        a_idx = np.nonzero(keep)[0]
+        lcps = _np_lcp([sufs[i] for i in a_idx], [sufs[i + 1] for i in a_idx])
+        return pd.DataFrame(
+            {
+                "lcp": lcps,
+                "doc_a": pdf["doc_id"].to_numpy()[a_idx],
+                "pos_a": pdf["pos"].to_numpy()[a_idx],
+                "doc_b": pdf["doc_id"].to_numpy()[a_idx + 1],
+                "pos_b": pdf["pos"].to_numpy()[a_idx + 1],
+            }
+        )
+
+    scored = tagged.groupBy("blk").applyInPandas(
+        _block_pairs,
+        schema="lcp long, doc_a long, pos_a long, doc_b long, pos_b long",
     )
     return scored.orderBy(
         F.desc("lcp"), F.asc("doc_a"), F.asc("pos_a"), F.asc("doc_b"), F.asc("pos_b")
