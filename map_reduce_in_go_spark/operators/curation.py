@@ -91,6 +91,47 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware 80/10/10 split: near-duplicates can never straddle
+    splits.
+
+    :func:`split_train_test` hashes each doc independently, so two
+    near-duplicate documents routinely land in train AND test — the
+    classic leakage that inflates eval numbers (the reason Dodge et al.
+    2021 / Lee et al. 2022 dedup before splitting). Here the split key is
+    the document's near-dup CLUSTER representative (the connected-
+    component min-id over MinHash-LSH candidate pairs,
+    :func:`~..operators.dedup.dedup_clusters`); every member of a cluster
+    inherits the representative's bucket and therefore its split.
+    Singletons (docs in no candidate pair) hash by their own id, so on a
+    dup-free corpus this degrades to exactly ``split_train_test``.
+
+    Plan: the cluster labeling (bounded label-propagation rounds over the
+    LSH pair graph — never all-pairs) plus ONE left join at doc grain and
+    a map-stage bucket; the join's cluster side is duplicate-pairs-sized,
+    tiny relative to the corpus, so AQE broadcasts it at scale.
+    Leakage-freedom is pinned in tests/test_curation.py: every MinHash
+    candidate pair ends up split-together.
+    """
+    from .dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clusters = dedup_clusters(spark, sf_dir)
+    rep = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    bucket = hash_bucket(rep)
+    split = (
+        F.when(bucket < TRAIN_PCT, F.lit("train"))
+        .when(bucket < VALID_PCT, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        rep.alias("rep_id"),
+        bucket.alias("bucket"),
+        split.alias("split"),
+    )
+
+
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-balanced downsampling at fixed per-lang rates.
 
@@ -1009,3 +1050,31 @@ ORACLES["corpus_shuffle"] = f"""
                 % {SHUFFLE_LOADER_SHARDS} AS INTEGER) AS loader_shard
     FROM h
     """
+
+
+# Leakage-safe split oracle: nest the dedup_clusters transitive-closure
+# oracle as a CTE (string surgery on its final SELECT — asserted below so
+# a refactor of the clusters oracle can't silently break this one), then
+# bucket every doc by its cluster representative.
+from .dedup import ORACLES as _DEDUP_ORACLES_FOR_SPLIT  # noqa: E402
+
+_CLUSTERS_FINAL = "SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id"
+assert _CLUSTERS_FINAL in _DEDUP_ORACLES_FOR_SPLIT["dedup_clusters"], (
+    "dedup_clusters oracle changed shape; update split_leakage_safe's CTE surgery"
+)
+_REP = "COALESCE(c.cluster_id, d.doc_id)"
+_REP_BUCKET = sql_hash_bucket(_REP)
+ORACLES["split_leakage_safe"] = (
+    _DEDUP_ORACLES_FOR_SPLIT["dedup_clusters"].replace(
+        _CLUSTERS_FINAL, f", clusters AS ({_CLUSTERS_FINAL})", 1
+    )
+    + f"""
+    SELECT d.doc_id,
+           {_REP} AS rep_id,
+           {_REP_BUCKET} AS bucket,
+           CASE WHEN {_REP_BUCKET} < {TRAIN_PCT} THEN 'train'
+                WHEN {_REP_BUCKET} < {VALID_PCT} THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    """
+)

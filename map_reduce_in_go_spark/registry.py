@@ -273,6 +273,7 @@ def _build() -> None:
 
     _register(_cur, [
         "split_train_test",
+        "split_leakage_safe",
         "sample_stratified",
         "contamination_ngram",
         "quality_repetition",

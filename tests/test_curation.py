@@ -213,3 +213,36 @@ def test_reservoir_exact_k_and_rerun_stable(spark, sf_dir):
     assert {(r["doc_id"], r["rk"]) for r in again} == {
         (r["doc_id"], r["rk"]) for r in got
     }
+
+
+def test_split_leakage_safe_keeps_pairs_together(spark, sf_dir):
+    """The leakage guarantee itself: every MinHash candidate pair — the
+    near-dup evidence — lands in ONE split, and docs outside any cluster
+    get exactly their split_train_test assignment."""
+    from map_reduce_in_go_spark.functions.caching import release_persisted
+    from map_reduce_in_go_spark.operators.curation import (
+        split_leakage_safe,
+        split_train_test,
+    )
+    from map_reduce_in_go_spark.operators.dedup import dedup_minhash
+
+    splits = {
+        r["doc_id"]: (r["rep_id"], r["split"])
+        for r in split_leakage_safe(spark, sf_dir).collect()
+    }
+    pairs = [
+        (r["doc_a"], r["doc_b"]) for r in dedup_minhash(spark, sf_dir).collect()
+    ]
+    assert pairs, "corpus should contain near-duplicates"
+    for a, b in pairs:
+        assert splits[a][1] == splits[b][1], (a, b, splits[a], splits[b])
+        assert splits[a][0] == splits[b][0]  # same representative
+    clustered = {d for p in pairs for d in p}
+    base = {
+        r["doc_id"]: r["split"] for r in split_train_test(spark, sf_dir).collect()
+    }
+    release_persisted()
+    for d, (rep, s) in splits.items():
+        if d not in clustered:
+            assert rep == d
+            assert s == base[d]
