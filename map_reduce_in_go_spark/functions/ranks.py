@@ -167,19 +167,21 @@ def with_global_dense_rank(
         offs[pid] = n_distinct
         total += sizes[pid][0]
         n_distinct += sizes[pid][1]
-    if not offs:
-        empty = part.withColumn(rank_col, F.lit(None).cast("long")).drop("_pid")
-        if out_cols is not None:
-            empty = empty.select(*out_cols, rank_col)
-        return empty, 0, 0
-
-    bc = df.sparkSession.sparkContext.broadcast(offs)
     keep = set(out_cols) if out_cols is not None else None
     out_fields = [
         f.name
         for f in part.schema.fields
         if f.name != "_pid" and (keep is None or f.name in keep)
     ]
+    if not offs:
+        # same schema-order projection as the non-empty path — an empty
+        # corpus must not reorder columns for positional consumers
+        empty = part.withColumn(rank_col, F.lit(None).cast("long")).select(
+            *out_fields, rank_col
+        )
+        return empty, 0, 0
+
+    bc = df.sparkSession.sparkContext.broadcast(offs)
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in part.schema.fields

@@ -28,10 +28,6 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 
-META_SCHEMA = (
-    "doc_id long, n_bytes long, digest string, width long, height long, "
-    "pixel_sum long"
-)
 FEATURE_DIM = 8
 FEATURE_SCHEMA = "doc_id long, n_bytes long, features array<double>"
 
@@ -92,21 +88,34 @@ def with_payload(docs: DataFrame) -> DataFrame:
 
 
 def with_ppm_payload(docs: DataFrame) -> DataFrame:
-    """Attach a real binary-PPM payload synthesized from each document."""
+    """Attach a real binary-PPM payload + source-text md5 per document.
+
+    NULL/empty texts are filtered out up front (a zero-byte doc has no
+    image — same predicate the oracle applies), so the encode kernel
+    never sees an input it would have to reject mid-job. The digest is
+    emitted from the SAME kernel that holds the text, so downstream
+    consumers don't re-scan the table just to content-address rows.
+    """
 
     def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            payloads, digests = [], []
+            for t in pdf["text"]:
+                b = t.encode("utf-8")
+                payloads.append(encode_ppm(b))
+                digests.append(hashlib.md5(b).hexdigest())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
-                    "payload": [
-                        encode_ppm(t.encode("utf-8")) for t in pdf["text"]
-                    ],
+                    "payload": payloads,
+                    "digest": digests,
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
-        _enc, schema="doc_id long, payload binary"
+    return (
+        docs.select("doc_id", "text")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .mapInPandas(_enc, schema="doc_id long, payload binary, digest string")
     )
 
 
@@ -114,37 +123,44 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline, decode FOR REAL: synthesize a PPM per doc,
     parse it back in an Arrow kernel (header-derived width/height, raster
     pixel sum), emit typed metadata. ``digest`` is the md5 of the SOURCE
-    text (content addressing the oracle can replay; the payload digest is
-    pinned separately in tests/test_multimodal.py)."""
+    text, carried through from the encode kernel — no second table scan
+    or join just to content-address rows (the payload digest is pinned
+    separately in tests/test_multimodal.py). Zero-byte/NULL docs are
+    excluded by :func:`with_ppm_payload` on both sides."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     payloads = with_ppm_payload(docs)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for doc_id, payload, digest in zip(
+                pdf["doc_id"], pdf["payload"], pdf["digest"]
+            ):
                 payload = bytes(payload)
                 meta = decode_ppm(payload)
                 rows.append(
                     {
                         "doc_id": int(doc_id),
                         "n_bytes": len(payload),
+                        "digest": digest,
                         "width": meta["width"],
                         "height": meta["height"],
                         "pixel_sum": meta["pixel_sum"],
                     }
                 )
             yield pd.DataFrame(
-                rows, columns=["doc_id", "n_bytes", "width", "height", "pixel_sum"]
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "digest", "width", "height", "pixel_sum",
+                ],
             )
 
-    decoded = payloads.mapInPandas(
+    return payloads.mapInPandas(
         _extract,
-        schema="doc_id long, n_bytes long, width long, height long, pixel_sum long",
-    )
-    digests = docs.select("doc_id", F.md5(F.encode("text", "UTF-8")).alias("digest"))
-    return decoded.join(digests, "doc_id").select(
-        "doc_id", "n_bytes", "digest", "width", "height", "pixel_sum"
+        schema=(
+            "doc_id long, n_bytes long, digest string, width long, "
+            "height long, pixel_sum long"
+        ),
     )
 
 
@@ -263,6 +279,7 @@ ORACLES: dict[str, str] = {
              list_transform(range(1, length(text) + 1),
                             i -> ascii(substr(text, i, 1))) AS codes
       FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0
     ), sized AS (
       SELECT doc_id, text, len, w, h, codes,
              w * h * 3 AS total,

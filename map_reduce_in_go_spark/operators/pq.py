@@ -352,10 +352,16 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's value hash; the trained artifact itself stays pytest-pinned
     (determinism + the tighter 0.6/0.7 floors in tests/test_pq.py).
     """
+    from ..functions.caching import scoped_persist
     from .similarity import ann_bruteforce
 
-    exact = ann_bruteforce(spark, sf_dir).select(
-        "query_id", "neighbor_id", "cos", "rank"
+    # persisted: consumed by THREE actions (the recall counts below and
+    # the returned frame) — unpersisted, the dominant brute-force job
+    # would run three times per invocation
+    exact = scoped_persist(
+        ann_bruteforce(spark, sf_dir).select(
+            "query_id", "neighbor_id", "cos", "rank"
+        )
     )
     approx = ann_pq(spark, sf_dir).select("query_id", "neighbor_id")
     # bounded driver scalars: queries × TOP_K rows on both sides

@@ -121,3 +121,16 @@ def test_feature_extraction_from_decoded_pixels(spark, sf_dir):
         assert r["features"][0] == float(w)
         assert r["features"][1] == float(h)
         assert r["features"][2] == pytest.approx(px[:, :, 0].mean())
+
+
+def test_empty_and_null_docs_are_excluded(spark):
+    """Zero-byte and NULL texts have no image: with_ppm_payload filters
+    them (matching the oracle's predicate) instead of crashing the job."""
+    df = spark.createDataFrame(
+        [(1, "real content here"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = with_ppm_payload(df).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    meta = decode_ppm(bytes(rows[0]["payload"]))
+    assert meta["width"] > 0 and meta["pixel_sum"] > 0
