@@ -168,3 +168,33 @@ def test_suffix_round_join_is_exchange_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", old_co)
         release_persisted()
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-20, max_value=20), min_size=0, max_size=300
+    )
+)
+def test_global_dense_rank_property(spark, vals):
+    """For ANY input (heavy duplication by design of the small value
+    range, skew, empty), the fused dense rank equals pandas' dense rank
+    and the returned totals are exact."""
+    from map_reduce_in_go_spark.functions.ranks import with_global_dense_rank
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long") if rows else (
+        spark.range(0).select(F.col("id"), F.lit(0).alias("v"))
+    )
+    ranked, n, d = with_global_dense_rank(df, ["v"], "rk")
+    got = {r["id"]: r["rk"] for r in ranked.collect()}
+    release_persisted()
+    assert n == len(vals)
+    assert d == len(set(vals))
+    order = sorted(set(vals))
+    want_rank = {v: i + 1 for i, v in enumerate(order)}
+    assert got == {i: want_rank[v] for i, v in rows}
