@@ -1100,3 +1100,79 @@ ORACLES["vector_quantize_int8"] = f"""
            TRUE AS quant_ok
     FROM embeddings
     """
+
+
+# ------------------------------------------- embedding distribution report
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(label, dimension) embedding distribution report: exact member
+    count, 6dp-exact centroid component, and the exact second moment —
+    the drift/balance table a dataset monitor diffs between corpus
+    versions (centroid shift flags upstream encoder or sampling drift;
+    E[x²]−E[x]² per dimension is the variance without a second pass).
+
+    Exactness discipline (the corpus_report recipe): each component is
+    rounded once at 6dp and lifted to DECIMAL micros, so the cross-row
+    sums are order-independent and the mean is the engine-agnostic
+    integer round-half-up ``(2a+n) div 2n`` — no double accumulation
+    whose partial-aggregation order could flip the driver hash. Plan:
+    one posexplode (corpus × 64 fixed-width rows) and one partial-agg
+    groupBy on (label, dim); output is labels × dims rows.
+    """
+    vecs = _vectors(spark, sf_dir)
+    comp = vecs.select(
+        "label",
+        F.posexplode("e").alias("dim", "x"),
+    ).select(
+        "label",
+        "dim",
+        (F.round(F.col("x"), 6).cast("decimal(16,6)") * 1000000)
+        .cast("long")
+        .alias("micro"),
+    )
+    return (
+        comp.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.expr("(2 * sum(micro) + count(micro)) div (2 * count(micro))")
+            .alias("mean_micro"),
+            F.sum(
+                (F.col("micro").cast("decimal(22,0)") * F.col("micro")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("sum_sq_micro2"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n_vecs",
+            (F.col("mean_micro").cast("double") / 1000000).alias("centroid"),
+            (
+                F.expr(
+                    "(2 * sum_sq_micro2 + n_vecs * 1000000) "
+                    "div (2 * n_vecs * 1000000)"
+                ).cast("double")
+                / 1000000
+            ).alias("second_moment"),
+        )
+    )
+
+
+ORACLES["embedding_centroids"] = """
+    WITH comp AS (
+      SELECT label, u.i - 1 AS dim,
+             CAST(CAST(round(CAST(embedding[u.i] AS DOUBLE), 6)
+                       AS DECIMAL(16,6)) * 1000000 AS BIGINT) AS micro
+      FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS u(i)
+    )
+    SELECT label, CAST(dim AS INTEGER) AS dim,
+           count(*) AS n_vecs,
+           CAST((2 * sum(micro) + count(micro)) // (2 * count(micro))
+                AS DOUBLE) / 1000000 AS centroid,
+           CAST((2 * sum(CAST(micro AS HUGEINT) * micro)
+                 + count(*) * 1000000)
+                // (2 * count(*) * 1000000) AS DOUBLE) / 1000000
+             AS second_moment
+    FROM comp GROUP BY label, dim
+    """

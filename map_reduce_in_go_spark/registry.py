@@ -233,6 +233,7 @@ def _build() -> None:
         "vector_norms",
         "knn_graph",
         "vector_quantize_int8",
+        "embedding_centroids",
     ])
 
     from .operators import text_analysis as _ta
