@@ -60,10 +60,22 @@ from ..sources.tables import load_documents_parallel
 INIT_W = 32
 MAX_ROUNDS = 12  # 32 · 2^12 = 128k chars — far past any testdata doc
 LCP_MAX = 1024  # adjacent-LCP comparison cap (bytes moved: chars × this)
-# SA-order block size for the adjacent-LCP pass: each task holds one block
-# of suffix slices (≤ LCP_BLOCK × LCP_MAX bytes ≈ 64 MB worst case), and
-# block count n/LCP_BLOCK sets the parallelism at scale.
+# SA-order block-size CAP for the adjacent-LCP pass: each task holds one
+# block of suffix slices (≤ LCP_BLOCK × LCP_MAX bytes ≈ 64 MB worst case).
+# The actual block size self-sizes DOWN from the cap so small corpora
+# still fan out across every core (see _lcp_block_size); block count
+# n/B sets the parallelism at scale.
 LCP_BLOCK = 65536
+LCP_BLOCK_MIN = 4096  # below this, per-task overhead dominates the kernel
+
+
+def _lcp_block_size(n: int, parallelism: int) -> int:
+    """Block size for n suffixes: the memory cap, shrunk until the pass
+    has ≥ 2 blocks per core (the r10-declared auto knob, landed r9)."""
+    if n <= 0:
+        return LCP_BLOCK
+    target = -(-n // (2 * parallelism))  # ceil: 2 waves of tasks
+    return max(LCP_BLOCK_MIN, min(LCP_BLOCK, target))
 
 
 def suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,16 +255,18 @@ def longest_repeated_substring(
     )
     # Adjacent pairing WITHOUT the former rank self-join (which shuffled
     # every suffix slice twice): route each row to a deterministic
-    # SA-order block of LCP_BLOCK ranks, duplicating only each block's
-    # first row into the previous block so the cross-boundary pair is
-    # still computed — text moves through exactly ONE shuffle, and the
-    # kernel compares consecutive rows.
+    # SA-order block of B ranks, duplicating only each block's first row
+    # into the previous block so the cross-boundary pair is still
+    # computed — text moves through exactly ONE shuffle, and the kernel
+    # compares consecutive rows. B self-sizes from the (cached) SA's row
+    # count so small corpora still fan out across every core.
+    B = _lcp_block_size(sa.count(), spark.sparkContext.defaultParallelism)
     blk = with_text.withColumn(
-        "blk", F.expr(f"CAST((sa_rank - 1) DIV {LCP_BLOCK} AS LONG)")
+        "blk", F.expr(f"CAST((sa_rank - 1) DIV {B} AS LONG)")
     )
     boundary = with_text.filter(
-        (F.col("sa_rank") % LCP_BLOCK == 1) & (F.col("sa_rank") > 1)
-    ).withColumn("blk", F.expr(f"CAST((sa_rank - 2) DIV {LCP_BLOCK} AS LONG)"))
+        (F.col("sa_rank") % B == 1) & (F.col("sa_rank") > 1)
+    ).withColumn("blk", F.expr(f"CAST((sa_rank - 2) DIV {B} AS LONG)"))
     tagged = blk.unionByName(boundary)
 
     def _np_lcp(a_strs: list, b_strs: list) -> np.ndarray:

@@ -246,3 +246,25 @@ def test_split_leakage_safe_keeps_pairs_together(spark, sf_dir):
         if d not in clustered:
             assert rep == d
             assert s == base[d]
+
+
+def test_split_leakage_safe_shares_stay_near_nominal(spark, sf_dir):
+    """Cluster atomicity moves whole dup groups between splits, so
+    realized shares can drift from the nominal 80/10/10 — the rebalancing
+    stat a pipeline monitors. Pin that on this corpus the drift stays
+    small (clusters are a minor mass fraction) and the three splits
+    partition the corpus exactly."""
+    from map_reduce_in_go_spark.functions.caching import release_persisted
+    from map_reduce_in_go_spark.operators.curation import split_leakage_safe
+
+    rows = split_leakage_safe(spark, sf_dir).collect()
+    release_persisted()
+    n = len(rows)
+    by_split = {}
+    for r in rows:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + 1
+    assert sum(by_split.values()) == n
+    shares = {s: 100.0 * c / n for s, c in by_split.items()}
+    assert abs(shares.get("train", 0) - 80) < 8, shares
+    assert abs(shares.get("valid", 0) - 10) < 8, shares
+    assert abs(shares.get("test", 0) - 10) < 8, shares

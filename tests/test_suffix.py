@@ -68,3 +68,18 @@ def test_longest_repeated_substring(spark, sf_dir):
     b = texts[row["doc_b"]][row["pos_b"] - 1 :]
     assert a[: row["lcp"]] == b[: row["lcp"]]
     assert want > 0  # the corpus contains repeats (dup docs exist)
+
+
+def test_lcp_block_size_self_sizes():
+    """The auto knob: capped at the memory bound, floored at the per-task
+    overhead bound, and otherwise targeting two task waves per core."""
+    from map_reduce_in_go_spark.operators.suffix import (
+        LCP_BLOCK,
+        LCP_BLOCK_MIN,
+        _lcp_block_size,
+    )
+
+    assert _lcp_block_size(0, 32) == LCP_BLOCK  # degenerate: cap
+    assert _lcp_block_size(100, 32) == LCP_BLOCK_MIN  # tiny corpus: floor
+    assert _lcp_block_size(1_500_000, 32) == -(-1_500_000 // 64)  # 2 waves
+    assert _lcp_block_size(100_000_000, 32) == LCP_BLOCK  # capped at scale
