@@ -39,12 +39,9 @@ ANCHOR_W = 32  # anchor width (chars) = minimum searchable pattern length
 INDEX_FILES = 16  # clustered data files per index (the prune granularity)
 
 
-def build_substring_index(
-    spark: SparkSession, sf_dir: str, root: str, num_files: int = INDEX_FILES
-) -> ManifestTable:
-    """Scan the corpus once, persist the anchor-gram index hash-clustered."""
-    docs = load_documents_parallel(spark, sf_dir).select("doc_id", "text")
-    grams = (
+def _gram_rows(docs: DataFrame) -> DataFrame:
+    """(h, doc_id, pos) anchor-gram rows for a (doc_id, text) frame."""
+    return (
         docs.filter(F.length("text") >= ANCHOR_W)
         .select(
             F.col("doc_id"),
@@ -57,12 +54,45 @@ def build_substring_index(
         )
         .select("h", "doc_id", (F.col("pos0") + 1).alias("pos"))
     )
+
+
+def build_substring_index(
+    spark: SparkSession, sf_dir: str, root: str, num_files: int = INDEX_FILES
+) -> ManifestTable:
+    """Scan the corpus once, persist the anchor-gram index hash-clustered."""
+    docs = load_documents_parallel(spark, sf_dir).select("doc_id", "text")
     tbl = ManifestTable(root, stats_cols=["h"])
-    tbl.append(grams, op="substring-index-build")
+    tbl.append(_gram_rows(docs), op="substring-index-build")
     # hash-clustered rewrite: per-file [min,max] on h become disjoint-ish
     # ranges, so a point probe prunes to O(1) files
     tbl.compact(spark, num_files=num_files, zorder_cols=["h"])
     return tbl
+
+
+def index_append(spark: SparkSession, root: str, docs: DataFrame, op: str) -> bool:
+    """Incremental maintenance: a new document batch appends its grams in
+    ONE ledgered commit — exactly-once per ``op`` id across retries and
+    stream replays (the band-index/rollup discipline applied to the text
+    index). The index answers queries immediately; appended files span
+    wider hash ranges than the clustered base, so pruning degrades
+    gracefully until :func:`optimize_index` restores the tight layout.
+    Returns False (no recompute) on a replayed op."""
+    tbl = ManifestTable(root, stats_cols=["h"])
+    if op in tbl.committed_ops():
+        return False
+    tbl.append(_gram_rows(docs.select("doc_id", "text")), op=op)
+    return True
+
+
+def optimize_index(
+    spark: SparkSession, root: str, num_files: int = INDEX_FILES
+) -> int:
+    """Re-cluster the whole index on the hash (the OPTIMIZE-ZORDER verb):
+    one atomic CAS rewrite restores point-probe pruning for every file
+    after a run of incremental appends."""
+    return ManifestTable(root, stats_cols=["h"]).compact(
+        spark, num_files=num_files, zorder_cols=["h"]
+    )
 
 
 def substring_search(
