@@ -77,7 +77,6 @@ def read_steal_seconds() -> float | None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    steal0 = read_steal_seconds()
     from map_reduce_in_go_spark import registry
     from map_reduce_in_go_spark.session import get_spark
 
@@ -98,19 +97,49 @@ def main() -> None:
     release_persisted()  # drop any caches the warmup queries pinned
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        samples = []
-        for _ in range(reps):
-            t0 = time.time()
-            # noop sink, not count(): a count() lets Catalyst prune columns
-            # nothing aggregates over, so map-only queries (regex scrubs,
-            # per-row scores) would time the scan instead of the work
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.time() - t0)
-            # drop scoped caches so every rep is a cold, comparable run
-            release_persisted()
-        times[name] = round(statistics.median(samples), 3)
+
+    def run_suite() -> tuple[dict[str, float], float, float | None]:
+        """One timed sweep → (per-query medians, wall sec, steal delta sec)."""
+        s0 = read_steal_seconds()
+        w0 = time.time()
+        times: dict[str, float] = {}
+        for name in HEADLINE:
+            samples = []
+            for _ in range(reps):
+                t0 = time.time()
+                # noop sink, not count(): a count() lets Catalyst prune columns
+                # nothing aggregates over, so map-only queries (regex scrubs,
+                # per-row scores) would time the scan instead of the work
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples.append(time.time() - t0)
+                # drop scoped caches so every rep is a cold, comparable run
+                release_persisted()
+            times[name] = round(statistics.median(samples), 3)
+        wall = time.time() - w0
+        s1 = read_steal_seconds()
+        delta = round(s1 - s0, 1) if s0 is not None and s1 is not None else None
+        return times, wall, delta
+
+    # Steal gate (r9 verdict): a run timed under heavy hypervisor theft
+    # (BENCH_r09 recorded 101 s of steal during a 46 s suite) measures the
+    # neighbors, not the code. If steal exceeds STEAL_FRAC of wall, rerun
+    # the whole sweep (up to STEAL_RETRIES); if the last attempt is still
+    # contaminated, say so IN the artifact instead of masquerading as a
+    # regression.
+    STEAL_FRAC = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_FRAC", "0.10"))
+    STEAL_RETRIES = int(os.environ.get("SPARK_GRAFT_BENCH_STEAL_RETRIES", "1"))
+    attempts = 0
+    while True:
+        times, wall, steal_delta = run_suite()
+        attempts += 1
+        contaminated = steal_delta is not None and steal_delta > STEAL_FRAC * wall
+        if not contaminated or attempts > STEAL_RETRIES:
+            break
+        print(
+            f"bench: steal {steal_delta}s > {STEAL_FRAC:.0%} of {wall:.1f}s "
+            f"wall — rerunning (attempt {attempts + 1})",
+            file=sys.stderr,
+        )
 
     total = round(sum(times.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -118,22 +147,18 @@ def main() -> None:
         sf = float(sf)
     except ValueError:
         pass  # non-standard dir name (e.g. a scale-replica path): keep the string
-    steal1 = read_steal_seconds()
-    steal_delta = (
-        round(steal1 - steal0, 1) if steal0 is not None and steal1 is not None else None
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf or None,
-                "cpu_steal_delta_sec": steal_delta,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf or None,
+        "cpu_steal_delta_sec": steal_delta,
+        "bench_attempts": attempts,
+    }
+    if contaminated:
+        out["contaminated"] = True
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -1059,9 +1059,13 @@ ORACLES["corpus_shuffle"] = f"""
 from .dedup import ORACLES as _DEDUP_ORACLES_FOR_SPLIT  # noqa: E402
 
 _CLUSTERS_FINAL = "SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id"
-assert _CLUSTERS_FINAL in _DEDUP_ORACLES_FOR_SPLIT["dedup_clusters"], (
-    "dedup_clusters oracle changed shape; update split_leakage_safe's CTE surgery"
-)
+if _CLUSTERS_FINAL not in _DEDUP_ORACLES_FOR_SPLIT["dedup_clusters"]:
+    # not an assert: `python -O` strips asserts and the .replace below
+    # would then silently no-op, yielding malformed two-SELECT SQL with a
+    # confusing downstream parse error (r9 advice)
+    raise RuntimeError(
+        "dedup_clusters oracle changed shape; update split_leakage_safe's CTE surgery"
+    )
 _REP = "COALESCE(c.cluster_id, d.doc_id)"
 _REP_BUCKET = sql_hash_bucket(_REP)
 ORACLES["split_leakage_safe"] = (

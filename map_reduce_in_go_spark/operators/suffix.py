@@ -110,6 +110,13 @@ def suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         return _suffix_array_impl(spark, sf_dir)
     finally:
+        # INVARIANT (r9 advice): the restore is correct only because every
+        # conf-reliant join inside _suffix_array_impl is MATERIALIZED there
+        # (each odd-round self-join's output is localCheckpoint'ed or
+        # persisted before the next round plans); the DataFrame returned to
+        # the caller is planned after this restore and must not itself
+        # contain a subset-key co-partition join. Any new join added to the
+        # impl that escapes un-materialized breaks this — materialize it.
         spark.conf.set(_CO_PART, co_part_old)
 
 
@@ -132,6 +139,10 @@ def _suffix_array_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs_all.join(
         reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
     )
+    # empty-doc guard (r9 advice): sequence(1, 0) is the DESCENDING [1, 0],
+    # so an empty text would inject two spurious empty suffixes and shift
+    # every sa_rank — same footgun already fixed in dedup_containment_exact
+    docs = docs.filter(F.length("text") > 0)
     sufs = (
         docs.select(
             "doc_id", F.explode(F.expr("sequence(1, length(text))")).alias("pos"), "text"
@@ -270,26 +281,30 @@ def longest_repeated_substring(
     tagged = blk.unionByName(boundary)
 
     def _np_lcp(a_strs: list, b_strs: list) -> np.ndarray:
-        """Vectorized LCP of row-aligned string lists, in BYTES (equal to
-        chars on ASCII corpora — the same byte-exactness note as the
-        multimodal_frames oracle). Pads A with 0 and B with 255 (neither
-        occurs in text), so the first A!=B position IS the LCP: a proper
-        prefix mismatches at its own end, equal strings at their shared
-        length — no special cases."""
+        """Vectorized LCP of row-aligned string lists, in CODE POINTS —
+        the unit the DuckDB oracle's char comparison and the `pos` offsets
+        use (r9 advice: the former byte-wise form silently diverged on
+        non-ASCII or NUL-bearing text). Each string becomes a row of a
+        uint32 matrix via UTF-32-LE; A pads with 0x7FFFFFF0 and B with
+        0x7FFFFFFF — both outside the Unicode range (max U+10FFFF), so
+        pads can never equal a real character (including U+0000) or each
+        other, and the first A!=B position IS the LCP: a proper prefix
+        mismatches at its own end (pad vs char), equal strings at their
+        shared length (pad vs pad) — no special cases."""
         out = np.empty(len(a_strs), np.int64)
         CH = 4096
         for s in range(0, len(a_strs), CH):
-            aa = [x.encode() for x in a_strs[s : s + CH]]
-            bb = [x.encode() for x in b_strs[s : s + CH]]
+            aa = [x.encode("utf-32-le") for x in a_strs[s : s + CH]]
+            bb = [x.encode("utf-32-le") for x in b_strs[s : s + CH]]
             # +1 sentinel column: two equal strings of exactly `width`
-            # bytes would otherwise have no mismatch and argmax would
+            # chars would otherwise have no mismatch and argmax would
             # return 0 instead of width
-            width = max(1, max(map(len, aa + bb))) + 1
-            A = np.zeros((len(aa), width), np.uint8)
-            B = np.full((len(aa), width), 255, np.uint8)
+            width = max(1, max(len(x) // 4 for x in aa + bb)) + 1
+            A = np.full((len(aa), width), 0x7FFFFFF0, np.uint32)
+            B = np.full((len(aa), width), 0x7FFFFFFF, np.uint32)
             for i, (x, y) in enumerate(zip(aa, bb)):
-                A[i, : len(x)] = np.frombuffer(x, np.uint8)
-                B[i, : len(y)] = np.frombuffer(y, np.uint8)
+                A[i, : len(x) // 4] = np.frombuffer(x, np.uint32)
+                B[i, : len(y) // 4] = np.frombuffer(y, np.uint32)
             out[s : s + CH] = (A != B).argmax(axis=1)
         return out
 

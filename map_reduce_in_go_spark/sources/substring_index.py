@@ -69,7 +69,7 @@ def build_substring_index(
     return tbl
 
 
-def index_append(spark: SparkSession, root: str, docs: DataFrame, op: str) -> bool:
+def index_append(root: str, docs: DataFrame, op: str) -> bool:
     """Incremental maintenance: a new document batch appends its grams in
     ONE ledgered commit — exactly-once per ``op`` id across retries and
     stream replays (the band-index/rollup discipline applied to the text
@@ -106,6 +106,9 @@ def substring_search(
     a probe are never opened), and candidates are verified offset-exactly
     against the document text, so hash collisions cannot leak through.
     """
+    # dedupe (order-preserving): duplicate patterns would duplicate probe
+    # rows and therefore duplicate every output row (r9 advice)
+    patterns = list(dict.fromkeys(patterns))
     short = [p for p in patterns if len(p) < ANCHOR_W]
     if short:
         raise ValueError(

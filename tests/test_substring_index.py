@@ -110,8 +110,8 @@ def test_incremental_append_and_optimize(spark, sf_dir, tmp_path):
     tbl.append(_gram_rows(half1), op="build-half1")
     tbl.compact(spark, num_files=INDEX_FILES, zorder_cols=["h"])
 
-    assert index_append(spark, root, half2, op="batch-2")
-    assert index_append(spark, root, half2, op="batch-2") is False  # ledger
+    assert index_append(root, half2, op="batch-2")
+    assert index_append(root, half2, op="batch-2") is False  # ledger
 
     texts = {r["doc_id"]: r["text"] for r in docs.collect()}
     odd = next(d for d in sorted(texts) if d % 2 == 1)
