@@ -568,14 +568,24 @@ def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     The data-mixing primitive: rank every document by a quality score
     (lexical diversity here — distinct/total tokens; any 6dp-deterministic
     score plugs in) and take the best-first prefix whose cumulative token
-    count fits ``BUDGET_TOKENS``. One global sort (Spark's range-partitioned
-    total order — a shuffle, not a collect) + a running-sum window; the
-    budget cut is a filter on the cumulative column, so the plan streams at
-    any corpus size.
+    count fits ``BUDGET_TOKENS``.
+
+    Plan (r10 rewrite): the running sum rides the HIERARCHICAL prefix sum
+    (``with_global_prefix_sum`` — range partition on (quality desc,
+    doc_id), per-partition token sums broadcast back as offsets, one
+    order-preserving Arrow pass). The former
+    ``Window.orderBy(...).rowsBetween(unboundedPreceding, 0)`` funneled
+    the WHOLE corpus through one reducer — the exact shape
+    functions/ranks.py exists to kill (r9 verdict); now the only
+    full-data exchange is the range partition itself and the budget cut
+    is a filter on the cumulative column, so the plan scales with
+    partitions, not one task.
 
     Determinism: the score is an exact-int ratio rounded at 6dp, the order
     carries a doc_id tiebreak, and the running sum is integer tokens.
     """
+    from ..functions.ranks import with_global_prefix_sum
+
     docs = load_documents_parallel(spark, sf_dir).withColumn(
         "toks", tokens(F.col("text"))
     )
@@ -589,13 +599,15 @@ def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("quality"),
     )
-    w = (
-        Window.orderBy(F.desc("quality"), F.asc("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
+    ranked, _, _ = with_global_prefix_sum(
+        scored,
+        [F.desc("quality"), F.asc("doc_id")],
+        "n_tokens",
+        rank_col="_r",
+        prefix_col="cum_tokens",
     )
     return (
-        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .filter(F.col("cum_tokens") <= BUDGET_TOKENS)
+        ranked.filter(F.col("cum_tokens") <= BUDGET_TOKENS)
         .select("doc_id", "quality", "n_tokens", "cum_tokens")
     )
 

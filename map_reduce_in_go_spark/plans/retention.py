@@ -318,33 +318,68 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ntile_from_rank(rank_col: str, n: int, k: int):
+    """SQL ntile(k) as a per-row expression over a precomputed dense
+    1-based global rank and known total ``n`` — the distributed ntile.
+
+    Standard semantics (Spark == DuckDB): with q, r = divmod(n, k), the
+    first r tiles hold q+1 rows and the rest hold q. A row of rank rn is
+    in tile ceil(rn/(q+1)) while rn ≤ r·(q+1), else r + ceil((rn −
+    r·(q+1))/q). ``greatest(q, 1)`` guards the (never-taken when n < k)
+    second branch against a 0 divisor — when n < k every row satisfies
+    rn ≤ r·(q+1) = n.
+    """
+    q, r = divmod(n, k)
+    rn = F.col(rank_col)
+    thr = F.lit(r * (q + 1))
+    q_safe = max(q, 1)
+    return (
+        F.when(rn <= thr, F.floor((rn - 1) / F.lit(q + 1)) + 1)
+        .otherwise(F.lit(r) + F.floor((rn - thr - 1) / F.lit(q_safe)) + 1)
+        .cast("int")
+    )
+
+
 def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: recency/frequency/monetary quintiles per customer.
 
     The per-customer aggregate collapses orders to one row per customer
-    (the big shuffle); the three ntile windows then run over that reduced
-    set. ntile is a global sort — fine after the reduction (customers ≪
-    orders); at extreme scale the quintile cut-points would come from
-    approx_percentile instead and the scores from a broadcast range join.
-    Tiebreaks on o_custkey keep every tile assignment deterministic.
+    (the big shuffle). The quintiles (r10 rewrite) come from THREE
+    distributed global ranks (``with_global_rank`` — range partition +
+    broadcast offsets + Arrow counter, functions/ranks.py) chained over
+    the reduced frame, each converted to an EXACT ntile(5) with the
+    closed-form tile formula (:func:`_ntile_from_rank`) — bit-identical
+    to SQL ntile, including the first-(n mod 5)-tiles-get-the-extra-row
+    rule and the o_custkey tiebreaks, so the oracle is unchanged. The
+    former three unpartitioned ntile windows each sorted the whole
+    customer dimension in ONE reducer (r9 verdict); now each rank's only
+    full exchange is its range partition.
     """
+    from ..functions.ranks import with_global_rank
+
     o = load_table(spark, sf_dir, "orders")
     per = o.groupBy("o_custkey").agg(
         F.max(F.to_date("o_orderdate")).alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         sum_exact(money("o_totalprice")).alias("monetary"),
     )
-    r_w = Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
-    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
-    return per.select(
+    ranked, n = with_global_rank(
+        per, [F.desc("last_order"), F.asc("o_custkey")], "_rn_r"
+    )
+    ranked, _ = with_global_rank(
+        ranked, [F.desc("frequency"), F.asc("o_custkey")], "_rn_f"
+    )
+    ranked, _ = with_global_rank(
+        ranked, [F.desc("monetary"), F.asc("o_custkey")], "_rn_m"
+    )
+    return ranked.select(
         "o_custkey",
         F.date_format("last_order", "yyyy-MM-dd").alias("last_order"),
         "frequency",
         "monetary",
-        F.ntile(5).over(r_w).alias("r_score"),
-        F.ntile(5).over(f_w).alias("f_score"),
-        F.ntile(5).over(m_w).alias("m_score"),
+        _ntile_from_rank("_rn_r", n, 5).alias("r_score"),
+        _ntile_from_rank("_rn_f", n, 5).alias("f_score"),
+        _ntile_from_rank("_rn_m", n, 5).alias("m_score"),
     ).withColumn(
         "segment",
         F.concat_ws(

@@ -1036,11 +1036,15 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
-    w = Window.orderBy(F.desc("n_ab"), F.asc("part_a"), F.asc("part_b"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= BASKET_TOP)
-    )
+    # top-100 via TakeOrderedAndProject (per-partition heaps, driver merge
+    # of BASKET_TOP rows per partition), THEN rank the 100 survivors with
+    # a bounded window — the bm25_search shape (tfidf.py). The former
+    # global row_number window sorted the ENTIRE scored pair set in one
+    # partition just to keep 100 rows (r9 verdict).
+    order = [F.desc("n_ab"), F.asc("part_a"), F.asc("part_b")]
+    top = scored.orderBy(*order).limit(BASKET_TOP)
+    w = Window.orderBy(*order)  # bounded: ≤ BASKET_TOP rows reach it
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 ORACLES["basket_pairs"] = f"""

@@ -8,6 +8,12 @@ physical plan for the anti-patterns that kill 100 TB runs:
 - ``BatchEvalPython`` — row-at-a-time Python UDFs (Arrow-batched
   ``ArrowEvalPython`` / ``MapInPandas`` / ``FlatMapGroupsInPandas`` are
   the sanctioned Python paths and are reported separately);
+- UNPARTITIONED sorted ``Window`` — Spark warns "No Partition Defined
+  for Window operation! Moving all data to a single partition": every
+  input row funnels through ONE reducer. Allowlisted only where the
+  window's input is provably bounded (a post-``limit`` rank, a
+  block-summary frame) — never a corpus-sized frame (r9 verdict
+  blind spot);
 - missing parquet pushdown on scans that filter constants.
 
 Writes a one-line-per-query report and exits non-zero on violations, so
@@ -69,6 +75,51 @@ SCALAR_CROSS_OK = {
     "heavy_hitters_cms",
 }
 
+# Queries whose plans legitimately contain an UNPARTITIONED sorted Window:
+# the window's input is BOUNDED before it runs — a TakeOrderedAndProject
+# limit feeds it (rank-the-top-k: ≤ k rows), or it runs over a per-block
+# summary frame (≤ #blocks rows). Never the corpus itself.
+GLOBAL_WINDOW_OK = {
+    "bm25_search",  # rank of the BM25_TOP=100 survivors of a limit
+    "basket_pairs",  # rank of the BASKET_TOP=100 survivors of a limit
+    # block-summary cumsum over the 64×-reduced block-total frame, whose
+    # result is then BROADCAST back — the frame must stay broadcast-small
+    # regardless, so the window never sees more rows than the broadcast
+    # does; the docstrings name the recursion step for extreme scale
+    "shard_pack",
+    "sequence_pack",
+}
+
+
+def find_global_windows(plan: str) -> list[str]:
+    """Window nodes with an order spec but NO partition spec — the
+    single-reducer shape. A partitioned+ordered Window prints
+    ``Window [fns], [part], [order]`` (three top-level bracket groups);
+    unpartitioned-but-sorted prints ``Window [fns], [order]`` (two, the
+    second carrying ASC/DESC markers). Partition-only windows (two
+    groups, no sort markers in the last) are fine — no global sort."""
+    hits = []
+    for line in plan.splitlines():
+        m = re.search(r"(?:^|[\s:+-]- )Window(?:GroupLimit)? (\[.*)$", line)
+        if not m or "WindowGroupLimit" in line:
+            continue
+        rest = m.group(1)
+        groups, depth, start = [], 0, None
+        for i, ch in enumerate(rest):
+            if ch == "[":
+                if depth == 0:
+                    start = i
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(rest[start : i + 1])
+        if len(groups) == 2 and re.search(
+            r"\b(ASC|DESC) NULLS (FIRST|LAST)", groups[1]
+        ):
+            hits.append(line.strip())
+    return hits
+
 
 def audit_one(spark, name: str, fn, sf_dir: str) -> dict:
     df = fn(spark, sf_dir)
@@ -83,6 +134,7 @@ def audit_one(spark, name: str, fn, sf_dir: str) -> dict:
         "broadcast_join": "BroadcastHashJoin" in plan,
         "pushed": "PushedFilters: [" in plan
         and any(seg[0] not in "]" for seg in plan.split("PushedFilters: [")[1:]),
+        "global_window": find_global_windows(plan),
     }
     viol = []
     if feats["cartesian"]:
@@ -91,6 +143,8 @@ def audit_one(spark, name: str, fn, sf_dir: str) -> dict:
         viol.append("BroadcastNestedLoopJoin(unallowlisted)")
     if feats["python_row_udf"]:
         viol.append("BatchEvalPython(row-at-a-time)")
+    if feats["global_window"] and name not in GLOBAL_WINDOW_OK:
+        viol.append("UnpartitionedWindow(single-reducer)")
     feats["violations"] = viol
     return feats
 
