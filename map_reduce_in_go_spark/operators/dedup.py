@@ -1083,18 +1083,39 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_spans(docs)
 
 
-def substring_spans(docs: DataFrame) -> DataFrame:
-    """Core duplicated-span detection over any (doc_id, text) frame."""
-    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
-    from ..functions.text import shingles_of
+def substring_spans(
+    docs: DataFrame,
+    dup_grams: DataFrame | None = None,
+    gram_rows: DataFrame | None = None,
+) -> DataFrame:
+    """Core duplicated-span detection over any (doc_id, text) frame.
 
-    grams = toks.select(
-        "doc_id",
-        F.posexplode(shingles_of(F.col("toks"), SUBSTR_K)).alias("pos", "gram"),
-    ).select("doc_id", F.col("pos").cast("long").alias("pos"), F.md5("gram").alias("g"))
-    grams = scoped_persist(grams)
-    dup = grams.groupBy("g").agg(F.count("*").alias("n")).filter(F.col("n") >= 2)
-    hits = grams.join(dup.select("g"), "g", "left_semi")
+    ``dup_grams`` (one column ``g``) injects a precomputed corpus-
+    duplicated digest set — the served gram-frequency index
+    (sources/substring_index.py) — replacing the per-run corpus-wide
+    occurrence aggregation, the heaviest shuffle here. ``gram_rows``
+    reuses an already-built (doc_id, pos, g) frame (the batch-probe path
+    computes it anyway).
+    """
+    if gram_rows is None:
+        toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        from ..functions.text import shingles_of
+
+        grams = toks.select(
+            "doc_id",
+            F.posexplode(shingles_of(F.col("toks"), SUBSTR_K)).alias("pos", "gram"),
+        ).select(
+            "doc_id", F.col("pos").cast("long").alias("pos"), F.md5("gram").alias("g")
+        )
+    else:
+        grams = gram_rows
+    if dup_grams is None:
+        grams = scoped_persist(grams)
+        dup = grams.groupBy("g").agg(F.count("*").alias("n")).filter(F.col("n") >= 2)
+        dup = dup.select("g")
+    else:
+        dup = dup_grams
+    hits = grams.join(dup, "g", "left_semi")
     w = Window.partitionBy("doc_id").orderBy("pos")
     runs = hits.withColumn(
         "new_run",
@@ -1114,6 +1135,52 @@ def substring_spans(docs: DataFrame) -> DataFrame:
         .filter(F.col("span_len") >= SUBSTR_MIN_TOKENS)
         .select("doc_id", "span_start", "span_end", "span_len")
     )
+
+
+_GRAM_INDEXES: dict[str, str] = {}
+_GRAM_PENDING: dict[str, threading.Event] = {}
+
+
+def _gram_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process per resolved sf_dir) the served gram-
+    frequency index — the :func:`_corpus_index_path` discipline applied
+    to substring dedup: concurrent first calls build exactly once behind
+    a per-key latch; every later call is probe-only."""
+    from ..sources.substring_index import build_gram_index
+
+    key = os.path.realpath(sf_dir)
+    home = band_index_home()
+
+    def _build() -> str:
+        import uuid as _uuid
+
+        path = os.path.join(home, f"gram_{_uuid.uuid4().hex[:8]}")
+        build_gram_index(spark, sf_dir, path)
+        return path
+
+    return memoized_build(_GRAM_INDEXES, _GRAM_PENDING, key, _build)
+
+
+def dedup_substring_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`dedup_substring` served from the persisted gram-frequency
+    index (declared r10; sources/substring_index.py).
+
+    Same spans, same oracle — but the corpus-duplicated digest set comes
+    from the SERVED count table (built once per corpus, ledger-appendable)
+    instead of re-aggregating every gram occurrence per run. Steady state
+    drops the plan's heaviest shuffle to a pre-combined distinct-gram
+    scan; the positions side stays a map-side tokenize + explode. The
+    driver hash-checking this row proves the served artifact answers
+    exactly what the in-flight aggregation answers — the same
+    served-vs-in-flight twin discipline as ``ann_ivf_indexed``.
+    """
+    from ..sources.substring_index import duplicated_grams
+
+    root = _gram_index_path(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return substring_spans(docs, dup_grams=duplicated_grams(spark, root))
 
 
 def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1773,6 +1840,11 @@ _SUBSTR_SPAN_SELECT = f"""
       HAVING max(pos) + {SUBSTR_K} - min(pos) >= {SUBSTR_MIN_TOKENS}"""
 
 ORACLES["dedup_substring"] = _SUBSTR_CTES + "\n" + _SUBSTR_SPAN_SELECT
+# the served-index form answers the IDENTICAL question (the artifact is an
+# implementation of the same corpus-duplicated-gram predicate), so it shares
+# the oracle verbatim — a drift between index path and in-flight path breaks
+# one hash but not the other
+ORACLES["dedup_substring_indexed"] = ORACLES["dedup_substring"]
 
 # the apply form wraps the span query as one more CTE, anti-joins token
 # positions against spans, and reassembles each survivor sequence in order

@@ -143,3 +143,115 @@ def test_incremental_append_and_optimize(spark, sf_dir, tmp_path):
         for r in substring_search(spark, sf_dir, root, [pattern]).collect()
     }
     assert again == want
+
+
+# ---------------------------------------------------------------- gram index
+
+
+def test_gram_index_full_path_equals_inflight(spark, sf_dir, tmp_path):
+    """The served-count path answers EXACTLY what the in-flight corpus
+    aggregation answers (the dedup_substring_indexed oracle's pytest twin,
+    runnable without DuckDB)."""
+    from map_reduce_in_go_spark.operators.dedup import substring_spans
+    from map_reduce_in_go_spark.sources.substring_index import (
+        build_gram_index,
+        duplicated_grams,
+    )
+
+    root = str(tmp_path / "gram")
+    build_gram_index(spark, sf_dir, root)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    inflight = {
+        tuple(r) for r in substring_spans(docs).collect()
+    }
+    served = {
+        tuple(r)
+        for r in substring_spans(
+            docs, dup_grams=duplicated_grams(spark, root)
+        ).collect()
+    }
+    assert served == inflight and inflight  # non-vacuous: spans exist
+
+
+def test_gram_index_incremental_batch(spark, sf_dir, tmp_path):
+    """Standing index over half the corpus + an arriving batch: the
+    batch-probe path finds exactly the spans the full in-flight run finds
+    for the batch docs (corpus ∪ batch counts); a ledgered append is
+    exactly-once; post-append the served full path equals in-flight."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_in_go_spark.operators.dedup import substring_spans
+    from map_reduce_in_go_spark.sources.substring_index import (
+        batch_duplicated_spans,
+        build_gram_index,
+        duplicated_grams,
+        gram_index_append,
+        optimize_gram_index,
+    )
+    from map_reduce_in_go_spark.sources.tables import load_documents_parallel
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    half1 = docs.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    half2 = docs.filter(F.pmod("doc_id", F.lit(2)) == 1)
+
+    root = str(tmp_path / "gram")
+    # build over half1 only: stand-in for yesterday's corpus
+    from map_reduce_in_go_spark.sources.manifest_table import ManifestTable
+    from map_reduce_in_go_spark.sources.substring_index import (
+        INDEX_FILES,
+        _token_gram_counts,
+    )
+
+    tbl = ManifestTable(root, stats_cols=["g"])
+    tbl.append(_token_gram_counts(half1), op="gram-build-half1")
+    tbl.compact(spark, num_files=INDEX_FILES, zorder_cols=["g"])
+
+    got = {
+        tuple(r) for r in batch_duplicated_spans(spark, root, half2).collect()
+    }
+    odd_ids = {r["doc_id"] for r in half2.select("doc_id").collect()}
+    want = {
+        tuple(r)
+        for r in substring_spans(docs).collect()
+        if r["doc_id"] in odd_ids
+    }
+    assert got == want and want  # batch spans exist on this corpus
+
+    assert gram_index_append(root, half2, op="gram-batch-2")
+    assert gram_index_append(root, half2, op="gram-batch-2") is False
+    optimize_gram_index(spark, root)
+    served = {
+        tuple(r)
+        for r in substring_spans(
+            docs, dup_grams=duplicated_grams(spark, root)
+        ).collect()
+    }
+    full = {tuple(r) for r in substring_spans(docs).collect()}
+    assert served == full
+
+
+def test_gram_index_batch_probe_prunes_files(spark, sf_dir, tmp_path):
+    """A small arriving batch must open fewer index files than the index
+    holds — the point-set pruning that makes incremental substring dedup
+    O(batch), not O(corpus)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_in_go_spark.sources.manifest_table import ManifestTable
+    from map_reduce_in_go_spark.sources.substring_index import (
+        _token_gram_counts,
+        build_gram_index,
+    )
+
+    root = str(tmp_path / "gram")
+    # many files so a short doc's probe set cannot cover them all
+    build_gram_index(spark, sf_dir, root, num_files=64)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    one = docs.limit(1).withColumn(
+        "text", F.expr("array_join(slice(split(text, ' '), 1, 20), ' ')")
+    )
+    probes = [r["g"] for r in _token_gram_counts(one).collect()]
+    assert 0 < len(probes) <= 13
+    tbl = ManifestTable(root, stats_cols=["g"])
+    files, total = tbl.files_pruned_in("g", probes, tbl.version())
+    assert total > len(probes)  # non-vacuous: more files than probes
+    assert len(files) <= len(probes) < total
