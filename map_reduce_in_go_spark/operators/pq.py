@@ -223,6 +223,38 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _adc_pair_kernel(bc_lut):
+    """Arrow kernel: (query_id, vec_id, codes) pair rows → approx dots via
+    per-row lookups in the row's query LUT. Shared by the in-flight
+    ``ann_ivf_pq`` and the served :class:`~.pq_index.PqIvfIndex` probe so
+    the two paths cannot drift."""
+
+    def adc(batches):
+        import pandas as pd
+
+        tables = bc_lut.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cds = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            qid = pdf["query_id"].to_numpy()
+            approx = np.zeros(len(pdf))
+            for m in range(PQ_M):
+                # per-row lookup in that row's query table
+                approx += np.array(
+                    [tables[int(q)][m, c] for q, c in zip(qid, cds[:, m])]
+                )
+            yield pd.DataFrame(
+                {
+                    "query_id": qid,
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "approx": approx,
+                }
+            )
+
+    return adc
+
+
 def ann_ivf_pq(spark: SparkSession, sf_dir: str, nprobe: int | None = None) -> DataFrame:
     """IVF,PQ composed — the full FAISS serving recipe.
 
@@ -282,32 +314,11 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str, nprobe: int | None = None) -> D
     pairs = coded.join(F.broadcast(probes), "cid").filter(
         F.col("vec_id") != F.col("query_id")
     )
-
-    def adc(batches):
-        import pandas as pd
-
-        tables = bc_lut.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            cds = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
-            qid = pdf["query_id"].to_numpy()
-            approx = np.zeros(len(pdf))
-            for m in range(PQ_M):
-                # per-row lookup in that row's query table
-                approx += np.array(
-                    [tables[int(q)][m, c] for q, c in zip(qid, cds[:, m])]
-                )
-            yield pd.DataFrame(
-                {
-                    "query_id": qid,
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "approx": approx,
-                }
-            )
-
     scored_approx = scoped_persist(
-        pairs.mapInPandas(adc, schema="query_id long, vec_id long, approx double")
+        pairs.mapInPandas(
+            _adc_pair_kernel(bc_lut),
+            schema="query_id long, vec_id long, approx double",
+        )
     )
     wa = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("vec_id"))
     cand = (
