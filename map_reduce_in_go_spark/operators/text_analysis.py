@@ -435,9 +435,58 @@ ORACLES: dict[str, str] = {
 
 LANGID_N = 3  # character trigrams
 
+_LANGID_MODELS: dict[str, str] = {}
+_LANGID_PENDING: dict = {}
+
+
+def _gram_expr() -> str:
+    return (
+        f"transform(sequence(1, greatest(length(t) - {LANGID_N - 1}, 0)),"
+        f" i -> substring(t, i, {LANGID_N}))"
+    )
+
+
+def train_langid_model(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """One corpus pass → the persisted (lang, g, c) count table.
+
+    The model IS the artifact: per-(language, trigram) counts under a
+    ManifestTable. Totals and vocabulary are derived from it at load
+    (vocab-sized scans), so there is exactly one source of truth and an
+    appended re-train can never leave totals stale.
+    """
+    from ..sources.manifest_table import ManifestTable
+
+    docs = load_documents_parallel(spark, sf_dir).select(
+        "lang", F.lower(F.col("text")).alias("t")
+    )
+    model = (
+        docs.select("lang", F.explode(F.expr(_gram_expr())).alias("g"))
+        .groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ManifestTable(root).append(model, op="langid-train")
+
+
+def _langid_model_path(spark: SparkSession, sf_dir: str) -> str:
+    """Train once per process per resolved sf_dir (per-key build latch —
+    the served-artifact discipline of the band/IVF/gram indexes)."""
+    import os as _os
+    import uuid as _uuid
+
+    from .dedup import band_index_home, memoized_build
+
+    key = _os.path.realpath(sf_dir)
+
+    def _build() -> str:
+        path = _os.path.join(band_index_home(), f"langid_{_uuid.uuid4().hex[:8]}")
+        train_langid_model(spark, sf_dir, path)
+        return path
+
+    return memoized_build(_LANGID_MODELS, _LANGID_PENDING, key, _build)
+
 
 def langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trained character-trigram Naive-Bayes language ID.
+    """Trained character-trigram Naive-Bayes language ID, SERVED.
 
     :func:`text_langid` is the zero-shot stopword heuristic; this is the
     TRAINED form real pipelines run (langid.py / fastText langid shape,
@@ -447,116 +496,124 @@ def langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang, decision margin, correctness flag — the per-doc audit a
     curation pass attaches before filtering by language.
 
-    Plan: one char-trigram explode → per-doc features; the MODEL is two
-    tiny tables (per-(lang, gram) counts and per-lang totals — vocabulary
-    × languages rows, broadcast). Score decomposition keeps the unseen-
-    gram case exact with only seen pairs materialized:
-    ``score_l = Σ_g tf·ln(c_gl + 1) − N_doc·ln(T_l + V)`` (ln 1 = 0 for
-    unseen grams). Both terms are 9dp-fixed decimals, so cross-engine
-    summation is exact; argmax ties break on language code.
+    Train-once/score-many (r10 — this was the slowest headline query
+    when it retrained per call): the model is the persisted
+    (lang, gram, count) table built by :func:`train_langid_model`
+    behind the per-corpus build latch; a call pays the corpus-sized
+    model aggregation only on the first build, then every scoring run
+    reads vocabulary × languages rows back. The oracle retrains in SQL
+    on the same corpus, so served scores hash identically.
+
+    Scoring plan (r10 — a single map-side Arrow pass, ZERO shuffles): a
+    char-trigram model is BOUNDED by construction (the trigram alphabet,
+    not the corpus — why langid.py/fastText langid fit in RAM), so the
+    whole model broadcasts as g → per-language integer nano-scores and
+    every document scores locally: ``score_l = Σ_g tf·ln(c_gl + 1) −
+    N_doc·ln(T_l + V)`` (ln 1 = 0 for unseen grams). All arithmetic is
+    on the 9dp terms SCALED TO int64 (terms ≤ ~1e5 → sums ≤ ~1e14, far
+    inside int64), reproducing the oracle's fixed-decimal sums
+    bit-for-bit; the 9dp log terms themselves are computed by the SAME
+    JVM expressions as before (collected once, vocab-sized), so no
+    libm-vs-JVM ulp can sneak in. Argmax ties break on language code.
+    The former shape (feats groupBy + model equijoin + doc×lang window)
+    shuffled the corpus three times to compute what is per-doc-local
+    given a bounded model.
     """
+    import math
+
+    from ..sources.manifest_table import ManifestTable
+
     docs = load_documents_parallel(spark, sf_dir).select(
         "doc_id", "lang", F.lower(F.col("text")).alias("t")
     )
-    grams = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, greatest(length(t) - {LANGID_N - 1}, 0)),"
-                f" i -> substring(t, i, {LANGID_N}))"
-            )
-        ).alias("g"),
+    model = scoped_persist(
+        ManifestTable(_langid_model_path(spark, sf_dir)).read(spark)
     )
-    grams = scoped_persist(grams)
-    feats = scoped_persist(
-        grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("tf"))
-    )
-    model = grams.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("c"))
-    model = scoped_persist(model)
-    vocab = model.select("g").distinct().count()  # bounded scalar
+    vocab = model.select("g").distinct().count()  # vocab-sized scalar
     totals = {
         r["lang"]: r["t"]
         for r in model.groupBy("lang").agg(F.sum("c").alias("t")).collect()
     }
     langs = sorted(totals)
-    s1 = model.select(
-        F.col("g"),
-        F.col("lang").alias("cand"),
-        F.round(F.log(F.col("c") + F.lit(1.0)), 9)
-        .cast("decimal(18,9)")
-        .alias("s1"),
-    )
-    seen = (
-        feats.join(F.broadcast(s1), "g")
-        .groupBy("doc_id", "cand")
-        # scores are bounded ~1e5: narrow the sum back to (28,9) so the
-        # downstream subtractions never exceed precision 38 (past which
-        # Spark silently drops scale digits)
-        .agg(
-            F.sum(F.col("tf").cast("decimal(9,0)") * F.col("s1"))
-            .cast("decimal(28,9)")
-            .alias("sum1")
+    lang_idx = {lang: i for i, lang in enumerate(langs)}
+    # per-(gram, lang) nano-scaled 9dp log terms, rounded BY THE JVM
+    # exactly as the decimal plan did (decimal × 10^9 → long is exact)
+    s1_rows = model.select(
+        "g",
+        "lang",
+        (
+            F.round(F.log(F.col("c") + F.lit(1.0)), 9).cast("decimal(18,9)")
+            * F.lit(1_000_000_000)
         )
-    )
-    n_doc = feats.groupBy("doc_id").agg(F.sum("tf").alias("n"))
-    import math
+        .cast("long")
+        .alias("s"),
+    ).collect()
+    import numpy as np
 
-    lang_consts = spark.createDataFrame(
+    lut: dict[str, np.ndarray] = {}
+    zero = np.zeros(len(langs), dtype=np.int64)
+    for r in s1_rows:
+        vec = lut.get(r["g"])
+        if vec is None:
+            vec = lut[r["g"]] = zero.copy()
+        vec[lang_idx[r["lang"]]] = r["s"]
+    # round half away from zero at 9dp, like Spark/DuckDB round()
+    ln_x = np.array(
         [
-            (
-                lang,
-                # round half away from zero at 9dp, like Spark/DuckDB round()
-                float(
-                    math.floor(
-                        math.log(totals[lang] + vocab) * 1e9 + 0.5
-                    )
-                )
-                / 1e9,
-            )
+            int(math.floor(math.log(totals[lang] + vocab) * 1e9 + 0.5))
             for lang in langs
         ],
-        "cand string, ln_x double",
+        dtype=np.int64,
     )
-    scored = (
-        n_doc.crossJoin(F.broadcast(lang_consts))
-        .join(seen, ["doc_id", "cand"], "left")
-        .select(
-            "doc_id",
-            "cand",
-            (
-                F.coalesce(F.col("sum1"), F.lit(0).cast("decimal(28,9)"))
-                - F.col("n").cast("decimal(9,0)")
-                * F.col("ln_x").cast("decimal(18,9)")
+    bc = spark.sparkContext.broadcast((langs, lut, ln_x))
+
+    def score(batches):
+        import pandas as pd
+        from collections import Counter
+
+        b_langs, b_lut, b_lnx = bc.value
+        arr_langs = np.array(b_langs)
+        for pdf in batches:
+            out_id, out_lang, out_pred, out_margin = [], [], [], []
+            for doc_id, lang, t in zip(pdf["doc_id"], pdf["lang"], pdf["t"]):
+                n = len(t) - (LANGID_N - 1)
+                if n <= 0:
+                    continue  # gram-free docs are absent (oracle parity)
+                acc = np.zeros(len(b_langs), dtype=np.int64)
+                counts = Counter(t[i : i + LANGID_N] for i in range(n))
+                for g, c in counts.items():
+                    vec = b_lut.get(g)
+                    if vec is not None:
+                        acc += c * vec
+                scores = acc - np.int64(n) * b_lnx
+                order = np.lexsort((arr_langs, -scores))
+                best = order[0]
+                margin = (
+                    float(int(scores[best] - scores[order[1]])) / 1e9
+                    if len(order) > 1
+                    else 0.0
+                )
+                out_id.append(doc_id)
+                out_lang.append(lang)
+                out_pred.append(b_langs[best])
+                out_margin.append(margin)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(out_id, dtype=np.int64),
+                    "lang": out_lang,
+                    "pred_lang": out_pred,
+                    "margin": np.array(out_margin, dtype=np.float64),
+                }
             )
-            .cast("decimal(28,9)")
-            .alias("score"),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand"))
-    ranked = scored.withColumn("rnk", F.row_number().over(w))
-    best = ranked.filter(F.col("rnk") == 1).select(
-        "doc_id", F.col("cand").alias("pred_lang"), F.col("score").alias("s_best")
-    )
-    second = ranked.filter(F.col("rnk") == 2).select(
-        "doc_id", F.col("score").alias("s_second")
-    )
-    truth = docs.select("doc_id", "lang")
-    return (
-        best.join(second, "doc_id", "left")
-        .join(truth, "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            "pred_lang",
-            # the margin is an EXACT decimal difference; the lossless double
-            # cast is identical IEEE on both engines, so no rounding step
-            # (whose .5 boundary the engines resolve differently) exists
-            (F.col("s_best") - F.coalesce(F.col("s_second"), F.col("s_best")))
-            .cast("double")
-            .alias("margin"),
-            (F.col("lang") == F.col("pred_lang")).alias("correct"),
-        )
+
+    return docs.mapInPandas(
+        score, schema="doc_id long, lang string, pred_lang string, margin double"
+    ).select(
+        "doc_id",
+        "lang",
+        "pred_lang",
+        "margin",
+        (F.col("lang") == F.col("pred_lang")).alias("correct"),
     )
 
 
