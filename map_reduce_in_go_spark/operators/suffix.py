@@ -54,11 +54,25 @@ from ..sources.tables import load_documents_parallel
 # one byte/suffix in the ONE init range partition; each halving of INIT_W
 # costs a whole extra doubling round (2 exchanges + 2 Arrow passes over
 # every suffix). 32 resolves typical natural-text suffix collisions in the
-# init sort and needs ~4 rounds to clear a ~600-char doc; the knob trades
-# init shuffle width against round count, and both are linear in corpus
-# chars at any scale.
+# init sort; the knob trades init shuffle width against round count, and
+# both are linear in corpus chars at any scale. The ACTUAL width
+# self-sizes per corpus (r10, the knob the r9 comments named): from the
+# max-doc-length stats scan, pick the smallest power of two in
+# [INIT_W, INIT_W_MAX] that clears the longest doc in ≤ 3 doubling
+# rounds — per-round JOB overhead dominates long before init bytes do,
+# and a pathological corpus of book-length docs caps at INIT_W_MAX
+# rather than paying an unbounded init sort.
 INIT_W = 32
+INIT_W_MAX = 128
 MAX_ROUNDS = 12  # 32 · 2^12 = 128k chars — far past any testdata doc
+
+
+def _init_w(max_len: int) -> int:
+    """Initial rank width for a corpus whose longest doc is ``max_len``."""
+    w = INIT_W
+    while w < INIT_W_MAX and max_len > w * (1 << 3):  # > 3 rounds from w
+        w *= 2
+    return w
 LCP_MAX = 1024  # adjacent-LCP comparison cap (bytes moved: chars × this)
 # SA-order block-size CAP for the adjacent-LCP pass: each task holds one
 # block of suffix slices (≤ LCP_BLOCK × LCP_MAX bytes ≈ 64 MB worst case).
@@ -143,12 +157,16 @@ def _suffix_array_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so an empty text would inject two spurious empty suffixes and shift
     # every sa_rank — same footgun already fixed in dedup_containment_exact
     docs = docs.filter(F.length("text") > 0)
+    # stats scan FIRST: max doc length sizes the init width (and the
+    # convergence stop below) — one cheap agg over the collapsed docs
+    max_len = docs.agg(F.max(F.length("text"))).collect()[0][0] or 0
+    init_w = _init_w(max_len)
     sufs = (
         docs.select(
             "doc_id", F.explode(F.expr("sequence(1, length(text))")).alias("pos"), "text"
         )
         .select(
-            "doc_id", "pos", F.expr(f"substr(text, pos, {INIT_W})").alias("k0")
+            "doc_id", "pos", F.expr(f"substr(text, pos, {init_w})").alias("k0")
         )
     )
     mark = persisted_count()
@@ -159,9 +177,8 @@ def _suffix_array_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "pos", F.col("rk").alias("r")
     ).localCheckpoint(eager=True)
     release_persisted_since(mark)  # init rank cache (checkpointed past)
-    max_len = docs.agg(F.max(F.length("text"))).collect()[0][0] or 0
     last_ckpt = ranks
-    k = INIT_W
+    k = init_w
     rounds = 0
     # stop when every rank is unique, or the first k chars cover the whole
     # longest doc (exact-duplicate suffixes stay tied at ANY k — without
@@ -174,7 +191,7 @@ def _suffix_array_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"suffix_array: prefix doubling did not converge in "
                 f"{MAX_ROUNDS} rounds (k={k}, {n_distinct}/{n} distinct, "
                 f"max doc length {max_len}); raise MAX_ROUNDS for corpora "
-                f"with documents beyond {INIT_W * 2 ** MAX_ROUNDS} chars"
+                f"with documents beyond {init_w * 2 ** MAX_ROUNDS} chars"
             )
         shifted = ranks.select(
             "doc_id", (F.col("pos") - k).alias("pos"), F.col("r").alias("r2")
