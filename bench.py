@@ -55,6 +55,9 @@ HEADLINE = [
     "langid_trained",
     "corpus_shuffle",
     "dedup_containment_exact",
+    # r10: the served-index twin of dedup_substring (steady-state probes
+    # the persisted gram-frequency table; first rep pays the build)
+    "dedup_substring_indexed",
 ]
 
 

@@ -576,6 +576,8 @@ def langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out_id, out_lang, out_pred, out_margin = [], [], [], []
             for doc_id, lang, t in zip(pdf["doc_id"], pdf["lang"], pdf["t"]):
+                if t is None:
+                    continue  # null text: no grams (explode-drop parity)
                 n = len(t) - (LANGID_N - 1)
                 if n <= 0:
                     continue  # gram-free docs are absent (oracle parity)

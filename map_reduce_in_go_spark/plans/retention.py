@@ -330,13 +330,14 @@ def _ntile_from_rank(rank_col: str, n: int, k: int):
     rn ≤ r·(q+1) = n.
     """
     q, r = divmod(n, k)
-    rn = F.col(rank_col)
-    thr = F.lit(r * (q + 1))
-    q_safe = max(q, 1)
-    return (
-        F.when(rn <= thr, F.floor((rn - 1) / F.lit(q + 1)) + 1)
-        .otherwise(F.lit(r) + F.floor((rn - thr - 1) / F.lit(q_safe)) + 1)
-        .cast("int")
+    thr = r * (q + 1)
+    q_safe = max(q, 1)  # guards the (never-taken when n < k) branch
+    # integer DIV end-to-end: exact at any rank magnitude (a double
+    # division would round near tile boundaries once ranks pass 2^53)
+    return F.expr(
+        f"CAST(CASE WHEN {rank_col} <= {thr} "
+        f"THEN ({rank_col} - 1) DIV {q + 1} + 1 "
+        f"ELSE {r} + ({rank_col} - 1 - {thr}) DIV {q_safe} + 1 END AS INT)"
     )
 
 
