@@ -824,8 +824,91 @@ DSIR_BUCKETS = 512  # hashed n-gram feature space
 DSIR_TARGET_LANG = "en"  # the "target distribution" slice
 
 
+_DSIR_MODELS: dict[str, str] = {}
+_DSIR_PENDING: dict = {}
+
+
+def _dsir_bucket(col: Column) -> Column:
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+        % DSIR_BUCKETS
+    )
+
+
+def train_dsir_model(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """One corpus pass → the persisted B-row λ table (ALL buckets filled).
+
+    λ_b = round(ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B)), 9) over hashed
+    (uni+bi)-gram buckets, target = the ``lang='en'`` slice, raw = the
+    whole corpus. Buckets unseen in training get the add-one-smoothed
+    default from the same formula with zero counts, so the stored model
+    is TOTAL — scoring never needs a missing-key branch, even on
+    documents that arrive after training.
+    """
+    from ..sources.manifest_table import ManifestTable
+
+    docs = load_documents_parallel(spark, sf_dir).withColumn(
+        "toks", tokens(F.col("text"))
+    )
+    grams = docs.select(
+        "lang",
+        F.explode(F.concat(F.col("toks"), _ngrams(F.col("toks"), 2))).alias("g"),
+    ).select("lang", _dsir_bucket(F.col("g")).alias("b"))
+    from ..functions.caching import scoped_persist
+
+    grams = scoped_persist(grams)
+    raw = grams.groupBy("b").agg(F.count(F.lit(1)).alias("r"))
+    tgt = (
+        grams.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    r_total = raw.agg(F.sum("r")).collect()[0][0] or 0  # bounded scalar
+    t_total = tgt.agg(F.sum("t")).collect()[0][0] or 0  # bounded scalar
+    all_b = spark.range(DSIR_BUCKETS).select(F.col("id").alias("b"))
+    lam = (
+        all_b.join(raw, "b", "left")
+        .join(tgt, "b", "left")
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("t"), F.lit(0)) + F.lit(1.0))
+                    / F.lit(float(t_total + DSIR_BUCKETS))
+                )
+                - F.log(
+                    (F.coalesce(F.col("r"), F.lit(0)) + F.lit(1.0))
+                    / F.lit(float(r_total + DSIR_BUCKETS))
+                ),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("lam"),
+        )
+    )
+    ManifestTable(root).append(lam, op="dsir-train")
+
+
+def _dsir_model_path(spark: SparkSession, sf_dir: str) -> str:
+    """Train once per process per resolved sf_dir (shared build latch)."""
+    import os as _os
+    import uuid as _uuid
+
+    from .dedup import band_index_home, memoized_build
+
+    key = _os.path.realpath(sf_dir)
+
+    def _build() -> str:
+        path = _os.path.join(band_index_home(), f"dsir_{_uuid.uuid4().hex[:8]}")
+        train_dsir_model(spark, sf_dir, path)
+        return path
+
+    return memoized_build(_DSIR_MODELS, _DSIR_PENDING, key, _build)
+
+
 def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data Selection with Importance Resampling (Xie et al., NeurIPS 2023).
+    """Data Selection with Importance Resampling (Xie et al., NeurIPS
+    2023), SERVED.
 
     The published recipe for "pick raw-web documents that look like the
     target corpus": fit two bag-of-hashed-n-gram unigram models — one on a
@@ -837,79 +920,74 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     and are kept (the paper then resamples ∝ ŵ; the sign cut is the
     deterministic variant that needs no global sort).
 
-    Plan shape for 100 TB: one tokenize+hash pass (codegen: md5 mod B —
-    portable to the oracle), one partial-agg groupBy to per-bucket counts
-    (B=512 rows — broadcast back), and one per-doc weighted sum. The two
-    "models" are B-row tables, so scoring is a broadcast join, never a
-    shuffle of the corpus.
+    Train-once/score-many (r10, declared r11 landed early): the B-row λ
+    table persists under a ManifestTable (:func:`train_dsir_model`,
+    per-corpus build latch) and scoring is ZERO-shuffle: each doc's
+    gram-bucket ARRAY is computed by whole-stage codegen (tokenize +
+    hash stay JVM-side) and one vectorized Arrow pass sums
+    λ[bucket] over it with λ broadcast as a 512-slot int64 NANO array
+    (λ ≤ ~20 at 9dp → far inside int64; integer sums reproduce the
+    exact decimal Σ c_b·λ_b in any order, the langid-scorer recipe) —
+    no explode, no per-doc-bucket groupBy, no join. The former shape
+    shuffled every gram row twice to compute a doc-local number.
+    (A 512-entry ``create_map`` literal inside a HOF was tried first
+    and is 5× SLOWER than the old plan: Catalyst re-evaluates the map
+    construction per lookup — literal-table lookups belong in a
+    broadcast numpy array, not in an expression tree.)
 
-    Determinism: bucket counts are exact ints; each bucket's λ_b =
-    round(ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B)), 9) is fixed to
-    DECIMAL(18,9) so the per-doc Σ c_b·λ_b aggregates exactly in any
-    order; the final score is one divide-free double cast rounded at 6dp.
+    Determinism: λ is fixed to DECIMAL(18,9) by the same JVM rounding
+    as before (decimal × 10⁹ → long is exact); the final score is one
+    lossless double cast of k/10⁹ — the oracle hash is unchanged.
     """
-    from ..functions.caching import scoped_persist
+    import numpy as np
+
+    from ..sources.manifest_table import ManifestTable
+
+    lam_rows = (
+        ManifestTable(_dsir_model_path(spark, sf_dir))
+        .read(spark)
+        .select(
+            "b",
+            (F.col("lam") * F.lit(1_000_000_000)).cast("long").alias("nano"),
+        )
+        .collect()
+    )
+    lam_nano = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+    for r in lam_rows:
+        lam_nano[int(r["b"])] = r["nano"]
+    bc = spark.sparkContext.broadcast(lam_nano)
 
     docs = load_documents_parallel(spark, sf_dir).withColumn(
         "toks", tokens(F.col("text"))
     )
-    grams = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.concat(F.col("toks"), _ngrams(F.col("toks"), 2))
-        ).alias("g"),
-    ).select(
-        "doc_id",
-        "lang",
-        (
-            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint")
-            % DSIR_BUCKETS
-        ).alias("b"),
-    )
-    grams = scoped_persist(grams)
-    raw = grams.groupBy("b").agg(F.count(F.lit(1)).alias("r"))
-    tgt = (
-        grams.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("t"))
-    )
-    totals = raw.agg(F.sum("r").alias("rt")).collect()[0]  # bounded scalar
-    t_total = (
-        tgt.agg(F.sum("t").alias("tt")).collect()[0]["tt"] or 0
-    )  # bounded scalar
-    r_total = totals["rt"] or 0
-    lam = raw.join(tgt, "b", "left").select(
-        "b",
-        F.round(
-            F.log(
-                (F.coalesce(F.col("t"), F.lit(0)) + F.lit(1.0))
-                / F.lit(float(t_total + DSIR_BUCKETS))
+    grams = F.concat(F.col("toks"), _ngrams(F.col("toks"), 2))
+    buckets = F.transform(grams, lambda g: _dsir_bucket(g))
+
+    def score(batches):
+        import pandas as pd
+
+        lam = bc.value
+        for pdf in batches:
+            ids, n_feats, lw = [], [], []
+            for doc_id, bs in zip(pdf["doc_id"], pdf["bs"]):
+                if len(bs) == 0:
+                    continue  # gram-free docs are absent (oracle parity)
+                ids.append(doc_id)
+                n_feats.append(len(bs))
+                lw.append(
+                    float(int(lam[np.asarray(bs, dtype=np.int64)].sum())) / 1e9
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(ids, dtype=np.int64),
+                    "n_feats": np.array(n_feats, dtype=np.int64),
+                    "log_weight": np.array(lw, dtype=np.float64),
+                }
             )
-            - F.log(
-                (F.col("r") + F.lit(1.0)) / F.lit(float(r_total + DSIR_BUCKETS))
-            ),
-            9,
-        )
-        .cast("decimal(18,9)")
-        .alias("lam"),
-    )
-    feats = grams.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+
     return (
-        feats.join(F.broadcast(lam), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("long").alias("n_feats"),
-            # the Σ c·λ is EXACT decimal arithmetic in both engines; the
-            # lossless double cast of the same decimal value is identical
-            # IEEE, so no rounding step (whose .5 boundary the two engines
-            # resolve differently) is needed at all. c must be a NARROW
-            # decimal: bigint×decimal(18,9) promotes past precision 38 and
-            # Spark silently truncates the scale to 8.
-            F.sum(F.col("c").cast("decimal(9,0)") * F.col("lam"))
-            .cast("double")
-            .alias("log_weight"),
-        )
+        docs.select("doc_id", buckets.alias("bs"))
+        .mapInPandas(score, schema="doc_id long, n_feats long, log_weight double")
         .withColumn("selected", F.col("log_weight") > 0)
     )
 
