@@ -824,10 +824,6 @@ DSIR_BUCKETS = 512  # hashed n-gram feature space
 DSIR_TARGET_LANG = "en"  # the "target distribution" slice
 
 
-_DSIR_MODELS: dict[str, str] = {}
-_DSIR_PENDING: dict = {}
-
-
 def _dsir_bucket(col: Column) -> Column:
     return (
         F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
@@ -890,20 +886,13 @@ def train_dsir_model(spark: SparkSession, sf_dir: str, root: str) -> None:
 
 
 def _dsir_model_path(spark: SparkSession, sf_dir: str) -> str:
-    """Train once per process per resolved sf_dir (shared build latch)."""
-    import os as _os
-    import uuid as _uuid
+    """Train once per process per resolved sf_dir (the shared
+    served-artifact registry, sources/artifacts.py)."""
+    from ..sources.artifacts import served_artifact
 
-    from .dedup import band_index_home, memoized_build
-
-    key = _os.path.realpath(sf_dir)
-
-    def _build() -> str:
-        path = _os.path.join(band_index_home(), f"dsir_{_uuid.uuid4().hex[:8]}")
-        train_dsir_model(spark, sf_dir, path)
-        return path
-
-    return memoized_build(_DSIR_MODELS, _DSIR_PENDING, key, _build)
+    return served_artifact(
+        "dsir", sf_dir, lambda path: train_dsir_model(spark, sf_dir, path)
+    )
 
 
 def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:

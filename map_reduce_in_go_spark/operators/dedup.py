@@ -725,64 +725,18 @@ def dedup_batch_against_stats_index(
 # same directory); it is shared with similarity.py's IVF memo.
 import threading
 
-INDEX_MEMO_LOCK = threading.Lock()
-_INDEX_HOME: str | None = None
-_CORPUS_INDEXES: dict[str, str] = {}
-_CORPUS_PENDING: dict[str, threading.Event] = {}
+# The latch/home/memo machinery moved to sources/artifacts.py (r10 — it
+# is the shared lifecycle of EVERY served artifact, not a dedup detail);
+# these re-exports keep the long-standing names importable from here.
+from ..sources.artifacts import (  # noqa: E402
+    ARTIFACT_LOCK as INDEX_MEMO_LOCK,
+    artifact_home as band_index_home,
+    memo as _artifact_memo,
+    memoized_build,
+    served_artifact,
+)
 
-
-def memoized_build(
-    memo: dict[str, str],
-    pending: dict[str, threading.Event],
-    key: str,
-    builder,
-) -> str:
-    """Per-key build latch: memo lookups never wait on another key's build.
-
-    The shared lock guards only the dict check-and-install (microseconds);
-    the minutes-long Spark index build runs outside it behind a per-key
-    Event, so a first call for one sf_dir no longer blocks every other
-    thread's memo lookup — including already-built keys and the IVF memo.
-    Exactly one thread builds each key; waiters block on that key's Event
-    alone. A failed build clears its latch so a waiter retries as the new
-    builder rather than caching the failure.
-    """
-    while True:
-        with INDEX_MEMO_LOCK:
-            if key in memo:
-                return memo[key]
-            ev = pending.get(key)
-            if ev is None:
-                ev = pending[key] = threading.Event()
-                is_builder = True
-            else:
-                is_builder = False
-        if not is_builder:
-            ev.wait()
-            continue  # re-check: result published, or builder failed
-        try:
-            path = builder()
-            with INDEX_MEMO_LOCK:
-                memo[key] = path
-            return path
-        finally:
-            with INDEX_MEMO_LOCK:
-                pending.pop(key, None)
-            ev.set()
-
-
-def band_index_home() -> str:
-    """Lazily-created per-process root directory for band indexes."""
-    global _INDEX_HOME
-    with INDEX_MEMO_LOCK:
-        if _INDEX_HOME is None:
-            import atexit
-            import shutil
-            import tempfile
-
-            _INDEX_HOME = tempfile.mkdtemp(prefix="spark_graft_band_index_")
-            atexit.register(shutil.rmtree, _INDEX_HOME, ignore_errors=True)
-    return _INDEX_HOME
+_CORPUS_INDEXES = _artifact_memo("corpus")  # introspected by tests
 
 
 def _corpus_index_path(spark: SparkSession, sf_dir: str) -> str:
@@ -793,23 +747,17 @@ def _corpus_index_path(spark: SparkSession, sf_dir: str) -> str:
     build is what makes :func:`dedup_incremental_indexed` probe-only on
     every call after the first — the shape a standing 100 TB index has,
     where the build amortizes across every batch that ever lands. Concurrent
-    first calls build exactly once, behind a per-key latch
-    (:func:`memoized_build`) so unrelated keys never wait on this build.
+    first calls build exactly once behind the shared per-key latch
+    (:func:`~..sources.artifacts.served_artifact`).
     """
-    key = os.path.realpath(sf_dir)
-    home = band_index_home()
 
-    def _build() -> str:
-        import uuid as _uuid
-
-        path = os.path.join(home, f"corpus_{_uuid.uuid4().hex[:8]}")
+    def _build(path: str) -> None:
         corpus = load_table(spark, sf_dir, "documents").filter(
             F.pmod(F.col("doc_id"), F.lit(2)) == 0
         )
         build_band_index(corpus, path)
-        return path
 
-    return memoized_build(_CORPUS_INDEXES, _CORPUS_PENDING, key, _build)
+    return served_artifact("corpus", sf_dir, _build)
 
 
 def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1137,28 +1085,16 @@ def substring_spans(
     )
 
 
-_GRAM_INDEXES: dict[str, str] = {}
-_GRAM_PENDING: dict[str, threading.Event] = {}
-
-
 def _gram_index_path(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per process per resolved sf_dir) the served gram-
     frequency index — the :func:`_corpus_index_path` discipline applied
     to substring dedup: concurrent first calls build exactly once behind
-    a per-key latch; every later call is probe-only."""
+    the shared per-key latch; every later call is probe-only."""
     from ..sources.substring_index import build_gram_index
 
-    key = os.path.realpath(sf_dir)
-    home = band_index_home()
-
-    def _build() -> str:
-        import uuid as _uuid
-
-        path = os.path.join(home, f"gram_{_uuid.uuid4().hex[:8]}")
-        build_gram_index(spark, sf_dir, path)
-        return path
-
-    return memoized_build(_GRAM_INDEXES, _GRAM_PENDING, key, _build)
+    return served_artifact(
+        "gram", sf_dir, lambda path: build_gram_index(spark, sf_dir, path)
+    )
 
 
 def dedup_substring_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:

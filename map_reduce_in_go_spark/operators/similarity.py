@@ -422,11 +422,13 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------- persisted IVF index
 
-# per-process IVF index cache, same collision-safety design as the dedup
-# band index (operators/dedup.py band_index_home): unique mkdtemp per
-# interpreter, keyed by resolved sf_dir, removed at exit.
-_IVF_INDEXES: dict[str, str] = {}
-_IVF_PENDING: dict = {}
+# per-process IVF index cache via the shared served-artifact registry
+# (sources/artifacts.py): unique mkdtemp home per interpreter, keyed by
+# resolved sf_dir, removed at exit.
+from ..sources.artifacts import memo as _artifact_memo  # noqa: E402
+from ..sources.artifacts import served_artifact  # noqa: E402
+
+_IVF_INDEXES = _artifact_memo("ivf")  # introspected by tests
 
 
 def _centroids(spark: SparkSession, sf_dir: str):
@@ -526,24 +528,14 @@ def _assign_cells(batches, bc, top_n: int, with_cos: bool = False):
 def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per process per resolved sf_dir) the persisted IVF index.
 
-    Concurrent first calls build exactly once behind a per-key latch
-    (dedup.memoized_build) instead of racing overwrites into one directory —
-    and without holding the shared memo lock for the build's duration.
+    Concurrent first calls build exactly once behind the shared per-key
+    latch (sources/artifacts.py) instead of racing overwrites into one
+    directory — and without holding the memo lock for the build's
+    duration.
     """
-    import os as _os
-    import uuid as _uuid
-
-    from .dedup import band_index_home, memoized_build
-
-    key = _os.path.realpath(sf_dir)
-    home = band_index_home()
-
-    def _build() -> str:
-        path = _os.path.join(home, f"ivf_{_uuid.uuid4().hex[:8]}")
-        build_ivf_index(spark, sf_dir, path)
-        return path
-
-    return memoized_build(_IVF_INDEXES, _IVF_PENDING, key, _build)
+    return served_artifact(
+        "ivf", sf_dir, lambda path: build_ivf_index(spark, sf_dir, path)
+    )
 
 
 def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -435,10 +435,6 @@ ORACLES: dict[str, str] = {
 
 LANGID_N = 3  # character trigrams
 
-_LANGID_MODELS: dict[str, str] = {}
-_LANGID_PENDING: dict = {}
-
-
 def _gram_expr() -> str:
     return (
         f"transform(sequence(1, greatest(length(t) - {LANGID_N - 1}, 0)),"
@@ -468,21 +464,13 @@ def train_langid_model(spark: SparkSession, sf_dir: str, root: str) -> None:
 
 
 def _langid_model_path(spark: SparkSession, sf_dir: str) -> str:
-    """Train once per process per resolved sf_dir (per-key build latch —
-    the served-artifact discipline of the band/IVF/gram indexes)."""
-    import os as _os
-    import uuid as _uuid
+    """Train once per process per resolved sf_dir (the shared
+    served-artifact registry, sources/artifacts.py)."""
+    from ..sources.artifacts import served_artifact
 
-    from .dedup import band_index_home, memoized_build
-
-    key = _os.path.realpath(sf_dir)
-
-    def _build() -> str:
-        path = _os.path.join(band_index_home(), f"langid_{_uuid.uuid4().hex[:8]}")
-        train_langid_model(spark, sf_dir, path)
-        return path
-
-    return memoized_build(_LANGID_MODELS, _LANGID_PENDING, key, _build)
+    return served_artifact(
+        "langid", sf_dir, lambda path: train_langid_model(spark, sf_dir, path)
+    )
 
 
 def langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -340,44 +340,15 @@ ORACLES["doc_similarity_tfidf"] = _MINHASH_CTES + f"""
 KN_DISCOUNT = 0.75  # the standard absolute-discount value
 
 
-def ngram_lm_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bigram Kneser-Ney LM scoring — the perplexity-filter upgrade.
-
-    :func:`doc_surprisal` scores with a unigram LM; real quality filters
-    (CCNet, Gopher's perplexity buckets) use higher-order smoothed LMs.
-    Interpolated Kneser-Ney (Kneser & Ney 1995; Chen & Goodman 1999) is
-    the public-standard smoothing, and the corpus is its own model:
-
-        P_cont(w)   = N1+(·w) / N1+(··)            (continuation prob)
-        λ(v)        = d · N1+(v·) / c(v)
-        P_KN(w|v)   = max(c(v,w) − d, 0)/c(v) + λ(v)·P_cont(w)
-
-    with d = 0.75. Output per doc: bigram count and mean −ln P_KN over its
-    bigram occurrences (high = surprising under the corpus LM → gibberish
-    / boilerplate-explosion candidates, now context-sensitive).
-
-    Plan: one bigram explode → per-(doc, v, w) counts; model tables
-    (c(v,w), c(v), N1+(v·), N1+(·w)) are re-aggregations of the same
-    frame, joined back on (v, w) — bigram-vocabulary-grain shuffles, all
-    partial-agg friendly; nothing is corpus-quadratic. Every doc bigram
-    occurs in the corpus counts by construction (the corpus IS the
-    training data), so no OOV branch exists.
-
-    Determinism: all counts exact ints; each distinct bigram's
-    s = −ln P_KN rounded at 9dp → DECIMAL(18,9), per-doc Σ tf·s exact,
-    final mean one divide rounded at 6dp (the doc_surprisal discipline).
-    """
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, v, w) bigram occurrence rows for a (doc_id, text) frame."""
     from ..functions.text import tokens
-    from ..sources.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
     toks = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
         F.size("toks") >= 2
     )
     idx = F.sequence(F.lit(1), F.size("toks") - 1)
-    big = toks.select(
+    return toks.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -389,11 +360,23 @@ def ngram_lm_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", F.col("b.v").alias("v"), F.col("b.w").alias("w"))
-    per_doc = scoped_persist(
-        big.groupBy("doc_id", "v", "w").agg(F.count(F.lit(1)).alias("tf"))
-    )
+
+
+def train_kn_model(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """One corpus pass → the persisted (v, w, s) Kneser-Ney score table.
+
+    The model is bigram-VOCABULARY-grain (c(v,w), c(v), N1+(v·),
+    N1+(·w) folded into the final −ln P_KN score per distinct bigram) —
+    unlike the trigram-langid or 512-bucket DSIR models it is NOT
+    broadcast-bounded at scale, so it persists as a joinable table, not
+    a driver array.
+    """
+    from ..sources.manifest_table import ManifestTable
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
     cvw = scoped_persist(
-        per_doc.groupBy("v", "w").agg(F.sum("tf").alias("cvw"))
+        _doc_bigrams(docs).groupBy("v", "w").agg(F.count(F.lit(1)).alias("cvw"))
     )
     cv = cvw.groupBy("v").agg(
         F.sum("cvw").alias("cv"), F.count(F.lit(1)).alias("n1p_v")
@@ -410,6 +393,58 @@ def ngram_lm_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         "w",
         F.round(-F.log(p_kn), 9).cast("decimal(18,9)").alias("s"),
+    )
+    ManifestTable(root).append(model, op="kn-train")
+
+
+def _kn_model_path(spark: SparkSession, sf_dir: str) -> str:
+    """Train once per process per resolved sf_dir (the shared
+    served-artifact registry, sources/artifacts.py)."""
+    from ..sources.artifacts import served_artifact
+
+    return served_artifact(
+        "kn", sf_dir, lambda path: train_kn_model(spark, sf_dir, path)
+    )
+
+
+def ngram_lm_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram Kneser-Ney LM scoring — the perplexity-filter upgrade,
+    SERVED.
+
+    :func:`doc_surprisal` scores with a unigram LM; real quality filters
+    (CCNet, Gopher's perplexity buckets) use higher-order smoothed LMs.
+    Interpolated Kneser-Ney (Kneser & Ney 1995; Chen & Goodman 1999) is
+    the public-standard smoothing, and the corpus is its own model:
+
+        P_cont(w)   = N1+(·w) / N1+(··)            (continuation prob)
+        λ(v)        = d · N1+(v·) / c(v)
+        P_KN(w|v)   = max(c(v,w) − d, 0)/c(v) + λ(v)·P_cont(w)
+
+    with d = 0.75. Output per doc: bigram count and mean −ln P_KN over its
+    bigram occurrences (high = surprising under the corpus LM → gibberish
+    / boilerplate-explosion candidates, now context-sensitive).
+
+    Train-once/score-many (r10, declared r11 landed early): the (v, w,
+    s) score table persists via :func:`train_kn_model`; scoring is the
+    per-doc bigram count plus ONE model equijoin — the four model
+    aggregations and their join chain run only at build. The model is
+    bigram-vocabulary-sized, so the join (not a broadcast) is the
+    correct 100 TB shape. Every doc bigram occurs in the model by
+    construction (the corpus is its own training data) — no OOV branch.
+
+    Determinism: all counts exact ints; each distinct bigram's
+    s = −ln P_KN rounded at 9dp → DECIMAL(18,9), per-doc Σ tf·s exact,
+    final mean one divide rounded at 6dp (the doc_surprisal discipline).
+    """
+    from ..sources.manifest_table import ManifestTable
+    from ..sources.tables import load_table
+
+    model = ManifestTable(_kn_model_path(spark, sf_dir)).read(spark)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    per_doc = _doc_bigrams(docs).groupBy("doc_id", "v", "w").agg(
+        F.count(F.lit(1)).alias("tf")
     )
     return (
         per_doc.join(model, ["v", "w"])
