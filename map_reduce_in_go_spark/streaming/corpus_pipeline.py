@@ -1,0 +1,148 @@
+"""One arriving batch → EVERY document-side artifact, one transaction.
+
+The end-to-end incremental-corpus shape (r10, declared r11 landed
+early): a production training-data pipeline does not run its dedup, its
+substring index, its sketches, and its stats as separate jobs with
+separate failure domains — one micro-batch of crawled documents must
+advance all of them together or not at all. This module composes the
+repo's existing per-artifact streaming pieces into ONE
+:class:`~..sources.catalog.TableCatalog` transaction per batch:
+
+- ``corpus``        — accepted (near-dup-filtered) documents;
+- ``band_index``    — their MinHash bands (what the NEXT batch dedups
+  against — the ``ingest_batch_txn`` core);
+- ``gram_index``    — their token-K-gram counts (additive rows: the
+  served substring-dedup structure, sources/substring_index.py);
+- ``token_cms``     — one Count-Min sketch row (streaming/heavy.py's
+  mergeable rollup: exact trending tokens over everything accepted);
+- ``len_quantiles`` — per-language token-length summary rows
+  (streaming/quantiles.py's rank-sample rollup with carried error).
+
+Atomicity is the point: a reader can never observe an accepted document
+whose bands aren't probeable, whose grams aren't counted, or whose
+tokens are missing from a sketch — the catalog CAS publishes the five
+member appends together, and any crash before it leaves only orphan
+member versions (invisible; vacuumed). Exactly-once falls out of the
+catalog ledger: the commit is tagged ``<app_id>-batch-<id>`` and a
+replayed batch is detected from PUBLISHED commits before any recompute,
+so Spark's at-least-once foreachBatch (or a checkpoint-wiped restart)
+re-running a batch is a no-op across ALL five artifacts at once —
+proven in tests/test_corpus_pipeline.py by wiping and replaying.
+
+On a CAS conflict (a racing backfill writer) the batch re-plans against
+the new snapshot with a full re-probe — survivors were derived from the
+old snapshot, so this is the serializable behavior (the
+``ingest_batch_txn`` discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row, SparkSession
+
+from ..functions.caching import (
+    free_local_checkpoint,
+    persisted_count,
+    release_persisted_since,
+)
+from ..operators.dedup import bands_of_docs, dedup_batch_against_bands
+from ..sources.catalog import CommitConflict, TableCatalog
+
+CORPUS = "corpus"
+BANDS = "band_index"
+GRAMS = "gram_index"
+CMS = "token_cms"
+QUANTS = "len_quantiles"
+
+
+def corpus_batch_txn(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    cat: TableCatalog,
+    batch_id: int,
+    app_id: str = "corpus",
+) -> bool:
+    """Process one (doc_id, text, lang) micro-batch; False on replay."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import tokens
+    from ..sources.substring_index import _token_gram_counts
+    from .heavy import _batch_sketch
+    from .quantiles import summaries_for
+
+    op = f"{app_id}-batch-{batch_id}"
+    if op in cat.committed_ops():
+        return False
+    for _ in range(10):
+        mark = persisted_count()
+        txn = cat.transaction(spark)
+        try:
+            old_bands = txn.read(BANDS)
+        except KeyError:
+            old_bands = spark.createDataFrame([], "band_idx int, band_hash string")
+        survivors = dedup_batch_against_bands(batch_df, old_bands).localCheckpoint(
+            eager=True
+        )
+        kept = batch_df.join(survivors, "doc_id", "left_semi").localCheckpoint(
+            eager=True
+        )
+        txn.append(CORPUS, kept.select("doc_id", "text", "lang"), op=op)
+        txn.append(BANDS, bands_of_docs(kept), op=op)
+        txn.append(GRAMS, _token_gram_counts(kept), op=op)
+        total, agg = _batch_sketch(kept)
+        txn.append(
+            CMS,
+            spark.createDataFrame(
+                [Row(batch_id=batch_id, n=total, sketch=agg.tolist())],
+                schema="batch_id long, n long, sketch array<long>",
+            ).coalesce(1),
+            op=op,
+        )
+        lens = kept.select(
+            "lang", F.size(tokens(F.col("text"))).cast("double").alias("n_tok")
+        )
+        txn.append(
+            QUANTS, summaries_for(lens, "lang", "n_tok", batch_id).coalesce(1), op=op
+        )
+        try:
+            txn.commit(op=op)
+            return True
+        except CommitConflict:
+            continue  # re-plan on the new catalog snapshot
+        finally:
+            release_persisted_since(mark)
+            free_local_checkpoint(survivors)
+            free_local_checkpoint(kept)
+    raise CommitConflict(
+        f"batch {batch_id} lost the catalog race 10 times at {cat.root}; "
+        "Spark will retry the batch"
+    )
+
+
+def member(spark: SparkSession, cat: TableCatalog, name: str) -> DataFrame:
+    """One member table at the CURRENT catalog snapshot's pinned version."""
+    import os
+
+    from ..sources.manifest_table import ManifestTable
+
+    pins = cat.snapshot(spark)
+    path, version = pins[name]
+    return ManifestTable(os.path.join(cat.root, path)).read(spark, version)
+
+
+def start_corpus_pipeline(
+    stream_docs: DataFrame,
+    catalog_root: str,
+    checkpoint_dir: str,
+    app_id: str = "corpus",
+):
+    """(doc_id, text, lang) stream → one five-member txn per micro-batch."""
+    spark = stream_docs.sparkSession
+    cat = TableCatalog(catalog_root)
+    return (
+        stream_docs.writeStream.foreachBatch(
+            lambda df, bid: corpus_batch_txn(spark, df, cat, bid, app_id)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -63,6 +63,40 @@ def _summarize(values: np.ndarray) -> tuple[int, int, list[float]]:
     return n, 2 * int(np.ceil(n / QS_B)), v[idx].tolist()
 
 
+def summaries_for(
+    batch: DataFrame, key_col: str, value_col: str, batch_id: int
+) -> DataFrame:
+    """Per-``key_col`` summary rows (the _SCHEMA shape) for one batch of
+    ``value_col`` doubles — the reusable producer behind
+    :func:`quantile_batch` and any pipeline that folds a quantile member
+    into a wider transaction (streaming/corpus_pipeline.py). One Arrow
+    pass per key group (micro-batches are bounded by definition);
+    O(keys × QS_B) rows out no matter the batch size."""
+
+    def summarize(pdf):
+        import pandas as pd
+
+        n, err, pts = _summarize(pdf[value_col].to_numpy())
+        return pd.DataFrame(
+            {
+                "batch_id": [batch_id],
+                "event_type": [pdf[key_col].iloc[0]],
+                "n": [n],
+                "err": [err],
+                "points": [pts],
+            }
+        )
+
+    return (
+        batch.select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.col(value_col).cast("double").alias(value_col),
+        )
+        .groupBy(key_col)
+        .applyInPandas(summarize, schema=_SCHEMA)
+    )
+
+
 def quantile_batch(
     spark: SparkSession,
     batch_events: DataFrame,
@@ -70,36 +104,11 @@ def quantile_batch(
     batch_id: int,
     app_id: str = "quantiles",
 ) -> bool:
-    """Land one micro-batch's per-type summary rows; False on replay.
-
-    One Arrow pass per type group (micro-batches are bounded by
-    definition — the same per-group contract as every applyInPandas
-    stateful op here); the appended rows are O(types × QS_B) no matter
-    the batch size.
-    """
+    """Land one micro-batch's per-type summary rows; False on replay."""
     op = f"{app_id}-batch-{batch_id}"
     if op in tbl.committed_ops():
         return False
-
-    def summarize(pdf):
-        import pandas as pd
-
-        n, err, pts = _summarize(pdf["value"].to_numpy())
-        return pd.DataFrame(
-            {
-                "batch_id": [batch_id],
-                "event_type": [pdf["event_type"].iloc[0]],
-                "n": [n],
-                "err": [err],
-                "points": [pts],
-            }
-        )
-
-    rows = (
-        batch_events.select("event_type", "value")
-        .groupBy("event_type")
-        .applyInPandas(summarize, schema=_SCHEMA)
-    )
+    rows = summaries_for(batch_events, "event_type", "value", batch_id)
     tbl.append(rows.coalesce(1), op=op)
     return True
 

@@ -1,0 +1,165 @@
+"""End-to-end incremental-corpus pipeline: one batch advances corpus,
+band index, gram index, CMS, and quantile rollup in ONE transaction —
+cross-artifact consistency, joint replay no-op, real stream wiring."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from map_reduce_in_go_spark.sources.catalog import TableCatalog
+from map_reduce_in_go_spark.sources.tables import load_table
+from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+    BANDS,
+    CMS,
+    CORPUS,
+    GRAMS,
+    QUANTS,
+    corpus_batch_txn,
+    member,
+    start_corpus_pipeline,
+)
+
+
+def _feed(spark, sf_dir, cat, n_batches=3):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    for i in range(n_batches):
+        assert corpus_batch_txn(
+            spark, docs.filter(F.pmod("doc_id", F.lit(n_batches)) == i), cat, i
+        )
+    return docs
+
+
+def test_cross_artifact_consistency(spark, sf_dir, tmp_path):
+    """Every artifact describes EXACTLY the accepted corpus — no member
+    can drift ahead of or behind another."""
+    from map_reduce_in_go_spark.functions.text import tokens
+    from map_reduce_in_go_spark.sources.substring_index import _token_gram_counts
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    docs = _feed(spark, sf_dir, cat)
+
+    corpus = member(spark, cat, CORPUS)
+    accepted = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert accepted and accepted <= all_ids
+
+    # gram index == gram counts recomputed from the accepted corpus
+    stored = {
+        r["g"]: r["n"]
+        for r in member(spark, cat, GRAMS).groupBy("g").agg(F.sum("n").alias("n")).collect()
+    }
+    recomputed = {
+        r["g"]: r["n"] for r in _token_gram_counts(corpus).collect()
+    }
+    assert stored == recomputed and stored
+
+    # CMS rows: total tokens exact; every token's min-row estimate is a
+    # superset bound on its exact corpus count
+    from map_reduce_in_go_spark.operators.approx import CMS_D, CMS_W, _cms_hashes
+
+    rows = member(spark, cat, CMS).collect()
+    total = sum(r["n"] for r in rows)
+    agg = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+    for r in rows:
+        agg += np.asarray(r["sketch"], dtype=np.int64)
+    cms = agg.reshape(CMS_D, CMS_W)
+    tok = corpus.select(F.explode(tokens(F.col("text"))).alias("w"))
+    exact = {
+        r["w"]: r["c"] for r in tok.groupBy("w").agg(F.count("*").alias("c")).collect()
+    }
+    assert total == sum(exact.values())
+    for w, c in list(exact.items())[:50]:
+        assert min(cms[d, h] for d, h in enumerate(_cms_hashes(w))) >= c
+
+    # quantile member: per-lang doc counts exact; small batches store
+    # exact multisets, so the folded median IS the exact order statistic
+    qrows = member(spark, cat, QUANTS).collect()
+    per_lang_n = {}
+    pts = {}
+    for r in qrows:
+        per_lang_n[r["event_type"]] = per_lang_n.get(r["event_type"], 0) + r["n"]
+        pts.setdefault(r["event_type"], []).extend(r["points"])
+        assert r["err"] == 0  # batches under QS_B per lang: exact
+    exact_lens = {}
+    for r in corpus.select(
+        "lang", F.size(tokens(F.col("text"))).alias("n_tok")
+    ).collect():
+        exact_lens.setdefault(r["lang"], []).append(float(r["n_tok"]))
+    assert set(per_lang_n) == set(exact_lens)
+    for lang, vals in exact_lens.items():
+        vals.sort()
+        assert per_lang_n[lang] == len(vals)
+        merged = sorted(pts[lang])
+        assert merged == vals  # exact multiset equality (err 0 everywhere)
+
+    # a batch that is a pure replay of CONTENT (new ids, same texts)
+    # accepts nothing: the standing band index catches every near-dup
+    clone = docs.withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+    assert corpus_batch_txn(spark, clone, cat, 99)
+    after = {r["doc_id"] for r in member(spark, cat, CORPUS).select("doc_id").collect()}
+    assert after == accepted
+
+
+def test_joint_replay_noop(spark, sf_dir, tmp_path):
+    """Replaying every batch (the checkpoint-wipe scenario) is a no-op
+    across ALL five artifacts at once: nothing recomputes, no member
+    version moves."""
+    cat = TableCatalog(str(tmp_path / "cat"))
+    _feed(spark, sf_dir, cat)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    before = cat.snapshot(spark)
+    assert set(before) == {CORPUS, BANDS, GRAMS, CMS, QUANTS}
+    for i in range(3):
+        assert (
+            corpus_batch_txn(
+                spark, docs.filter(F.pmod("doc_id", F.lit(3)) == i), cat, i
+            )
+            is False
+        )
+    assert cat.snapshot(spark) == before
+
+
+def test_stream_end_to_end(spark, tmp_path):
+    """Real foreachBatch wiring: two file-source micro-batches publish
+    one five-member transaction each; in-batch and cross-batch dups drop."""
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    texts1 = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta", "en"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta", "en"),  # dup of 1
+        (3, "one two three four five six seven eight", "en"),
+    ]
+    texts2 = [
+        (4, "alpha beta gamma delta epsilon zeta eta theta", "en"),  # corpus dup
+        (5, "nine ten eleven twelve thirteen fourteen fifteen", "de"),
+    ]
+    for name, batch in (("b1.json", texts1), ("b2.json", texts2)):
+        (drop / name).write_text(
+            "\n".join(
+                json.dumps({"doc_id": d, "text": t, "lang": lang})
+                for d, t, lang in batch
+            )
+        )
+        time.sleep(1.1)  # file-source orders batches by mod time
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(drop))
+    )
+    cat_root = str(tmp_path / "cat")
+    q = start_corpus_pipeline(stream, cat_root, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    cat = TableCatalog(cat_root)
+    got = {r["doc_id"] for r in member(spark, cat, CORPUS).select("doc_id").collect()}
+    assert got == {1, 3, 5}
+    assert set(cat.snapshot(spark)) == {CORPUS, BANDS, GRAMS, CMS, QUANTS}
+    assert {"corpus-batch-0", "corpus-batch-1"} <= cat.committed_ops()
+    langs = {
+        r["event_type"] for r in member(spark, cat, QUANTS).collect()
+    }
+    assert langs == {"en", "de"}
