@@ -363,20 +363,56 @@ def _doc_bigrams(docs: DataFrame) -> DataFrame:
 
 
 def train_kn_model(spark: SparkSession, sf_dir: str, root: str) -> None:
-    """One corpus pass → the persisted (v, w, s) Kneser-Ney score table.
+    """One corpus pass → the persisted (v, w, cvw) bigram COUNT table.
 
-    The model is bigram-VOCABULARY-grain (c(v,w), c(v), N1+(v·),
-    N1+(·w) folded into the final −ln P_KN score per distinct bigram) —
-    unlike the trigram-langid or 512-bucket DSIR models it is NOT
-    broadcast-bounded at scale, so it persists as a joinable table, not
-    a driver array.
+    Counts at rest, scores at read (r10 second half): Kneser-Ney scores
+    are a NONLINEAR function of global counts (c(v), N1+(v·), N1+(·w),
+    N1+(··)), so a score table could never absorb an incremental batch —
+    raw bigram counts are ADDITIVE, so :func:`kn_model_append` is one
+    ledgered append and :func:`_kn_scores` folds the current totals into
+    −ln P_KN at bigram-vocabulary grain on read (vocab-sized
+    aggregations — far cheaper than the corpus-grain explode they
+    replace, and exactly the gram-index discipline). The model is NOT
+    broadcast-bounded at scale, so it serves as a joinable table, not a
+    driver array.
     """
     from ..sources.manifest_table import ManifestTable
     from ..sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
+    cvw = _doc_bigrams(docs).groupBy("v", "w").agg(
+        F.count(F.lit(1)).alias("cvw")
+    )
+    ManifestTable(root).append(cvw, op="kn-train")
+
+
+def kn_model_append(root: str, docs: DataFrame, op: str) -> bool:
+    """Ledgered incremental maintenance: a document batch appends its own
+    bigram counts exactly-once; reads fold base + batches by summation
+    before scoring, so the served model after appends is IDENTICAL to a
+    retrain over the union (pinned by test). False on a replayed op."""
+    from ..sources.manifest_table import ManifestTable
+
+    tbl = ManifestTable(root)
+    if op in tbl.committed_ops():
+        return False
+    counts = _doc_bigrams(docs.select("doc_id", "text")).groupBy("v", "w").agg(
+        F.count(F.lit(1)).alias("cvw")
+    )
+    tbl.append(counts, op=op)
+    return True
+
+
+def _kn_scores(spark: SparkSession, root: str) -> DataFrame:
+    """(v, w, s): the −ln P_KN score table derived from the CURRENT
+    folded counts — all aggregations at bigram-vocabulary grain."""
+    from ..sources.manifest_table import ManifestTable
+
     cvw = scoped_persist(
-        _doc_bigrams(docs).groupBy("v", "w").agg(F.count(F.lit(1)).alias("cvw"))
+        ManifestTable(root)
+        .read(spark)
+        .groupBy("v", "w")
+        .agg(F.sum("cvw").alias("cvw"))
     )
     cv = cvw.groupBy("v").agg(
         F.sum("cvw").alias("cv"), F.count(F.lit(1)).alias("n1p_v")
@@ -389,12 +425,11 @@ def train_kn_model(spark: SparkSession, sf_dir: str, root: str) -> None:
         + (d * F.col("n1p_v") / F.col("cv"))
         * (F.col("n1p_w") / F.lit(float(n_types)))
     )
-    model = cvw.join(cv, "v").join(n1p_w, "w").select(
+    return cvw.join(cv, "v").join(n1p_w, "w").select(
         "v",
         "w",
         F.round(-F.log(p_kn), 9).cast("decimal(18,9)").alias("s"),
     )
-    ManifestTable(root).append(model, op="kn-train")
 
 
 def _kn_model_path(spark: SparkSession, sf_dir: str) -> str:
@@ -424,22 +459,24 @@ def ngram_lm_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram occurrences (high = surprising under the corpus LM → gibberish
     / boilerplate-explosion candidates, now context-sensitive).
 
-    Train-once/score-many (r10, declared r11 landed early): the (v, w,
-    s) score table persists via :func:`train_kn_model`; scoring is the
-    per-doc bigram count plus ONE model equijoin — the four model
-    aggregations and their join chain run only at build. The model is
-    bigram-vocabulary-sized, so the join (not a broadcast) is the
-    correct 100 TB shape. Every doc bigram occurs in the model by
-    construction (the corpus is its own training data) — no OOV branch.
+    Train-once/score-many (r10, declared r11 landed early): the bigram
+    COUNT table persists via :func:`train_kn_model` (counts are additive
+    → :func:`kn_model_append` maintains the model incrementally with
+    ledgered exactly-once batches); scoring folds the current counts
+    into scores at bigram-vocabulary grain (:func:`_kn_scores`) and
+    joins once — the corpus-grain explode runs only at build/append,
+    over the batch alone. The model is bigram-vocabulary-sized, so the
+    join (not a broadcast) is the correct 100 TB shape. Every doc bigram
+    occurs in the model by construction (the corpus is its own training
+    data) — no OOV branch.
 
     Determinism: all counts exact ints; each distinct bigram's
     s = −ln P_KN rounded at 9dp → DECIMAL(18,9), per-doc Σ tf·s exact,
     final mean one divide rounded at 6dp (the doc_surprisal discipline).
     """
-    from ..sources.manifest_table import ManifestTable
     from ..sources.tables import load_table
 
-    model = ManifestTable(_kn_model_path(spark, sf_dir)).read(spark)
+    model = _kn_scores(spark, _kn_model_path(spark, sf_dir))
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
