@@ -831,58 +831,90 @@ def _dsir_bucket(col: Column) -> Column:
     )
 
 
+def _dsir_bucket_counts(docs: DataFrame) -> DataFrame:
+    """(b, r, t) per-bucket raw/target gram counts for a (text, lang)
+    frame — the ADDITIVE rows the DSIR artifact stores (λ is a nonlinear
+    fold of these, so the model persists counts and derives λ at read;
+    the KN counts-at-rest discipline)."""
+    d = docs.withColumn("toks", tokens(F.col("text")))
+    grams = d.select(
+        "lang",
+        F.explode(F.concat(F.col("toks"), _ngrams(F.col("toks"), 2))).alias("g"),
+    ).select("lang", _dsir_bucket(F.col("g")).alias("b"))
+    return grams.groupBy("b").agg(
+        F.count(F.lit(1)).alias("r"),
+        F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).alias("t"),
+    )
+
+
 def train_dsir_model(spark: SparkSession, sf_dir: str, root: str) -> None:
-    """One corpus pass → the persisted B-row λ table (ALL buckets filled).
+    """One corpus pass → the persisted per-bucket (b, r, t) count table.
+
+    Counts are additive, so :func:`dsir_model_append` maintains the
+    model with ledgered exactly-once batches; :func:`_dsir_lambda`
+    folds current totals into the λ table at read (512 rows — a
+    near-free derivation).
+    """
+    from ..sources.manifest_table import ManifestTable
+
+    docs = load_documents_parallel(spark, sf_dir).select("text", "lang")
+    ManifestTable(root).append(_dsir_bucket_counts(docs), op="dsir-train")
+
+
+def dsir_model_append(root: str, docs: DataFrame, op: str) -> bool:
+    """Ledgered incremental maintenance: a (text, lang) batch appends its
+    own bucket counts exactly-once; the folded model is IDENTICAL to a
+    retrain over the union (pinned by test). False on a replayed op."""
+    from ..sources.manifest_table import ManifestTable
+
+    tbl = ManifestTable(root)
+    if op in tbl.committed_ops():
+        return False
+    tbl.append(_dsir_bucket_counts(docs.select("text", "lang")), op=op)
+    return True
+
+
+def _dsir_lambda(spark: SparkSession, root: str) -> DataFrame:
+    """The TOTAL B-row λ table derived from the CURRENT folded counts.
 
     λ_b = round(ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B)), 9) over hashed
     (uni+bi)-gram buckets, target = the ``lang='en'`` slice, raw = the
     whole corpus. Buckets unseen in training get the add-one-smoothed
-    default from the same formula with zero counts, so the stored model
-    is TOTAL — scoring never needs a missing-key branch, even on
+    default from the same formula with zero counts, so the derived
+    model is TOTAL — scoring never needs a missing-key branch, even on
     documents that arrive after training.
     """
     from ..sources.manifest_table import ManifestTable
 
-    docs = load_documents_parallel(spark, sf_dir).withColumn(
-        "toks", tokens(F.col("text"))
-    )
-    grams = docs.select(
-        "lang",
-        F.explode(F.concat(F.col("toks"), _ngrams(F.col("toks"), 2))).alias("g"),
-    ).select("lang", _dsir_bucket(F.col("g")).alias("b"))
-    from ..functions.caching import scoped_persist
-
-    grams = scoped_persist(grams)
-    raw = grams.groupBy("b").agg(F.count(F.lit(1)).alias("r"))
-    tgt = (
-        grams.filter(F.col("lang") == DSIR_TARGET_LANG)
+    counts = (
+        ManifestTable(root)
+        .read(spark)
         .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("t"))
-    )
-    r_total = raw.agg(F.sum("r")).collect()[0][0] or 0  # bounded scalar
-    t_total = tgt.agg(F.sum("t")).collect()[0][0] or 0  # bounded scalar
-    all_b = spark.range(DSIR_BUCKETS).select(F.col("id").alias("b"))
-    lam = (
-        all_b.join(raw, "b", "left")
-        .join(tgt, "b", "left")
-        .select(
-            "b",
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("t"), F.lit(0)) + F.lit(1.0))
-                    / F.lit(float(t_total + DSIR_BUCKETS))
-                )
-                - F.log(
-                    (F.coalesce(F.col("r"), F.lit(0)) + F.lit(1.0))
-                    / F.lit(float(r_total + DSIR_BUCKETS))
-                ),
-                9,
+        .agg(F.sum("r").alias("r"), F.sum("t").alias("t"))
+        .collect()
+    )  # ≤ B rows
+    by_b = {int(row["b"]): (int(row["r"]), int(row["t"])) for row in counts}
+    r_total = sum(r for r, _ in by_b.values())
+    t_total = sum(t for _, t in by_b.values())
+    rows = [
+        (b, *by_b.get(b, (0, 0))) for b in range(DSIR_BUCKETS)
+    ]
+    all_b = spark.createDataFrame(rows, "b long, r long, t long")
+    return all_b.select(
+        "b",
+        F.round(
+            F.log(
+                (F.col("t") + F.lit(1.0))
+                / F.lit(float(t_total + DSIR_BUCKETS))
             )
-            .cast("decimal(18,9)")
-            .alias("lam"),
+            - F.log(
+                (F.col("r") + F.lit(1.0)) / F.lit(float(r_total + DSIR_BUCKETS))
+            ),
+            9,
         )
+        .cast("decimal(18,9)")
+        .alias("lam"),
     )
-    ManifestTable(root).append(lam, op="dsir-train")
 
 
 def _dsir_model_path(spark: SparkSession, sf_dir: str) -> str:
@@ -909,9 +941,12 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     and are kept (the paper then resamples ∝ ŵ; the sign cut is the
     deterministic variant that needs no global sort).
 
-    Train-once/score-many (r10, declared r11 landed early): the B-row λ
-    table persists under a ManifestTable (:func:`train_dsir_model`,
-    per-corpus build latch) and scoring is ZERO-shuffle: each doc's
+    Train-once/score-many (r10, declared r11 landed early): the model
+    persists as ADDITIVE per-bucket (r, t) counts
+    (:func:`train_dsir_model`, per-corpus build latch;
+    :func:`dsir_model_append` maintains it incrementally with ledgered
+    batches) and :func:`_dsir_lambda` folds them into the TOTAL B-row λ
+    table at read; scoring is ZERO-shuffle: each doc's
     gram-bucket ARRAY is computed by whole-stage codegen (tokenize +
     hash stay JVM-side) and one vectorized Arrow pass sums
     λ[bucket] over it with λ broadcast as a 512-slot int64 NANO array
@@ -930,11 +965,8 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    from ..sources.manifest_table import ManifestTable
-
     lam_rows = (
-        ManifestTable(_dsir_model_path(spark, sf_dir))
-        .read(spark)
+        _dsir_lambda(spark, _dsir_model_path(spark, sf_dir))
         .select(
             "b",
             (F.col("lam") * F.lit(1_000_000_000)).cast("long").alias("nano"),

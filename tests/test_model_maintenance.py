@@ -87,3 +87,30 @@ def test_langid_incremental_equals_retrain(spark, sf_dir, tmp_path):
 
     inc, full = folded(inc_root), folded(full_root)
     assert inc == full and inc  # count-identical model → identical scoring
+
+
+def test_dsir_incremental_equals_retrain(spark, sf_dir, tmp_path):
+    from map_reduce_in_go_spark.operators.curation import (
+        _dsir_bucket_counts,
+        _dsir_lambda,
+        dsir_model_append,
+        train_dsir_model,
+    )
+
+    half1, half2 = _halves(spark, sf_dir)
+
+    inc_root = str(tmp_path / "dsir_inc")
+    ManifestTable(inc_root).append(
+        _dsir_bucket_counts(half1.select("text", "lang")), op="dsir-train"
+    )
+    assert dsir_model_append(inc_root, half2, op="dsir-batch-2")
+    assert dsir_model_append(inc_root, half2, op="dsir-batch-2") is False
+
+    full_root = str(tmp_path / "dsir_full")
+    train_dsir_model(spark, sf_dir, full_root)
+
+    def lam(root):
+        return {(r["b"], r["lam"]) for r in _dsir_lambda(spark, root).collect()}
+
+    inc, full = lam(inc_root), lam(full_root)
+    assert inc == full and len(inc) == 512
