@@ -72,30 +72,41 @@ class PqIvfIndex:
 
     # ------------------------------------------------------------- building
 
-    def build(self, spark: SparkSession, sf_dir: str) -> None:
+    def build(
+        self, spark: SparkSession, sf_dir: str, include_codes: bool = True
+    ) -> None:
         """Train, encode, assign, and publish in ONE transaction.
 
         Same deterministic codebooks (``train_codebooks``), encoder, and
         coarse quantizer (``_centroids`` + argmax ``_assign_cells``) as
         the in-flight ``ann_ivf_pq`` — the artifact serves exactly what
         the per-call pipeline computes.
+
+        ``include_codes=False`` publishes the MODEL with empty cells —
+        the streaming-ingest posture: train on a bootstrap sample, then
+        every arriving batch lands its codes through
+        :func:`~..streaming.corpus_pipeline.corpus_batch_txn` (or
+        :meth:`append_batch`) under the served model.
         """
         books = train_codebooks(spark, sf_dir)
-        codes = encode(spark, sf_dir, books)
         bc_cent = spark.sparkContext.broadcast(_centroids(spark, sf_dir))
         c_ids, c_mat, _, _ = bc_cent.value
-        assign = (
-            _vectors(spark, sf_dir)
-            .select("vec_id", "e")
-            .repartition(spark.sparkContext.defaultParallelism)
-            .mapInPandas(
-                lambda it: _assign_cells(it, bc_cent, 1),
-                schema="vec_id long, rank int, cid long",
+        if include_codes:
+            codes = encode(spark, sf_dir, books)
+            assign = (
+                _vectors(spark, sf_dir)
+                .select("vec_id", "e")
+                .repartition(spark.sparkContext.defaultParallelism)
+                .mapInPandas(
+                    lambda it: _assign_cells(it, bc_cent, 1),
+                    schema="vec_id long, rank int, cid long",
+                )
+                .filter(F.col("rank") == 1)
+                .select("vec_id", "cid")
             )
-            .filter(F.col("rank") == 1)
-            .select("vec_id", "cid")
-        )
-        coded = codes.join(assign, "vec_id")  # (vec_id, codes, cid)
+            coded = codes.join(assign, "vec_id")  # (vec_id, codes, cid)
+        else:
+            coded = spark.createDataFrame([], "vec_id long, codes array<int>, cid long")
 
         txn = self.catalog.transaction(spark)
         book_rows = [
@@ -256,18 +267,15 @@ class PqIvfIndex:
 
     # ---------------------------------------------------------- maintenance
 
-    def append_batch(
-        self, spark: SparkSession, batch: DataFrame, op: str
-    ) -> bool:
-        """Encode an arriving (vec_id, e) batch WITH THE SERVED MODEL and
-        append each vector's codes to its cell table — one catalog CAS,
-        exactly-once per ``op`` across retries/replays (the ledger
-        discipline every served artifact here shares). The model is not
-        retrained: that is the production contract (retrain = rebuild).
+    def encode_with_model(
+        self, spark: SparkSession, batch: DataFrame, books, cells
+    ) -> DataFrame:
+        """(vec_id, codes, cid) for a (vec_id, e) batch under the SERVED
+        model — no retrain (the production contract: retrain = rebuild).
+        ``books``/``cells`` come from :meth:`snapshot` so the caller
+        controls which catalog version encodes (a transaction passes its
+        base snapshot, keeping model and codes consistent on re-plan).
         """
-        if op in self.catalog.committed_ops():
-            return False
-        books, cells = self.snapshot(spark)
         bc_books = spark.sparkContext.broadcast(books)
         bc_cent = spark.sparkContext.broadcast(self._centroid_pack(cells))
 
@@ -303,17 +311,40 @@ class PqIvfIndex:
             .filter(F.col("rank") == 1)
             .select("vec_id", "cid")
         )
-        rows = coded.join(assign, "vec_id")
-        txn = self.catalog.transaction(spark)
+        return coded.join(assign, "vec_id")
+
+    @staticmethod
+    def stage_append(txn, rows: DataFrame, cells, op: str = "txn-stage-append") -> int:
+        """Stage (vec_id, codes, cid) rows onto their cells' member tables
+        of an OPEN transaction — no commit here. This is the seam that
+        lets a larger transaction (the incremental-corpus pipeline) carry
+        PQ codes in the SAME commit as the corpus/band/gram/sketch
+        members; :meth:`append_batch` is the standalone composition.
+        Returns the number of cells touched.
+        """
         by_cell = {int(cid): path for cid, _, path, _ in cells}
-        touched = [
-            r["cid"]
-            for r in rows.select("cid").distinct().collect()
-        ]
+        touched = [r["cid"] for r in rows.select("cid").distinct().collect()]
         for cid in touched:
             txn.append(
                 by_cell[int(cid)],
                 rows.filter(F.col("cid") == int(cid)).select("vec_id", "codes"),
+                op=op,
             )
+        return len(touched)
+
+    def append_batch(
+        self, spark: SparkSession, batch: DataFrame, op: str
+    ) -> bool:
+        """Encode an arriving (vec_id, e) batch WITH THE SERVED MODEL and
+        append each vector's codes to its cell table — one catalog CAS,
+        exactly-once per ``op`` across retries/replays (the ledger
+        discipline every served artifact here shares).
+        """
+        if op in self.catalog.committed_ops():
+            return False
+        books, cells = self.snapshot(spark)
+        rows = self.encode_with_model(spark, batch, books, cells)
+        txn = self.catalog.transaction(spark)
+        self.stage_append(txn, rows, cells)
         txn.commit(op=op)
         return True

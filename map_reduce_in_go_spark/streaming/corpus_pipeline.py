@@ -60,11 +60,24 @@ def corpus_batch_txn(
     cat: TableCatalog,
     batch_id: int,
     app_id: str = "corpus",
+    emb_batch: DataFrame | None = None,
 ) -> bool:
-    """Process one (doc_id, text, lang) micro-batch; False on replay."""
+    """Process one (doc_id, text, lang) micro-batch; False on replay.
+
+    ``emb_batch`` is the optional embeddings side-channel: (doc_id, e)
+    rows for this batch's documents. When present, the catalog must
+    already hold a published IVF-PQ model (:class:`~..operators.pq_index.
+    PqIvfIndex` built at ``cat.root``) — the ACCEPTED documents'
+    embeddings are encoded with that SERVED model (never a retrain) and
+    their codes land in the per-cell member tables inside the SAME commit
+    as corpus/bands/grams/sketches, so a reader can never observe an
+    accepted document whose vector isn't probeable (r11 candidate (a):
+    six members, one CAS; the joint replay no-op covers all six).
+    """
     from pyspark.sql import functions as F
 
     from ..functions.text import tokens
+    from ..operators.pq_index import PqIvfIndex
     from ..sources.substring_index import _token_gram_counts
     from .heavy import _batch_sketch
     from .quantiles import summaries_for
@@ -103,6 +116,17 @@ def corpus_batch_txn(
         txn.append(
             QUANTS, summaries_for(lens, "lang", "n_tok", batch_id).coalesce(1), op=op
         )
+        if emb_batch is not None:
+            pq = PqIvfIndex(cat.root)
+            # the txn's base snapshot encodes: model and codes stay
+            # consistent even when a CAS conflict re-plans the batch
+            books, cells = pq.snapshot(spark, txn.base_version)
+            kept_emb = (
+                emb_batch.join(survivors, "doc_id", "left_semi")
+                .select(F.col("doc_id").alias("vec_id"), "e")
+            )
+            rows = pq.encode_with_model(spark, kept_emb, books, cells)
+            pq.stage_append(txn, rows, cells, op=op)
         try:
             txn.commit(op=op)
             return True
@@ -134,14 +158,28 @@ def start_corpus_pipeline(
     catalog_root: str,
     checkpoint_dir: str,
     app_id: str = "corpus",
+    emb_lookup: DataFrame | None = None,
 ):
-    """(doc_id, text, lang) stream → one five-member txn per micro-batch."""
+    """(doc_id, text, lang) stream → one multi-member txn per micro-batch.
+
+    ``emb_lookup`` is a STATIC (doc_id, e) side table (the stream-static
+    pattern — embeddings computed upstream of ingestion); each batch's
+    accepted docs pull their vectors from it and the codes commit in the
+    same transaction.
+    """
     spark = stream_docs.sparkSession
     cat = TableCatalog(catalog_root)
-    return (
-        stream_docs.writeStream.foreachBatch(
-            lambda df, bid: corpus_batch_txn(spark, df, cat, bid, app_id)
+
+    def _one(df: DataFrame, bid: int) -> None:
+        emb = (
+            None
+            if emb_lookup is None
+            else emb_lookup.join(df.select("doc_id"), "doc_id", "left_semi")
         )
+        corpus_batch_txn(spark, df, cat, bid, app_id, emb_batch=emb)
+
+    return (
+        stream_docs.writeStream.foreachBatch(_one)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -163,3 +163,59 @@ def test_stream_end_to_end(spark, tmp_path):
         r["event_type"] for r in member(spark, cat, QUANTS).collect()
     }
     assert langs == {"en", "de"}
+
+
+def test_pq_member_in_pipeline_txn(spark, sf_dir, tmp_path):
+    """r11 (a): the embeddings side-channel commits IVF-PQ codes in the
+    SAME transaction as the other five members. Pins: (1) codes exist for
+    EXACTLY the accepted documents; (2) codes are bit-identical to a
+    served-model encode of the same vectors (no retrain); (3) the joint
+    replay no-op covers the cell members — no member version moves."""
+    import os
+
+    from map_reduce_in_go_spark.operators.pq_index import PqIvfIndex
+    from map_reduce_in_go_spark.sources.manifest_table import ManifestTable
+
+    root = str(tmp_path / "cat")
+    idx = PqIvfIndex(root)
+    idx.build(spark, sf_dir, include_codes=False)  # model published, cells empty
+    cat = idx.catalog
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    embs = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("e")
+    )
+    for i in range(2):
+        b = docs.filter(F.pmod("doc_id", F.lit(2)) == i)
+        e = embs.join(b.select("doc_id"), "doc_id", "left_semi")
+        assert corpus_batch_txn(spark, b, cat, i, emb_batch=e)
+
+    accepted = {
+        r["doc_id"] for r in member(spark, cat, CORPUS).select("doc_id").collect()
+    }
+    with_vec = {r["doc_id"] for r in embs.select("doc_id").collect()}
+
+    books, cells = idx.snapshot(spark)
+    stored = {}
+    for cid, _, path, version in cells:
+        for r in ManifestTable(os.path.join(root, path)).read(spark, version).collect():
+            stored[r["vec_id"]] = (cid, tuple(r["codes"]))
+    # (1) exactly the accepted docs (that have a vector) are probeable
+    assert set(stored) == (accepted & with_vec) and stored
+
+    # (2) served-model encoding equality on the full accepted set
+    kept_emb = embs.filter(F.col("doc_id").isin([int(d) for d in stored])).select(
+        F.col("doc_id").alias("vec_id"), "e"
+    )
+    expect = {
+        r["vec_id"]: (r["cid"], tuple(r["codes"]))
+        for r in idx.encode_with_model(spark, kept_emb, books, cells).collect()
+    }
+    assert stored == expect
+
+    # (3) joint replay no-op across all six member kinds
+    before = cat.snapshot(spark)
+    b0 = docs.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    e0 = embs.join(b0.select("doc_id"), "doc_id", "left_semi")
+    assert corpus_batch_txn(spark, b0, cat, 0, emb_batch=e0) is False
+    assert cat.snapshot(spark) == before
