@@ -291,6 +291,10 @@ def _build() -> None:
         "corpus_shuffle",
     ])
 
+    from .streaming import pipeline_read as _plr
+
+    _register(_plr, ["pipeline_trending", "pipeline_spans"])
+
 
 # Queries whose OUTPUT changed after their most recent driver-green round:
 # their stale rows validate a behavior that no longer exists, so they jump

@@ -92,14 +92,19 @@ def corpus_batch_txn(
             old_bands = txn.read(BANDS)
         except KeyError:
             old_bands = spark.createDataFrame([], "band_idx int, band_hash string")
-        survivors = dedup_batch_against_bands(batch_df, old_bands).localCheckpoint(
-            eager=True
-        )
+        from ..functions.caching import scoped_persist
+
+        # one signature pass per batch: the same band table probes the
+        # standing index AND (survivor-filtered) becomes the BANDS append
+        batch_bands = scoped_persist(bands_of_docs(batch_df))
+        survivors = dedup_batch_against_bands(
+            batch_df, old_bands, batch_bands=batch_bands
+        ).localCheckpoint(eager=True)
         kept = batch_df.join(survivors, "doc_id", "left_semi").localCheckpoint(
             eager=True
         )
         txn.append(CORPUS, kept.select("doc_id", "text", "lang"), op=op)
-        txn.append(BANDS, bands_of_docs(kept), op=op)
+        txn.append(BANDS, batch_bands.join(survivors, "doc_id", "left_semi"), op=op)
         txn.append(GRAMS, _token_gram_counts(kept), op=op)
         total, agg = _batch_sketch(kept)
         txn.append(

@@ -129,9 +129,20 @@ def trending_exact(
     underestimates), exact-recount only candidates against the landed
     corpus: the same one-scan screen+count pass as the batch twin.
     """
+    total, cms = _merged_state(spark, tbl)
+    return trending_from_state(spark, total, cms, landed_docs)
+
+
+def trending_from_state(
+    spark: SparkSession, total: int, cms, landed_docs: DataFrame
+) -> DataFrame:
+    """The screen+recount half of :func:`trending_exact`, parametrized by
+    an already-folded (total, D×W sketch) state — the seam that lets any
+    sketch store (the standalone ManifestTable here, or the corpus
+    pipeline's ``token_cms`` catalog member) serve the same exact answer.
+    """
     from ..functions.text import tokens
 
-    total, cms = _merged_state(spark, tbl)
     bc = spark.sparkContext.broadcast(cms)
     words = landed_docs.select(F.explode(tokens(F.col("text"))).alias("word"))
 
