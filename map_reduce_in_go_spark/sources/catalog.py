@@ -183,11 +183,23 @@ class Transaction:
 
     # ------------------------------------------------------------- staging
 
-    def _member(self, name: str) -> tuple[ManifestTable, str, int]:
+    def _member(
+        self, name: str, stats_cols: list[str] | None = None
+    ) -> tuple[ManifestTable, str, int]:
         path, pinned = self._staged.get(name, self._base.get(name, (name, -1)))
-        return ManifestTable(os.path.join(self._cat.root, path)), path, pinned
+        return (
+            ManifestTable(os.path.join(self._cat.root, path), stats_cols=stats_cols),
+            path,
+            pinned,
+        )
 
-    def append(self, name: str, df: DataFrame, op: str = "txn-stage-append") -> int:
+    def append(
+        self,
+        name: str,
+        df: DataFrame,
+        op: str = "txn-stage-append",
+        stats_cols: list[str] | None = None,
+    ) -> int:
         """Stage an append to member ``name`` (created if new).
 
         The member-table commit happens now (durable, per-table atomic);
@@ -199,26 +211,37 @@ class Transaction:
         into this transaction's committed content. Appending to a member
         DROPPED earlier in this transaction re-creates it fresh (DROP then
         INSERT semantics) rather than resurrecting the base content.
+        ``stats_cols`` records per-file [min, max] for those columns in
+        the member manifest at commit time (data skipping for later
+        pruned probes — a per-write choice, like Delta's indexed cols).
         """
         self._check_open()
         if name in self._dropped:
             self._dropped.discard(name)
-            tbl = ManifestTable(os.path.join(self._cat.root, name))
+            tbl = ManifestTable(
+                os.path.join(self._cat.root, name), stats_cols=stats_cols
+            )
             v = tbl.append(df, op=op, base_version=-1)
             self._staged[name] = (name, v)
             return v
-        tbl, path, pinned = self._member(name)
+        tbl, path, pinned = self._member(name, stats_cols)
         # pinned == -1 (member new in this txn) unions with nothing — a
         # concurrent creator's staged files must not leak in either.
         v = tbl.append(df, op=op, base_version=pinned)
         self._staged[name] = (path, v)
         return v
 
-    def overwrite(self, name: str, df: DataFrame, op: str = "txn-stage-overwrite") -> int:
+    def overwrite(
+        self,
+        name: str,
+        df: DataFrame,
+        op: str = "txn-stage-overwrite",
+        stats_cols: list[str] | None = None,
+    ) -> int:
         """Stage a full replace of member ``name`` (created if new)."""
         self._check_open()
         self._dropped.discard(name)
-        tbl, path, _pinned = self._member(name)
+        tbl, path, _pinned = self._member(name, stats_cols)
         v = tbl.overwrite(df, op=op)
         self._staged[name] = (path, v)
         return v

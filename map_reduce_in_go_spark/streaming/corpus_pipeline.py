@@ -104,8 +104,13 @@ def corpus_batch_txn(
             eager=True
         )
         txn.append(CORPUS, kept.select("doc_id", "text", "lang"), op=op)
-        txn.append(BANDS, batch_bands.join(survivors, "doc_id", "left_semi"), op=op)
-        txn.append(GRAMS, _token_gram_counts(kept), op=op)
+        txn.append(
+            BANDS,
+            batch_bands.join(survivors, "doc_id", "left_semi"),
+            op=op,
+            stats_cols=["band_hash"],
+        )
+        txn.append(GRAMS, _token_gram_counts(kept), op=op, stats_cols=["g"])
         total, agg = _batch_sketch(kept)
         txn.append(
             CMS,
@@ -144,6 +149,95 @@ def corpus_batch_txn(
     raise CommitConflict(
         f"batch {batch_id} lost the catalog race 10 times at {cat.root}; "
         "Spark will retry the batch"
+    )
+
+
+def compact_pipeline(
+    spark: SparkSession,
+    cat: TableCatalog,
+    num_files: int = 8,
+    max_retries: int = 10,
+) -> int:
+    """OPTIMIZE the whole pipeline in ONE maintenance transaction.
+
+    Years of micro-batches leave every member log-structured: per-batch
+    gram-count fragments, one sketch row per batch, per-batch quantile
+    summaries, small corpus/band/code files. This verb rewrites them all
+    and publishes one catalog CAS — answers unchanged (additivity /
+    mergeability per member), file counts bounded, and the gram/band
+    members re-clustered with per-file [min, max] stats so point probes
+    prune again (the OPTIMIZE-ZORDER half of the lakehouse story):
+
+    - ``gram_index`` → one pre-combined row per digest, range-clustered
+      on ``g`` with stats (the steady-state layout ``build_gram_index``
+      ships; incremental appends erode it, this restores it);
+    - ``band_index`` → hash-range-clustered on ``band_hash`` with stats;
+    - ``token_cms``  → the elementwise-summed single sketch row;
+    - ``len_quantiles`` → one recompressed row per type, recompression
+      cost honestly ADDED to the stored rank-error budget;
+    - ``corpus`` and any IVF-PQ cell members → coalesced;
+    - model members (codebooks/centroids) are already O(model): untouched.
+
+    Exactly-once ledger is unaffected — the batch ops live in the CATALOG
+    manifest log, which compaction appends to but never rewrites, so a
+    replayed batch is still detected afterwards. A racing ``corpus_batch
+    _txn`` conflicts on the catalog CAS and one side re-plans (the same
+    refold-on-conflict discipline as the standalone sketch compactors).
+    """
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from ..sources.layout import zorder_layout
+    from .quantiles import _SCHEMA as _Q_SCHEMA
+    from .quantiles import merged_from_rows, recompressed_rows
+
+    from ..sources.catalog import CommitConflict
+
+    for _ in range(max_retries):
+        txn = cat.transaction(spark)
+        names = set(cat.snapshot(spark, txn.base_version))
+
+        grams = txn.read(GRAMS).groupBy("g").agg(F.sum("n").alias("n"))
+        txn.overwrite(
+            GRAMS, zorder_layout(grams, ["g"], num_files), stats_cols=["g"]
+        )
+        txn.overwrite(
+            BANDS,
+            zorder_layout(txn.read(BANDS), ["band_hash"], num_files),
+            stats_cols=["band_hash"],
+        )
+        cms_rows = txn.read(CMS).collect()
+        if cms_rows:
+            total = int(sum(r["n"] for r in cms_rows))
+            agg = np.sum(
+                [np.asarray(r["sketch"], dtype=np.int64) for r in cms_rows],
+                axis=0,
+            )
+            txn.overwrite(
+                CMS,
+                spark.createDataFrame(
+                    [Row(batch_id=-1, n=total, sketch=agg.tolist())],
+                    schema="batch_id long, n long, sketch array<long>",
+                ).coalesce(1),
+            )
+        txn.overwrite(
+            QUANTS,
+            spark.createDataFrame(
+                recompressed_rows(merged_from_rows(txn.read(QUANTS).collect())),
+                schema=_Q_SCHEMA,
+            ).coalesce(1),
+        )
+        txn.overwrite(CORPUS, txn.read(CORPUS).coalesce(num_files))
+        if "centroids" in names:
+            for cell in [r["cell"] for r in txn.read("centroids").collect()]:
+                txn.overwrite(cell, txn.read(cell).coalesce(1))
+        try:
+            return txn.commit(op=f"pipeline-compact-{txn.base_version}")
+        except CommitConflict:
+            continue  # a batch landed mid-rewrite; refold on the new base
+    raise CommitConflict(
+        f"pipeline-compact lost the catalog race {max_retries} times at {cat.root}"
     )
 
 

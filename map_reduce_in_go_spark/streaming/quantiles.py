@@ -122,8 +122,46 @@ def _merged_cdfs(
     ≤ QS_B doubles — the same O(batches) driver-state contract as the
     CMS/HLL folds.
     """
+    return merged_from_rows(tbl.read(spark, version).collect())
+
+
+def recompressed_rows(
+    merged: dict[str, tuple[np.ndarray, np.ndarray, int, int]]
+) -> list[Row]:
+    """One recompressed summary Row per type from a merged-CDF dict.
+
+    Sampling the merged weighted CDF at QS_B uniform ranks ADDS
+    2·⌈N/QS_B⌉ to that type's stored error budget — the honesty that
+    keeps every later answer's stated bound true. Shared by the
+    standalone :func:`compact_quantiles` and the corpus pipeline's
+    catalog-wide compaction so the accounting can never diverge.
+    """
+    rows = []
+    for t in sorted(merged):
+        pts, ws, n, err = merged[t]
+        if len(pts) <= QS_B:
+            new_pts, new_err = pts.tolist(), err
+        else:
+            ranks = np.ceil(np.arange(1, QS_B + 1) * n / QS_B)
+            cum = np.cumsum(ws)
+            idx = np.minimum(
+                np.searchsorted(cum, ranks, side="left"), len(pts) - 1
+            )
+            new_pts = pts[idx].tolist()
+            new_err = err + 2 * int(np.ceil(n / QS_B))
+        rows.append(
+            Row(batch_id=-1, event_type=t, n=n, err=new_err, points=new_pts)
+        )
+    return rows
+
+
+def merged_from_rows(
+    rows,
+) -> dict[str, tuple[np.ndarray, np.ndarray, int, int]]:
+    """The :func:`_merged_cdfs` fold over already-collected summary rows
+    (a catalog member read, a transaction's pinned view, ...)."""
     out: dict[str, list] = {}
-    for r in tbl.read(spark, version).collect():
+    for r in rows:
         pts = np.asarray(r["points"], dtype=np.float64)
         w = np.full(len(pts), r["n"] / len(pts), dtype=np.float64)
         acc = out.setdefault(r["event_type"], [[], [], 0, 0])
@@ -188,29 +226,7 @@ def compact_quantiles(
     for _ in range(max_retries):
         base = tbl.version()
         merged = _merged_cdfs(spark, tbl, base)
-        rows = []
-        for t in sorted(merged):
-            pts, ws, n, err = merged[t]
-            if len(pts) <= QS_B:
-                new_pts, new_err = pts.tolist(), err
-            else:
-                ranks = np.ceil(np.arange(1, QS_B + 1) * n / QS_B)
-                cum = np.cumsum(ws)
-                idx = np.minimum(
-                    np.searchsorted(cum, ranks, side="left"), len(pts) - 1
-                )
-                new_pts = pts[idx].tolist()
-                new_err = err + 2 * int(np.ceil(n / QS_B))
-            rows.append(
-                Row(
-                    batch_id=-1,
-                    event_type=t,
-                    n=n,
-                    err=new_err,
-                    points=new_pts,
-                )
-            )
-        one = spark.createDataFrame(rows, schema=_SCHEMA)
+        one = spark.createDataFrame(recompressed_rows(merged), schema=_SCHEMA)
         try:
             return tbl.overwrite(
                 one.coalesce(1), op="quantile-compact", expected_version=base

@@ -219,3 +219,96 @@ def test_pq_member_in_pipeline_txn(spark, sf_dir, tmp_path):
     e0 = embs.join(b0.select("doc_id"), "doc_id", "left_semi")
     assert corpus_batch_txn(spark, b0, cat, 0, emb_batch=e0) is False
     assert cat.snapshot(spark) == before
+
+
+def test_compact_pipeline(spark, sf_dir, tmp_path):
+    """One maintenance transaction compacts EVERY member: answers
+    unchanged (gram/CMS folds identical, corpus rows identical, quantile
+    n per type identical with an honest error budget), file counts
+    bounded, gram stats restored so point probes prune, the batch ledger
+    survives (replays still no-op), and the next batch lands normally."""
+    import os
+
+    import numpy as np
+
+    from map_reduce_in_go_spark.sources.manifest_table import ManifestTable
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import compact_pipeline
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    docs = _feed(spark, sf_dir, cat)
+
+    def gram_fold():
+        return {
+            r["g"]: r["n"]
+            for r in member(spark, cat, GRAMS)
+            .groupBy("g")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        }
+
+    def cms_fold():
+        rows = member(spark, cat, CMS).collect()
+        return (
+            sum(r["n"] for r in rows),
+            np.sum([np.asarray(r["sketch"]) for r in rows], axis=0).tolist(),
+        )
+
+    before_corpus = {
+        tuple(r) for r in member(spark, cat, CORPUS).collect()
+    }
+    before_grams = gram_fold()
+    before_cms = cms_fold()
+    before_qn = {
+        (r["event_type"],): 0 for r in member(spark, cat, QUANTS).collect()
+    }
+    for r in member(spark, cat, QUANTS).collect():
+        k = (r["event_type"],)
+        before_qn[k] += r["n"]
+
+    v = compact_pipeline(spark, cat, num_files=4)
+    assert v == cat.version()
+
+    assert {tuple(r) for r in member(spark, cat, CORPUS).collect()} == before_corpus
+    assert gram_fold() == before_grams
+    assert cms_fold() == before_cms
+    qrows = member(spark, cat, QUANTS).collect()
+    after_qn = {}
+    for r in qrows:
+        after_qn[(r["event_type"],)] = after_qn.get((r["event_type"],), 0) + r["n"]
+    assert after_qn == before_qn
+    assert len(qrows) == len(after_qn)  # one row per type
+    assert len(member(spark, cat, CMS).collect()) == 1
+
+    # gram member: bounded files, tight per-file ranges, stats prune
+    pins = cat.snapshot(spark)
+    gpath, gver = pins[GRAMS]
+    gtbl = ManifestTable(os.path.join(cat.root, gpath), stats_cols=["g"])
+    files_all = gtbl.files(gver)
+    assert len(files_all) <= 4
+    probe = sorted(before_grams)[0]
+    pruned = gtbl.files_pruned_in("g", [probe], version=gver)
+    assert len(pruned) < len(files_all)
+
+    # the batch ledger survives compaction: replays still no-op...
+    before_snap = cat.snapshot(spark)
+    assert (
+        corpus_batch_txn(
+            spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 0), cat, 0
+        )
+        is False
+    )
+    assert cat.snapshot(spark) == before_snap
+    # ...and a genuinely new batch lands on the compacted layout
+    fresh = spark.createDataFrame(
+        [
+            (
+                20_000_000,
+                "zanzibar quokka marimba fjord glyph taco nebula wombat "
+                "oxide pylon quartz rivet sonar tundra umbra vortex",
+                "en",
+            )
+        ],
+        "doc_id long, text string, lang string",
+    )
+    assert corpus_batch_txn(spark, fresh, cat, 7)
+    assert member(spark, cat, CORPUS).count() == len(before_corpus) + 1
