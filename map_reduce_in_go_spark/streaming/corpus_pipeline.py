@@ -152,6 +152,106 @@ def corpus_batch_txn(
     )
 
 
+def bootstrap_pipeline(
+    spark: SparkSession,
+    cat: TableCatalog,
+    docs: DataFrame,
+    bands: DataFrame | None = None,
+    grams: DataFrame | None = None,
+    app_id: str = "corpus",
+) -> bool:
+    """Seed an EMPTY pipeline catalog from a static corpus, then stream.
+
+    The backfill posture: a corpus already exists (and often its band
+    index and gram index exist as standalone batch artifacts — e.g.
+    ``build_band_index`` / ``build_gram_index`` output); adopting it
+    must not force a from-scratch re-stream. This verb publishes all
+    five members in ONE transaction from the static input, after which
+    ``corpus_batch_txn`` continues incrementally — bootstrapping on a
+    prefix and streaming the rest lands member-identical state to
+    streaming everything (pinned in tests/test_corpus_pipeline.py).
+
+    ``bands``/``grams`` let the caller pass the PRECOMPUTED artifacts
+    verbatim; ``docs`` is then trusted as already near-dup-free (they
+    describe it). Without them, ``docs`` is treated exactly like a first
+    micro-batch: in-batch near-dup filtering against the empty index,
+    bands/grams derived from the survivors — so the bootstrap-vs-stream
+    equivalence holds by construction, not by luck.
+
+    Returns False (no recompute, nothing moves) if this ``app_id`` was
+    already bootstrapped — the same ledger replay discipline as batches.
+    Refuses a NON-empty catalog loudly: adopting into live state would
+    silently double-count every additive member.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.caching import (
+        free_local_checkpoint,
+        persisted_count,
+        release_persisted_since,
+        scoped_persist,
+    )
+    from ..functions.text import tokens
+    from ..sources.substring_index import _token_gram_counts
+    from .heavy import _batch_sketch
+    from .quantiles import summaries_for
+
+    op = f"{app_id}-bootstrap"
+    if op in cat.committed_ops():
+        return False
+    if cat.snapshot(spark):
+        raise ValueError(
+            f"catalog at {cat.root} already has members; bootstrap only "
+            "seeds an empty pipeline (additive members would double-count)"
+        )
+    mark = persisted_count()
+    kept = None
+    survivors = None
+    try:
+        if bands is None:
+            empty = spark.createDataFrame(
+                [], "band_idx int, band_hash string"
+            )
+            batch_bands = scoped_persist(bands_of_docs(docs))
+            survivors = dedup_batch_against_bands(
+                docs, empty, batch_bands=batch_bands
+            ).localCheckpoint(eager=True)
+            kept = docs.join(survivors, "doc_id", "left_semi").localCheckpoint(
+                eager=True
+            )
+            bands = batch_bands.join(survivors, "doc_id", "left_semi")
+        else:
+            kept = docs.localCheckpoint(eager=True)
+        if grams is None:
+            grams = _token_gram_counts(kept)
+        txn = cat.transaction(spark)
+        txn.append(CORPUS, kept.select("doc_id", "text", "lang"), op=op)
+        txn.append(BANDS, bands, op=op, stats_cols=["band_hash"])
+        txn.append(GRAMS, grams, op=op, stats_cols=["g"])
+        total, agg = _batch_sketch(kept)
+        txn.append(
+            CMS,
+            spark.createDataFrame(
+                [Row(batch_id=-1, n=total, sketch=agg.tolist())],
+                schema="batch_id long, n long, sketch array<long>",
+            ).coalesce(1),
+            op=op,
+        )
+        lens = kept.select(
+            "lang", F.size(tokens(F.col("text"))).cast("double").alias("n_tok")
+        )
+        txn.append(
+            QUANTS, summaries_for(lens, "lang", "n_tok", -1).coalesce(1), op=op
+        )
+        txn.commit(op=op)
+        return True
+    finally:
+        release_persisted_since(mark)
+        for df in (kept, survivors):
+            if df is not None:
+                free_local_checkpoint(df)
+
+
 def compact_pipeline(
     spark: SparkSession,
     cat: TableCatalog,

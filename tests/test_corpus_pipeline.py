@@ -312,3 +312,113 @@ def test_compact_pipeline(spark, sf_dir, tmp_path):
     )
     assert corpus_batch_txn(spark, fresh, cat, 7)
     assert member(spark, cat, CORPUS).count() == len(before_corpus) + 1
+
+
+def test_bootstrap_then_stream_equals_full_stream(spark, sf_dir, tmp_path):
+    """r11 (c): seeding the catalog from a static prefix and streaming
+    the rest lands member-identical state to streaming everything."""
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import bootstrap_pipeline
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+
+    full = TableCatalog(str(tmp_path / "full"))
+    _feed(spark, sf_dir, full)
+
+    boot = TableCatalog(str(tmp_path / "boot"))
+    assert bootstrap_pipeline(
+        spark, boot, docs.filter(F.pmod("doc_id", F.lit(3)) == 0)
+    )
+    for i in (1, 2):
+        assert corpus_batch_txn(
+            spark, docs.filter(F.pmod("doc_id", F.lit(3)) == i), boot, i
+        )
+
+    def folds(cat):
+        corpus = {tuple(r) for r in member(spark, cat, CORPUS).collect()}
+        bands = {tuple(r) for r in member(spark, cat, BANDS).collect()}
+        grams = {
+            (r["g"], r["n"])
+            for r in member(spark, cat, GRAMS)
+            .groupBy("g")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        }
+        cms_rows = member(spark, cat, CMS).collect()
+        cms = (
+            sum(r["n"] for r in cms_rows),
+            np.sum([np.asarray(r["sketch"]) for r in cms_rows], axis=0).tolist(),
+        )
+        qn = {}
+        for r in member(spark, cat, QUANTS).collect():
+            qn[r["event_type"]] = qn.get(r["event_type"], 0) + r["n"]
+        return corpus, bands, grams, cms, qn
+
+    assert folds(boot) == folds(full)
+
+    # bootstrap replays are no-ops; re-seeding a live catalog refuses
+    snap = boot.snapshot(spark)
+    assert bootstrap_pipeline(spark, boot, docs) is False
+    assert boot.snapshot(spark) == snap
+    live = TableCatalog(str(tmp_path / "full"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already has members"):
+        # a DIFFERENT app_id is not in the ledger, so the emptiness guard
+        # is what must refuse the double-count
+        bootstrap_pipeline(spark, live, docs, app_id="other")
+
+
+def test_bootstrap_adopts_precomputed_artifacts(spark, sf_dir, tmp_path):
+    """The adoption path takes an existing deduped corpus + its band and
+    gram artifacts VERBATIM — no signature recompute (spy-pinned) — and
+    subsequent streaming continues identically."""
+    from map_reduce_in_go_spark.streaming import corpus_pipeline as cp
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+
+    # the "existing batch artifacts": a streamed reference catalog's members
+    ref = TableCatalog(str(tmp_path / "ref"))
+    assert cp.corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 0), ref, 0
+    )
+    corpus0 = member(spark, ref, CORPUS).localCheckpoint(eager=True)
+    bands0 = member(spark, ref, BANDS).localCheckpoint(eager=True)
+    grams0 = member(spark, ref, GRAMS).localCheckpoint(eager=True)
+
+    adopt = TableCatalog(str(tmp_path / "adopt"))
+    orig = cp.bands_of_docs
+
+    def _boom(*a, **k):
+        raise AssertionError("adoption path must not recompute signatures")
+
+    cp.bands_of_docs = _boom
+    try:
+        assert cp.bootstrap_pipeline(
+            spark, adopt, corpus0, bands=bands0, grams=grams0
+        )
+    finally:
+        cp.bands_of_docs = orig
+
+    for i in (1, 2):
+        assert cp.corpus_batch_txn(
+            spark, docs.filter(F.pmod("doc_id", F.lit(3)) == i), adopt, i
+        )
+        assert cp.corpus_batch_txn(
+            spark, docs.filter(F.pmod("doc_id", F.lit(3)) == i), ref, i
+        )
+    assert {tuple(r) for r in member(spark, adopt, CORPUS).collect()} == {
+        tuple(r) for r in member(spark, ref, CORPUS).collect()
+    }
+    assert {
+        (r["g"], r["n"])
+        for r in member(spark, adopt, GRAMS)
+        .groupBy("g")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    } == {
+        (r["g"], r["n"])
+        for r in member(spark, ref, GRAMS)
+        .groupBy("g")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
