@@ -422,3 +422,49 @@ def test_bootstrap_adopts_precomputed_artifacts(spark, sf_dir, tmp_path):
         .agg(F.sum("n").alias("n"))
         .collect()
     }
+
+
+def test_pipeline_ann_probe(spark, sf_dir, tmp_path):
+    """r11 (b): ANN served FROM the pipeline's PQ cells. The probe's
+    candidates can only be accepted documents (the cells hold exactly
+    their codes), the exact-rescore cosines are real (numpy-checked),
+    and a catalog-wide compaction leaves the answer bit-identical."""
+    import numpy as np
+
+    from map_reduce_in_go_spark.operators.pq_index import PqIvfIndex
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import compact_pipeline
+
+    root = str(tmp_path / "cat")
+    idx = PqIvfIndex(root)
+    idx.build(spark, sf_dir, include_codes=False)
+    cat = idx.catalog
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    embs = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("e")
+    )
+    for i in range(2):
+        b = docs.filter(F.pmod("doc_id", F.lit(2)) == i)
+        e = embs.join(b.select("doc_id"), "doc_id", "left_semi")
+        assert corpus_batch_txn(spark, b, cat, i, emb_batch=e)
+
+    accepted = {
+        r["doc_id"] for r in member(spark, cat, CORPUS).select("doc_id").collect()
+    }
+    before = {tuple(r) for r in idx.probe(spark, sf_dir).collect()}
+    assert before
+    assert {n for _, n, _, _ in before} <= accepted
+
+    # exact-rescore honesty: recompute a few cosines straight from the store
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    for q, n, cos, _ in sorted(before)[:5]:
+        a, b_ = vecs[q], vecs[n]
+        expect = float(a @ b_ / (np.linalg.norm(a) * np.linalg.norm(b_)))
+        assert abs(cos - round(expect, 6)) < 1e-9
+
+    compact_pipeline(spark, cat, num_files=2)
+    after = {tuple(r) for r in idx.probe(spark, sf_dir).collect()}
+    assert after == before
