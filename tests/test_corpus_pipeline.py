@@ -468,3 +468,60 @@ def test_pipeline_ann_probe(spark, sf_dir, tmp_path):
     compact_pipeline(spark, cat, num_files=2)
     after = {tuple(r) for r in idx.probe(spark, sf_dir).collect()}
     assert after == before
+
+
+def test_pipeline_vacuum_after_compaction(spark, sf_dir, tmp_path):
+    """r11 (a): after a catalog-wide compaction, the catalog-coordinated
+    vacuum reclaims the superseded member files while the published
+    snapshot stays fully readable, the ledger keeps detecting replays,
+    and streaming continues."""
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import compact_pipeline
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    docs = _feed(spark, sf_dir, cat)
+
+    before_corpus = {tuple(r) for r in member(spark, cat, CORPUS).collect()}
+    before_grams = {
+        (r["g"], r["n"])
+        for r in member(spark, cat, GRAMS)
+        .groupBy("g")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+
+    compact_pipeline(spark, cat, num_files=2)
+    removed = cat.vacuum(spark, retain_seconds=0.0)
+    assert removed > 0  # the pre-compaction member files are gone
+
+    # published snapshot fully readable, answers identical
+    assert {tuple(r) for r in member(spark, cat, CORPUS).collect()} == before_corpus
+    assert {
+        (r["g"], r["n"])
+        for r in member(spark, cat, GRAMS)
+        .groupBy("g")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    } == before_grams
+
+    # ledger intact: replay no-op, fresh batch lands
+    snap = cat.snapshot(spark)
+    assert (
+        corpus_batch_txn(
+            spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 0), cat, 0
+        )
+        is False
+    )
+    assert cat.snapshot(spark) == snap
+    fresh = spark.createDataFrame(
+        [
+            (
+                30_000_000,
+                "xylophone grotto lantern mosaic parable quiver saffron "
+                "trellis vellum wisteria yonder zephyr anvil brook cairn",
+                "en",
+            )
+        ],
+        "doc_id long, text string, lang string",
+    )
+    assert corpus_batch_txn(spark, fresh, cat, 9)
+    assert member(spark, cat, CORPUS).count() == len(before_corpus) + 1
