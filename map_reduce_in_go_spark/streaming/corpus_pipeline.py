@@ -103,7 +103,13 @@ def corpus_batch_txn(
         kept = batch_df.join(survivors, "doc_id", "left_semi").localCheckpoint(
             eager=True
         )
-        txn.append(CORPUS, kept.select("doc_id", "text", "lang"), op=op)
+        # additive schema evolution: extra document columns (url, crawl
+        # metadata, ...) ride along into the corpus member — older rows
+        # surface them as nulls on merge-schema reads, no rewrite
+        extras = [
+            c for c in batch_df.columns if c not in ("doc_id", "text", "lang")
+        ]
+        txn.append(CORPUS, kept.select("doc_id", "text", "lang", *extras), op=op)
         txn.append(
             BANDS,
             batch_bands.join(survivors, "doc_id", "left_semi"),
@@ -225,7 +231,10 @@ def bootstrap_pipeline(
         if grams is None:
             grams = _token_gram_counts(kept)
         txn = cat.transaction(spark)
-        txn.append(CORPUS, kept.select("doc_id", "text", "lang"), op=op)
+        extras = [
+            c for c in docs.columns if c not in ("doc_id", "text", "lang")
+        ]
+        txn.append(CORPUS, kept.select("doc_id", "text", "lang", *extras), op=op)
         txn.append(BANDS, bands, op=op, stats_cols=["band_hash"])
         txn.append(GRAMS, grams, op=op, stats_cols=["g"])
         total, agg = _batch_sketch(kept)
@@ -341,15 +350,27 @@ def compact_pipeline(
     )
 
 
-def member(spark: SparkSession, cat: TableCatalog, name: str) -> DataFrame:
-    """One member table at the CURRENT catalog snapshot's pinned version."""
+def member(
+    spark: SparkSession,
+    cat: TableCatalog,
+    name: str,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """One member table at the CURRENT catalog snapshot's pinned version.
+
+    ``merge_schema=True`` unions schemas across the snapshot's files —
+    columns added by later batches (additive evolution) surface as nulls
+    on rows appended before them, same contract as Delta/Iceberg readers.
+    """
     import os
 
     from ..sources.manifest_table import ManifestTable
 
     pins = cat.snapshot(spark)
     path, version = pins[name]
-    return ManifestTable(os.path.join(cat.root, path)).read(spark, version)
+    return ManifestTable(os.path.join(cat.root, path)).read(
+        spark, version, merge_schema=merge_schema
+    )
 
 
 def start_corpus_pipeline(

@@ -525,3 +525,48 @@ def test_pipeline_vacuum_after_compaction(spark, sf_dir, tmp_path):
     )
     assert corpus_batch_txn(spark, fresh, cat, 9)
     assert member(spark, cat, CORPUS).count() == len(before_corpus) + 1
+
+
+def test_pipeline_schema_evolution(spark, sf_dir, tmp_path):
+    """r11 (c): an added document column flows through the corpus member
+    without a rebuild — merge-schema reads surface it as null on
+    pre-evolution rows and with values on post-evolution rows; the other
+    members are unaffected; compaction preserves the widened schema."""
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import compact_pipeline
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(2)) == 0), cat, 0
+    )
+    with_url = docs.filter(F.pmod("doc_id", F.lit(2)) == 1).withColumn(
+        "url", F.concat(F.lit("https://example.org/doc/"), F.col("doc_id"))
+    )
+    assert corpus_batch_txn(spark, with_url, cat, 1)
+
+    corpus = member(spark, cat, CORPUS, merge_schema=True)
+    assert "url" in corpus.columns
+    rows = {r["doc_id"]: r["url"] for r in corpus.collect()}
+    batch0 = {d for d in rows if d % 2 == 0}
+    batch1 = {d for d in rows if d % 2 == 1}
+    assert batch0 and batch1
+    assert all(rows[d] is None for d in batch0)  # pre-evolution: nulls
+    assert all(
+        rows[d] == f"https://example.org/doc/{d}" for d in batch1
+    )  # post-evolution: values
+
+    # the default (pinned-schema) read also serves the widened schema —
+    # the newest commit pinned it
+    assert "url" in member(spark, cat, CORPUS).columns
+
+    # the derived members describe text/lang only: untouched by extras
+    gram_total = member(spark, cat, GRAMS).agg(F.sum("n")).collect()[0][0]
+    assert gram_total > 0
+
+    # compaction rewrites history into the widened schema, values intact
+    compact_pipeline(spark, cat, num_files=2)
+    after = {
+        r["doc_id"]: r["url"]
+        for r in member(spark, cat, CORPUS, merge_schema=True).collect()
+    }
+    assert after == rows
