@@ -261,6 +261,132 @@ def bootstrap_pipeline(
                 free_local_checkpoint(df)
 
 
+def retract_docs(
+    spark: SparkSession,
+    cat: TableCatalog,
+    doc_ids: list[int],
+    op: str,
+    max_retries: int = 10,
+) -> bool:
+    """Remove previously-accepted documents from EVERY member, one CAS.
+
+    The deletion/correction verb (GDPR erasure, takedown, bad-crawl
+    rollback): after it commits, no member carries any contribution from
+    the retracted documents. Per-member mechanics follow each structure's
+    algebra honestly:
+
+    - ``corpus`` / ``band_index`` — anti-join rewrite (at fleet scale
+      you'd rewrite only the files whose stats admit the ids; the member
+      overwrite is the semantics, file-pruned rewrite is an optimization);
+    - ``gram_index`` — NEGATIVE additive rows appended (the count table
+      is linear, so retraction is just more appends; compaction folds
+      and drops zeroed digests);
+    - ``token_cms`` — a NEGATIVE sketch row. Count-Min is a linear
+      sketch: sketch(corpus ∖ doc) = sketch(corpus) − sketch(doc)
+      EXACTLY, and since a real document's tokens are being removed the
+      folded counters stay the true remaining sums — the overestimate
+      guarantee survives;
+    - ``len_quantiles`` — rank samples are NOT linear; the affected
+      languages' summaries are rebuilt from the post-retraction corpus
+      member (one scan of those partitions), unaffected languages keep
+      their rows untouched;
+    - IVF-PQ cells — the documents' codes anti-joined out of the cells
+      that held them.
+
+    Semantics note: retraction removes CONTRIBUTIONS; it does not replay
+    admission history. A near-duplicate that was rejected because the
+    retracted document got there first stays rejected — erasure, not
+    time travel. (Equality with a never-ingested run therefore holds
+    exactly when the retracted docs caused no rejections — pinned on a
+    collision-free doc in tests.)
+
+    Exactly-once per ``op`` from the catalog ledger; racing batches
+    CAS-conflict and one side re-plans. Raises if none of ``doc_ids``
+    is in the corpus (a silent no-op would mask an erasure failure).
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.text import tokens
+    from ..sources.substring_index import _token_gram_counts
+    from .heavy import _batch_sketch
+    from .quantiles import summaries_for
+
+    if op in cat.committed_ops():
+        return False
+    for _ in range(max_retries):
+        txn = cat.transaction(spark)
+        ids = spark.createDataFrame(
+            [(int(d),) for d in doc_ids], "doc_id long"
+        )
+        gone = txn.read(CORPUS).join(ids, "doc_id", "left_semi").localCheckpoint(
+            eager=True
+        )
+        try:
+            if not gone.count():
+                raise ValueError(
+                    f"none of {sorted(set(doc_ids))[:10]}... is in the corpus "
+                    f"at {cat.root}; nothing to retract"
+                )
+            remaining = txn.read(CORPUS).join(ids, "doc_id", "left_anti")
+            txn.overwrite(CORPUS, remaining)
+            txn.overwrite(
+                BANDS,
+                txn.read(BANDS).join(ids, "doc_id", "left_anti"),
+                stats_cols=["band_hash"],
+            )
+            neg = _token_gram_counts(gone).select(
+                "g", (-F.col("n")).alias("n")
+            )
+            txn.append(GRAMS, neg, op=op, stats_cols=["g"])
+            total, agg = _batch_sketch(gone)
+            txn.append(
+                CMS,
+                spark.createDataFrame(
+                    [Row(batch_id=-3, n=-total, sketch=(-agg).tolist())],
+                    schema="batch_id long, n long, sketch array<long>",
+                ).coalesce(1),
+                op=op,
+            )
+            affected = [r["lang"] for r in gone.select("lang").distinct().collect()]
+            keep_rows = txn.read(QUANTS).filter(
+                ~F.col("event_type").isin(affected)
+            )
+            redo = remaining.filter(F.col("lang").isin(affected)).select(
+                "lang",
+                F.size(tokens(F.col("text"))).cast("double").alias("n_tok"),
+            )
+            txn.overwrite(
+                QUANTS,
+                keep_rows.unionByName(
+                    summaries_for(redo, "lang", "n_tok", -3)
+                ).coalesce(1),
+            )
+            names = cat.snapshot(spark, txn.base_version)
+            if "centroids" in names:
+                vec_ids = ids.select(F.col("doc_id").alias("vec_id"))
+                for r in txn.read("centroids").collect():
+                    cell = r["cell"]
+                    had = (
+                        txn.read(cell)
+                        .join(vec_ids, "vec_id", "left_semi")
+                        .count()
+                    )
+                    if had:
+                        txn.overwrite(
+                            cell,
+                            txn.read(cell).join(vec_ids, "vec_id", "left_anti"),
+                        )
+            txn.commit(op=op)
+            return True
+        except CommitConflict:
+            continue  # a batch landed mid-retraction; redo on the new base
+        finally:
+            free_local_checkpoint(gone)
+    raise CommitConflict(
+        f"retraction {op!r} lost the catalog race {max_retries} times at {cat.root}"
+    )
+
+
 def compact_pipeline(
     spark: SparkSession,
     cat: TableCatalog,
@@ -307,7 +433,14 @@ def compact_pipeline(
         txn = cat.transaction(spark)
         names = set(cat.snapshot(spark, txn.base_version))
 
-        grams = txn.read(GRAMS).groupBy("g").agg(F.sum("n").alias("n"))
+        # drop digests zeroed by retraction's negative rows: a gram fully
+        # retracted must not survive compaction as a dead (g, 0) row
+        grams = (
+            txn.read(GRAMS)
+            .groupBy("g")
+            .agg(F.sum("n").alias("n"))
+            .filter(F.col("n") != 0)
+        )
         txn.overwrite(
             GRAMS, zorder_layout(grams, ["g"], num_files), stats_cols=["g"]
         )

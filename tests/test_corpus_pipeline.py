@@ -570,3 +570,116 @@ def test_pipeline_schema_evolution(spark, sf_dir, tmp_path):
         for r in member(spark, cat, CORPUS, merge_schema=True).collect()
     }
     assert after == rows
+
+
+def test_retract_docs(spark, sf_dir, tmp_path):
+    """r11 (c): retraction removes a document's contributions from EVERY
+    member in one transaction. For a collision-free document (it caused
+    no rejections) the post-retraction state equals a never-ingested run
+    member-for-member; its PQ codes vanish from the cells; replays
+    no-op; compaction then drops the zeroed gram digests."""
+    import os
+
+    from map_reduce_in_go_spark.operators.pq_index import PqIvfIndex
+    from map_reduce_in_go_spark.sources.manifest_table import ManifestTable
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+        compact_pipeline,
+        retract_docs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    embs = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("e")
+    )
+    extra = spark.createDataFrame(
+        [
+            (
+                40_000_000,
+                "ephemeral quasar bramble cataract dulcimer estuary filigree "
+                "gossamer harbinger icicle juniper kestrel labyrinth mandolin",
+                "en",
+            )
+        ],
+        "doc_id long, text string, lang string",
+    )
+    extra_emb = embs.limit(1).select(F.lit(40_000_000).alias("doc_id"), "e")
+
+    def build(root, include_extra):
+        idx = PqIvfIndex(root)
+        idx.build(spark, sf_dir, include_codes=False)
+        cat = idx.catalog
+        b0 = docs.filter(F.pmod("doc_id", F.lit(2)) == 0)
+        if include_extra:
+            b0 = b0.unionByName(extra)
+        e0 = embs.join(b0.select("doc_id"), "doc_id", "left_semi")
+        if include_extra:
+            e0 = e0.unionByName(extra_emb)
+        assert corpus_batch_txn(spark, b0, cat, 0, emb_batch=e0)
+        b1 = docs.filter(F.pmod("doc_id", F.lit(2)) == 1)
+        e1 = embs.join(b1.select("doc_id"), "doc_id", "left_semi")
+        assert corpus_batch_txn(spark, b1, cat, 1, emb_batch=e1)
+        return idx, cat
+
+    idx_w, cat_w = build(str(tmp_path / "with"), True)
+    idx_n, cat_n = build(str(tmp_path / "never"), False)
+
+    assert retract_docs(spark, cat_w, [40_000_000], op="retract-1")
+    assert retract_docs(spark, cat_w, [40_000_000], op="retract-1") is False
+
+    def folds(cat):
+        corpus = {tuple(r) for r in member(spark, cat, CORPUS).collect()}
+        bands = {tuple(r) for r in member(spark, cat, BANDS).collect()}
+        grams = {
+            (r["g"], r["n"])
+            for r in member(spark, cat, GRAMS)
+            .groupBy("g")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+            if r["n"] > 0
+        }
+        rows = member(spark, cat, CMS).collect()
+        cms = (
+            sum(r["n"] for r in rows),
+            np.sum([np.asarray(r["sketch"]) for r in rows], axis=0).tolist(),
+        )
+        qpts = {}
+        qn = {}
+        for r in member(spark, cat, QUANTS).collect():
+            qn[r["event_type"]] = qn.get(r["event_type"], 0) + r["n"]
+            qpts.setdefault(r["event_type"], []).extend(r["points"])
+        return corpus, bands, grams, cms, qn, {
+            k: sorted(v) for k, v in qpts.items()
+        }
+
+    assert folds(cat_w) == folds(cat_n)
+
+    # PQ cells: the retracted doc's codes are gone (and only its)
+    def coded_ids(idx, cat):
+        _, cells = idx.snapshot(spark)
+        out = set()
+        for _, _, path, version in cells:
+            out |= {
+                r["vec_id"]
+                for r in ManifestTable(os.path.join(cat.root, path))
+                .read(spark, version)
+                .collect()
+            }
+        return out
+
+    assert 40_000_000 not in coded_ids(idx_w, cat_w)
+    assert coded_ids(idx_w, cat_w) == coded_ids(idx_n, cat_n)
+
+    # a fully-retracted gram digest does not survive compaction
+    zero_gs = (
+        member(spark, cat_w, GRAMS)
+        .groupBy("g")
+        .agg(F.sum("n").alias("n"))
+        .filter(F.col("n") == 0)
+        .count()
+    )
+    assert zero_gs > 0  # the unique doc's digests are zeroed pre-compaction
+    compact_pipeline(spark, cat_w, num_files=2)
+    assert (
+        member(spark, cat_w, GRAMS).filter(F.col("n") <= 0).count() == 0
+    )
+    assert folds(cat_w)[2] == folds(cat_n)[2]
