@@ -293,7 +293,11 @@ def _build() -> None:
 
     from .streaming import pipeline_read as _plr
 
-    _register(_plr, ["pipeline_trending", "pipeline_spans"])
+    _register(_plr, [
+        "pipeline_trending",
+        "pipeline_trending_served",
+        "pipeline_spans",
+    ])
 
 
 # Queries whose OUTPUT changed after their most recent driver-green round:

@@ -80,6 +80,24 @@ class TableCatalog:
         """The member table handle (standalone reads/maintenance)."""
         return ManifestTable(os.path.join(self.root, name))
 
+    def history(self) -> list[tuple[int, str]]:
+        """Available ``(catalog version, op label)`` pairs, ascending.
+
+        The transaction ledger as a WALKABLE sequence — what cross-catalog
+        replication consumes. Only versions whose per-version manifest
+        still exists are returned: catalog checkpoints truncate older
+        manifests (op labels survive in the checkpoint, order and pins do
+        not), so a replica that has fallen behind the truncation horizon
+        must base-sync instead of diffing (sources/replicate.py).
+        """
+        out = []
+        for v in self._catalog._versions():
+            try:
+                out.append((v, self._catalog._manifest(v)["op"]))
+            except FileNotFoundError:
+                continue  # concurrent checkpoint truncated it mid-walk
+        return out
+
     def committed_ops(self) -> set[str]:
         """Op labels of every published catalog commit — the multi-table
         transaction ledger. A writer that tags ``commit(op=...)`` with its
@@ -278,7 +296,7 @@ class Transaction:
 
     # ------------------------------------------------------------- publish
 
-    def commit(self, op: str = "txn") -> int:
+    def commit(self, op: str = "txn", force: bool = False) -> int:
         """CAS-publish one catalog snapshot pinning base + staged versions.
 
         Raises :class:`CommitConflict` if another transaction advanced the
@@ -286,9 +304,15 @@ class Transaction:
         orphans (invisible to catalog readers; their data files age out of
         member vacuums), and the caller re-plans against the new snapshot.
         Returns the new catalog version.
+
+        A transaction with nothing staged normally short-circuits WITHOUT
+        publishing (no ledger entry). ``force=True`` publishes the base
+        pins anyway so ``op`` lands in the ledger — replication uses this
+        to record a shipped commit whose member content happened to be a
+        no-op, keeping replay detection exact.
         """
         self._check_open()
-        if not self._staged and not self._dropped:
+        if not self._staged and not self._dropped and not force:
             self._committed = self.base_version
             return self.base_version
         pins = dict(self._base)

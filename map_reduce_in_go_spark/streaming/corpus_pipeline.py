@@ -15,18 +15,23 @@ repo's existing per-artifact streaming pieces into ONE
   served substring-dedup structure, sources/substring_index.py);
 - ``token_cms``     — one Count-Min sketch row (streaming/heavy.py's
   mergeable rollup: exact trending tokens over everything accepted);
+- ``token_counts``  — per-batch additive ``(word, n)`` rows (r11 (a)):
+  the EXACT token-frequency view, vocabulary-sized and distributed, so
+  steady-state trending is a pure member filter with ZERO corpus
+  re-scan (the pre-aggregation posture of a continuously-queried view;
+  the CMS member stays as the bounded-state screen for ad-hoc stores);
 - ``len_quantiles`` — per-language token-length summary rows
   (streaming/quantiles.py's rank-sample rollup with carried error).
 
 Atomicity is the point: a reader can never observe an accepted document
 whose bands aren't probeable, whose grams aren't counted, or whose
-tokens are missing from a sketch — the catalog CAS publishes the five
+tokens are missing from a sketch — the catalog CAS publishes the six
 member appends together, and any crash before it leaves only orphan
 member versions (invisible; vacuumed). Exactly-once falls out of the
 catalog ledger: the commit is tagged ``<app_id>-batch-<id>`` and a
 replayed batch is detected from PUBLISHED commits before any recompute,
 so Spark's at-least-once foreachBatch (or a checkpoint-wiped restart)
-re-running a batch is a no-op across ALL five artifacts at once —
+re-running a batch is a no-op across ALL six artifacts at once —
 proven in tests/test_corpus_pipeline.py by wiping and replaying.
 
 On a CAS conflict (a racing backfill writer) the batch re-plans against
@@ -51,7 +56,27 @@ CORPUS = "corpus"
 BANDS = "band_index"
 GRAMS = "gram_index"
 CMS = "token_cms"
+TOKENS = "token_counts"
 QUANTS = "len_quantiles"
+
+
+def _token_count_rows(kept: DataFrame) -> DataFrame:
+    """Additive ``(word, n)`` rows for one batch's accepted documents.
+
+    Linear like the gram member: retraction appends negative rows,
+    compaction folds by key and drops zeroes. One map-side explode + one
+    vocabulary-keyed aggregation — the token stream never leaves the
+    cluster and only distinct-word rows shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.text import tokens
+
+    return (
+        kept.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
 
 
 def corpus_batch_txn(
@@ -72,7 +97,7 @@ def corpus_batch_txn(
     their codes land in the per-cell member tables inside the SAME commit
     as corpus/bands/grams/sketches, so a reader can never observe an
     accepted document whose vector isn't probeable (r11 candidate (a):
-    six members, one CAS; the joint replay no-op covers all six).
+    seven members, one CAS; the joint replay no-op covers all seven).
     """
     from pyspark.sql import functions as F
 
@@ -117,6 +142,7 @@ def corpus_batch_txn(
             stats_cols=["band_hash"],
         )
         txn.append(GRAMS, _token_gram_counts(kept), op=op, stats_cols=["g"])
+        txn.append(TOKENS, _token_count_rows(kept), op=op, stats_cols=["word"])
         total, agg = _batch_sketch(kept)
         txn.append(
             CMS,
@@ -172,7 +198,7 @@ def bootstrap_pipeline(
     index and gram index exist as standalone batch artifacts — e.g.
     ``build_band_index`` / ``build_gram_index`` output); adopting it
     must not force a from-scratch re-stream. This verb publishes all
-    five members in ONE transaction from the static input, after which
+    six members in ONE transaction from the static input, after which
     ``corpus_batch_txn`` continues incrementally — bootstrapping on a
     prefix and streaming the rest lands member-identical state to
     streaming everything (pinned in tests/test_corpus_pipeline.py).
@@ -237,6 +263,7 @@ def bootstrap_pipeline(
         txn.append(CORPUS, kept.select("doc_id", "text", "lang", *extras), op=op)
         txn.append(BANDS, bands, op=op, stats_cols=["band_hash"])
         txn.append(GRAMS, grams, op=op, stats_cols=["g"])
+        txn.append(TOKENS, _token_count_rows(kept), op=op, stats_cols=["word"])
         total, agg = _batch_sketch(kept)
         txn.append(
             CMS,
@@ -278,9 +305,9 @@ def retract_docs(
     - ``corpus`` / ``band_index`` — anti-join rewrite (at fleet scale
       you'd rewrite only the files whose stats admit the ids; the member
       overwrite is the semantics, file-pruned rewrite is an optimization);
-    - ``gram_index`` — NEGATIVE additive rows appended (the count table
-      is linear, so retraction is just more appends; compaction folds
-      and drops zeroed digests);
+    - ``gram_index`` / ``token_counts`` — NEGATIVE additive rows appended
+      (the count tables are linear, so retraction is just more appends;
+      compaction folds and drops zeroed keys);
     - ``token_cms`` — a NEGATIVE sketch row. Count-Min is a linear
       sketch: sketch(corpus ∖ doc) = sketch(corpus) − sketch(doc)
       EXACTLY, and since a real document's tokens are being removed the
@@ -334,10 +361,16 @@ def retract_docs(
                 txn.read(BANDS).join(ids, "doc_id", "left_anti"),
                 stats_cols=["band_hash"],
             )
+            names = cat.snapshot(spark, txn.base_version)
             neg = _token_gram_counts(gone).select(
                 "g", (-F.col("n")).alias("n")
             )
             txn.append(GRAMS, neg, op=op, stats_cols=["g"])
+            if TOKENS in names:  # catalogs predating the member: nothing to subtract
+                neg_tok = _token_count_rows(gone).select(
+                    "word", (-F.col("n")).alias("n")
+                )
+                txn.append(TOKENS, neg_tok, op=op, stats_cols=["word"])
             total, agg = _batch_sketch(gone)
             txn.append(
                 CMS,
@@ -361,7 +394,6 @@ def retract_docs(
                     summaries_for(redo, "lang", "n_tok", -3)
                 ).coalesce(1),
             )
-            names = cat.snapshot(spark, txn.base_version)
             if "centroids" in names:
                 vec_ids = ids.select(F.col("doc_id").alias("vec_id"))
                 for r in txn.read("centroids").collect():
@@ -406,6 +438,8 @@ def compact_pipeline(
     - ``gram_index`` → one pre-combined row per digest, range-clustered
       on ``g`` with stats (the steady-state layout ``build_gram_index``
       ships; incremental appends erode it, this restores it);
+    - ``token_counts`` → folded by word (zero-count words from retraction
+      dropped), range-clustered on ``word`` with stats;
     - ``band_index`` → hash-range-clustered on ``band_hash`` with stats;
     - ``token_cms``  → the elementwise-summed single sketch row;
     - ``len_quantiles`` → one recompressed row per type, recompression
@@ -449,6 +483,18 @@ def compact_pipeline(
             zorder_layout(txn.read(BANDS), ["band_hash"], num_files),
             stats_cols=["band_hash"],
         )
+        if TOKENS in names:
+            toks = (
+                txn.read(TOKENS)
+                .groupBy("word")
+                .agg(F.sum("n").alias("n"))
+                .filter(F.col("n") != 0)  # fully-retracted words fold away
+            )
+            txn.overwrite(
+                TOKENS,
+                zorder_layout(toks, ["word"], num_files),
+                stats_cols=["word"],
+            )
         cms_rows = txn.read(CMS).collect()
         if cms_rows:
             total = int(sum(r["n"] for r in cms_rows))

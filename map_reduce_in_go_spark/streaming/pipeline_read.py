@@ -1,6 +1,6 @@
 """Read API over the incremental-corpus pipeline catalog (r11 (b)).
 
-``corpus_pipeline.py`` proves its five artifacts advance atomically and
+``corpus_pipeline.py`` proves its member artifacts advance atomically and
 exactly-once; this module closes the loop by answering REGISTERED,
 DuckDB-oracle-checked queries *from those transactional members* — the
 driver's hash gate then verifies the pipeline's at-rest state directly,
@@ -14,6 +14,11 @@ not just the pytest pins:
   accepted corpus, with the duplicated-gram predicate served from the
   ``gram_index`` member's additive counts (never re-aggregating per-
   occurrence gram rows). Same output contract as ``dedup_substring``.
+- :func:`pipeline_trending_served` — the same trending answer with ZERO
+  corpus re-scan: the ``token_counts`` member (r11 (a)) already holds
+  exact per-batch additive (word, n) rows, so serving is one
+  vocabulary-sized fold plus a scalar threshold — the pre-aggregated
+  steady-state form of ``pipeline_trending``.
 
 Both queries feed the standard documents table through the pipeline in
 three deterministic micro-batches (``doc_id % 3``), built once per
@@ -47,7 +52,14 @@ from ..operators.dedup import (
 from ..sources.artifacts import served_artifact
 from ..sources.catalog import TableCatalog
 from ..sources.tables import load_table
-from .corpus_pipeline import CMS, CORPUS, GRAMS, corpus_batch_txn, member
+from .corpus_pipeline import (
+    CMS,
+    CORPUS,
+    GRAMS,
+    TOKENS,
+    corpus_batch_txn,
+    member,
+)
 
 PIPELINE_BATCHES = 3
 
@@ -99,6 +111,32 @@ def pipeline_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     return trending_from_state(spark, total, agg.reshape(CMS_D, CMS_W), corpus)
+
+
+def pipeline_trending_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trending tokens with ZERO corpus re-scan (r11 (a)).
+
+    The ``token_counts`` member already holds exact additive (word, n)
+    rows — per batch at steady state, pre-combined after
+    ``compact_pipeline``. Serving is one vocabulary-sized fold plus a
+    broadcast scalar threshold: same answer as :func:`pipeline_trending`
+    (whose CMS screen + corpus recount remains the posture for token
+    stores too hot to keep exactly), at O(vocabulary) instead of
+    O(corpus) per query — the pre-aggregation trade a continuously-
+    queried view makes.
+    """
+    cat = _pipeline_catalog(spark, sf_dir)
+    counts = (
+        member(spark, cat, TOKENS)
+        .groupBy("word")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("t"))  # 1-row scalar
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * F.lit(HH_K) > F.col("t"))
+        .select("word", "cnt")
+    )
 
 
 def pipeline_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,6 +335,10 @@ HAVING max(pos) + {SUBSTR_K} - min(pos) >= {SUBSTR_MIN_TOKENS}
 ORACLES["pipeline_trending"] = ORACLES["pipeline_trending"].replace(
     "{tok}", _sql_tokens_k()
 )
+# the served form answers the SAME question from the token_counts member,
+# so it shares the trending oracle verbatim — any divergence between the
+# pre-aggregated member and the corpus recount is a correctness bug
+ORACLES["pipeline_trending_served"] = ORACLES["pipeline_trending"]
 ORACLES["pipeline_spans"] = (
     ORACLES["pipeline_spans"]
     .replace("{tok}", _sql_tokens_k())

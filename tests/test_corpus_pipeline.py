@@ -1,5 +1,6 @@
 """End-to-end incremental-corpus pipeline: one batch advances corpus,
-band index, gram index, CMS, and quantile rollup in ONE transaction —
+band index, gram index, CMS, exact token counts, and quantile rollup
+in ONE transaction —
 cross-artifact consistency, joint replay no-op, real stream wiring."""
 
 from __future__ import annotations
@@ -18,6 +19,7 @@ from map_reduce_in_go_spark.streaming.corpus_pipeline import (
     CORPUS,
     GRAMS,
     QUANTS,
+    TOKENS,
     corpus_batch_txn,
     member,
     start_corpus_pipeline,
@@ -72,6 +74,16 @@ def test_cross_artifact_consistency(spark, sf_dir, tmp_path):
         r["w"]: r["c"] for r in tok.groupBy("w").agg(F.count("*").alias("c")).collect()
     }
     assert total == sum(exact.values())
+    # token_counts member (r11 (a)): the folded additive rows ARE the
+    # exact token frequencies of the accepted corpus
+    stored_tok = {
+        r["word"]: r["n"]
+        for r in member(spark, cat, TOKENS)
+        .groupBy("word")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    assert stored_tok == exact and stored_tok
     for w, c in list(exact.items())[:50]:
         assert min(cms[d, h] for d, h in enumerate(_cms_hashes(w))) >= c
 
@@ -112,7 +124,7 @@ def test_joint_replay_noop(spark, sf_dir, tmp_path):
     _feed(spark, sf_dir, cat)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     before = cat.snapshot(spark)
-    assert set(before) == {CORPUS, BANDS, GRAMS, CMS, QUANTS}
+    assert set(before) == {CORPUS, BANDS, GRAMS, CMS, TOKENS, QUANTS}
     for i in range(3):
         assert (
             corpus_batch_txn(
@@ -157,7 +169,7 @@ def test_stream_end_to_end(spark, tmp_path):
     cat = TableCatalog(cat_root)
     got = {r["doc_id"] for r in member(spark, cat, CORPUS).select("doc_id").collect()}
     assert got == {1, 3, 5}
-    assert set(cat.snapshot(spark)) == {CORPUS, BANDS, GRAMS, CMS, QUANTS}
+    assert set(cat.snapshot(spark)) == {CORPUS, BANDS, GRAMS, CMS, TOKENS, QUANTS}
     assert {"corpus-batch-0", "corpus-batch-1"} <= cat.committed_ops()
     langs = {
         r["event_type"] for r in member(spark, cat, QUANTS).collect()
@@ -258,6 +270,16 @@ def test_compact_pipeline(spark, sf_dir, tmp_path):
     }
     before_grams = gram_fold()
     before_cms = cms_fold()
+    def tok_fold():
+        return {
+            r["word"]: r["n"]
+            for r in member(spark, cat, TOKENS)
+            .groupBy("word")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        }
+
+    before_tok = tok_fold()
     before_qn = {
         (r["event_type"],): 0 for r in member(spark, cat, QUANTS).collect()
     }
@@ -270,6 +292,7 @@ def test_compact_pipeline(spark, sf_dir, tmp_path):
 
     assert {tuple(r) for r in member(spark, cat, CORPUS).collect()} == before_corpus
     assert gram_fold() == before_grams
+    assert tok_fold() == before_tok
     assert cms_fold() == before_cms
     qrows = member(spark, cat, QUANTS).collect()
     after_qn = {}
@@ -348,10 +371,17 @@ def test_bootstrap_then_stream_equals_full_stream(spark, sf_dir, tmp_path):
             sum(r["n"] for r in cms_rows),
             np.sum([np.asarray(r["sketch"]) for r in cms_rows], axis=0).tolist(),
         )
+        toks = {
+            (r["word"], r["n"])
+            for r in member(spark, cat, TOKENS)
+            .groupBy("word")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        }
         qn = {}
         for r in member(spark, cat, QUANTS).collect():
             qn[r["event_type"]] = qn.get(r["event_type"], 0) + r["n"]
-        return corpus, bands, grams, cms, qn
+        return corpus, bands, grams, toks, cms, qn
 
     assert folds(boot) == folds(full)
 
@@ -637,6 +667,14 @@ def test_retract_docs(spark, sf_dir, tmp_path):
             .collect()
             if r["n"] > 0
         }
+        toks = {
+            (r["word"], r["n"])
+            for r in member(spark, cat, TOKENS)
+            .groupBy("word")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+            if r["n"] > 0
+        }
         rows = member(spark, cat, CMS).collect()
         cms = (
             sum(r["n"] for r in rows),
@@ -647,7 +685,7 @@ def test_retract_docs(spark, sf_dir, tmp_path):
         for r in member(spark, cat, QUANTS).collect():
             qn[r["event_type"]] = qn.get(r["event_type"], 0) + r["n"]
             qpts.setdefault(r["event_type"], []).extend(r["points"])
-        return corpus, bands, grams, cms, qn, {
+        return corpus, bands, grams, toks, cms, qn, {
             k: sorted(v) for k, v in qpts.items()
         }
 
@@ -682,4 +720,8 @@ def test_retract_docs(spark, sf_dir, tmp_path):
     assert (
         member(spark, cat_w, GRAMS).filter(F.col("n") <= 0).count() == 0
     )
+    assert (
+        member(spark, cat_w, TOKENS).filter(F.col("n") <= 0).count() == 0
+    )
     assert folds(cat_w)[2] == folds(cat_n)[2]
+    assert folds(cat_w)[3] == folds(cat_n)[3]

@@ -1,0 +1,171 @@
+"""Cross-catalog replication (r11 (b)): the replica equals the primary
+member-for-member, ships deltas exactly-once from the ledger alone,
+survives re-runs, follows overwrite-heavy maintenance commits, and
+base-syncs across a checkpoint-truncated history horizon."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_in_go_spark.sources.catalog import TableCatalog
+from map_reduce_in_go_spark.sources.manifest_table import ManifestTable
+from map_reduce_in_go_spark.sources.replicate import replicate_catalog
+from map_reduce_in_go_spark.sources.tables import load_table
+from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+    BANDS,
+    CMS,
+    CORPUS,
+    GRAMS,
+    QUANTS,
+    TOKENS,
+    compact_pipeline,
+    corpus_batch_txn,
+    member,
+    retract_docs,
+)
+
+MEMBERS = (CORPUS, BANDS, GRAMS, TOKENS, CMS, QUANTS)
+
+
+def _feed(spark, sf_dir, cat, batches=(0, 1, 2), n=3):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    for i in batches:
+        assert corpus_batch_txn(
+            spark, docs.filter(F.pmod("doc_id", F.lit(n)) == i), cat, i
+        )
+    return docs
+
+
+def _state(spark, cat):
+    """Member-for-member content: row multisets of every member."""
+    out = {}
+    for name in sorted(cat.snapshot(spark)):
+        rows = member(spark, cat, name).collect()
+        out[name] = sorted(
+            tuple(
+                tuple(v) if isinstance(v, (list, np.ndarray)) else v
+                for v in r
+            )
+            for r in rows
+        )
+    return out
+
+
+def test_replica_matches_primary_and_reruns_noop(spark, sf_dir, tmp_path):
+    src = TableCatalog(str(tmp_path / "primary"))
+    _feed(spark, sf_dir, src)
+    dst = TableCatalog(str(tmp_path / "replica"))
+
+    assert replicate_catalog(spark, src, dst) == 3  # one per batch commit
+    assert set(dst.snapshot(spark)) == set(MEMBERS)
+    assert _state(spark, dst) == _state(spark, src)
+    # the primary's transaction ledger is mirrored op-for-op
+    assert {op for _, op in src.history()} <= dst.committed_ops()
+
+    # exactly-once: a re-run ships nothing and moves nothing
+    before = dst.snapshot(spark)
+    assert replicate_catalog(spark, src, dst) == 0
+    assert dst.snapshot(spark) == before
+
+
+def test_incremental_ship_moves_only_new_commits(spark, sf_dir, tmp_path):
+    src = TableCatalog(str(tmp_path / "primary"))
+    docs = _feed(spark, sf_dir, src)
+    dst = TableCatalog(str(tmp_path / "replica"))
+    assert replicate_catalog(spark, src, dst) == 3
+
+    # steady state: one new batch → exactly one shipped commit, and the
+    # replica's corpus member grows by APPEND (no history rewrite)
+    corpus_v_before = dst.snapshot(spark)[CORPUS][1]
+    fresh = spark.createDataFrame(
+        [
+            (
+                30_000_000,
+                "zephyr quill ombre lattice crescent fable glint harrow "
+                "indigo jasper kiln lumen mosaic nectar onyx prism",
+                "en",
+            )
+        ],
+        "doc_id long, text string, lang string",
+    )
+    assert corpus_batch_txn(spark, fresh, src, 7)
+    assert replicate_catalog(spark, src, dst) == 1
+    assert _state(spark, dst) == _state(spark, src)
+    # append, not overwrite: the prior replica corpus files are still live
+    dpath, dver = dst.snapshot(spark)[CORPUS]
+    dtbl = ManifestTable(os.path.join(dst.root, dpath))
+    old_files = set(dtbl.files(corpus_v_before))
+    assert old_files and old_files <= set(dtbl.files(dver))
+
+    # a retraction (negative-row appends + member overwrites) follows too
+    assert retract_docs(spark, src, [30_000_000], op="retract-30M")
+    assert replicate_catalog(spark, src, dst) == 1
+    assert _state(spark, dst) == _state(spark, src)
+
+
+def test_replication_follows_compaction_and_keeps_pruning(
+    spark, sf_dir, tmp_path
+):
+    src = TableCatalog(str(tmp_path / "primary"))
+    _feed(spark, sf_dir, src)
+    dst = TableCatalog(str(tmp_path / "replica"))
+    assert replicate_catalog(spark, src, dst) == 3
+
+    compact_pipeline(spark, src, num_files=4)
+    assert replicate_catalog(spark, src, dst) == 1
+    assert _state(spark, dst) == _state(spark, src)
+
+    # stats_cols recovered from the primary manifests: point probes on
+    # the replica's compacted gram member still prune files
+    gpath, gver = dst.snapshot(spark)[GRAMS]
+    gtbl = ManifestTable(os.path.join(dst.root, gpath), stats_cols=["g"])
+    files_all = gtbl.files(gver)
+    assert len(files_all) > 1
+    probe = member(spark, dst, GRAMS).select("g").first()["g"]
+    assert len(gtbl.files_pruned_in("g", [probe], version=gver)) < len(files_all)
+
+
+def test_base_sync_across_truncated_history(spark, sf_dir, tmp_path):
+    """After the primary's catalog checkpoints (per-version manifests
+    below the horizon truncated), a FRESH replica still converges: the
+    horizon commit base-syncs, everything after diffs normally."""
+    src = TableCatalog(str(tmp_path / "primary"))
+    docs = _feed(spark, sf_dir, src)
+    src._catalog.checkpoint()  # truncate manifests below the newest version
+    assert len(src.history()) == 1  # only the horizon survives
+
+    dst = TableCatalog(str(tmp_path / "replica"))
+    assert replicate_catalog(spark, src, dst) == 1  # one base-sync commit
+    assert _state(spark, dst) == _state(spark, src)
+
+    # and the pipeline keeps diffing incrementally past the horizon
+    fresh = spark.createDataFrame(
+        [
+            (
+                31_000_000,
+                "umber vellum wicker xylem yonder zenith arbor breccia "
+                "cairn delta ember flume grotto heath islet jetty",
+                "en",
+            )
+        ],
+        "doc_id long, text string, lang string",
+    )
+    assert corpus_batch_txn(spark, fresh, src, 9)
+    assert replicate_catalog(spark, src, dst) == 1
+    assert _state(spark, dst) == _state(spark, src)
+
+
+def test_duplicate_op_labels_refused(spark, tmp_path):
+    src = TableCatalog(str(tmp_path / "primary"))
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    for _ in range(2):
+        txn = src.transaction(spark)
+        txn.append("t", df)
+        txn.commit(op="txn")  # ambiguous label, twice
+    dst = TableCatalog(str(tmp_path / "replica"))
+    with pytest.raises(ValueError, match="duplicate op labels"):
+        replicate_catalog(spark, src, dst)
