@@ -39,6 +39,15 @@ not incremental). Replicate at least every ``checkpoint_interval``
 commits (default 16), or build the catalog with
 ``checkpoint_interval=None``, to stay on the delta path.
 
+Because the replica's ledger carries the primary's op labels verbatim,
+replication CHAINS: a replica is itself a valid primary for a second
+hop (fan-out topologies), and :func:`catalog_divergence` is the health
+check — a distributed member-content fingerprint comparison that names
+exactly which member drifted. :func:`start_replication_follower` wires
+the verb into Structured Streaming as a continuously-tailing follower;
+the stream checkpoint only schedules passes, the ledger decides them,
+so a wiped checkpoint or duplicate follower converges identically.
+
 Out of scope, honestly: the replica is a FOLLOWER (replication is its
 only writer). Active-active catalogs need op-label namespacing across
 writers, which the pipeline's ``<app_id>-batch-<id>`` labels provide but
@@ -55,7 +64,11 @@ from pyspark.sql.types import StructType
 from .catalog import CommitConflict, TableCatalog
 from .manifest_table import ManifestTable
 
-__all__ = ["replicate_catalog"]
+__all__ = [
+    "replicate_catalog",
+    "catalog_divergence",
+    "start_replication_follower",
+]
 
 
 def _member_stats_cols(manifest: dict) -> list[str] | None:
@@ -142,6 +155,63 @@ def _stage_commit(
     )
 
 
+def _content_fingerprint(df: DataFrame) -> tuple[int, int, object]:
+    """Order-insensitive content fingerprint: (row count, distinct row
+    count, sum of per-row xxhash64 over name-sorted columns).
+
+    Fully distributed — one scan, one scalar aggregate; no rows reach the
+    driver. The sum is commutative so partitioning/order never matters,
+    and the distinct count guards the (astronomically unlikely) case of
+    hash sums colliding under different duplicate multiplicities.
+    """
+    from pyspark.sql import functions as F
+
+    cols = sorted(df.columns)
+    hashed = df.select(F.xxhash64(*cols).alias("h"))
+    row = hashed.agg(
+        F.count("*").alias("c"),
+        F.count_distinct("h").alias("d"),
+        F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+    ).first()
+    return int(row["c"]), int(row["d"]), row["s"]
+
+
+def catalog_divergence(
+    spark: SparkSession, a: TableCatalog, b: TableCatalog
+) -> dict[str, str]:
+    """Members whose content differs between two catalogs → reason.
+
+    The replication health check (r12 (b)): after :func:`replicate_
+    catalog`, this must be empty; a non-empty result names exactly which
+    member drifted (a follower that took direct writes, a half-restored
+    backup, bit rot). Comparison is schema (name-sorted field names +
+    types) then a distributed content fingerprint — O(members) scans,
+    zero driver-side row movement, so it is runnable as a routine
+    maintenance verb at fleet scale.
+    """
+    out: dict[str, str] = {}
+    snap_a, snap_b = a.snapshot(spark), b.snapshot(spark)
+    for name in sorted(set(snap_a) | set(snap_b)):
+        if name not in snap_a:
+            out[name] = "member absent from first catalog"
+            continue
+        if name not in snap_b:
+            out[name] = "member absent from second catalog"
+            continue
+        df_a, df_b = a.read(spark, name), b.read(spark, name)
+        sig_a = sorted((f.name, f.dataType.simpleString()) for f in df_a.schema)
+        sig_b = sorted((f.name, f.dataType.simpleString()) for f in df_b.schema)
+        if sig_a != sig_b:
+            out[name] = f"schema mismatch: {sig_a} != {sig_b}"
+            continue
+        fp_a, fp_b = _content_fingerprint(df_a), _content_fingerprint(df_b)
+        if fp_a != fp_b:
+            out[name] = (
+                f"content mismatch: (rows, distinct, hashsum) {fp_a} != {fp_b}"
+            )
+    return out
+
+
 def replicate_catalog(
     spark: SparkSession,
     src: TableCatalog,
@@ -185,3 +255,35 @@ def replicate_catalog(
         applied += 1
         done.add(op)
     return applied
+
+
+def start_replication_follower(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    checkpoint_dir: str,
+    interval: str = "5 seconds",
+):
+    """Continuously tail the primary's ledger into a replica (r12 (c)).
+
+    A rate stream is the trigger clock — the ledger itself is the real
+    source of work; each micro-batch runs one :func:`replicate_catalog`
+    pass, which ships whatever committed since the last pass and no-ops
+    otherwise. Correctness therefore never depends on the STREAM's
+    checkpoint: exactly-once lives in the catalog ledgers, so a wiped
+    checkpoint, a restarted follower, or an accidental second follower
+    all converge to the same replica (pinned in tests/test_replication.
+    py). The checkpoint only schedules passes; the ledger decides them.
+    """
+    src, dst = TableCatalog(src_root), TableCatalog(dst_root)
+    ticks = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+
+    def _one(_df: DataFrame, _bid: int) -> None:
+        replicate_catalog(spark, src, dst)
+
+    return (
+        ticks.writeStream.foreachBatch(_one)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=interval)
+        .start()
+    )

@@ -534,22 +534,46 @@ def member(
     cat: TableCatalog,
     name: str,
     merge_schema: bool = False,
+    version: int | None = None,
 ) -> DataFrame:
-    """One member table at the CURRENT catalog snapshot's pinned version.
+    """One member table at a catalog snapshot's pinned version.
 
     ``merge_schema=True`` unions schemas across the snapshot's files —
     columns added by later batches (additive evolution) surface as nulls
     on rows appended before them, same contract as Delta/Iceberg readers.
+
+    ``version`` time-travels: it is a CATALOG snapshot version, so the
+    member is served exactly as of that multi-table commit — two
+    time-travel reads at the same version are mutually consistent (the
+    corpus AS OF v and its token counts AS OF v describe the same
+    accepted set), the property per-member version pins alone can't give.
+    History is only as durable as GC allows: a time-travel read whose
+    pinned files were reclaimed by ``TableCatalog.vacuum`` refuses
+    LOUDLY up front (naming the member and version) instead of
+    half-resolving into a mid-scan failure.
     """
     import os
 
     from ..sources.manifest_table import ManifestTable
 
-    pins = cat.snapshot(spark)
-    path, version = pins[name]
-    return ManifestTable(os.path.join(cat.root, path)).read(
-        spark, version, merge_schema=merge_schema
-    )
+    pins = cat.snapshot(spark, version)
+    if name not in pins:
+        raise KeyError(
+            f"member {name!r} not in catalog snapshot "
+            f"v{cat.version() if version is None else version} at {cat.root}"
+        )
+    path, pinned = pins[name]
+    tbl = ManifestTable(os.path.join(cat.root, path))
+    if version is not None:
+        missing = [f for f in tbl.files(pinned) if not os.path.exists(f)]
+        if missing:
+            raise FileNotFoundError(
+                f"time-travel read of member {name!r} at catalog v{version} "
+                f"needs {len(missing)} data file(s) already reclaimed by "
+                f"vacuum (below the GC horizon), e.g. {missing[0]}; only "
+                "versions newer than the last vacuumed rewrite are readable"
+            )
+    return tbl.read(spark, pinned, merge_schema=merge_schema)
 
 
 def start_corpus_pipeline(

@@ -725,3 +725,69 @@ def test_retract_docs(spark, sf_dir, tmp_path):
     )
     assert folds(cat_w)[2] == folds(cat_n)[2]
     assert folds(cat_w)[3] == folds(cat_n)[3]
+
+
+def test_time_travel_member_reads(spark, sf_dir, tmp_path):
+    """r12 (a): `member(..., version=v)` serves state AS OF one catalog
+    commit — cross-member consistent at every historical version — and
+    refuses loudly (naming member + version) once vacuum reclaims the
+    files a pinned snapshot needs."""
+    import pytest as _pytest
+
+    from map_reduce_in_go_spark.functions.text import tokens
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import compact_pipeline
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    versions = []
+    for i in range(3):
+        assert corpus_batch_txn(
+            spark, docs.filter(F.pmod("doc_id", F.lit(3)) == i), cat, i
+        )
+        versions.append(cat.version())
+
+    # corpus history is monotone: each commit's accepted set nests
+    ids = [
+        {r["doc_id"] for r in member(spark, cat, CORPUS, version=v).select("doc_id").collect()}
+        for v in versions
+    ]
+    assert ids[0] < ids[1] < ids[2]
+    assert ids[2] == {
+        r["doc_id"] for r in member(spark, cat, CORPUS).select("doc_id").collect()
+    }
+
+    # cross-member consistency AS OF the middle commit: the token member
+    # at v1 counts exactly the v1 corpus — the multi-table pin at work
+    v1 = versions[1]
+    exact_v1 = {
+        r["w"]: r["c"]
+        for r in member(spark, cat, CORPUS, version=v1)
+        .select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    stored_v1 = {
+        r["word"]: r["n"]
+        for r in member(spark, cat, TOKENS, version=v1)
+        .groupBy("word")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    assert stored_v1 == exact_v1 and stored_v1
+
+    # GC horizon: compaction rewrites members, vacuum reclaims the old
+    # files — pre-compaction versions now refuse loudly, current reads
+    # and post-compaction time travel still work
+    compact_pipeline(spark, cat, num_files=2)
+    v_compacted = cat.version()
+    assert cat.vacuum(spark, retain_seconds=0.0) > 0
+    with _pytest.raises(FileNotFoundError, match="GC horizon"):
+        member(spark, cat, CORPUS, version=v1).collect()
+    assert {
+        r["doc_id"]
+        for r in member(spark, cat, CORPUS, version=v_compacted)
+        .select("doc_id")
+        .collect()
+    } == ids[2]
+    assert member(spark, cat, CORPUS).count() == len(ids[2])

@@ -169,3 +169,108 @@ def test_duplicate_op_labels_refused(spark, tmp_path):
     dst = TableCatalog(str(tmp_path / "replica"))
     with pytest.raises(ValueError, match="duplicate op labels"):
         replicate_catalog(spark, src, dst)
+
+
+def test_chaining_and_divergence_detector(spark, sf_dir, tmp_path):
+    """r12 (b): a replica's ledger carries the primary's op labels
+    verbatim, so it is itself a valid primary (replica-of-replica
+    converges), and catalog_divergence names exactly the member a
+    non-replication write drifted."""
+    from map_reduce_in_go_spark.sources.replicate import catalog_divergence
+
+    src = TableCatalog(str(tmp_path / "primary"))
+    _feed(spark, sf_dir, src)
+    r1 = TableCatalog(str(tmp_path / "hop1"))
+    r2 = TableCatalog(str(tmp_path / "hop2"))
+
+    assert replicate_catalog(spark, src, r1) == 3
+    assert replicate_catalog(spark, r1, r2) == 3  # second hop, free
+    assert _state(spark, r2) == _state(spark, src)
+    assert catalog_divergence(spark, src, r1) == {}
+    assert catalog_divergence(spark, src, r2) == {}
+
+    # fan-out stays incremental across hops
+    fresh = spark.createDataFrame(
+        [
+            (
+                32_000_000,
+                "quartzite fathom gable hollow inlet knoll ledger mirth "
+                "nimbus orchard pewter quince rushes saline tarn upland",
+                "en",
+            )
+        ],
+        "doc_id long, text string, lang string",
+    )
+    assert corpus_batch_txn(spark, fresh, src, 11)
+    assert replicate_catalog(spark, src, r1) == 1
+    assert replicate_catalog(spark, r1, r2) == 1
+    assert catalog_divergence(spark, src, r2) == {}
+
+    # a direct (non-replication) write on the follower: the detector
+    # names the drifted member and only it
+    junk = spark.createDataFrame([("zzzdrift", 7)], "word string, n long")
+    txn = r1.transaction(spark)
+    txn.append(TOKENS, junk, op="tamper")
+    txn.commit(op="tamper")
+    div = catalog_divergence(spark, src, r1)
+    assert list(div) == [TOKENS]
+    assert "content mismatch" in div[TOKENS]
+    # and replication re-runs do NOT mask it (nothing new to ship)
+    assert replicate_catalog(spark, src, r1) == 0
+    assert list(catalog_divergence(spark, src, r1)) == [TOKENS]
+
+
+def test_streaming_follower_tails_ledger(spark, sf_dir, tmp_path):
+    """r12 (c): the foreachBatch follower converges the replica, and its
+    correctness never depends on the stream checkpoint — a follower
+    restarted with a WIPED checkpoint moves nothing (the ledger, not the
+    checkpoint, decides work)."""
+    import time
+
+    from map_reduce_in_go_spark.sources.replicate import (
+        start_replication_follower,
+    )
+
+    src = TableCatalog(str(tmp_path / "primary"))
+    _feed(spark, sf_dir, src, batches=(0, 1))
+    dst_root = str(tmp_path / "replica")
+
+    q = start_replication_follower(
+        spark, src.root, dst_root, str(tmp_path / "ckpt1"), interval="1 seconds"
+    )
+    try:
+        dst = TableCatalog(dst_root)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if {op for _, op in src.history()} <= dst.committed_ops():
+                break
+            time.sleep(1)
+        assert _state(spark, dst) == _state(spark, src)
+
+        # a commit landing while the follower runs flows through
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        assert corpus_batch_txn(
+            spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 2), src, 2
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if "corpus-batch-2" in dst.committed_ops():
+                break
+            time.sleep(1)
+        assert _state(spark, dst) == _state(spark, src)
+    finally:
+        q.stop()
+
+    # wiped checkpoint: a fresh follower instance converges to the SAME
+    # replica without re-shipping anything — no member version moves
+    before = dst.snapshot(spark)
+    q2 = start_replication_follower(
+        spark, src.root, dst_root, str(tmp_path / "ckpt2"), interval="1 seconds"
+    )
+    try:
+        time.sleep(5)  # several passes fire; all must no-op
+    finally:
+        q2.stop()
+    assert dst.snapshot(spark) == before
