@@ -67,6 +67,7 @@ from .manifest_table import ManifestTable
 __all__ = [
     "replicate_catalog",
     "catalog_divergence",
+    "clone_catalog",
     "start_replication_follower",
 ]
 
@@ -102,9 +103,18 @@ def _stage_commit(
     cur: dict[str, tuple[str, int]],
     op: str,
     max_retries: int,
+    members: set[str] | None = None,
 ) -> None:
     """Re-apply one primary commit (prev→cur pin diff; prev=None means
-    base sync: overwrite everything) as one replica transaction."""
+    base sync: overwrite everything) as one replica transaction.
+    ``members`` restricts the replayed member set (selective follower)."""
+    if members is not None:
+        cur = {n: v for n, v in cur.items() if n in members}
+        prev = (
+            None
+            if prev is None
+            else {n: v for n, v in prev.items() if n in members}
+        )
     for _ in range(max_retries):
         txn = dst.transaction(spark)
         dst_names = set(dst.snapshot(spark, txn.base_version))
@@ -177,7 +187,10 @@ def _content_fingerprint(df: DataFrame) -> tuple[int, int, object]:
 
 
 def catalog_divergence(
-    spark: SparkSession, a: TableCatalog, b: TableCatalog
+    spark: SparkSession,
+    a: TableCatalog,
+    b: TableCatalog,
+    members: set[str] | None = None,
 ) -> dict[str, str]:
     """Members whose content differs between two catalogs → reason.
 
@@ -187,11 +200,15 @@ def catalog_divergence(
     backup, bit rot). Comparison is schema (name-sorted field names +
     types) then a distributed content fingerprint — O(members) scans,
     zero driver-side row movement, so it is runnable as a routine
-    maintenance verb at fleet scale.
+    maintenance verb at fleet scale. ``members`` scopes the check — the
+    contract for a SELECTIVE follower, which legitimately lacks the rest.
     """
     out: dict[str, str] = {}
     snap_a, snap_b = a.snapshot(spark), b.snapshot(spark)
-    for name in sorted(set(snap_a) | set(snap_b)):
+    names = set(snap_a) | set(snap_b)
+    if members is not None:
+        names &= members
+    for name in sorted(names):
         if name not in snap_a:
             out[name] = "member absent from first catalog"
             continue
@@ -217,6 +234,7 @@ def replicate_catalog(
     src: TableCatalog,
     dst: TableCatalog,
     max_retries: int = 10,
+    members: set[str] | None = None,
 ) -> int:
     """Ship every not-yet-replicated primary commit to ``dst``, in order.
 
@@ -225,6 +243,15 @@ def replicate_catalog(
     duplicate op labels — replication's exactly-once contract needs one
     label per transaction (the pipeline verbs all tag uniquely; pass
     distinct ``op=`` to ad-hoc transactions you want replicated).
+
+    ``members`` makes this a SELECTIVE follower (r12 (c)): only the named
+    members are replayed — a serving replica that needs just
+    ``corpus``+``token_counts`` ships a fraction of each commit's bytes.
+    The subset is a property of the replica for its LIFETIME: shipped
+    commits are ledgered whole, so widening the subset later will NOT
+    backfill members those commits carried — stand up a new replica (or
+    base-sync) to widen. The replica still advances commit-by-commit, so
+    its members stay mutually consistent at every snapshot.
     """
     hist = src.history()
     labels = [op for _, op in hist]
@@ -250,11 +277,74 @@ def replicate_catalog(
             # replica state), then continue diffing from here
             prev = None
         _stage_commit(
-            spark, src, dst, prev, src.snapshot(spark, v), op, max_retries
+            spark,
+            src,
+            dst,
+            prev,
+            src.snapshot(spark, v),
+            op,
+            max_retries,
+            members=members,
         )
         applied += 1
         done.add(op)
     return applied
+
+
+def clone_catalog(
+    spark: SparkSession,
+    src: TableCatalog,
+    dst: TableCatalog,
+    version: int | None = None,
+) -> int:
+    """Materialize ``src`` AS OF one catalog version into a NEW catalog.
+
+    The PITR / backup-restore verb (r12 (b)): one destination transaction
+    overwrites every member from the versions the chosen catalog snapshot
+    pins, so the clone is exactly the multi-table state a time-travel
+    reader would see — restore-to-before-a-bad-batch without touching the
+    primary. The clone starts a FRESH ledger (one ``clone-…`` commit):
+    it is a new timeline, not a follower — replaying the primary's later
+    commits into it would double-apply, so :func:`replicate_catalog`
+    refuses it naturally (its first shipped op would conflict with
+    content already present; stand up followers from empty catalogs).
+
+    Refuses a non-empty destination loudly, and inherits the GC-horizon
+    contract: if vacuum already reclaimed files the pinned snapshot
+    needs, the clone refuses UP FRONT (member + version named) instead
+    of dying mid-copy. Returns the destination catalog version.
+    """
+    import os
+
+    v = src.version() if version is None else version
+    pins = src.snapshot(spark, v)
+    if not pins:
+        raise ValueError(f"catalog at {src.root} has no snapshot v{v} to clone")
+    if dst.snapshot(spark):
+        raise ValueError(
+            f"clone destination {dst.root} already has members; clones "
+            "only materialize into an empty catalog"
+        )
+    for name, (path, pin) in sorted(pins.items()):
+        tbl = src.table(path)
+        missing = [f for f in tbl.files(pin) if not os.path.exists(f)]
+        if missing:
+            raise FileNotFoundError(
+                f"clone of member {name!r} at catalog v{v} needs "
+                f"{len(missing)} data file(s) already reclaimed by vacuum "
+                f"(below the GC horizon), e.g. {missing[0]}"
+            )
+    txn = dst.transaction(spark)
+    op = f"clone-v{v}"
+    for name, (path, pin) in sorted(pins.items()):
+        man = src.table(path)._manifest(pin)
+        txn.overwrite(
+            name,
+            _read_member(spark, src.table(path), pin),
+            op=op,
+            stats_cols=_member_stats_cols(man),
+        )
+    return txn.commit(op=op)
 
 
 def start_replication_follower(

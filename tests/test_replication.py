@@ -274,3 +274,103 @@ def test_streaming_follower_tails_ledger(spark, sf_dir, tmp_path):
     finally:
         q2.stop()
     assert dst.snapshot(spark) == before
+
+
+def test_clone_catalog_pitr(spark, sf_dir, tmp_path):
+    """r12 (b): clone_catalog materializes one historical catalog version
+    into a new catalog — restore-to-before-a-bad-batch — equal to the
+    time-travel reads member-for-member, refusing non-empty destinations
+    and GC'd versions loudly."""
+    from map_reduce_in_go_spark.sources.replicate import clone_catalog
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+        compact_pipeline,
+    )
+
+    src = TableCatalog(str(tmp_path / "primary"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    versions = []
+    for i in range(3):
+        assert corpus_batch_txn(
+            spark, docs.filter(F.pmod("doc_id", F.lit(3)) == i), src, i
+        )
+        versions.append(src.version())
+
+    # restore AS OF the second commit (pretend batch 2 was bad)
+    v1 = versions[1]
+    restored = TableCatalog(str(tmp_path / "restored"))
+    clone_catalog(spark, src, restored, version=v1)
+    assert set(restored.snapshot(spark)) == set(MEMBERS)
+    for name in MEMBERS:
+        assert sorted(
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in member(spark, restored, name).collect()
+        ) == sorted(
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in member(spark, src, name, version=v1).collect()
+        )
+    # a current-version clone equals the live state
+    full = TableCatalog(str(tmp_path / "full"))
+    clone_catalog(spark, src, full)
+    assert _state(spark, full) == _state(spark, src)
+
+    # refusals: non-empty destination; GC'd snapshot
+    with pytest.raises(ValueError, match="already has members"):
+        clone_catalog(spark, src, restored)
+    compact_pipeline(spark, src, num_files=2)
+    assert src.vacuum(spark, retain_seconds=0.0) > 0
+    with pytest.raises(FileNotFoundError, match="GC horizon"):
+        clone_catalog(spark, src, TableCatalog(str(tmp_path / "late")), version=v1)
+
+
+def test_selective_member_replication(spark, sf_dir, tmp_path):
+    """r12 (c): a serving replica follows only corpus+token_counts —
+    member-identical on the subset, a fraction of the bytes, trending
+    answer identical — and the divergence detector scopes to it."""
+    from map_reduce_in_go_spark.operators.approx import HH_K
+    from map_reduce_in_go_spark.sources.replicate import catalog_divergence
+
+    src = TableCatalog(str(tmp_path / "primary"))
+    docs = _feed(spark, sf_dir, src)
+    serving = TableCatalog(str(tmp_path / "serving"))
+    subset = {CORPUS, TOKENS}
+
+    assert replicate_catalog(spark, src, serving, members=subset) == 3
+    assert set(serving.snapshot(spark)) == subset
+    full_state = _state(spark, src)
+    assert _state(spark, serving) == {n: full_state[n] for n in sorted(subset)}
+
+    def trending(cat):
+        counts = (
+            member(spark, cat, TOKENS)
+            .groupBy("word")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        total = counts.agg(F.sum("cnt").alias("t"))
+        return {
+            (r["word"], r["cnt"])
+            for r in counts.crossJoin(F.broadcast(total))
+            .filter(F.col("cnt") * F.lit(HH_K) > F.col("t"))
+            .select("word", "cnt")
+            .collect()
+        }
+
+    got = trending(serving)
+    assert got and got == trending(src)
+
+    # scoped health check passes; unscoped honestly reports the members
+    # the serving replica does not follow
+    assert catalog_divergence(spark, src, serving, members=subset) == {}
+    unscoped = catalog_divergence(spark, src, serving)
+    assert set(unscoped) == set(MEMBERS) - subset
+    assert all("absent from second" in v for v in unscoped.values())
+
+    # selective follower stays incremental, including commits that touch
+    # only non-followed members (ledgered as content no-ops)
+    assert corpus_batch_txn(
+        spark,
+        docs.filter(F.pmod("doc_id", F.lit(3)) == 0).limit(0),
+        src,
+        77,
+    )
+    assert replicate_catalog(spark, src, serving, members=subset) == 1
+    assert catalog_divergence(spark, src, serving, members=subset) == {}
