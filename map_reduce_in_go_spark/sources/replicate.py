@@ -68,6 +68,7 @@ __all__ = [
     "replicate_catalog",
     "catalog_divergence",
     "clone_catalog",
+    "replication_status",
     "start_replication_follower",
 ]
 
@@ -289,6 +290,46 @@ def replicate_catalog(
         applied += 1
         done.add(op)
     return applied
+
+
+def replication_status(
+    spark: SparkSession,
+    src: TableCatalog,
+    dst: TableCatalog,
+    members: set[str] | None = None,
+    check_content: bool = False,
+) -> dict:
+    """Operational lag/health report for one replica (r12 (b)).
+
+    Metadata-only by default — O(ledger) driver work, no Spark jobs:
+    how many primary commits the replica is behind, which op labels are
+    pending (in ledger order, the replay plan), and the most recent
+    primary op the replica has applied. ``check_content=True`` adds the
+    :func:`catalog_divergence` fingerprint sweep (one scan per member) —
+    the deep check a monitoring page runs hourly, not per poll.
+
+    ``lag_commits`` counts only commits still visible in the primary's
+    ledger walk; commits behind a checkpoint-truncation horizon surface
+    through ``pending_ops`` anyway when their op label is missing from
+    the replica (the base-sync path will catch them up).
+    """
+    hist = src.history()
+    done = dst.committed_ops()
+    pending = [op for _, op in hist if op not in done]
+    applied = [op for _, op in hist if op in done]
+    status = {
+        "primary_version": src.version(),
+        "replica_version": dst.version(),
+        "lag_commits": len(pending),
+        "pending_ops": pending,
+        "last_applied_op": applied[-1] if applied else None,
+        "current": not pending,
+    }
+    if check_content:
+        status["divergence"] = catalog_divergence(
+            spark, src, dst, members=members
+        )
+    return status
 
 
 def clone_catalog(

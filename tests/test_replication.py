@@ -374,3 +374,32 @@ def test_selective_member_replication(spark, sf_dir, tmp_path):
     )
     assert replicate_catalog(spark, src, serving, members=subset) == 1
     assert catalog_divergence(spark, src, serving, members=subset) == {}
+
+
+def test_replication_status_report(spark, sf_dir, tmp_path):
+    """r12 (b) follow-on: the lag report counts exactly the unapplied
+    ledger suffix, names pending ops in replay order, and the content
+    check surfaces divergence only when asked."""
+    from map_reduce_in_go_spark.sources.replicate import replication_status
+
+    src = TableCatalog(str(tmp_path / "primary"))
+    _feed(spark, sf_dir, src, batches=(0, 1))
+    dst = TableCatalog(str(tmp_path / "replica"))
+
+    st = replication_status(spark, src, dst)
+    assert st["lag_commits"] == 2 and not st["current"]
+    assert st["pending_ops"] == ["corpus-batch-0", "corpus-batch-1"]
+    assert st["last_applied_op"] is None and st["replica_version"] == -1
+
+    assert replicate_catalog(spark, src, dst) == 2
+    st = replication_status(spark, src, dst, check_content=True)
+    assert st["current"] and st["lag_commits"] == 0
+    assert st["last_applied_op"] == "corpus-batch-1"
+    assert st["divergence"] == {}
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 2), src, 2
+    )
+    st = replication_status(spark, src, dst)
+    assert st["lag_commits"] == 1 and st["pending_ops"] == ["corpus-batch-2"]

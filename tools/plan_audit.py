@@ -73,6 +73,7 @@ SCALAR_CROSS_OK = {
     "dedup_substring_apply",
     "heavy_hitters",
     "heavy_hitters_cms",
+    "pipeline_trending_served",  # 1-row vocab-total scalar cross
 }
 
 # Queries whose plans legitimately contain an UNPARTITIONED sorted Window:
