@@ -118,6 +118,14 @@ def _stage_commit(
         )
     for _ in range(max_retries):
         txn = dst.transaction(spark)
+        # Linearizable replay check: the caller's `done` snapshot was read
+        # once at walk start, so a RACING replicator shipping this same
+        # commit in the meantime must be detected here — after pinning the
+        # transaction base — or the loser would double-apply content and
+        # mint a duplicate op label. Absent from a ledger ≥ base + CAS
+        # success at base ⇒ genuinely not shipped.
+        if op in dst.committed_ops():
+            return
         dst_names = set(dst.snapshot(spark, txn.base_version))
         for name, (path, pin) in sorted(cur.items()):
             old = None if prev is None else prev.get(name)

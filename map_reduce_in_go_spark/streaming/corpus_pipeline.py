@@ -113,6 +113,17 @@ def corpus_batch_txn(
     for _ in range(10):
         mark = persisted_count()
         txn = cat.transaction(spark)
+        # Linearizable replay check: re-read the ledger AFTER pinning the
+        # transaction base. The top-of-function check alone is check-then-
+        # act — a duplicate attempt landing in that window (two followers,
+        # a restarted driver) would re-apply the batch and mint a second
+        # op label. If the op is absent from a ledger ≥ our base and our
+        # CAS at that base succeeds, nothing landed in between — exactly-
+        # once becomes a property of the commit, not of timing. A racing
+        # duplicate that lands after this point costs us only a
+        # CommitConflict retry, which re-enters here and returns False.
+        if op in cat.committed_ops():
+            return False
         try:
             old_bands = txn.read(BANDS)
         except KeyError:
@@ -342,6 +353,11 @@ def retract_docs(
         return False
     for _ in range(max_retries):
         txn = cat.transaction(spark)
+        # linearizable replay check (see corpus_batch_txn): a duplicate
+        # retraction attempt that landed since the top-of-function check
+        # must no-op here, not erase twice / re-rebuild quantiles
+        if op in cat.committed_ops():
+            return False
         ids = spark.createDataFrame(
             [(int(d),) for d in doc_ids], "doc_id long"
         )

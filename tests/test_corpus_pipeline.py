@@ -791,3 +791,50 @@ def test_time_travel_member_reads(spark, sf_dir, tmp_path):
         .collect()
     } == ids[2]
     assert member(spark, cat, CORPUS).count() == len(ids[2])
+
+
+def test_duplicate_batch_attempt_race(spark, sf_dir, tmp_path):
+    """Exactly-once under a RACING duplicate attempt (two followers, or a
+    restarted driver racing its zombie): the duplicate lands between the
+    top-of-function ledger check and the commit, and the loser must
+    detect it inside the retry loop — one op label, no doubled content."""
+    import map_reduce_in_go_spark.streaming.corpus_pipeline as cp
+    from map_reduce_in_go_spark.sources.catalog import TableCatalog as TC
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 0), cat, 0
+    )
+    batch1 = docs.filter(F.pmod("doc_id", F.lit(3)) == 1)
+
+    orig = TC.committed_ops
+    state = {"fired": False}
+
+    def with_race(self):
+        out = orig(self)
+        if not state["fired"] and self.root == cat.root:
+            state["fired"] = True
+            # the duplicate attempt wins the check-then-act window: it
+            # commits AFTER this (pre-race) ledger snapshot was taken
+            assert cp.corpus_batch_txn(
+                spark, batch1, TableCatalog(cat.root), 1
+            )
+        return out
+
+    TC.committed_ops = with_race
+    try:
+        assert cp.corpus_batch_txn(spark, batch1, cat, 1) is False
+    finally:
+        TC.committed_ops = orig
+
+    labels = [op for _, op in cat.history()]
+    assert labels.count("corpus-batch-1") == 1
+    dup_docs = (
+        member(spark, cat, CORPUS)
+        .groupBy("doc_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup_docs == 0

@@ -403,3 +403,42 @@ def test_replication_status_report(spark, sf_dir, tmp_path):
     )
     st = replication_status(spark, src, dst)
     assert st["lag_commits"] == 1 and st["pending_ops"] == ["corpus-batch-2"]
+
+
+def test_racing_replicators_converge(spark, sf_dir, tmp_path):
+    """Two replicators racing the same primary→replica pair: the loser
+    detects each already-shipped commit inside the staging step (after
+    pinning its transaction base), so content lands once and the replica
+    ledger carries each op label exactly once."""
+    from map_reduce_in_go_spark.sources.catalog import TableCatalog as TC
+
+    src = TableCatalog(str(tmp_path / "primary"))
+    _feed(spark, sf_dir, src, batches=(0, 1))
+    dst = TableCatalog(str(tmp_path / "replica"))
+
+    orig = TC.committed_ops
+    state = {"fired": False}
+
+    def with_race(self):
+        out = orig(self)
+        if not state["fired"] and self.root == dst.root:
+            state["fired"] = True
+            # a second replicator ships EVERYTHING inside the window
+            # between the loser's ledger snapshot and its first commit
+            assert (
+                replicate_catalog(
+                    spark, TableCatalog(src.root), TableCatalog(dst.root)
+                )
+                == 2
+            )
+        return out
+
+    TC.committed_ops = with_race
+    try:
+        replicate_catalog(spark, src, dst)
+    finally:
+        TC.committed_ops = orig
+
+    labels = [op for _, op in dst.history()]
+    assert sorted(labels) == ["corpus-batch-0", "corpus-batch-1"]
+    assert _state(spark, dst) == _state(spark, src)
