@@ -125,8 +125,12 @@ def pipeline_trending_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(corpus) per query — the pre-aggregation trade a continuously-
     queried view makes.
     """
+    from ..functions.caching import scoped_persist
+
     cat = _pipeline_catalog(spark, sf_dir)
-    counts = (
+    # persist the vocabulary fold: both the total and the threshold filter
+    # read it, and recomputing means scanning the member twice
+    counts = scoped_persist(
         member(spark, cat, TOKENS)
         .groupBy("word")
         .agg(F.sum("n").alias("cnt"))
