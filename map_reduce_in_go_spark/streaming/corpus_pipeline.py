@@ -305,25 +305,47 @@ def bootstrap_pipeline(
         extras = [
             c for c in docs.columns if c not in ("doc_id", "text", "lang")
         ]
-        txn.append(CORPUS, kept.select("doc_id", "text", "lang", *extras), op=op)
-        txn.append(BANDS, bands, op=op, stats_cols=["band_hash"])
-        txn.append(GRAMS, grams, op=op, stats_cols=["g"])
-        txn.append(TOKENS, _token_count_rows(kept), op=op, stats_cols=["word"])
-        total, agg = _batch_sketch(kept)
-        txn.append(
-            CMS,
-            spark.createDataFrame(
-                [Row(batch_id=-1, n=total, sketch=agg.tolist())],
-                schema="batch_id long, n long, sketch array<long>",
-            ).coalesce(1),
-            op=op,
+        # same concurrent-submit shape as corpus_batch_txn: six independent
+        # member appends pay max(member), not sum(member), in job latency
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _cms():
+            total, agg = _batch_sketch(kept)
+            txn.append(
+                CMS,
+                spark.createDataFrame(
+                    [Row(batch_id=-1, n=total, sketch=agg.tolist())],
+                    schema="batch_id long, n long, sketch array<long>",
+                ).coalesce(1),
+                op=op,
+            )
+
+        def _quants():
+            lens = kept.select(
+                "lang",
+                F.size(tokens(F.col("text"))).cast("double").alias("n_tok"),
+            )
+            txn.append(
+                QUANTS,
+                summaries_for(lens, "lang", "n_tok", -1).coalesce(1),
+                op=op,
+            )
+
+        appends = (
+            lambda: txn.append(
+                CORPUS, kept.select("doc_id", "text", "lang", *extras), op=op
+            ),
+            lambda: txn.append(BANDS, bands, op=op, stats_cols=["band_hash"]),
+            lambda: txn.append(GRAMS, grams, op=op, stats_cols=["g"]),
+            lambda: txn.append(
+                TOKENS, _token_count_rows(kept), op=op, stats_cols=["word"]
+            ),
+            _cms,
+            _quants,
         )
-        lens = kept.select(
-            "lang", F.size(tokens(F.col("text"))).cast("double").alias("n_tok")
-        )
-        txn.append(
-            QUANTS, summaries_for(lens, "lang", "n_tok", -1).coalesce(1), op=op
-        )
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            for fut in [pool.submit(f) for f in appends]:
+                fut.result()
         txn.commit(op=op)
         return True
     finally:
