@@ -48,7 +48,8 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from .manifest_table import CommitConflict, ManifestTable
 
@@ -69,11 +70,17 @@ class TableCatalog:
         return self._catalog.version()
 
     def snapshot(self, spark: SparkSession, version: int | None = None) -> dict[str, tuple[str, int]]:
-        """``name -> (path, pinned member version)`` for one catalog snapshot."""
+        """``name -> (path, pinned member version)`` for one catalog snapshot.
+
+        Loaded driver-side via pyarrow (O(#tables) rows) — resolving a
+        snapshot is a metadata operation and must not cost a cluster job;
+        a busy transaction resolves several per commit. ``spark`` is kept
+        in the signature for API stability (member reads still need it).
+        """
         v = self._catalog.version() if version is None else version
         if v < 0:
             return {}
-        rows = self._catalog.read(spark, v).collect()  # O(#tables) rows
+        rows = self._catalog.read_arrow_rows(v)
         return {r["name"]: (r["path"], int(r["version"])) for r in rows}
 
     def table(self, name: str) -> ManifestTable:
@@ -158,6 +165,14 @@ class TableCatalog:
         """Start a transaction against the CURRENT catalog snapshot."""
         return Transaction(self, spark)
 
+    _CATALOG_SCHEMA_JSON = StructType(
+        [
+            StructField("name", StringType(), True),
+            StructField("path", StringType(), True),
+            StructField("version", LongType(), True),
+        ]
+    ).json()
+
     def _publish(
         self,
         spark: SparkSession,
@@ -165,12 +180,31 @@ class TableCatalog:
         expected_version: int,
         op: str,
     ) -> int:
-        rows = [
-            Row(name=n, path=p, version=v) for n, (p, v) in sorted(pins.items())
-        ]
-        df = spark.createDataFrame(rows, schema="name string, path string, version long")
-        return self._catalog.overwrite(
-            df.coalesce(1), op=op, expected_version=expected_version
+        # driver-side publish (no Spark job): the catalog pointer is
+        # O(#tables) rows, and the commit critical section should be
+        # milliseconds — member DATA moves through Spark, the log doesn't
+        import pyarrow as pa
+
+        items = sorted(pins.items())
+        table = pa.table(
+            {
+                "name": [n for n, _ in items],
+                "path": [p for _, (p, _v) in items],
+                "version": [int(v) for _, (_p, v) in items],
+            },
+            schema=pa.schema(
+                [
+                    ("name", pa.string()),
+                    ("path", pa.string()),
+                    ("version", pa.int64()),
+                ]
+            ),
+        )
+        return self._catalog.overwrite_arrow(
+            table,
+            self._CATALOG_SCHEMA_JSON,
+            op=op,
+            expected_version=expected_version,
         )
 
 

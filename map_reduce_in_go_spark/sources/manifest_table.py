@@ -374,6 +374,67 @@ class ManifestTable:
         os.rmdir(scratch)
         return names
 
+    def overwrite_arrow(
+        self,
+        table,
+        schema_json: str,
+        max_retries: int = 20,
+        op: str = "overwrite",
+        expected_version: int | None = None,
+    ) -> int:
+        """Driver-side :meth:`overwrite` for METADATA-SIZED tables.
+
+        Lands ``table`` (a ``pyarrow.Table``) as one parquet file and
+        commits it under exactly the same manifest/CAS rules as
+        :meth:`overwrite` — but without launching a Spark job, because a
+        table like the catalog pointer holds O(#tables) rows and log
+        operations should run at metadata speed, not cluster-job speed
+        (the Delta/Iceberg client posture: commits and snapshot loads
+        never touch the cluster). ``schema_json`` is the Spark StructType
+        JSON pinned in the manifest so Spark readers resolve the same
+        schema as for job-written versions. The data file is unreferenced
+        until the manifest commit, so no write atomicity is needed beyond
+        the manifest's own publication rule.
+        """
+        import pyarrow.parquet as pq
+
+        os.makedirs(self._data_dir, exist_ok=True)
+        name = f"{uuid.uuid4().hex}-00000.parquet"
+        pq.write_table(table, os.path.join(self._data_dir, name))
+        new_names = [name]
+        new_stats = self._file_stats(new_names)
+        for _ in range(max_retries):
+            v = self.version()
+            if expected_version is not None and v != expected_version:
+                raise CommitConflict(
+                    f"expected to overwrite v{expected_version} but table is "
+                    f"at v{v} at {self.root}"
+                )
+            if self._try_commit(
+                v + 1,
+                new_names,
+                op=op,
+                schema_json=schema_json,
+                stats=new_stats or None,
+            ):
+                self._maybe_checkpoint(v + 1)
+                return v + 1
+        raise CommitConflict(
+            f"overwrite lost the commit race {max_retries} times at {self.root}"
+        )
+
+    def read_arrow_rows(self, version: int) -> list[dict]:
+        """Driver-side snapshot read for METADATA-SIZED tables: the
+        version's files loaded via pyarrow, returned as plain dicts — no
+        Spark job. The complement of :meth:`overwrite_arrow`; works on
+        versions written by either path."""
+        import pyarrow.parquet as pq
+
+        rows: list[dict] = []
+        for f in self.files(version):
+            rows.extend(pq.read_table(f).to_pylist())
+        return rows
+
     def append(
         self,
         df: DataFrame,
