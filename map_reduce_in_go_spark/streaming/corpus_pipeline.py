@@ -21,17 +21,24 @@ repo's existing per-artifact streaming pieces into ONE
   re-scan (the pre-aggregation posture of a continuously-queried view;
   the CMS member stays as the bounded-state screen for ad-hoc stores);
 - ``len_quantiles`` — per-language token-length summary rows
-  (streaming/quantiles.py's rank-sample rollup with carried error).
+  (streaming/quantiles.py's rank-sample rollup with carried error);
+- ``rejected_grams`` — the REJECTED documents' (doc_id, pos, g) gram
+  rows, stored AT INGEST (r11: immutable once written — each doc is
+  rejected exactly once). ``pipeline_spans`` then serves "what did the
+  filter catch" by joining this member against the live gram counts,
+  never re-tokenizing the rejected corpus per read (the 10× replica
+  showed that recompute was the query's only super-linear term), and
+  GDPR erasure of a REJECTED document has a member to purge.
 
 Atomicity is the point: a reader can never observe an accepted document
 whose bands aren't probeable, whose grams aren't counted, or whose
-tokens are missing from a sketch — the catalog CAS publishes the six
+tokens are missing from a sketch — the catalog CAS publishes the seven
 member appends together, and any crash before it leaves only orphan
 member versions (invisible; vacuumed). Exactly-once falls out of the
 catalog ledger: the commit is tagged ``<app_id>-batch-<id>`` and a
 replayed batch is detected from PUBLISHED commits before any recompute,
 so Spark's at-least-once foreachBatch (or a checkpoint-wiped restart)
-re-running a batch is a no-op across ALL six artifacts at once —
+re-running a batch is a no-op across ALL seven artifacts at once —
 proven in tests/test_corpus_pipeline.py by wiping and replaying.
 
 On a CAS conflict (a racing backfill writer) the batch re-plans against
@@ -58,6 +65,27 @@ GRAMS = "gram_index"
 CMS = "token_cms"
 TOKENS = "token_counts"
 QUANTS = "len_quantiles"
+REJECTS = "rejected_grams"
+
+
+def _gram_rows_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, g) gram rows — the same shingle/digest recipe as
+    `substring_spans`'s in-flight path (operators/dedup.py)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import shingles_of, tokens
+    from ..operators.dedup import SUBSTR_K
+
+    return docs.select(
+        "doc_id",
+        F.posexplode(shingles_of(tokens(F.col("text")), SUBSTR_K)).alias(
+            "pos", "gram"
+        ),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.md5("gram").alias("g"),
+    )
 
 
 def _token_count_rows(kept: DataFrame) -> DataFrame:
@@ -97,7 +125,7 @@ def corpus_batch_txn(
     their codes land in the per-cell member tables inside the SAME commit
     as corpus/bands/grams/sketches, so a reader can never observe an
     accepted document whose vector isn't probeable (r11 candidate (a):
-    seven members, one CAS; the joint replay no-op covers all seven).
+    eight members, one CAS; the joint replay no-op covers all eight).
     """
     from pyspark.sql import functions as F
 
@@ -142,10 +170,11 @@ def corpus_batch_txn(
         # additive schema evolution: extra document columns (url, crawl
         # metadata, ...) ride along into the corpus member — older rows
         # surface them as nulls on merge-schema reads, no rewrite
+        rejected = batch_df.join(survivors, "doc_id", "left_anti")
         extras = [
             c for c in batch_df.columns if c not in ("doc_id", "text", "lang")
         ]
-        # The six member appends are INDEPENDENT tables with independent
+        # The seven member appends are INDEPENDENT tables with independent
         # manifest logs, all reading the already-checkpointed `kept`/
         # `batch_bands` frames — so they submit as CONCURRENT Spark jobs
         # (one driver thread each) and the batch pays max(member) instead
@@ -196,10 +225,17 @@ def corpus_batch_txn(
                 op=op,
             )
 
-        with ThreadPoolExecutor(max_workers=6) as pool:
+        def _rejects():
+            txn.append(
+                REJECTS, _gram_rows_of(rejected), op=op, stats_cols=["doc_id"]
+            )
+
+        with ThreadPoolExecutor(max_workers=7) as pool:
             futures = [
                 pool.submit(f)
-                for f in (_corpus, _bands, _grams, _tokens, _cms, _quants)
+                for f in (
+                    _corpus, _bands, _grams, _tokens, _cms, _quants, _rejects,
+                )
             ]
             for fut in futures:
                 fut.result()  # re-raise the first member failure
@@ -243,7 +279,7 @@ def bootstrap_pipeline(
     index and gram index exist as standalone batch artifacts — e.g.
     ``build_band_index`` / ``build_gram_index`` output); adopting it
     must not force a from-scratch re-stream. This verb publishes all
-    six members in ONE transaction from the static input, after which
+    seven members in ONE transaction from the static input, after which
     ``corpus_batch_txn`` continues incrementally — bootstrapping on a
     prefix and streaming the rest lands member-identical state to
     streaming everything (pinned in tests/test_corpus_pipeline.py).
@@ -297,8 +333,15 @@ def bootstrap_pipeline(
                 eager=True
             )
             bands = batch_bands.join(survivors, "doc_id", "left_semi")
+            rejected = docs.join(survivors, "doc_id", "left_anti")
         else:
             kept = docs.localCheckpoint(eager=True)
+            # adoption path: docs are described as already near-dup-free,
+            # so the rejection report starts empty (still created — every
+            # snapshot carries the full member set)
+            rejected = spark.createDataFrame(
+                [], "doc_id long, text string, lang string"
+            )
         if grams is None:
             grams = _token_gram_counts(kept)
         txn = cat.transaction(spark)
@@ -340,10 +383,13 @@ def bootstrap_pipeline(
             lambda: txn.append(
                 TOKENS, _token_count_rows(kept), op=op, stats_cols=["word"]
             ),
+            lambda: txn.append(
+                REJECTS, _gram_rows_of(rejected), op=op, stats_cols=["doc_id"]
+            ),
             _cms,
             _quants,
         )
-        with ThreadPoolExecutor(max_workers=6) as pool:
+        with ThreadPoolExecutor(max_workers=7) as pool:
             for fut in [pool.submit(f) for f in appends]:
                 fut.result()
         txn.commit(op=op)
@@ -394,9 +440,15 @@ def retract_docs(
     exactly when the retracted docs caused no rejections — pinned on a
     collision-free doc in tests.)
 
+    REJECTED documents are erasable too: their only stored trace is the
+    ``rejected_grams`` member (content-derived digests + positions), and
+    retraction purges those rows — an erasure request does not care
+    whether the pipeline originally kept the document.
+
     Exactly-once per ``op`` from the catalog ledger; racing batches
     CAS-conflict and one side re-plans. Raises if none of ``doc_ids``
-    is in the corpus (a silent no-op would mask an erasure failure).
+    is in the corpus OR the rejection report (a silent no-op would mask
+    an erasure failure).
     """
     from pyspark.sql import functions as F
 
@@ -421,11 +473,31 @@ def retract_docs(
             eager=True
         )
         try:
-            if not gone.count():
+            names = cat.snapshot(spark, txn.base_version)
+            n_gone = gone.count()
+            rej_gone = 0
+            if REJECTS in names:
+                rej_gone = (
+                    txn.read(REJECTS)
+                    .join(ids, "doc_id", "left_semi")
+                    .limit(1)
+                    .count()
+                )
+            if not n_gone and not rej_gone:
                 raise ValueError(
                     f"none of {sorted(set(doc_ids))[:10]}... is in the corpus "
-                    f"at {cat.root}; nothing to retract"
+                    f"or the rejection report at {cat.root}; nothing to retract"
                 )
+            if rej_gone:
+                txn.overwrite(
+                    REJECTS,
+                    txn.read(REJECTS).join(ids, "doc_id", "left_anti"),
+                    stats_cols=["doc_id"],
+                )
+            if not n_gone:
+                # rejected-only erasure: no other member ever saw the doc
+                txn.commit(op=op)
+                return True
             remaining = txn.read(CORPUS).join(ids, "doc_id", "left_anti")
             txn.overwrite(CORPUS, remaining)
             txn.overwrite(
@@ -433,7 +505,6 @@ def retract_docs(
                 txn.read(BANDS).join(ids, "doc_id", "left_anti"),
                 stats_cols=["band_hash"],
             )
-            names = cat.snapshot(spark, txn.base_version)
             neg = _token_gram_counts(gone).select(
                 "g", (-F.col("n")).alias("n")
             )
@@ -566,6 +637,12 @@ def compact_pipeline(
                 TOKENS,
                 zorder_layout(toks, ["word"], num_files),
                 stats_cols=["word"],
+            )
+        if REJECTS in names:
+            txn.overwrite(
+                REJECTS,
+                zorder_layout(txn.read(REJECTS), ["doc_id"], num_files),
+                stats_cols=["doc_id"],
             )
         cms_rows = txn.read(CMS).collect()
         if cms_rows:

@@ -56,6 +56,7 @@ from .corpus_pipeline import (
     CMS,
     CORPUS,
     GRAMS,
+    REJECTS,
     TOKENS,
     corpus_batch_txn,
     member,
@@ -152,34 +153,26 @@ def pipeline_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction (its gram member holds no count ≥ 2 on this corpus —
     the vacuous question); the report a pipeline operator actually reads
     is where the dropped documents' text overlaps what was kept. A
-    rejected gram is duplicated when its batch count plus the member's
+    rejected gram is duplicated when its report count plus the member's
     additive count reaches 2 — the ``batch_duplicated_spans`` predicate,
     but with the index side joined distributively (digest-key equijoin
     against the pre-combined count table) instead of driver point-probes,
-    because the "batch" here is corpus-sized. Positions re-derive
-    map-side; only gram digests shuffle.
+    because the "batch" here is corpus-sized. The (doc_id, pos, g) rows
+    come from the ``rejected_grams`` member stored at ingest, so only
+    gram digests shuffle and nothing re-tokenizes.
     """
     from ..functions.caching import scoped_persist
-    from ..functions.text import shingles_of, tokens
 
     cat = _pipeline_catalog(spark, sf_dir)
-    kept_ids = member(spark, cat, CORPUS).select("doc_id")
-    rejected = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .join(kept_ids, "doc_id", "left_anti")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
+    # the rejection report was stored AT INGEST (r11): serving never
+    # re-tokenizes the rejected corpus — one member scan, one gram-keyed
+    # self-count, one equijoin against the live additive gram counts.
+    # (Before the member existed this recomputed every rejected doc's
+    # shingles per read — the 10× replica measured that recompute as the
+    # query's only super-linear term.)
     grams = scoped_persist(
-        rejected.select(
-            "doc_id",
-            F.posexplode(
-                shingles_of(tokens(F.col("text")), SUBSTR_K)
-            ).alias("pos", "gram"),
-        ).select(
-            "doc_id",
-            F.col("pos").cast("long").alias("pos"),
-            F.md5("gram").alias("g"),
+        member(spark, cat, REJECTS).repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
         )
     )
     idx_counts = member(spark, cat, GRAMS).groupBy("g").agg(
@@ -192,7 +185,7 @@ def pipeline_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") + F.coalesce(F.col("kn"), F.lit(0)) >= 2)
         .select("g")
     )
-    return substring_spans(rejected, dup_grams=dup, gram_rows=grams)
+    return substring_spans(grams, dup_grams=dup, gram_rows=grams)
 
 
 # --------------------------------------------------------------------- oracles

@@ -19,6 +19,7 @@ from map_reduce_in_go_spark.streaming.corpus_pipeline import (
     CORPUS,
     GRAMS,
     QUANTS,
+    REJECTS,
     TOKENS,
     corpus_batch_txn,
     member,
@@ -108,6 +109,17 @@ def test_cross_artifact_consistency(spark, sf_dir, tmp_path):
         merged = sorted(pts[lang])
         assert merged == vals  # exact multiset equality (err 0 everywhere)
 
+    # rejection report: the stored (doc_id, pos, g) rows equal a fresh
+    # recompute over exactly the docs the pipeline dropped
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import _gram_rows_of
+
+    dropped = docs.filter(~F.col("doc_id").isin(list(accepted)))
+    stored_rej = {
+        tuple(r) for r in member(spark, cat, REJECTS).collect()
+    }
+    recomputed_rej = {tuple(r) for r in _gram_rows_of(dropped).collect()}
+    assert stored_rej == recomputed_rej and stored_rej
+
     # a batch that is a pure replay of CONTENT (new ids, same texts)
     # accepts nothing: the standing band index catches every near-dup
     clone = docs.withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
@@ -124,7 +136,7 @@ def test_joint_replay_noop(spark, sf_dir, tmp_path):
     _feed(spark, sf_dir, cat)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     before = cat.snapshot(spark)
-    assert set(before) == {CORPUS, BANDS, GRAMS, CMS, TOKENS, QUANTS}
+    assert set(before) == {CORPUS, BANDS, GRAMS, CMS, TOKENS, QUANTS, REJECTS}
     for i in range(3):
         assert (
             corpus_batch_txn(
@@ -169,7 +181,7 @@ def test_stream_end_to_end(spark, tmp_path):
     cat = TableCatalog(cat_root)
     got = {r["doc_id"] for r in member(spark, cat, CORPUS).select("doc_id").collect()}
     assert got == {1, 3, 5}
-    assert set(cat.snapshot(spark)) == {CORPUS, BANDS, GRAMS, CMS, TOKENS, QUANTS}
+    assert set(cat.snapshot(spark)) == {CORPUS, BANDS, GRAMS, CMS, TOKENS, QUANTS, REJECTS}
     assert {"corpus-batch-0", "corpus-batch-1"} <= cat.committed_ops()
     langs = {
         r["event_type"] for r in member(spark, cat, QUANTS).collect()
@@ -378,10 +390,11 @@ def test_bootstrap_then_stream_equals_full_stream(spark, sf_dir, tmp_path):
             .agg(F.sum("n").alias("n"))
             .collect()
         }
+        rej = {tuple(r) for r in member(spark, cat, REJECTS).collect()}
         qn = {}
         for r in member(spark, cat, QUANTS).collect():
             qn[r["event_type"]] = qn.get(r["event_type"], 0) + r["n"]
-        return corpus, bands, grams, toks, cms, qn
+        return corpus, bands, grams, toks, rej, cms, qn
 
     assert folds(boot) == folds(full)
 
@@ -675,6 +688,7 @@ def test_retract_docs(spark, sf_dir, tmp_path):
             .collect()
             if r["n"] > 0
         }
+        rej = {tuple(r) for r in member(spark, cat, REJECTS).collect()}
         rows = member(spark, cat, CMS).collect()
         cms = (
             sum(r["n"] for r in rows),
@@ -685,7 +699,7 @@ def test_retract_docs(spark, sf_dir, tmp_path):
         for r in member(spark, cat, QUANTS).collect():
             qn[r["event_type"]] = qn.get(r["event_type"], 0) + r["n"]
             qpts.setdefault(r["event_type"], []).extend(r["points"])
-        return corpus, bands, grams, toks, cms, qn, {
+        return corpus, bands, grams, toks, rej, cms, qn, {
             k: sorted(v) for k, v in qpts.items()
         }
 
@@ -725,6 +739,34 @@ def test_retract_docs(spark, sf_dir, tmp_path):
     )
     assert folds(cat_w)[2] == folds(cat_n)[2]
     assert folds(cat_w)[3] == folds(cat_n)[3]
+
+    # rejected-doc erasure (r11): a doc the pipeline DROPPED still has a
+    # content trace in the rejection report; retracting it purges exactly
+    # its rows, touches no other member, and replays no-op
+    rej_ids = {
+        r["doc_id"] for r in member(spark, cat_w, REJECTS).select("doc_id").collect()
+    }
+    assert rej_ids
+    victim = min(rej_ids)
+    before_corpus = {
+        tuple(r) for r in member(spark, cat_w, CORPUS).collect()
+    }
+    assert retract_docs(spark, cat_w, [victim], op="erase-rejected")
+    assert retract_docs(spark, cat_w, [victim], op="erase-rejected") is False
+    assert (
+        member(spark, cat_w, REJECTS)
+        .filter(F.col("doc_id") == victim)
+        .count()
+        == 0
+    )
+    assert {
+        tuple(r) for r in member(spark, cat_w, CORPUS).collect()
+    } == before_corpus
+    # absent everywhere still refuses loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="nothing to retract"):
+        retract_docs(spark, cat_w, [999_999_999], op="erase-nothing")
 
 
 def test_time_travel_member_reads(spark, sf_dir, tmp_path):

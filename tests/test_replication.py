@@ -21,6 +21,7 @@ from map_reduce_in_go_spark.streaming.corpus_pipeline import (
     CORPUS,
     GRAMS,
     QUANTS,
+    REJECTS,
     TOKENS,
     compact_pipeline,
     corpus_batch_txn,
@@ -28,7 +29,7 @@ from map_reduce_in_go_spark.streaming.corpus_pipeline import (
     retract_docs,
 )
 
-MEMBERS = (CORPUS, BANDS, GRAMS, TOKENS, CMS, QUANTS)
+MEMBERS = (CORPUS, BANDS, GRAMS, TOKENS, CMS, QUANTS, REJECTS)
 
 
 def _feed(spark, sf_dir, cat, batches=(0, 1, 2), n=3):
