@@ -443,3 +443,54 @@ def test_racing_replicators_converge(spark, sf_dir, tmp_path):
     labels = [op for _, op in dst.history()]
     assert sorted(labels) == ["corpus-batch-0", "corpus-batch-1"]
     assert _state(spark, dst) == _state(spark, src)
+
+
+def test_replication_random_transaction_sequences(spark, tmp_path):
+    """Property: for ANY sequence of multi-op transactions (appends,
+    overwrites, drops, re-creates, multi-append single txn), a replica
+    built by one final walk AND a replica shipped incrementally after
+    every commit both equal the primary member-for-member."""
+    import random
+
+    rng = random.Random(20260815)
+    src = TableCatalog(str(tmp_path / "primary"))
+    lagged = TableCatalog(str(tmp_path / "lagged"))   # one walk at the end
+    live = TableCatalog(str(tmp_path / "live"))       # ship after every commit
+
+    def rand_df(step, j):
+        rows = [
+            (step * 100 + j * 10 + k, f"v{rng.randrange(1000)}")
+            for k in range(rng.randrange(1, 4))
+        ]
+        return spark.createDataFrame(rows, "id long, s string")
+
+    member_names = [f"m{c}" for c in "abcd"]
+    for step in range(8):
+        txn = src.transaction(spark)
+        existing = set(src.snapshot(spark, txn.base_version))
+        for j in range(rng.randrange(1, 4)):
+            name = rng.choice(member_names)
+            verb = rng.choice(["append", "append", "overwrite", "drop"])
+            if verb == "drop":
+                if name in existing or name in txn._staged:
+                    txn.drop(name)
+                    existing.discard(name)
+                else:
+                    txn.append(name, rand_df(step, j))  # create instead
+                    existing.add(name)
+            elif verb == "overwrite":
+                txn.overwrite(name, rand_df(step, j))
+                existing.add(name)
+            else:
+                txn.append(name, rand_df(step, j))
+                existing.add(name)
+        txn.commit(op=f"step-{step}", force=True)
+        assert replicate_catalog(spark, src, live) == 1
+        assert _state(spark, live) == _state(spark, src)
+
+    assert replicate_catalog(spark, src, lagged) == 8
+    assert _state(spark, lagged) == _state(spark, src)
+    assert _state(spark, lagged) == _state(spark, live)
+    # both replicas are no-op current
+    assert replicate_catalog(spark, src, lagged) == 0
+    assert replicate_catalog(spark, src, live) == 0
