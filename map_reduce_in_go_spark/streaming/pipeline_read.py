@@ -56,6 +56,7 @@ from .corpus_pipeline import (
     CMS,
     CORPUS,
     GRAMS,
+    QUANTS,
     REJECTS,
     TOKENS,
     corpus_batch_txn,
@@ -141,6 +142,38 @@ def pipeline_trending_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.crossJoin(F.broadcast(total))
         .filter(F.col("cnt") * F.lit(HH_K) > F.col("t"))
         .select("word", "cnt")
+    )
+
+
+def pipeline_length_quantiles(
+    spark: SparkSession,
+    sf_dir: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Per-language token-length quantiles from the ``len_quantiles``
+    member — raw documents never re-read.
+
+    The member's rank-sample summary rows fold driver-side (bounded:
+    one small row per (batch, language)) and each answer is an actual
+    data point whose true rank lies within ``q·n ± rank_err``, where
+    ``rank_err`` is the stored budget the summaries carry (0 while
+    batches stay under the per-language exact-multiset threshold;
+    honestly grown by compaction's recompression). Completes the read
+    API over the pipeline's members: every artifact the batch
+    transaction maintains now has a serving verb.
+    """
+    from .quantiles import _weighted_value_at_rank, merged_from_rows
+
+    cat = _pipeline_catalog(spark, sf_dir)
+    merged = merged_from_rows(member(spark, cat, QUANTS).collect())
+    rows = []
+    for t in sorted(merged):
+        pts, ws, n, err = merged[t]
+        vals = [_weighted_value_at_rank(pts, ws, q * n) for q in qs]
+        rows.append((t, *vals, n, err))
+    cols = ", ".join(f"q{int(q * 100)} double" for q in qs)
+    return spark.createDataFrame(
+        rows, schema=f"lang string, {cols}, n long, rank_err long"
     )
 
 

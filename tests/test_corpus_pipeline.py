@@ -880,3 +880,64 @@ def test_duplicate_batch_attempt_race(spark, sf_dir, tmp_path):
         .count()
     )
     assert dup_docs == 0
+
+
+def test_pipeline_length_quantiles_served(spark, sf_dir, tmp_path):
+    """The len_quantiles member serves per-language token-length
+    quantiles without re-reading documents: exact (rank_err 0) on the
+    un-compacted pipeline, and within the stored rank-error budget after
+    compaction recompresses."""
+    from map_reduce_in_go_spark.functions.text import tokens as tok_fn
+    from map_reduce_in_go_spark.streaming import pipeline_read as plr
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+        compact_pipeline,
+    )
+    from map_reduce_in_go_spark.streaming.quantiles import (
+        _weighted_value_at_rank,
+    )
+
+    import numpy as np
+
+    # point the served-artifact path at a fresh build in this test's dir
+    got = {
+        r["lang"]: r
+        for r in plr.pipeline_length_quantiles(spark, sf_dir).collect()
+    }
+    cat = plr._pipeline_catalog(spark, sf_dir)
+    corpus = member(spark, cat, CORPUS)
+    exact = {}
+    for r in corpus.select(
+        "lang", F.size(tok_fn(F.col("text"))).alias("n_tok")
+    ).collect():
+        exact.setdefault(r["lang"], []).append(float(r["n_tok"]))
+    assert set(got) == set(exact)
+    for lang, vals in exact.items():
+        vals = np.sort(np.asarray(vals))
+        row = got[lang]
+        assert row["rank_err"] == 0 and row["n"] == len(vals)
+        w = np.ones(len(vals))
+        for q in (25, 50, 75):
+            expect = _weighted_value_at_rank(vals, w, q / 100 * len(vals))
+            assert row[f"q{q}"] == expect
+        # the answers are actual data points
+        assert all(row[f"q{q}"] in set(vals.tolist()) for q in (25, 50, 75))
+
+    # post-compaction: n preserved, answers stay within the honest budget
+    compact_pipeline(spark, cat, num_files=2)
+    after = {
+        r["lang"]: r
+        for r in plr.pipeline_length_quantiles(spark, sf_dir).collect()
+    }
+    for lang, vals in exact.items():
+        vals = np.sort(np.asarray(vals))
+        row = after[lang]
+        assert row["n"] == len(vals)
+        err = row["rank_err"]
+        for q in (25, 50, 75):
+            v = row[f"q{q}"]
+            # with duplicates the value occupies a rank INTERVAL; the
+            # guarantee is that interval meets q*n within the budget
+            lo = np.searchsorted(vals, v, side="left") + 1
+            hi = np.searchsorted(vals, v, side="right")
+            target = (q / 100) * len(vals)
+            assert lo - (err + 1) <= target <= hi + (err + 1)
