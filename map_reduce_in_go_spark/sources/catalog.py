@@ -84,8 +84,19 @@ class TableCatalog:
         return {r["name"]: (r["path"], int(r["version"])) for r in rows}
 
     def table(self, name: str) -> ManifestTable:
-        """The member table handle (standalone reads/maintenance)."""
-        return ManifestTable(os.path.join(self.root, name))
+        """The member table handle (standalone reads/maintenance).
+
+        Member handles are built with ``checkpoint_interval=None``: a
+        member's manifest log must never self-truncate, because the
+        version a PUBLISHED catalog snapshot pins is often older than the
+        member's newest chain entry (a racing transaction's staged commit,
+        or orphans from conflict retries) — an auto-checkpoint landing on
+        a member's 16th commit would delete the pinned manifest and break
+        every published-snapshot read (r10 advice, high). Member log
+        truncation happens only through :meth:`checkpoint_members`, which
+        protects the catalog-pinned versions explicitly.
+        """
+        return ManifestTable(os.path.join(self.root, name), checkpoint_interval=None)
 
     def history(self) -> list[tuple[int, str]]:
         """Available ``(catalog version, op label)`` pairs, ascending.
@@ -133,9 +144,9 @@ class TableCatalog:
         if name not in snap:
             raise KeyError(f"table {name!r} not in catalog snapshot at {self.root}")
         path, pinned = snap[name]
-        return ManifestTable(os.path.join(self.root, path)).read(
-            spark, version=pinned, merge_schema=merge_schema
-        )
+        return ManifestTable(
+            os.path.join(self.root, path), checkpoint_interval=None
+        ).read(spark, version=pinned, merge_schema=merge_schema)
 
     # ---------------------------------------------------------- maintenance
 
@@ -154,10 +165,45 @@ class TableCatalog:
         removed = 0
         snap = self.snapshot(spark)
         for _name, (path, pinned) in snap.items():
-            tbl = ManifestTable(os.path.join(self.root, path))
+            tbl = ManifestTable(
+                os.path.join(self.root, path), checkpoint_interval=None
+            )
             pinned_files = {os.path.basename(p) for p in tbl.files(pinned)}
             removed += tbl.vacuum(retain_seconds, extra_live=pinned_files)
         return removed
+
+    def checkpoint_members(self, spark: SparkSession) -> dict[str, int]:
+        """Truncate every member's manifest log, pinned versions protected.
+
+        The explicit member-log maintenance verb: members never
+        auto-checkpoint (see :meth:`table` — doing so on a staged commit
+        deletes the manifest the published catalog reads), so a
+        long-running pipeline calls this periodically to keep member log
+        listings O(1). Each member checkpoints at its newest chain entry
+        with the CURRENT published snapshot's pinned version exempted
+        from truncation, so published reads, pinned appends
+        (``base_version`` unions), and replication's delta walker keep
+        working across the checkpoint. Historical catalog versions'
+        pins may be truncated — the same time-travel retention trade the
+        catalog's own checkpoint makes. Returns member → checkpointed
+        version.
+        """
+        out: dict[str, int] = {}
+        snap = self.snapshot(spark)
+        for name, (path, pinned) in snap.items():
+            tbl = ManifestTable(
+                os.path.join(self.root, path), checkpoint_interval=None
+            )
+            # re-resolve right before truncating: a transaction publishing
+            # mid-verb can move this member's pin to a version that is not
+            # the member's newest (a later stager's orphan may sit above
+            # it); protect both observations
+            protect = {pinned}
+            fresh = self.snapshot(spark).get(name)
+            if fresh is not None and fresh[0] == path:
+                protect.add(fresh[1])
+            out[name] = tbl.checkpoint(protect_versions=protect)
+        return out
 
     # --------------------------------------------------------- transactions
 
@@ -239,8 +285,17 @@ class Transaction:
         self, name: str, stats_cols: list[str] | None = None
     ) -> tuple[ManifestTable, str, int]:
         path, pinned = self._staged.get(name, self._base.get(name, (name, -1)))
+        # checkpoint_interval=None: a staged commit landing a member's
+        # auto-checkpoint boundary would truncate the manifest the
+        # PUBLISHED catalog pins (staged chain entries sit above the pin),
+        # breaking published reads — member logs truncate only through
+        # TableCatalog.checkpoint_members (r10 advice, high)
         return (
-            ManifestTable(os.path.join(self._cat.root, path), stats_cols=stats_cols),
+            ManifestTable(
+                os.path.join(self._cat.root, path),
+                checkpoint_interval=None,
+                stats_cols=stats_cols,
+            ),
             path,
             pinned,
         )
@@ -271,7 +326,9 @@ class Transaction:
         if name in self._dropped:
             self._dropped.discard(name)
             tbl = ManifestTable(
-                os.path.join(self._cat.root, name), stats_cols=stats_cols
+                os.path.join(self._cat.root, name),
+                checkpoint_interval=None,
+                stats_cols=stats_cols,
             )
             v = tbl.append(df, op=op, base_version=-1)
             self._staged[name] = (name, v)
@@ -313,8 +370,16 @@ class Transaction:
         self._staged.pop(name, None)
         self._dropped.add(name)
 
-    def read(self, name: str) -> DataFrame:
-        """Read-your-writes view: staged version if written, else base pin."""
+    def read(self, name: str, merge_schema: bool = False) -> DataFrame:
+        """Read-your-writes view: staged version if written, else base pin.
+
+        ``merge_schema=True`` unions schemas across the version's files.
+        Any FULL-MEMBER REWRITE (compaction, retraction's anti-join, an
+        upsert) must read this way: the default pinned schema is the
+        NEWEST append's, and when an earlier batch carried more columns
+        (additive evolution) a pinned-schema rewrite would silently drop
+        those columns' data for good (r10 advice, medium).
+        """
         self._check_open()
         if name in self._dropped:
             raise KeyError(f"table {name!r} dropped in this transaction")
@@ -324,9 +389,9 @@ class Transaction:
             path, v = self._base[name]
         else:
             raise KeyError(f"table {name!r} in neither base snapshot nor staged writes")
-        return ManifestTable(os.path.join(self._cat.root, path)).read(
-            self._spark, version=v
-        )
+        return ManifestTable(
+            os.path.join(self._cat.root, path), checkpoint_interval=None
+        ).read(self._spark, version=v, merge_schema=merge_schema)
 
     # ------------------------------------------------------------- publish
 

@@ -580,7 +580,7 @@ class ManifestTable:
         ) as f:
             return vs[-1], json.load(f)
 
-    def checkpoint(self) -> int:
+    def checkpoint(self, protect_versions: set[int] | None = None) -> int:
         """Consolidate op history ≤ newest version; truncate older manifests.
 
         Writes ``checkpoint-v<N>.json`` holding the full op list up to N
@@ -591,6 +591,15 @@ class ManifestTable:
         log-retention design. Time travel to versions < N stops working,
         which is the documented retention trade. Returns N (or -1 on an
         empty table).
+
+        ``protect_versions`` exempts specific manifests from truncation —
+        a table serving as a :class:`~.catalog.TableCatalog` member is
+        checkpointed through ``TableCatalog.checkpoint_members``, which
+        passes the catalog-pinned version here: the member's newest chain
+        entry can be a racing transaction's staged (unpublished) commit,
+        so "newest manifest" and "version the published catalog reads"
+        are different files and an unprotected truncation would break
+        every published-snapshot read (r10 advice, high).
         """
         n = self.version()
         if n < 0:
@@ -600,8 +609,9 @@ class ManifestTable:
             f"checkpoint-v{n}.json",
             json.dumps({"version": n, "ops": sorted(ops)}, indent=1),
         )
+        protected = protect_versions or set()
         for v in self._versions():
-            if v < n:
+            if v < n and v not in protected:
                 try:
                     os.unlink(os.path.join(self._log_dir, f"v{v}.json"))
                 except FileNotFoundError:

@@ -83,9 +83,16 @@ def _member_stats_cols(manifest: dict) -> list[str] | None:
 def _read_member(
     spark: SparkSession, tbl: ManifestTable, pin: int
 ) -> DataFrame:
-    """Full member content at ``pin`` (empty-but-typed when no files)."""
+    """Full member content at ``pin`` (empty-but-typed when no files).
+
+    merge_schema: an overwrite replay materializes the replica from this
+    read, and the pinned (latest-commit) schema can be NARROWER than the
+    columns present across the version's files (additive evolution).
+    Reading pinned-schema here would silently drop the evolved columns
+    from the replica for good (r10 advice, low).
+    """
     if tbl.files(pin):
-        return tbl.read(spark, pin)
+        return tbl.read(spark, pin, merge_schema=True)
     schema_json = tbl._manifest(pin).get("schema")
     if schema_json is None:
         raise FileNotFoundError(
@@ -127,38 +134,57 @@ def _stage_commit(
         if op in dst.committed_ops():
             return
         dst_names = set(dst.snapshot(spark, txn.base_version))
-        for name, (path, pin) in sorted(cur.items()):
-            old = None if prev is None else prev.get(name)
-            if old == (path, pin):
-                continue  # member untouched by this commit
-            tbl = src.table(path)
-            man = tbl._manifest(pin)
-            stats_cols = _member_stats_cols(man)
-            new_files = tbl.files(pin)
-            old_files = (
-                set(tbl.files(old[1]))
-                if old is not None and old[0] == path
-                else set()
-            )
-            removed = old_files.difference(new_files)
-            delta = [f for f in new_files if f not in old_files]
-            if old is None or removed or old[0] != path:
-                # creation, rewrite, or relocation: full content replace
-                txn.overwrite(
-                    name,
-                    _read_member(spark, tbl, pin),
-                    op=op,
-                    stats_cols=stats_cols,
+        try:
+            for name, (path, pin) in sorted(cur.items()):
+                old = None if prev is None else prev.get(name)
+                if old == (path, pin):
+                    continue  # member untouched by this commit
+                tbl = src.table(path)
+                man = tbl._manifest(pin)
+                stats_cols = _member_stats_cols(man)
+                new_files = tbl.files(pin)
+                old_files = (
+                    set(tbl.files(old[1]))
+                    if old is not None and old[0] == path
+                    else set()
                 )
-            elif delta:
-                # pure append: ship only the commit's own files.
-                # mergeSchema: a txn may stack appends with evolved schemas
-                txn.append(
-                    name,
-                    spark.read.option("mergeSchema", "true").parquet(*delta),
-                    op=op,
-                    stats_cols=stats_cols,
-                )
+                removed = old_files.difference(new_files)
+                delta = [f for f in new_files if f not in old_files]
+                if old is None or removed or old[0] != path:
+                    # creation, rewrite, or relocation: full content replace
+                    txn.overwrite(
+                        name,
+                        _read_member(spark, tbl, pin),
+                        op=op,
+                        stats_cols=stats_cols,
+                    )
+                elif delta:
+                    # pure append: ship only the commit's own files.
+                    # mergeSchema: a txn may stack appends with evolved schemas
+                    txn.append(
+                        name,
+                        spark.read.option("mergeSchema", "true").parquet(*delta),
+                        op=op,
+                        stats_cols=stats_cols,
+                    )
+        except FileNotFoundError as exc:
+            # A member manifest this diff needs was truncated (a member-log
+            # checkpoint on the primary between our catalog walk and this
+            # read). The diff is unreconstructable, but the COMMIT's state
+            # is: retry this same commit as a base sync (prev=None →
+            # overwrite every member from its pinned version). Only if the
+            # pinned versions themselves are unreadable — this commit's
+            # state is truly gone — do we surface the error (r10 advice,
+            # high: previously any truncation stalled the follower).
+            if prev is not None:
+                prev = None
+                continue
+            raise FileNotFoundError(
+                f"replication of {op!r} cannot read the primary's pinned "
+                f"member state at {src.root} (manifest truncated below the "
+                f"commit's pins); re-replicate after the primary publishes "
+                f"a newer commit"
+            ) from exc
         for name in dst_names.difference(cur):
             txn.drop(name)
         try:
@@ -224,7 +250,14 @@ def catalog_divergence(
         if name not in snap_b:
             out[name] = "member absent from second catalog"
             continue
-        df_a, df_b = a.read(spark, name), b.read(spark, name)
+        # merge-schema reads: the comparison must see every column present
+        # across each member's files. Pinned-schema reads can AGREE while
+        # the actual stored columns differ (an overwrite replay that
+        # dropped evolved columns would fingerprint clean), and can
+        # DISAGREE spuriously (primary's pin = last append's narrow
+        # schema, replica materialized wide) — r10 advice, low.
+        df_a = a.read(spark, name, merge_schema=True)
+        df_b = b.read(spark, name, merge_schema=True)
         sig_a = sorted((f.name, f.dataType.simpleString()) for f in df_a.schema)
         sig_b = sorted((f.name, f.dataType.simpleString()) for f in df_b.schema)
         if sig_a != sig_b:

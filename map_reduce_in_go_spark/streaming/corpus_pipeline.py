@@ -158,107 +158,117 @@ def corpus_batch_txn(
             old_bands = spark.createDataFrame([], "band_idx int, band_hash string")
         from ..functions.caching import scoped_persist
 
-        # one signature pass per batch: the same band table probes the
-        # standing index AND (survivor-filtered) becomes the BANDS append
-        batch_bands = scoped_persist(bands_of_docs(batch_df))
-        survivors = dedup_batch_against_bands(
-            batch_df, old_bands, batch_bands=batch_bands
-        ).localCheckpoint(eager=True)
-        kept = batch_df.join(survivors, "doc_id", "left_semi").localCheckpoint(
-            eager=True
-        )
-        # additive schema evolution: extra document columns (url, crawl
-        # metadata, ...) ride along into the corpus member — older rows
-        # surface them as nulls on merge-schema reads, no rewrite
-        rejected = batch_df.join(survivors, "doc_id", "left_anti")
-        extras = [
-            c for c in batch_df.columns if c not in ("doc_id", "text", "lang")
-        ]
-        # The seven member appends are INDEPENDENT tables with independent
-        # manifest logs, all reading the already-checkpointed `kept`/
-        # `batch_bands` frames — so they submit as CONCURRENT Spark jobs
-        # (one driver thread each) and the batch pays max(member) instead
-        # of sum(member) in fixed per-job latency. Atomicity is untouched:
-        # the staged versions stay invisible until the single catalog CAS.
-        from concurrent.futures import ThreadPoolExecutor
-
-        def _corpus():
-            txn.append(
-                CORPUS, kept.select("doc_id", "text", "lang", *extras), op=op
-            )
-
-        def _bands():
-            txn.append(
-                BANDS,
-                batch_bands.join(survivors, "doc_id", "left_semi"),
-                op=op,
-                stats_cols=["band_hash"],
-            )
-
-        def _grams():
-            txn.append(GRAMS, _token_gram_counts(kept), op=op, stats_cols=["g"])
-
-        def _tokens():
-            txn.append(
-                TOKENS, _token_count_rows(kept), op=op, stats_cols=["word"]
-            )
-
-        def _cms():
-            total, agg = _batch_sketch(kept)
-            txn.append(
-                CMS,
-                spark.createDataFrame(
-                    [Row(batch_id=batch_id, n=total, sketch=agg.tolist())],
-                    schema="batch_id long, n long, sketch array<long>",
-                ).coalesce(1),
-                op=op,
-            )
-
-        def _quants():
-            lens = kept.select(
-                "lang",
-                F.size(tokens(F.col("text"))).cast("double").alias("n_tok"),
-            )
-            txn.append(
-                QUANTS,
-                summaries_for(lens, "lang", "n_tok", batch_id).coalesce(1),
-                op=op,
-            )
-
-        def _rejects():
-            txn.append(
-                REJECTS, _gram_rows_of(rejected), op=op, stats_cols=["doc_id"]
-            )
-
-        with ThreadPoolExecutor(max_workers=7) as pool:
-            futures = [
-                pool.submit(f)
-                for f in (
-                    _corpus, _bands, _grams, _tokens, _cms, _quants, _rejects,
-                )
-            ]
-            for fut in futures:
-                fut.result()  # re-raise the first member failure
-        if emb_batch is not None:
-            pq = PqIvfIndex(cat.root)
-            # the txn's base snapshot encodes: model and codes stay
-            # consistent even when a CAS conflict re-plans the batch
-            books, cells = pq.snapshot(spark, txn.base_version)
-            kept_emb = (
-                emb_batch.join(survivors, "doc_id", "left_semi")
-                .select(F.col("doc_id").alias("vec_id"), "e")
-            )
-            rows = pq.encode_with_model(spark, kept_emb, books, cells)
-            pq.stage_append(txn, rows, cells, op=op)
+        # Everything from the first persist through the commit runs under
+        # one try whose finally releases the scoped persist and the two
+        # eager localCheckpoints: a member-append failure (transient Spark
+        # error) must not leak executor storage for the life of a
+        # long-running streaming driver (r10 advice, low).
+        survivors = kept = None
         try:
-            txn.commit(op=op)
-            return True
-        except CommitConflict:
-            continue  # re-plan on the new catalog snapshot
+            # one signature pass per batch: the same band table probes the
+            # standing index AND (survivor-filtered) becomes the BANDS append
+            batch_bands = scoped_persist(bands_of_docs(batch_df))
+            survivors = dedup_batch_against_bands(
+                batch_df, old_bands, batch_bands=batch_bands
+            ).localCheckpoint(eager=True)
+            kept = batch_df.join(survivors, "doc_id", "left_semi").localCheckpoint(
+                eager=True
+            )
+            # additive schema evolution: extra document columns (url, crawl
+            # metadata, ...) ride along into the corpus member — older rows
+            # surface them as nulls on merge-schema reads, no rewrite
+            rejected = batch_df.join(survivors, "doc_id", "left_anti")
+            extras = [
+                c for c in batch_df.columns if c not in ("doc_id", "text", "lang")
+            ]
+            # The seven member appends are INDEPENDENT tables with independent
+            # manifest logs, all reading the already-checkpointed `kept`/
+            # `batch_bands` frames — so they submit as CONCURRENT Spark jobs
+            # (one driver thread each) and the batch pays max(member) instead
+            # of sum(member) in fixed per-job latency. Atomicity is untouched:
+            # the staged versions stay invisible until the single catalog CAS.
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _corpus():
+                txn.append(
+                    CORPUS, kept.select("doc_id", "text", "lang", *extras), op=op
+                )
+
+            def _bands():
+                txn.append(
+                    BANDS,
+                    batch_bands.join(survivors, "doc_id", "left_semi"),
+                    op=op,
+                    stats_cols=["band_hash"],
+                )
+
+            def _grams():
+                txn.append(
+                    GRAMS, _token_gram_counts(kept), op=op, stats_cols=["g"]
+                )
+
+            def _tokens():
+                txn.append(
+                    TOKENS, _token_count_rows(kept), op=op, stats_cols=["word"]
+                )
+
+            def _cms():
+                total, agg = _batch_sketch(kept)
+                txn.append(
+                    CMS,
+                    spark.createDataFrame(
+                        [Row(batch_id=batch_id, n=total, sketch=agg.tolist())],
+                        schema="batch_id long, n long, sketch array<long>",
+                    ).coalesce(1),
+                    op=op,
+                )
+
+            def _quants():
+                lens = kept.select(
+                    "lang",
+                    F.size(tokens(F.col("text"))).cast("double").alias("n_tok"),
+                )
+                txn.append(
+                    QUANTS,
+                    summaries_for(lens, "lang", "n_tok", batch_id).coalesce(1),
+                    op=op,
+                )
+
+            def _rejects():
+                txn.append(
+                    REJECTS, _gram_rows_of(rejected), op=op, stats_cols=["doc_id"]
+                )
+
+            with ThreadPoolExecutor(max_workers=7) as pool:
+                futures = [
+                    pool.submit(f)
+                    for f in (
+                        _corpus, _bands, _grams, _tokens, _cms, _quants, _rejects,
+                    )
+                ]
+                for fut in futures:
+                    fut.result()  # re-raise the first member failure
+            if emb_batch is not None:
+                pq = PqIvfIndex(cat.root)
+                # the txn's base snapshot encodes: model and codes stay
+                # consistent even when a CAS conflict re-plans the batch
+                books, cells = pq.snapshot(spark, txn.base_version)
+                kept_emb = (
+                    emb_batch.join(survivors, "doc_id", "left_semi")
+                    .select(F.col("doc_id").alias("vec_id"), "e")
+                )
+                rows = pq.encode_with_model(spark, kept_emb, books, cells)
+                pq.stage_append(txn, rows, cells, op=op)
+            try:
+                txn.commit(op=op)
+                return True
+            except CommitConflict:
+                continue  # re-plan on the new catalog snapshot
         finally:
             release_persisted_since(mark)
-            free_local_checkpoint(survivors)
-            free_local_checkpoint(kept)
+            for df in (survivors, kept):
+                if df is not None:
+                    free_local_checkpoint(df)
     raise CommitConflict(
         f"batch {batch_id} lost the catalog race 10 times at {cat.root}; "
         "Spark will retry the batch"
@@ -469,8 +479,13 @@ def retract_docs(
         ids = spark.createDataFrame(
             [(int(d),) for d in doc_ids], "doc_id long"
         )
-        gone = txn.read(CORPUS).join(ids, "doc_id", "left_semi").localCheckpoint(
-            eager=True
+        # merge-schema throughout: the anti-join rewrites below replace
+        # whole members, and the pinned (newest-append) schema may be
+        # narrower than earlier batches' evolved columns (r10 advice)
+        gone = (
+            txn.read(CORPUS, merge_schema=True)
+            .join(ids, "doc_id", "left_semi")
+            .localCheckpoint(eager=True)
         )
         try:
             names = cat.snapshot(spark, txn.base_version)
@@ -491,18 +506,24 @@ def retract_docs(
             if rej_gone:
                 txn.overwrite(
                     REJECTS,
-                    txn.read(REJECTS).join(ids, "doc_id", "left_anti"),
+                    txn.read(REJECTS, merge_schema=True).join(
+                        ids, "doc_id", "left_anti"
+                    ),
                     stats_cols=["doc_id"],
                 )
             if not n_gone:
                 # rejected-only erasure: no other member ever saw the doc
                 txn.commit(op=op)
                 return True
-            remaining = txn.read(CORPUS).join(ids, "doc_id", "left_anti")
+            remaining = txn.read(CORPUS, merge_schema=True).join(
+                ids, "doc_id", "left_anti"
+            )
             txn.overwrite(CORPUS, remaining)
             txn.overwrite(
                 BANDS,
-                txn.read(BANDS).join(ids, "doc_id", "left_anti"),
+                txn.read(BANDS, merge_schema=True).join(
+                    ids, "doc_id", "left_anti"
+                ),
                 stats_cols=["band_hash"],
             )
             neg = _token_gram_counts(gone).select(
@@ -524,10 +545,29 @@ def retract_docs(
                 op=op,
             )
             affected = [r["lang"] for r in gone.select("lang").distinct().collect()]
-            keep_rows = txn.read(QUANTS).filter(
-                ~F.col("event_type").isin(affected)
+            # three-valued logic (r10 advice, medium): a NULL in `affected`
+            # makes `isin` evaluate to NULL for every non-matching row, so
+            # `~isin` would silently DROP every untouched language's
+            # summary. Split the null-lang case into explicit isNull()
+            # branches and coalesce the predicate so NULL never leaks.
+            null_affected = any(a is None for a in affected)
+            affected_nn = [a for a in affected if a is not None]
+            is_affected = (
+                F.col("event_type").isin(affected_nn)
+                if affected_nn
+                else F.lit(False)
             )
-            redo = remaining.filter(F.col("lang").isin(affected)).select(
+            if null_affected:
+                is_affected = is_affected | F.col("event_type").isNull()
+            keep_rows = txn.read(QUANTS).filter(
+                ~F.coalesce(is_affected, F.lit(False))
+            )
+            redo_pred = (
+                F.col("lang").isin(affected_nn) if affected_nn else F.lit(False)
+            )
+            if null_affected:
+                redo_pred = redo_pred | F.col("lang").isNull()
+            redo = remaining.filter(F.coalesce(redo_pred, F.lit(False))).select(
                 "lang",
                 F.size(tokens(F.col("text"))).cast("double").alias("n_tok"),
             )
@@ -621,9 +661,15 @@ def compact_pipeline(
         txn.overwrite(
             GRAMS, zorder_layout(grams, ["g"], num_files), stats_cols=["g"]
         )
+        # full-member rewrites read merge-schema: the pinned schema is the
+        # NEWEST append's, and a narrower late batch would make this
+        # rewrite permanently drop earlier batches' evolved columns
+        # (r10 advice, medium)
         txn.overwrite(
             BANDS,
-            zorder_layout(txn.read(BANDS), ["band_hash"], num_files),
+            zorder_layout(
+                txn.read(BANDS, merge_schema=True), ["band_hash"], num_files
+            ),
             stats_cols=["band_hash"],
         )
         if TOKENS in names:
@@ -641,7 +687,9 @@ def compact_pipeline(
         if REJECTS in names:
             txn.overwrite(
                 REJECTS,
-                zorder_layout(txn.read(REJECTS), ["doc_id"], num_files),
+                zorder_layout(
+                    txn.read(REJECTS, merge_schema=True), ["doc_id"], num_files
+                ),
                 stats_cols=["doc_id"],
             )
         cms_rows = txn.read(CMS).collect()
@@ -665,7 +713,9 @@ def compact_pipeline(
                 schema=_Q_SCHEMA,
             ).coalesce(1),
         )
-        txn.overwrite(CORPUS, txn.read(CORPUS).coalesce(num_files))
+        txn.overwrite(
+            CORPUS, txn.read(CORPUS, merge_schema=True).coalesce(num_files)
+        )
         if "centroids" in names:
             for cell in [r["cell"] for r in txn.read("centroids").collect()]:
                 txn.overwrite(cell, txn.read(cell).coalesce(1))
@@ -712,7 +762,7 @@ def member(
             f"v{cat.version() if version is None else version} at {cat.root}"
         )
     path, pinned = pins[name]
-    tbl = ManifestTable(os.path.join(cat.root, path))
+    tbl = ManifestTable(os.path.join(cat.root, path), checkpoint_interval=None)
     if version is not None:
         missing = [f for f in tbl.files(pinned) if not os.path.exists(f)]
         if missing:

@@ -264,3 +264,66 @@ def test_append_after_drop_recreates_fresh(spark, tmp_path):
     txn2.append("t", _df(spark, [(9, "z")]))
     txn2.commit()
     assert _ids(cat.read(spark, "t")) == [9]  # fresh, not [1, 2, 9]
+
+
+def test_member_log_never_self_truncates_published_pin(spark, tmp_path):
+    """r10 advice (high): a staged (unpublished) transaction stacking a
+    member past the default checkpoint interval must NOT auto-checkpoint
+    the member log — that would delete the manifest version the PUBLISHED
+    catalog snapshot pins, breaking every published read and any pinned
+    append planned against the base snapshot."""
+    import os
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    txn = cat.transaction(spark)
+    txn.append("t", _df(spark, [(1, "a")]))
+    txn.commit()
+    pin = cat.snapshot(spark)["t"][1]
+
+    # a crashing/conflicting writer stages 17 orphan member commits —
+    # enough to cross ManifestTable's default checkpoint_interval=16
+    stager = cat.transaction(spark)
+    for i in range(17):
+        stager.append("t", _df(spark, [(100 + i, "orphan")]))
+    member_tbl = cat.table("t")
+    assert member_tbl.version() >= 16  # the chain really did pass v16
+
+    # the pinned manifest must still exist and the published read work
+    assert os.path.exists(
+        os.path.join(member_tbl.root, "_manifests", f"v{pin}.json")
+    )
+    assert _ids(cat.read(spark, "t")) == [1]
+
+    # a new transaction planning against the published pin still appends
+    txn2 = cat.transaction(spark)
+    txn2.append("t", _df(spark, [(2, "b")]))
+    txn2.commit()
+    assert _ids(cat.read(spark, "t")) == [1, 2]
+
+
+def test_checkpoint_members_protects_published_pin(spark, tmp_path):
+    """Explicit member-log maintenance truncates orphan history but keeps
+    the catalog-pinned manifest readable."""
+    import os
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    txn = cat.transaction(spark)
+    txn.append("t", _df(spark, [(1, "a")]))
+    txn.append("u", _df(spark, [(7, "g")]))
+    txn.commit()
+    pin = cat.snapshot(spark)["t"][1]
+
+    # orphan staged commits sit ABOVE the pin on the member chain
+    stager = cat.transaction(spark)
+    for i in range(5):
+        stager.append("t", _df(spark, [(100 + i, "orphan")]))
+
+    done = cat.checkpoint_members(spark)
+    assert set(done) == {"t", "u"}
+    log_dir = os.path.join(cat.table("t").root, "_manifests")
+    # pinned manifest survived; non-pinned history below newest truncated
+    assert os.path.exists(os.path.join(log_dir, f"v{pin}.json"))
+    assert _ids(cat.read(spark, "t")) == [1]
+    assert _ids(cat.read(spark, "u")) == [7]
+    # the op ledger survives truncation (replay detection intact)
+    assert cat.table("t").committed_ops()

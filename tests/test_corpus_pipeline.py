@@ -941,3 +941,81 @@ def test_pipeline_length_quantiles_served(spark, sf_dir, tmp_path):
             hi = np.searchsorted(vals, v, side="right")
             target = (q / 100) * len(vals)
             assert lo - (err + 1) <= target <= hi + (err + 1)
+
+
+def test_compaction_preserves_columns_when_late_batch_is_narrower(
+    spark, sf_dir, tmp_path
+):
+    """r10 advice (medium): compact_pipeline's full-member rewrite must
+    read merge-schema — with a NARROWER batch landing last, a
+    pinned-schema rewrite would permanently drop the earlier batches'
+    evolved columns' data."""
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import compact_pipeline
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    wide = docs.filter(F.pmod("doc_id", F.lit(2)) == 0).withColumn(
+        "url", F.concat(F.lit("https://example.org/doc/"), F.col("doc_id"))
+    )
+    assert corpus_batch_txn(spark, wide, cat, 0)
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(2)) == 1), cat, 1
+    )
+
+    before = {
+        r["doc_id"]: r["url"]
+        for r in member(spark, cat, CORPUS, merge_schema=True).collect()
+    }
+    assert any(u is not None for u in before.values())
+
+    compact_pipeline(spark, cat, num_files=2)
+    after = {
+        r["doc_id"]: r["url"]
+        for r in member(spark, cat, CORPUS, merge_schema=True).collect()
+    }
+    assert after == before  # evolved values survived the rewrite
+
+
+def test_retract_null_lang_keeps_other_languages_quantiles(
+    spark, sf_dir, tmp_path
+):
+    """r10 advice (medium): retracting a document whose lang is NULL must
+    not nuke every OTHER language's quantile summaries (SQL three-valued
+    logic: NULL in the isin() list makes ~isin() NULL everywhere)."""
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import retract_docs
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    nulldoc = spark.createDataFrame(
+        [
+            (
+                41_000_000,
+                "zephyr quarto bramble incunabula dulcimer estuary filigree "
+                "gossamer harbinger icicle juniper kestrel labyrinth mandolin",
+                None,
+            )
+        ],
+        "doc_id long, text string, lang string",
+    )
+    assert corpus_batch_txn(spark, docs.unionByName(nulldoc), cat, 0)
+
+    langs_before = {
+        r["event_type"]
+        for r in member(spark, cat, QUANTS).select("event_type").collect()
+    }
+    assert None in langs_before and len(langs_before) > 1
+
+    assert retract_docs(spark, cat, [41_000_000], op="retract-null-lang")
+
+    quants = member(spark, cat, QUANTS)
+    langs_after = {
+        r["event_type"] for r in quants.select("event_type").collect()
+    }
+    # every real language's summary survives; the null-lang group is
+    # rebuilt from the (now empty) remaining null-lang corpus slice
+    assert langs_after >= (langs_before - {None})
+    # and the corpus member no longer carries the doc
+    assert (
+        member(spark, cat, CORPUS).filter(F.col("doc_id") == 41_000_000).count()
+        == 0
+    )

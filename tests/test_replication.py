@@ -494,3 +494,68 @@ def test_replication_random_transaction_sequences(spark, tmp_path):
     # both replicas are no-op current
     assert replicate_catalog(spark, src, lagged) == 0
     assert replicate_catalog(spark, src, live) == 0
+
+
+def test_member_log_truncation_falls_back_to_base_sync(spark, sf_dir, tmp_path):
+    """r10 advice (high): when a member-log checkpoint on the primary has
+    truncated the PREDECESSOR manifest a delta diff needs, _stage_commit
+    must fall back to base-syncing that commit instead of stalling the
+    follower with a raw FileNotFoundError."""
+    from map_reduce_in_go_spark.sources.replicate import catalog_divergence
+
+    src = TableCatalog(str(tmp_path / "primary"))
+    _feed(spark, sf_dir, src, batches=(0, 1))
+    dst = TableCatalog(str(tmp_path / "replica"))
+    assert replicate_catalog(spark, src, dst) == 2  # replica current
+
+    _feed(spark, sf_dir, src, batches=(2,))
+    # maintenance truncates every member's log below its newest entry
+    # (current pins protected) — the predecessor pins batch 2's diff
+    # would read are now gone
+    src.checkpoint_members(spark)
+    corpus_tbl = src.table(CORPUS)
+    assert len(corpus_tbl._versions()) == 1  # history really truncated
+
+    assert replicate_catalog(spark, src, dst) == 1  # base-synced, not stalled
+    assert _state(spark, dst) == _state(spark, src)
+    assert catalog_divergence(spark, src, dst) == {}
+
+
+def test_overwrite_replay_preserves_evolved_columns(spark, sf_dir, tmp_path):
+    """r10 advice (medium/low): a member whose LAST append pinned a
+    narrower schema than earlier batches (additive evolution, then a
+    narrow batch) must replicate with the evolved columns' data intact —
+    both on the append path and through an overwrite replay (retraction
+    rewrite), and the divergence check must compare what is actually
+    stored, not the pinned schemas."""
+    from map_reduce_in_go_spark.sources.replicate import catalog_divergence
+
+    src = TableCatalog(str(tmp_path / "primary"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    wide = docs.filter(F.pmod("doc_id", F.lit(2)) == 0).withColumn(
+        "url", F.concat(F.lit("https://example.org/doc/"), F.col("doc_id"))
+    )
+    assert corpus_batch_txn(spark, wide, src, 0)
+    # the NARROWER batch lands last: the corpus member's pinned schema
+    # no longer carries `url`
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(2)) == 1), src, 1
+    )
+    # an overwrite rewrite of the corpus member (retraction anti-join)
+    victim = docs.filter(F.pmod("doc_id", F.lit(2)) == 1).limit(1).collect()
+    retract_docs(spark, src, [victim[0]["doc_id"]], op="retract-evolved")
+
+    dst = TableCatalog(str(tmp_path / "replica"))
+    assert replicate_catalog(spark, src, dst) == 3
+
+    rep = member(spark, dst, CORPUS, merge_schema=True)
+    assert "url" in rep.columns
+    urls = {
+        r["doc_id"]: r["url"]
+        for r in rep.filter(F.col("url").isNotNull()).collect()
+    }
+    assert urls  # evolved values survived the overwrite replay
+    assert all(
+        u == f"https://example.org/doc/{d}" for d, u in urls.items()
+    )
+    assert catalog_divergence(spark, src, dst) == {}
