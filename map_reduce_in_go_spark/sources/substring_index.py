@@ -194,16 +194,18 @@ def batch_duplicated_spans(
     reading only the index files the batch's own grams can live in.
 
     The incremental-arrival form of substring dedup: the batch's gram
-    digests become a point-probe set (collected to the driver — the
-    contract is a bounded arriving batch, same as the anchor-index
-    lookup; a corpus-sized "batch" belongs on the full
-    ``dedup_substring_indexed`` path), pruned-scan the index for those
-    digests' counts, add the batch's own counts (a gram twice in the
-    batch is a duplicate even if the corpus never saw it), and run-merge
-    the batch positions whose gram total ≥ 2.
+    digests become a point-probe set (collected to the driver — bounded
+    by ``MAX_PROBE_KEYS``, same guard as the band-index probe path in
+    operators/dedup.py), pruned-scan the index for those digests'
+    counts, add the batch's own counts (a gram twice in the batch is a
+    duplicate even if the corpus never saw it), and run-merge the batch
+    positions whose gram total ≥ 2. Past the guard the index side falls
+    back to a full snapshot read joined distributively — a batch that
+    large touches essentially every index file anyway, and the driver
+    must never materialize a corpus-sized digest set (r10 verdict #1).
     """
     from ..functions.text import shingles_of, tokens
-    from ..operators.dedup import SUBSTR_K, substring_spans
+    from ..operators.dedup import MAX_PROBE_KEYS, SUBSTR_K, substring_spans
 
     toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
     grams = toks.select(
@@ -217,15 +219,17 @@ def batch_duplicated_spans(
     from ..functions.caching import scoped_persist
 
     grams = scoped_persist(grams)
-    batch_counts = grams.groupBy("g").agg(F.count("*").alias("bn"))
-    probes = [r["g"] for r in batch_counts.select("g").collect()]
-
-    tbl = ManifestTable(root, stats_cols=["g"])
-    idx_counts = (
-        tbl.read_pruned_in(spark, "g", probes)
-        .groupBy("g")
-        .agg(F.sum("n").alias("inn"))
+    batch_counts = scoped_persist(
+        grams.groupBy("g").agg(F.count("*").alias("bn"))
     )
+    tbl = ManifestTable(root, stats_cols=["g"])
+    n_probe = batch_counts.count()
+    if n_probe <= MAX_PROBE_KEYS:
+        probes = [r["g"] for r in batch_counts.select("g").collect()]
+        idx = tbl.read_pruned_in(spark, "g", probes)
+    else:
+        idx = tbl.read(spark)
+    idx_counts = idx.groupBy("g").agg(F.sum("n").alias("inn"))
     dup = (
         batch_counts.join(idx_counts, "g", "left")
         .filter(F.col("bn") + F.coalesce(F.col("inn"), F.lit(0)) >= 2)

@@ -255,3 +255,52 @@ def test_gram_index_batch_probe_prunes_files(spark, sf_dir, tmp_path):
     files, total = tbl.files_pruned_in("g", probes, tbl.version())
     assert total > len(probes)  # non-vacuous: more files than probes
     assert len(files) <= len(probes) < total
+
+
+def test_batch_spans_guard_falls_back_past_probe_cap(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r10 verdict #1: a corpus-sized 'batch' must take the full-snapshot
+    fallback (no corpus-sized driver collect) and return exactly the
+    rows the probed path returns."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_in_go_spark import sources
+    from map_reduce_in_go_spark.sources import substring_index as si
+    from map_reduce_in_go_spark.sources.manifest_table import ManifestTable
+    from map_reduce_in_go_spark.sources.substring_index import (
+        INDEX_FILES,
+        _token_gram_counts,
+        batch_duplicated_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    half1 = docs.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    half2 = docs.filter(F.pmod("doc_id", F.lit(2)) == 1)
+
+    root = str(tmp_path / "gram")
+    tbl = ManifestTable(root, stats_cols=["g"])
+    tbl.append(_token_gram_counts(half1), op="gram-build-half1")
+    tbl.compact(spark, num_files=INDEX_FILES, zorder_cols=["g"])
+
+    probed = {
+        tuple(r) for r in batch_duplicated_spans(spark, root, half2).collect()
+    }
+
+    # shrink the cap so this same batch is "corpus-sized": the fallback
+    # must kick in (pin it by poisoning the pruned-read path) and the
+    # answer must not change
+    import map_reduce_in_go_spark.operators.dedup as dedup_mod
+
+    monkeypatch.setattr(dedup_mod, "MAX_PROBE_KEYS", 1)
+
+    def _refuse(*a, **k):
+        raise AssertionError(
+            "read_pruned_in must not run past MAX_PROBE_KEYS"
+        )
+
+    monkeypatch.setattr(ManifestTable, "read_pruned_in", _refuse)
+    fallback = {
+        tuple(r) for r in batch_duplicated_spans(spark, root, half2).collect()
+    }
+    assert fallback == probed and probed
