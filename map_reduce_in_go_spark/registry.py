@@ -296,6 +296,7 @@ def _build() -> None:
     _register(_plr, [
         "pipeline_trending",
         "pipeline_trending_served",
+        "pipeline_trending_replica",
         "pipeline_spans",
     ])
 
@@ -308,16 +309,9 @@ def _build() -> None:
 # dedup_minhash_fast's fast_ok verdict was re-scoped to the deterministic
 # exact-duplicate case — values are unchanged on the test corpus but the
 # semantics the r8 row validated are gone.)
-_CHANGED_SINCE_VERIFIED: set[str] = {
-    # r10: rewritten off single-reducer global windows — values are
-    # bit-identical (ntile reproduced in closed form; prefix sum moved to
-    # the hierarchical rank; top-100 via limit) but the implementations the
-    # old rows validated are gone. (r9 entries cleared: corpus_report,
-    # dedup_minhash_fast, multimodal_meta all got fresh r9 driver rows.)
-    "corpus_budget_select",
-    "orders_rfm",
-    "basket_pairs",
-}
+_CHANGED_SINCE_VERIFIED: set[str] = set()
+# (r10 entries cleared: corpus_budget_select, orders_rfm, basket_pairs
+# all got fresh hash-green r10 driver rows.)
 
 
 def _priority_order() -> list[str]:

@@ -115,21 +115,12 @@ def pipeline_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trending_from_state(spark, total, agg.reshape(CMS_D, CMS_W), corpus)
 
 
-def pipeline_trending_served(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact trending tokens with ZERO corpus re-scan (r11 (a)).
-
-    The ``token_counts`` member already holds exact additive (word, n)
-    rows — per batch at steady state, pre-combined after
-    ``compact_pipeline``. Serving is one vocabulary-sized fold plus a
-    broadcast scalar threshold: same answer as :func:`pipeline_trending`
-    (whose CMS screen + corpus recount remains the posture for token
-    stores too hot to keep exactly), at O(vocabulary) instead of
-    O(corpus) per query — the pre-aggregation trade a continuously-
-    queried view makes.
-    """
+def _trending_from_token_counts(
+    spark: SparkSession, cat: TableCatalog
+) -> DataFrame:
+    """One vocabulary-sized fold of ``token_counts`` + scalar threshold."""
     from ..functions.caching import scoped_persist
 
-    cat = _pipeline_catalog(spark, sf_dir)
     # persist the vocabulary fold: both the total and the threshold filter
     # read it, and recomputing means scanning the member twice
     counts = scoped_persist(
@@ -143,6 +134,51 @@ def pipeline_trending_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") * F.lit(HH_K) > F.col("t"))
         .select("word", "cnt")
     )
+
+
+def pipeline_trending_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trending tokens with ZERO corpus re-scan (r11 (a)).
+
+    The ``token_counts`` member already holds exact additive (word, n)
+    rows — per batch at steady state, pre-combined after
+    ``compact_pipeline``. Serving is one vocabulary-sized fold plus a
+    broadcast scalar threshold: same answer as :func:`pipeline_trending`
+    (whose CMS screen + corpus recount remains the posture for token
+    stores too hot to keep exactly), at O(vocabulary) instead of
+    O(corpus) per query — the pre-aggregation trade a continuously-
+    queried view makes.
+    """
+    return _trending_from_token_counts(spark, _pipeline_catalog(spark, sf_dir))
+
+
+def _pipeline_replica(spark: SparkSession, sf_dir: str) -> TableCatalog:
+    """A serving REPLICA of the pipeline catalog, stood up once per corpus
+    behind its own latch: every primary commit shipped through
+    :func:`~..sources.replicate.replicate_catalog`'s ledger walk into a
+    fresh follower catalog."""
+    from ..sources.replicate import replicate_catalog
+
+    def _build(path: str) -> None:
+        src = _pipeline_catalog(spark, sf_dir)
+        replicate_catalog(spark, src, TableCatalog(path))
+
+    return TableCatalog(served_artifact("pipeline_replica", sf_dir, _build))
+
+
+def pipeline_trending_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending tokens served from a REPLICATED pipeline catalog (r11).
+
+    The steady-state read posture of a multi-region deployment: the
+    primary takes ingest transactions, a follower serves queries. The
+    answer must be bit-identical to :func:`pipeline_trending_served` —
+    it shares the trending oracle, so the driver's hash gate crosses
+    catalog replication end-to-end: documents → three exactly-once batch
+    transactions → ledger-walk replication into a follower catalog →
+    the follower's ``token_counts`` member → the fold. Any replication
+    bug that drops, duplicates, or reorders a commit's member content
+    surfaces as a hash mismatch here.
+    """
+    return _trending_from_token_counts(spark, _pipeline_replica(spark, sf_dir))
 
 
 def pipeline_length_quantiles(
@@ -369,6 +405,10 @@ ORACLES["pipeline_trending"] = ORACLES["pipeline_trending"].replace(
 # so it shares the trending oracle verbatim — any divergence between the
 # pre-aggregated member and the corpus recount is a correctness bug
 ORACLES["pipeline_trending_served"] = ORACLES["pipeline_trending"]
+# the replica form shares it too: the follower catalog must answer
+# byte-identically to the primary or replication dropped/duplicated a
+# commit's member content
+ORACLES["pipeline_trending_replica"] = ORACLES["pipeline_trending"]
 ORACLES["pipeline_spans"] = (
     ORACLES["pipeline_spans"]
     .replace("{tok}", _sql_tokens_k())

@@ -1019,3 +1019,17 @@ def test_retract_null_lang_keeps_other_languages_quantiles(
         member(spark, cat, CORPUS).filter(F.col("doc_id") == 41_000_000).count()
         == 0
     )
+
+
+def test_pipeline_trending_replica_equals_served(spark, sf_dir, tmp_path):
+    """The registered replica-served trending query answers bit-identically
+    to the primary-served form: the whole ledger-walk replication path sits
+    between the same oracle and the same fold."""
+    from map_reduce_in_go_spark.streaming.pipeline_read import (
+        pipeline_trending_replica,
+        pipeline_trending_served,
+    )
+
+    served = {tuple(r) for r in pipeline_trending_served(spark, sf_dir).collect()}
+    replica = {tuple(r) for r in pipeline_trending_replica(spark, sf_dir).collect()}
+    assert replica == served and served
