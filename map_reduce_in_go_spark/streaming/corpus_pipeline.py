@@ -602,6 +602,237 @@ def retract_docs(
     )
 
 
+def update_docs(
+    spark: SparkSession,
+    cat: TableCatalog,
+    new_docs: DataFrame,
+    op: str,
+    max_retries: int = 10,
+    emb_batch: DataFrame | None = None,
+) -> bool:
+    """UPSERT documents into every member in ONE catalog CAS (r11).
+
+    The MERGE/correction verb the retraction verb started (r10 verdict
+    #3): "this document changed" was previously ``retract_docs`` then a
+    fresh ``corpus_batch_txn`` — two catalog commits, so a reader could
+    observe the in-between snapshot where the doc is absent from every
+    member. This verb composes the same member algebras in ONE
+    transaction, so there is no intermediate catalog version at all:
+
+    - old versions of ``new_docs``' ids lose their contributions exactly
+      as in :func:`retract_docs` (anti-join rewrites for corpus/bands,
+      negative additive rows for grams/token counts, a negative CMS
+      term, affected-language quantile rebuild, PQ-cell code removal);
+    - the new versions are ADMITTED like a micro-batch: near-dup-probed
+      against the band index MINUS the replaced ids' own bands (a doc
+      must never collide with the version it replaces), in-batch dedup
+      included; rejected new versions land in the rejection report;
+    - ids absent from the catalog insert cleanly (upsert, not update-
+      only), and the additive members take ONE append each carrying the
+      negative and positive rows together.
+
+    Admission history is not replayed (same honest semantics note as
+    retraction): a past near-duplicate that lost to the OLD version
+    stays rejected even if the new text no longer collides.
+
+    ``emb_batch`` mirrors :func:`corpus_batch_txn`: (doc_id, e) rows for
+    the new versions, encoded with the catalog's SERVED IVF-PQ model so
+    replaced codes leave and replacement codes land in the same commit.
+
+    Exactly-once per ``op`` from the catalog ledger; CAS conflicts
+    re-plan against the new snapshot. Returns False on replay.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.caching import scoped_persist
+    from ..functions.text import tokens
+    from ..operators.pq_index import PqIvfIndex
+    from ..sources.substring_index import _token_gram_counts
+    from .heavy import _batch_sketch
+    from .quantiles import summaries_for
+
+    if op in cat.committed_ops():
+        return False
+    for _ in range(max_retries):
+        mark = persisted_count()
+        txn = cat.transaction(spark)
+        # linearizable replay check (see corpus_batch_txn)
+        if op in cat.committed_ops():
+            return False
+        survivors = kept = gone = None
+        try:
+            names = cat.snapshot(spark, txn.base_version)
+            ids = new_docs.select("doc_id").distinct()
+            corpus0 = txn.read(CORPUS, merge_schema=True)
+            gone = (
+                corpus0.join(ids, "doc_id", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            # the standing index minus the replaced ids' own bands: the
+            # replacement text must not near-dup-collide with itself
+            bands_kept = txn.read(BANDS, merge_schema=True).join(
+                ids, "doc_id", "left_anti"
+            )
+            batch_bands = scoped_persist(bands_of_docs(new_docs))
+            survivors = dedup_batch_against_bands(
+                new_docs, bands_kept, batch_bands=batch_bands
+            ).localCheckpoint(eager=True)
+            kept = new_docs.join(survivors, "doc_id", "left_semi").localCheckpoint(
+                eager=True
+            )
+            rejected = new_docs.join(survivors, "doc_id", "left_anti")
+            extras = [
+                c
+                for c in new_docs.columns
+                if c not in ("doc_id", "text", "lang")
+            ]
+
+            remaining = corpus0.join(ids, "doc_id", "left_anti")
+            txn.overwrite(CORPUS, remaining)
+            txn.append(
+                CORPUS, kept.select("doc_id", "text", "lang", *extras), op=op
+            )
+            txn.overwrite(BANDS, bands_kept, stats_cols=["band_hash"])
+            txn.append(
+                BANDS,
+                batch_bands.join(survivors, "doc_id", "left_semi"),
+                op=op,
+                stats_cols=["band_hash"],
+            )
+            # additive members: negative (old) and positive (new) rows in
+            # one append each — the fold is the state, rows are the delta
+            neg_g = _token_gram_counts(gone).select(
+                "g", (-F.col("n")).alias("n")
+            )
+            txn.append(
+                GRAMS,
+                neg_g.unionByName(_token_gram_counts(kept)),
+                op=op,
+                stats_cols=["g"],
+            )
+            if TOKENS in names:
+                neg_t = _token_count_rows(gone).select(
+                    "word", (-F.col("n")).alias("n")
+                )
+                txn.append(
+                    TOKENS,
+                    neg_t.unionByName(_token_count_rows(kept)),
+                    op=op,
+                    stats_cols=["word"],
+                )
+            old_total, old_agg = _batch_sketch(gone)
+            new_total, new_agg = _batch_sketch(kept)
+            txn.append(
+                CMS,
+                spark.createDataFrame(
+                    [
+                        Row(
+                            batch_id=-4,
+                            n=new_total - old_total,
+                            sketch=(new_agg - old_agg).tolist(),
+                        )
+                    ],
+                    schema="batch_id long, n long, sketch array<long>",
+                ).coalesce(1),
+                op=op,
+            )
+            # rank samples are not linear: rebuild every language either
+            # side touched, from the POST-update corpus (remaining ∪ kept)
+            affected = {
+                r["lang"]
+                for r in gone.select("lang")
+                .union(kept.select("lang"))
+                .distinct()
+                .collect()
+            }
+            null_affected = None in affected
+            affected_nn = [a for a in affected if a is not None]
+            is_affected = (
+                F.col("event_type").isin(affected_nn)
+                if affected_nn
+                else F.lit(False)
+            )
+            if null_affected:
+                is_affected = is_affected | F.col("event_type").isNull()
+            keep_rows = txn.read(QUANTS).filter(
+                ~F.coalesce(is_affected, F.lit(False))
+            )
+            redo_pred = (
+                F.col("lang").isin(affected_nn) if affected_nn else F.lit(False)
+            )
+            if null_affected:
+                redo_pred = redo_pred | F.col("lang").isNull()
+            final_corpus = remaining.select("doc_id", "text", "lang").unionByName(
+                kept.select("doc_id", "text", "lang")
+            )
+            redo = final_corpus.filter(
+                F.coalesce(redo_pred, F.lit(False))
+            ).select(
+                "lang",
+                F.size(tokens(F.col("text"))).cast("double").alias("n_tok"),
+            )
+            txn.overwrite(
+                QUANTS,
+                keep_rows.unionByName(
+                    summaries_for(redo, "lang", "n_tok", -4)
+                ).coalesce(1),
+            )
+            if REJECTS in names:
+                # purge any stored trace of the replaced versions, then
+                # store the NEW versions' rejection report rows
+                txn.overwrite(
+                    REJECTS,
+                    txn.read(REJECTS, merge_schema=True).join(
+                        ids, "doc_id", "left_anti"
+                    ),
+                    stats_cols=["doc_id"],
+                )
+                txn.append(
+                    REJECTS,
+                    _gram_rows_of(rejected),
+                    op=op,
+                    stats_cols=["doc_id"],
+                )
+            if "centroids" in names:
+                vec_ids = ids.select(F.col("doc_id").alias("vec_id"))
+                for r in txn.read("centroids").collect():
+                    cell = r["cell"]
+                    had = (
+                        txn.read(cell)
+                        .join(vec_ids, "vec_id", "left_semi")
+                        .limit(1)
+                        .count()
+                    )
+                    if had:
+                        txn.overwrite(
+                            cell,
+                            txn.read(cell).join(
+                                vec_ids, "vec_id", "left_anti"
+                            ),
+                        )
+                if emb_batch is not None:
+                    pq = PqIvfIndex(cat.root)
+                    books, cells = pq.snapshot(spark, txn.base_version)
+                    kept_emb = emb_batch.join(
+                        survivors, "doc_id", "left_semi"
+                    ).select(F.col("doc_id").alias("vec_id"), "e")
+                    rows = pq.encode_with_model(spark, kept_emb, books, cells)
+                    pq.stage_append(txn, rows, cells, op=op)
+            try:
+                txn.commit(op=op)
+                return True
+            except CommitConflict:
+                continue  # a batch landed mid-update; re-plan on the new base
+        finally:
+            release_persisted_since(mark)
+            for df in (survivors, kept, gone):
+                if df is not None:
+                    free_local_checkpoint(df)
+    raise CommitConflict(
+        f"update {op!r} lost the catalog race {max_retries} times at {cat.root}"
+    )
+
+
 def compact_pipeline(
     spark: SparkSession,
     cat: TableCatalog,

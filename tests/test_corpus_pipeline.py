@@ -1033,3 +1033,137 @@ def test_pipeline_trending_replica_equals_served(spark, sf_dir, tmp_path):
     served = {tuple(r) for r in pipeline_trending_served(spark, sf_dir).collect()}
     replica = {tuple(r) for r in pipeline_trending_replica(spark, sf_dir).collect()}
     assert replica == served and served
+
+
+def test_update_docs_single_cas_upsert(spark, sf_dir, tmp_path):
+    """r10 verdict #3: update_docs composes retraction + admission in ONE
+    catalog CAS. End state equals the retract-then-ingest twin fold-for-
+    fold (collision-free replacement); the ledger gains exactly one
+    commit, so no catalog version ever serves the doc-absent in-between
+    state; replays no-op; pure inserts work; replication flows through."""
+    from map_reduce_in_go_spark.sources.replicate import (
+        catalog_divergence,
+        replicate_catalog,
+    )
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+        retract_docs,
+        update_docs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    OLD_ID = 42_000_000
+    old_doc = spark.createDataFrame(
+        [
+            (
+                OLD_ID,
+                "ephemeral quasar bramble cataract dulcimer estuary filigree "
+                "gossamer harbinger icicle juniper kestrel labyrinth mandolin",
+                "en",
+            )
+        ],
+        "doc_id long, text string, lang string",
+    )
+    new_doc = spark.createDataFrame(
+        [
+            (
+                OLD_ID,
+                "novel aurora bastion chrysalis dirigible effervescent fjord "
+                "glissando hinterland isthmus jacaranda kaleidoscope lagoon",
+                "en",
+            )
+        ],
+        "doc_id long, text string, lang string",
+    )
+
+    def seed(root):
+        cat = TableCatalog(str(tmp_path / root))
+        b0 = docs.filter(F.pmod("doc_id", F.lit(2)) == 0).unionByName(old_doc)
+        assert corpus_batch_txn(spark, b0, cat, 0)
+        assert corpus_batch_txn(
+            spark, docs.filter(F.pmod("doc_id", F.lit(2)) == 1), cat, 1
+        )
+        return cat
+
+    cat_u = seed("upd")
+    cat_t = seed("twin")
+
+    v_before = cat_u.version()
+    assert update_docs(spark, cat_u, new_doc, op="update-1")
+    assert cat_u.version() == v_before + 1  # ONE commit, no gap version
+    assert update_docs(spark, cat_u, new_doc, op="update-1") is False
+
+    # twin: two commits with a doc-absent state in between
+    assert retract_docs(spark, cat_t, [OLD_ID], op="twin-retract")
+    gap = member(spark, cat_t, CORPUS).filter(F.col("doc_id") == OLD_ID)
+    assert gap.count() == 0  # the twin DOES expose the gap...
+    assert corpus_batch_txn(spark, new_doc, cat_t, 2)
+
+    # ...while every catalog version of the update path serves the doc
+    for v in range(cat_u.version() + 1):
+        present = (
+            member(spark, cat_u, CORPUS, version=v)
+            .filter(F.col("doc_id") == OLD_ID)
+            .count()
+        )
+        assert present == 1, f"doc absent at catalog v{v}"
+
+    def folds(cat):
+        corpus = {
+            (r["doc_id"], r["text"], r["lang"])
+            for r in member(spark, cat, CORPUS).collect()
+        }
+        bands = {tuple(r) for r in member(spark, cat, BANDS).collect()}
+        grams = {
+            (r["g"], r["n"])
+            for r in member(spark, cat, GRAMS)
+            .groupBy("g")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+            if r["n"] > 0
+        }
+        toks = {
+            (r["word"], r["n"])
+            for r in member(spark, cat, TOKENS)
+            .groupBy("word")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+            if r["n"] > 0
+        }
+        rows = member(spark, cat, CMS).collect()
+        cms = (
+            sum(r["n"] for r in rows),
+            np.sum([np.asarray(r["sketch"]) for r in rows], axis=0).tolist(),
+        )
+        qpts = {}
+        for r in member(spark, cat, QUANTS).collect():
+            qpts.setdefault(r["event_type"], []).extend(r["points"])
+        return corpus, bands, grams, toks, cms, {
+            k: sorted(v) for k, v in qpts.items()
+        }
+
+    assert folds(cat_u) == folds(cat_t)
+    new_text = {
+        r["text"]
+        for r in member(spark, cat_u, CORPUS)
+        .filter(F.col("doc_id") == OLD_ID)
+        .collect()
+    }
+    assert new_text == {new_doc.collect()[0]["text"]}
+
+    # pure insert: an id the catalog has never seen upserts cleanly
+    ins = spark.createDataFrame(
+        [(43_000_000, "wholly fresh insert text zanzibar quixotic", "de")],
+        "doc_id long, text string, lang string",
+    )
+    assert update_docs(spark, cat_u, ins, op="update-insert")
+    assert (
+        member(spark, cat_u, CORPUS)
+        .filter(F.col("doc_id") == 43_000_000)
+        .count()
+        == 1
+    )
+
+    # replication flows through: the follower replays the upsert commit
+    dst = TableCatalog(str(tmp_path / "upd_replica"))
+    assert replicate_catalog(spark, cat_u, dst) == cat_u.version() + 1
+    assert catalog_divergence(spark, cat_u, dst) == {}
