@@ -205,6 +205,83 @@ class TableCatalog:
             out[name] = tbl.checkpoint(protect_versions=protect)
         return out
 
+    # ------------------------------------------------------- writer leases
+
+    def acquire_app_id(self, app_id: str, token: str | None = None) -> str:
+        """Claim exclusive ownership of ``app_id``'s op-label namespace.
+
+        The exactly-once ledger keys on op labels like
+        ``<app_id>-batch-<id>``; two writer PROCESSES that accidentally
+        share an ``app_id`` would silently alias each other's batch ids
+        as replays (writer B's batch 3 reads as a replay of writer A's
+        batch 3 and is dropped). This verb makes that collision LOUD:
+        the first acquirer publishes ``_writers/<app_id>.json`` holding a
+        per-writer token (atomically — ``O_EXCL`` + link, the same
+        exactly-one-winner rule as log commits); a second writer with a
+        DIFFERENT token gets a :class:`RuntimeError` naming the holder
+        instead of a silent replay-drop. Passing the stored token back
+        reacquires after a restart (the token is the writer's durable
+        identity — persist it next to the stream checkpoint). Returns
+        the token. (r10 verdict #4 — multi-writer namespacing.)
+        """
+        import uuid
+
+        token = token or uuid.uuid4().hex
+        lease_dir = os.path.join(self.root, "_writers")
+        os.makedirs(lease_dir, exist_ok=True)
+        path = os.path.join(lease_dir, f"{app_id}.json")
+        import json
+
+        payload = json.dumps({"app_id": app_id, "token": token})
+        tmp = os.path.join(lease_dir, f"_tmp_{uuid.uuid4().hex}")
+        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, path)
+                return token
+            except FileExistsError:
+                pass
+        finally:
+            os.unlink(tmp)
+        with open(path) as f:
+            held = json.load(f)["token"]
+        if held == token:
+            return token  # same writer reacquiring (restart)
+        raise RuntimeError(
+            f"app_id {app_id!r} at {self.root} is already leased by another "
+            f"writer; two writers sharing an app_id would alias each "
+            f"other's batch op labels as replays. Pick a distinct app_id, "
+            f"or pass the original writer's token to take over."
+        )
+
+    def check_app_id(self, app_id: str, token: str) -> None:
+        """Raise unless ``token`` currently holds ``app_id``'s lease."""
+        import json
+
+        path = os.path.join(self.root, "_writers", f"{app_id}.json")
+        try:
+            with open(path) as f:
+                held = json.load(f)["token"]
+        except FileNotFoundError:
+            raise RuntimeError(
+                f"app_id {app_id!r} at {self.root} has no lease; call "
+                f"acquire_app_id before committing under it"
+            ) from None
+        if held != token:
+            raise RuntimeError(
+                f"app_id {app_id!r} at {self.root} is leased by another "
+                f"writer; refusing to mint op labels under it"
+            )
+
+    def release_app_id(self, app_id: str, token: str) -> None:
+        """Release a held lease (clean shutdown / planned handoff)."""
+        self.check_app_id(app_id, token)
+        os.unlink(os.path.join(self.root, "_writers", f"{app_id}.json"))
+
     # --------------------------------------------------------- transactions
 
     def transaction(self, spark: SparkSession) -> "Transaction":

@@ -50,8 +50,10 @@ so a wiped checkpoint or duplicate follower converges identically.
 
 Out of scope, honestly: the replica is a FOLLOWER (replication is its
 only writer). Active-active catalogs need op-label namespacing across
-writers, which the pipeline's ``<app_id>-batch-<id>`` labels provide but
-this verb does not enforce.
+writers — the pipeline's ``<app_id>-batch-<id>`` labels provide the
+namespace and ``TableCatalog.acquire_app_id`` (r11) makes a shared
+``app_id`` a loud refusal on the PRIMARY; this verb itself still
+assumes a single replicator per replica (racers converge via CAS).
 """
 
 from __future__ import annotations

@@ -114,8 +114,16 @@ def corpus_batch_txn(
     batch_id: int,
     app_id: str = "corpus",
     emb_batch: DataFrame | None = None,
+    writer_token: str | None = None,
 ) -> bool:
     """Process one (doc_id, text, lang) micro-batch; False on replay.
+
+    ``writer_token`` (from :meth:`~..sources.catalog.TableCatalog.
+    acquire_app_id`) verifies this process still holds ``app_id``'s
+    op-label lease before every commit attempt — without it, two writer
+    processes sharing an ``app_id`` would silently alias each other's
+    batch ids as replays. ``None`` keeps the single-writer legacy
+    behavior.
 
     ``emb_batch`` is the optional embeddings side-channel: (doc_id, e)
     rows for this batch's documents. When present, the catalog must
@@ -139,6 +147,8 @@ def corpus_batch_txn(
     if op in cat.committed_ops():
         return False
     for _ in range(10):
+        if writer_token is not None:
+            cat.check_app_id(app_id, writer_token)
         mark = persisted_count()
         txn = cat.transaction(spark)
         # Linearizable replay check: re-read the ledger AFTER pinning the
@@ -282,6 +292,7 @@ def bootstrap_pipeline(
     bands: DataFrame | None = None,
     grams: DataFrame | None = None,
     app_id: str = "corpus",
+    writer_token: str | None = None,
 ) -> bool:
     """Seed an EMPTY pipeline catalog from a static corpus, then stream.
 
@@ -322,6 +333,8 @@ def bootstrap_pipeline(
     op = f"{app_id}-bootstrap"
     if op in cat.committed_ops():
         return False
+    if writer_token is not None:
+        cat.check_app_id(app_id, writer_token)
     if cat.snapshot(spark):
         raise ValueError(
             f"catalog at {cat.root} already has members; bootstrap only "
@@ -1012,13 +1025,16 @@ def start_corpus_pipeline(
     checkpoint_dir: str,
     app_id: str = "corpus",
     emb_lookup: DataFrame | None = None,
+    writer_token: str | None = None,
 ):
     """(doc_id, text, lang) stream → one multi-member txn per micro-batch.
 
     ``emb_lookup`` is a STATIC (doc_id, e) side table (the stream-static
     pattern — embeddings computed upstream of ingestion); each batch's
     accepted docs pull their vectors from it and the codes commit in the
-    same transaction.
+    same transaction. ``writer_token`` carries the ``acquire_app_id``
+    lease into every batch commit (multi-writer namespacing); a restarted
+    driver passes the SAME token it persisted alongside its checkpoint.
     """
     spark = stream_docs.sparkSession
     cat = TableCatalog(catalog_root)
@@ -1029,7 +1045,10 @@ def start_corpus_pipeline(
             if emb_lookup is None
             else emb_lookup.join(df.select("doc_id"), "doc_id", "left_semi")
         )
-        corpus_batch_txn(spark, df, cat, bid, app_id, emb_batch=emb)
+        corpus_batch_txn(
+            spark, df, cat, bid, app_id, emb_batch=emb,
+            writer_token=writer_token,
+        )
 
     return (
         stream_docs.writeStream.foreachBatch(_one)

@@ -327,3 +327,53 @@ def test_checkpoint_members_protects_published_pin(spark, tmp_path):
     assert _ids(cat.read(spark, "u")) == [7]
     # the op ledger survives truncation (replay detection intact)
     assert cat.table("t").committed_ops()
+
+
+def test_app_id_lease_collision_refused(spark, tmp_path):
+    """r10 verdict #4: two writer processes sharing an app_id must be a
+    LOUD refusal, not a silent batch-id aliasing; the same writer
+    reacquires with its token after a restart; release hands off."""
+    cat = TableCatalog(str(tmp_path / "cat"))
+    tok_a = cat.acquire_app_id("corpus")
+    # restart of writer A: same token reacquires
+    assert cat.acquire_app_id("corpus", token=tok_a) == tok_a
+    # writer B colliding on the app_id refuses loudly
+    with pytest.raises(RuntimeError, match="already leased"):
+        cat.acquire_app_id("corpus")
+    # distinct app_ids coexist
+    tok_b = cat.acquire_app_id("backfill")
+    assert tok_b != tok_a
+    # checks
+    cat.check_app_id("corpus", tok_a)
+    with pytest.raises(RuntimeError, match="leased by another"):
+        cat.check_app_id("corpus", "not-the-token")
+    with pytest.raises(RuntimeError, match="no lease"):
+        cat.check_app_id("unleased", tok_a)
+    # clean handoff: release, then B claims the name
+    cat.release_app_id("corpus", tok_a)
+    tok_c = cat.acquire_app_id("corpus")
+    assert tok_c != tok_a
+    with pytest.raises(RuntimeError):
+        cat.check_app_id("corpus", tok_a)  # A's token is now stale
+
+
+def test_app_id_lease_concurrent_acquire_one_winner(spark, tmp_path):
+    """O_EXCL semantics: exactly one of N racing writers gets the lease."""
+    import threading
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    results: list[str | None] = []
+
+    def claim():
+        try:
+            results.append(cat.acquire_app_id("corpus"))
+        except RuntimeError:
+            results.append(None)
+
+    threads = [threading.Thread(target=claim) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    winners = [r for r in results if r is not None]
+    assert len(winners) == 1

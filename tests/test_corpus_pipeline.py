@@ -1167,3 +1167,54 @@ def test_update_docs_single_cas_upsert(spark, sf_dir, tmp_path):
     dst = TableCatalog(str(tmp_path / "upd_replica"))
     assert replicate_catalog(spark, cat_u, dst) == cat_u.version() + 1
     assert catalog_divergence(spark, cat_u, dst) == {}
+
+
+def test_writer_lease_guards_batch_commits(spark, sf_dir, tmp_path):
+    """r10 verdict #4, wired end-to-end: two DISTINCT-app_id writers race
+    batches into one catalog and both land under their own namespaces; a
+    writer whose lease was taken over refuses before minting an op label."""
+    import threading
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    tok_a = cat.acquire_app_id("crawl-a")
+    tok_b = cat.acquire_app_id("crawl-b")
+
+    errs: list[Exception] = []
+
+    def run(app_id, tok, residue):
+        try:
+            assert corpus_batch_txn(
+                spark,
+                docs.filter(F.pmod("doc_id", F.lit(2)) == residue),
+                cat,
+                0,
+                app_id=app_id,
+                writer_token=tok,
+            )
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    ta = threading.Thread(target=run, args=("crawl-a", tok_a, 0))
+    tb = threading.Thread(target=run, args=("crawl-b", tok_b, 1))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert not errs
+    ops = cat.committed_ops()
+    # both writers' batch 0 landed — distinct namespaces, no aliasing
+    assert {"crawl-a-batch-0", "crawl-b-batch-0"} <= ops
+
+    # a writer that lost its lease refuses loudly instead of committing
+    cat.release_app_id("crawl-a", tok_a)
+    cat.acquire_app_id("crawl-a")  # a new process took the name
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="leased by another"):
+        corpus_batch_txn(
+            spark,
+            docs.limit(5),
+            cat,
+            1,
+            app_id="crawl-a",
+            writer_token=tok_a,
+        )
+    assert "crawl-a-batch-1" not in cat.committed_ops()
