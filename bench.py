@@ -3,10 +3,21 @@
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS  (default all cores).
 
-Each query is executed with a count() action (forces full computation,
-no driver collect overhead) after a warmup of the session JVM. Every query
-runs REPS times and the reported number is the median — Python-worker-heavy
-queries have 2-3x run-to-run variance that a single sample hides.
+Each query is executed through the noop sink (forces full computation of
+every column with no driver collect overhead — a count() would let
+Catalyst prune the columns nothing aggregates over, so map-only queries
+would time the scan instead of the work) after a warmup of the session
+JVM. Every query runs REPS times and the reported number is the median —
+Python-worker-heavy queries have 2-3x run-to-run variance that a single
+sample hides.
+
+Machine-honesty fields in the artifact: ``cpu_steal_delta_sec``
+(hypervisor theft during the sweep; past 10% of wall the sweep reruns
+and the last attempt is flagged ``contaminated``) and
+``cpu_sec_process`` (this process tree's user+system CPU seconds for
+the sweep, via getrusage SELF+CHILDREN) — wall inflated by neighbors
+shows up as wall rising while CPU seconds hold, diagnosable from the
+JSON alone.
 """
 
 from __future__ import annotations
@@ -78,6 +89,47 @@ def read_steal_seconds() -> float | None:
         return None
 
 
+def read_tree_cpu_seconds() -> float | None:
+    """User+system CPU seconds of this process and every live descendant.
+
+    getrusage(RUSAGE_CHILDREN) only counts REAPED children — the Spark
+    JVM (and its Python worker daemons) live for the whole bench, so
+    their CPU would be invisible to it. Walking /proc/<pid>/stat over
+    the process tree captures them live. Recorded before/after each
+    sweep: steal catches hypervisor theft, but cache/memory-bandwidth
+    contention from neighbors shows up as WALL rising while these CPU
+    seconds hold — making a contended run diagnosable from the JSON
+    alone (r10 verdict #9).
+    """
+    try:
+        tck = os.sysconf("SC_CLK_TCK")
+        info: dict[int, tuple[int, int]] = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as fh:
+                    data = fh.read()
+                # field 2 (comm) may hold spaces/parens: parse after last ')'
+                rest = data[data.rindex(")") + 2 :].split()
+                info[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+            except (OSError, ValueError):
+                continue  # pid exited mid-walk
+        children: dict[int, list[int]] = {}
+        for pid, (ppid, _t) in info.items():
+            children.setdefault(ppid, []).append(pid)
+        total = 0
+        stack = [os.getpid()]
+        while stack:
+            p = stack.pop()
+            if p in info:
+                total += info[p][1]
+            stack.extend(children.get(p, []))
+        return round(total / tck, 1)
+    except (OSError, ValueError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from map_reduce_in_go_spark import registry
@@ -101,9 +153,10 @@ def main() -> None:
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
-    def run_suite() -> tuple[dict[str, float], float, float | None]:
-        """One timed sweep → (per-query medians, wall sec, steal delta sec)."""
+    def run_suite() -> tuple[dict[str, float], float, float | None, float | None]:
+        """One timed sweep → (per-query medians, wall, steal Δ, cpu Δ)."""
         s0 = read_steal_seconds()
+        c0 = read_tree_cpu_seconds()
         w0 = time.time()
         times: dict[str, float] = {}
         for name in HEADLINE:
@@ -120,8 +173,10 @@ def main() -> None:
             times[name] = round(statistics.median(samples), 3)
         wall = time.time() - w0
         s1 = read_steal_seconds()
+        c1 = read_tree_cpu_seconds()
         delta = round(s1 - s0, 1) if s0 is not None and s1 is not None else None
-        return times, wall, delta
+        cpu = round(c1 - c0, 1) if c0 is not None and c1 is not None else None
+        return times, wall, delta, cpu
 
     # Steal gate (r9 verdict): a run timed under heavy hypervisor theft
     # (BENCH_r09 recorded 101 s of steal during a 46 s suite) measures the
@@ -133,7 +188,7 @@ def main() -> None:
     STEAL_RETRIES = int(os.environ.get("SPARK_GRAFT_BENCH_STEAL_RETRIES", "1"))
     attempts = 0
     while True:
-        times, wall, steal_delta = run_suite()
+        times, wall, steal_delta, cpu_sec = run_suite()
         attempts += 1
         contaminated = steal_delta is not None and steal_delta > STEAL_FRAC * wall
         if not contaminated or attempts > STEAL_RETRIES:
@@ -157,6 +212,7 @@ def main() -> None:
         "queries": times,
         "sf": sf or None,
         "cpu_steal_delta_sec": steal_delta,
+        "cpu_sec_process": cpu_sec,
         "bench_attempts": attempts,
     }
     if contaminated:
