@@ -313,6 +313,120 @@ class PqIvfIndex:
         )
         return coded.join(assign, "vec_id")
 
+    def semantic_duplicates(
+        self,
+        spark: SparkSession,
+        cand: DataFrame,
+        threshold: float,
+        nprobe: int = NPROBE,
+        catalog_version: int | None = None,
+    ) -> DataFrame:
+        """(doc_id) rows among ``cand`` (doc_id, e) that are SEMANTIC
+        near-dups — the SemDeDup-at-ingest screen (Abbas et al. 2023;
+        same cluster-then-compare shape as ``semdedup``, pointed at the
+        pipeline's own served cells).
+
+        A candidate is flagged when EITHER
+        (a) some already-committed vector in its ``nprobe`` nearest cells
+            scores approx-cosine ≥ ``threshold`` against it — computed
+            by ADC from the candidate's own LUT over the SERVED
+            codebooks plus per-center norms, so the committed side is
+            read as codes only (PQ_M bytes/vector, probed cells' files
+            only), never decoded floats; or
+        (b) an EARLIER candidate (smaller doc_id, semdedup's keep-min
+            rule) in the same top-1 cell scores exact cosine ≥
+            ``threshold`` — in-batch, true vectors are at hand.
+
+        The committed-side test is honestly approximate (quantization
+        error moves cosines by the cell's reconstruction error — the
+        admission analogue of ADC candidate screening); it is
+        deterministic given the served model, so a replayed batch
+        re-derives identical drops. Candidate LUTs broadcast at
+        O(batch × M × K) doubles — the bounded-micro-batch contract.
+        """
+        books, cells = self.snapshot(spark, catalog_version)
+        bc_cent = spark.sparkContext.broadcast(self._centroid_pack(cells))
+        rows = cand.select(F.col("doc_id").alias("vec_id"), "e").collect()
+        if not rows:
+            return spark.createDataFrame([], "doc_id long")
+        c_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        c_mat = np.stack([np.asarray(r["e"], dtype=np.float64) for r in rows])
+        c_norm = np.linalg.norm(c_mat, axis=1)
+        sub = books.shape[2]
+        luts = np.stack(
+            [c_mat[:, m * sub : (m + 1) * sub] @ books[m].T for m in range(PQ_M)],
+            axis=1,
+        )  # (nc, M, K)
+        center_norm2 = (books * books).sum(axis=2)  # (M, K)
+        idx = {int(v): i for i, v in enumerate(c_ids)}
+        bc = spark.sparkContext.broadcast((idx, luts, c_norm, center_norm2))
+
+        assigned = (
+            cand.select(F.col("doc_id").alias("vec_id"), "e")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .mapInPandas(
+                lambda it: _assign_cells(it, bc_cent, nprobe),
+                schema="vec_id long, rank int, cid long",
+            )
+        )
+        probes = assigned.select(F.col("vec_id").alias("doc_id"), "cid")
+        probe_cids = [r["cid"] for r in probes.select("cid").distinct().collect()]
+        members = self._read_cells(spark, cells, probe_cids)
+        pairs = members.join(F.broadcast(probes), "cid").filter(
+            F.col("vec_id") != F.col("doc_id")
+        )
+
+        def _committed_hits(batches):
+            import pandas as pd
+
+            h_idx, h_luts, h_qn, h_cn2 = bc.value
+            m_ax = np.arange(PQ_M)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                codes = np.stack(
+                    [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+                )
+                di = np.array([h_idx[int(d)] for d in pdf["doc_id"]])
+                dots = h_luts[di[:, None], m_ax[None, :], codes].sum(axis=1)
+                xnorm = np.sqrt(h_cn2[m_ax[None, :], codes].sum(axis=1))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots / (h_qn[di] * xnorm)
+                hit = cos >= threshold
+                if hit.any():
+                    yield pd.DataFrame(
+                        {"doc_id": pdf["doc_id"].to_numpy()[hit]}
+                    )
+
+        committed = pairs.select("doc_id", "codes").mapInPandas(
+            _committed_hits, schema="doc_id long"
+        )
+
+        # in-batch keep-min within the top-1 cell (exact GEMM; the batch
+        # side has true vectors) — driver-side over the bounded batch
+        top1 = {
+            int(r["vec_id"]): int(r["cid"])
+            for r in assigned.filter(F.col("rank") == 1).collect()
+        }
+        in_batch: list[int] = []
+        by_cell: dict[int, list[int]] = {}
+        for v, cidx in top1.items():
+            by_cell.setdefault(cidx, []).append(v)
+        unit = c_mat / c_norm[:, None]
+        for ids_in_cell in by_cell.values():
+            if len(ids_in_cell) < 2:
+                continue
+            order = sorted(ids_in_cell)
+            ii = [idx[v] for v in order]
+            sims = unit[ii] @ unit[ii].T
+            for a in range(1, len(order)):
+                if (sims[a, :a] >= threshold).any():
+                    in_batch.append(order[a])
+        local = spark.createDataFrame(
+            [(int(d),) for d in in_batch] or [], "doc_id long"
+        )
+        return committed.select("doc_id").union(local).distinct()
+
     @staticmethod
     def stage_append(txn, rows: DataFrame, cells, op: str = "txn-stage-append") -> int:
         """Stage (vec_id, codes, cid) rows onto their cells' member tables

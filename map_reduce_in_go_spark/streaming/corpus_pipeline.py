@@ -115,8 +115,21 @@ def corpus_batch_txn(
     app_id: str = "corpus",
     emb_batch: DataFrame | None = None,
     writer_token: str | None = None,
+    semantic_threshold: float | None = None,
 ) -> bool:
     """Process one (doc_id, text, lang) micro-batch; False on replay.
+
+    ``semantic_threshold`` arms the OPTIONAL second admission gate
+    (SemDeDup-at-ingest, r10 verdict #6): after the MinHash-band screen,
+    each surviving doc's embedding probes the catalog's own served
+    IVF-PQ cells and is REJECTED when an already-committed vector (ADC
+    approx-cosine over the served codebooks) or an earlier in-batch
+    survivor (exact cosine, keep-min) scores ≥ the threshold. Requires
+    ``emb_batch`` and a published PQ model; docs absent from
+    ``emb_batch`` pass the gate un-checked (no embedding to judge).
+    Semantic rejects land in the rejection report like band rejects, so
+    the erasure story is unchanged; retraction frees the blocker — a
+    later near-dup of a RETRACTED doc is admitted (pinned).
 
     ``writer_token`` (from :meth:`~..sources.catalog.TableCatalog.
     acquire_app_id`) verifies this process still holds ``app_id``'s
@@ -178,9 +191,24 @@ def corpus_batch_txn(
             # one signature pass per batch: the same band table probes the
             # standing index AND (survivor-filtered) becomes the BANDS append
             batch_bands = scoped_persist(bands_of_docs(batch_df))
-            survivors = dedup_batch_against_bands(
+            band_surv = dedup_batch_against_bands(
                 batch_df, old_bands, batch_bands=batch_bands
-            ).localCheckpoint(eager=True)
+            )
+            if semantic_threshold is not None:
+                if emb_batch is None:
+                    raise ValueError(
+                        "semantic_threshold needs emb_batch: the semantic "
+                        "admission gate judges embeddings"
+                    )
+                pq_gate = PqIvfIndex(cat.root)
+                sem_drops = pq_gate.semantic_duplicates(
+                    spark,
+                    emb_batch.join(band_surv, "doc_id", "left_semi"),
+                    semantic_threshold,
+                    catalog_version=txn.base_version,
+                )
+                band_surv = band_surv.join(sem_drops, "doc_id", "left_anti")
+            survivors = band_surv.localCheckpoint(eager=True)
             kept = batch_df.join(survivors, "doc_id", "left_semi").localCheckpoint(
                 eager=True
             )
@@ -1026,6 +1054,7 @@ def start_corpus_pipeline(
     app_id: str = "corpus",
     emb_lookup: DataFrame | None = None,
     writer_token: str | None = None,
+    semantic_threshold: float | None = None,
 ):
     """(doc_id, text, lang) stream → one multi-member txn per micro-batch.
 
@@ -1048,6 +1077,7 @@ def start_corpus_pipeline(
         corpus_batch_txn(
             spark, df, cat, bid, app_id, emb_batch=emb,
             writer_token=writer_token,
+            semantic_threshold=semantic_threshold,
         )
 
     return (

@@ -1218,3 +1218,79 @@ def test_writer_lease_guards_batch_commits(spark, sf_dir, tmp_path):
             writer_token=tok_a,
         )
     assert "crawl-a-batch-1" not in cat.committed_ops()
+
+
+def test_semantic_admission_gate(spark, sf_dir, tmp_path):
+    """r10 verdict #6: the optional SemDeDup-at-ingest gate. A doc whose
+    TEXT passes the MinHash screen but whose EMBEDDING matches an
+    already-committed vector (probed from the pipeline's own PQ cells)
+    is rejected; in-batch embedding dups keep the min doc_id; rejects
+    land in the rejection report; replays no-op; retracting the blocker
+    admits a later near-dup (the gate reads the live cells)."""
+    from map_reduce_in_go_spark.operators.pq_index import PqIvfIndex
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import retract_docs
+
+    embs = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("e")
+    )
+    e_rows = embs.limit(2).collect()
+    e_star, e_two = list(e_rows[0]["e"]), list(e_rows[1]["e"])
+    # a third vector orthogonal-ish: negate one of the real ones
+    e_far = [-x for x in e_two]
+
+    def doc(i, text, e):
+        return (i, text, "en", e)
+
+    B0 = [doc(50_000_000, "amber bicycle cauldron dewdrop ember foxglove "
+              "garnet hyacinth ivory jasper kelp lantern", e_star)]
+    B1 = [
+        doc(51_000_000, "nimbus oracle pergola quartz rosette saffron "
+            "tundra umber vellum willow xenon yarrow", e_star),  # sem dup of 50M
+        doc(52_000_000, "basalt cobalt dolmen ephemera fresco glacier "
+            "harrow isthmus jonquil krill lagoon moraine", e_two),  # in-batch pair a
+        doc(53_000_000, "nectar obsidian pumice quill rampart sepia "
+            "tesseract updraft vertex wharf yonder zeppelin", e_two),  # pair b: drop
+        doc(54_000_000, "alcove brindle cascade driftwood eyrie fjord "
+            "grotto hollow inlet juncture knoll ledge", e_far),  # unique: keep
+    ]
+    schema = "doc_id long, text string, lang string, e array<double>"
+
+    idx = PqIvfIndex(str(tmp_path / "sem"))
+    idx.build(spark, sf_dir, include_codes=False)  # model only, empty cells
+    cat = idx.catalog
+
+    def run(batch, bid):
+        df = spark.createDataFrame(batch, schema)
+        return corpus_batch_txn(
+            spark,
+            df.select("doc_id", "text", "lang"),
+            cat,
+            bid,
+            emb_batch=df.select("doc_id", "e"),
+            semantic_threshold=0.8,
+        )
+
+    assert run(B0, 0)
+    assert run(B1, 1)
+    got = {
+        r["doc_id"] for r in member(spark, cat, CORPUS).select("doc_id").collect()
+    }
+    assert got == {50_000_000, 52_000_000, 54_000_000}
+    # semantic rejects have rejection-report trace like band rejects
+    rej = {
+        r["doc_id"]
+        for r in member(spark, cat, REJECTS).select("doc_id").distinct().collect()
+    }
+    assert {51_000_000, 53_000_000} <= rej
+
+    # replay no-op
+    assert run(B1, 1) is False
+
+    # retraction interplay: the blocker's codes leave the cells, so the
+    # same embedding is admitted afterwards
+    assert retract_docs(spark, cat, [50_000_000], op="retract-blocker")
+    assert run([B1[0]], 2)
+    got2 = {
+        r["doc_id"] for r in member(spark, cat, CORPUS).select("doc_id").collect()
+    }
+    assert 51_000_000 in got2
