@@ -297,6 +297,8 @@ def _build() -> None:
         "pipeline_trending",
         "pipeline_trending_served",
         "pipeline_trending_replica",
+        "pipeline_trending_asof",
+        "pipeline_trending_upsert",
         "pipeline_spans",
     ])
 

@@ -116,7 +116,7 @@ def pipeline_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _trending_from_token_counts(
-    spark: SparkSession, cat: TableCatalog
+    spark: SparkSession, cat: TableCatalog, version: int | None = None
 ) -> DataFrame:
     """One vocabulary-sized fold of ``token_counts`` + scalar threshold."""
     from ..functions.caching import scoped_persist
@@ -124,7 +124,7 @@ def _trending_from_token_counts(
     # persist the vocabulary fold: both the total and the threshold filter
     # read it, and recomputing means scanning the member twice
     counts = scoped_persist(
-        member(spark, cat, TOKENS)
+        member(spark, cat, TOKENS, version=version)
         .groupBy("word")
         .agg(F.sum("n").alias("cnt"))
     )
@@ -179,6 +179,80 @@ def pipeline_trending_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     surfaces as a hash mismatch here.
     """
     return _trending_from_token_counts(spark, _pipeline_replica(spark, sf_dir))
+
+
+def pipeline_trending_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending tokens AS OF the catalog version batch 1 committed (r11).
+
+    The first registered TIME-TRAVEL read: ``member(version=v)`` resolves
+    the ``token_counts`` member through the catalog snapshot pinned by the
+    second batch transaction, so the answer is trending over exactly what
+    the pipeline had ACCEPTED after batches 0 and 1 — batch 2's tokens
+    must be invisible even though they are already committed in newer
+    snapshots of the very same member files. The oracle replays the
+    batch-sequenced admission chain only through ``plsurv1``, so the
+    driver's hash gate now crosses snapshot isolation end-to-end: a
+    time-travel read that leaked a newer append (or resolved members
+    against mismatched versions) hash-mismatches here. The version is
+    found by OP LABEL from the catalog ledger, not by arithmetic on
+    version numbers — maintenance commits landing in the build would not
+    silently shift which snapshot this query reads.
+    """
+    cat = _pipeline_catalog(spark, sf_dir)
+    v = next(ver for ver, op in cat.history() if op == "corpus-batch-1")
+    return _trending_from_token_counts(spark, cat, version=v)
+
+
+UPSERT_MOD = 17  # upsert every doc_id ≡ 3 (mod 17): replaced if accepted,
+UPSERT_RES = 3  # re-adjudicated if previously rejected — both paths covered
+# the tail deliberately repeats high-frequency words: admitted revisions
+# must SHIFT the trending counts, so a verb that silently no-ops (catalog
+# unchanged) cannot pass the hash gate by coincidence
+UPSERT_TAIL = " corrigendum to the text of the record the"
+
+
+def _pipeline_upsert_catalog(spark: SparkSession, sf_dir: str) -> TableCatalog:
+    """A PITR CLONE of the served pipeline with one single-CAS upsert
+    applied: every ``doc_id ≡ UPSERT_RES (mod UPSERT_MOD)`` document is
+    re-submitted with ``UPSERT_TAIL`` appended to its text. Built once
+    per corpus behind its own latch; the primary catalog is untouched."""
+    from ..sources.replicate import clone_catalog
+    from .corpus_pipeline import update_docs
+
+    def _build(path: str) -> None:
+        src = _pipeline_catalog(spark, sf_dir)
+        dst = TableCatalog(path)
+        clone_catalog(spark, src, dst)
+        new_docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text", "lang")
+            .filter(F.pmod("doc_id", F.lit(UPSERT_MOD)) == UPSERT_RES)
+            .withColumn("text", F.concat("text", F.lit(UPSERT_TAIL)))
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        )
+        update_docs(spark, dst, new_docs, op="upsert-corrigendum")
+
+    return TableCatalog(served_artifact("pipeline_upsert", sf_dir, _build))
+
+
+def pipeline_trending_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending tokens after a single-CAS document UPSERT (r11).
+
+    Crosses the round's MERGE verb with the driver's hash gate: the
+    pipeline is built, PITR-CLONED (:func:`~..sources.replicate.
+    clone_catalog`), and every ``doc_id ≡ 3 (mod 17)`` document is
+    re-submitted in ONE ``update_docs`` transaction with a revision tail
+    appended to its text. Old versions' token contributions must leave
+    (negative additive rows), admitted new versions' must land, and
+    previously-REJECTED ids are re-adjudicated against the standing band
+    index minus the ids' own bands. The oracle replays all of it in SQL —
+    MinHash bands of the REVISED text included — so a verb that leaks an
+    old version's counts, drops a negative row, or mis-admits a revision
+    hash-mismatches. Serving stays the O(vocabulary) token_counts fold.
+    """
+    return _trending_from_token_counts(
+        spark, _pipeline_upsert_catalog(spark, sf_dir)
+    )
 
 
 def pipeline_length_quantiles(
@@ -333,6 +407,62 @@ def _sql_tokens_k() -> str:
     return sql_tokens("text")
 
 
+def _upsert_ctes() -> str:
+    """CTE chain replaying the upsert verb in SQL: MinHash bands of the
+    REVISED text (same tokenize→shingle→signature→band pipeline as
+    ``_MINHASH_CTES``, sourced from ``udocs``), admission against the
+    standing survivor bands minus the upserted ids' own, in-batch
+    keep-min-doc_id included, and the post-upsert corpus."""
+    from ..functions.hashing import sql_minhash_signature
+    from ..functions.text import sql_shingles, sql_tokens
+    from ..operators.dedup import N_BANDS, NUM_PERM, ROWS_PER_BAND, SHINGLE_N
+
+    return f"""
+, uids AS (
+  SELECT doc_id FROM documents WHERE doc_id % {UPSERT_MOD} = {UPSERT_RES}
+), udocs AS (
+  SELECT doc_id, text || '{UPSERT_TAIL}' AS text, lang FROM documents
+  WHERE doc_id % {UPSERT_MOD} = {UPSERT_RES}
+), utoks AS (
+  SELECT doc_id, {sql_tokens("text")} AS toks FROM udocs
+), ushing AS (
+  SELECT doc_id, {sql_shingles("toks", SHINGLE_N)} AS sh FROM utoks
+), ushing2 AS (
+  SELECT doc_id, sh FROM ushing WHERE len(sh) > 0
+), usigs AS (
+  SELECT doc_id, {sql_minhash_signature("sh", NUM_PERM)} AS sig FROM ushing2
+), ubands AS (
+  SELECT doc_id, t.b AS band_idx,
+         md5(CAST(t.b AS VARCHAR) || '|' ||
+             array_to_string(sig[t.b*{ROWS_PER_BAND}+1 : t.b*{ROWS_PER_BAND}+{ROWS_PER_BAND}], ',')) AS band_hash
+  FROM usigs CROSS JOIN (SELECT unnest(range(0, {N_BANDS})) AS b) t
+), bkept AS (
+  SELECT band_idx, band_hash FROM bands
+  WHERE doc_id IN (SELECT doc_id FROM plkept)
+    AND doc_id NOT IN (SELECT doc_id FROM uids)
+), udrop AS (
+  SELECT DISTINCT n.doc_id
+  FROM ubands n JOIN bkept o
+    ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+  UNION
+  SELECT DISTINCT b.doc_id
+  FROM ubands a JOIN ubands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+), uadmit AS (
+  SELECT doc_id FROM udocs
+  WHERE doc_id NOT IN (SELECT doc_id FROM udrop)
+), fdocs AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM plkept)
+    AND doc_id NOT IN (SELECT doc_id FROM uids)
+  UNION ALL
+  SELECT doc_id, text FROM udocs
+  WHERE doc_id IN (SELECT doc_id FROM uadmit)
+)
+"""
+
+
 def _sql_shingles_k() -> str:
     from ..functions.text import sql_shingles
 
@@ -398,7 +528,34 @@ HAVING max(pos) + {SUBSTR_K} - min(pos) >= {SUBSTR_MIN_TOKENS}
 """,
 }
 
+ORACLES["pipeline_trending_asof"] = _KEPT_CTES + f"""
+, k01 AS (
+  SELECT doc_id FROM plsurv0
+  UNION ALL SELECT doc_id FROM plsurv1
+), kdocs01 AS (
+  SELECT * FROM documents WHERE doc_id IN (SELECT doc_id FROM k01)
+), kwords01 AS (
+  SELECT unnest({{tok}}) AS word FROM kdocs01
+), ktot01 AS (SELECT count(*) AS n FROM kwords01)
+SELECT word, count(*) AS cnt FROM kwords01 GROUP BY word
+HAVING count(*) * {HH_K} > (SELECT n FROM ktot01)
+"""
+
+ORACLES["pipeline_trending_upsert"] = _KEPT_CTES + _upsert_ctes() + f"""
+, fwords AS (
+  SELECT unnest({{tok}}) AS word FROM fdocs
+), ftot AS (SELECT count(*) AS n FROM fwords)
+SELECT word, count(*) AS cnt FROM fwords GROUP BY word
+HAVING count(*) * {HH_K} > (SELECT n FROM ftot)
+"""
+
 ORACLES["pipeline_trending"] = ORACLES["pipeline_trending"].replace(
+    "{tok}", _sql_tokens_k()
+)
+ORACLES["pipeline_trending_asof"] = ORACLES["pipeline_trending_asof"].replace(
+    "{tok}", _sql_tokens_k()
+)
+ORACLES["pipeline_trending_upsert"] = ORACLES["pipeline_trending_upsert"].replace(
     "{tok}", _sql_tokens_k()
 )
 # the served form answers the SAME question from the token_counts member,
