@@ -66,6 +66,7 @@ CMS = "token_cms"
 TOKENS = "token_counts"
 QUANTS = "len_quantiles"
 REJECTS = "rejected_grams"
+QUAR = "quarantine"
 
 
 def _gram_rows_of(docs: DataFrame) -> DataFrame:
@@ -116,8 +117,21 @@ def corpus_batch_txn(
     emb_batch: DataFrame | None = None,
     writer_token: str | None = None,
     semantic_threshold: float | None = None,
+    expectations: list[tuple[str, str]] | None = None,
 ) -> bool:
     """Process one (doc_id, text, lang) micro-batch; False on replay.
+
+    ``expectations`` are Delta-style ingest constraints (r11): ``(rule
+    name, SQL boolean expression)`` pairs evaluated per row BEFORE
+    admission. A row failing any rule — NULL counts as failure, these
+    are assertions — is QUARANTINED: it never touches the band index,
+    the corpus, or the rejection report; instead one ``(doc_id, rule,
+    batch_id)`` audit row per violated rule lands in the ``quarantine``
+    member inside the SAME catalog CAS as every other member, so the
+    audit trail is exactly as transactional (and replayable, and
+    replicable) as the data it indicts. Expression strings must be plain
+    ANSI SQL over the batch's columns — the serving oracle re-evaluates
+    them verbatim on DuckDB.
 
     ``semantic_threshold`` arms the OPTIONAL second admission gate
     (SemDeDup-at-ingest, r10 verdict #6): after the MinHash-band screen,
@@ -188,11 +202,34 @@ def corpus_batch_txn(
         # long-running streaming driver (r10 advice, low).
         survivors = kept = None
         try:
+            src_df = batch_df
+            quar_rows = None
+            if expectations:
+                # one codegen scan tags each row with its violated rules;
+                # clean rows proceed to admission, the rest become audit rows
+                viol = F.array_compact(
+                    F.array(
+                        *[
+                            F.when(
+                                ~F.coalesce(F.expr(expr), F.lit(False)),
+                                F.lit(name),
+                            )
+                            for name, expr in expectations
+                        ]
+                    )
+                )
+                tagged = scoped_persist(batch_df.withColumn("_viol", viol))
+                quar_rows = (
+                    tagged.filter(F.size("_viol") > 0)
+                    .select("doc_id", F.explode("_viol").alias("rule"))
+                    .withColumn("batch_id", F.lit(batch_id))
+                )
+                src_df = tagged.filter(F.size("_viol") == 0).drop("_viol")
             # one signature pass per batch: the same band table probes the
             # standing index AND (survivor-filtered) becomes the BANDS append
-            batch_bands = scoped_persist(bands_of_docs(batch_df))
+            batch_bands = scoped_persist(bands_of_docs(src_df))
             band_surv = dedup_batch_against_bands(
-                batch_df, old_bands, batch_bands=batch_bands
+                src_df, old_bands, batch_bands=batch_bands
             )
             if semantic_threshold is not None:
                 if emb_batch is None:
@@ -209,15 +246,15 @@ def corpus_batch_txn(
                 )
                 band_surv = band_surv.join(sem_drops, "doc_id", "left_anti")
             survivors = band_surv.localCheckpoint(eager=True)
-            kept = batch_df.join(survivors, "doc_id", "left_semi").localCheckpoint(
+            kept = src_df.join(survivors, "doc_id", "left_semi").localCheckpoint(
                 eager=True
             )
             # additive schema evolution: extra document columns (url, crawl
             # metadata, ...) ride along into the corpus member — older rows
             # surface them as nulls on merge-schema reads, no rewrite
-            rejected = batch_df.join(survivors, "doc_id", "left_anti")
+            rejected = src_df.join(survivors, "doc_id", "left_anti")
             extras = [
-                c for c in batch_df.columns if c not in ("doc_id", "text", "lang")
+                c for c in src_df.columns if c not in ("doc_id", "text", "lang")
             ]
             # The seven member appends are INDEPENDENT tables with independent
             # manifest logs, all reading the already-checkpointed `kept`/
@@ -277,13 +314,16 @@ def corpus_batch_txn(
                     REJECTS, _gram_rows_of(rejected), op=op, stats_cols=["doc_id"]
                 )
 
-            with ThreadPoolExecutor(max_workers=7) as pool:
-                futures = [
-                    pool.submit(f)
-                    for f in (
-                        _corpus, _bands, _grams, _tokens, _cms, _quants, _rejects,
-                    )
-                ]
+            def _quar():
+                txn.append(QUAR, quar_rows, op=op, stats_cols=["doc_id"])
+
+            members = [
+                _corpus, _bands, _grams, _tokens, _cms, _quants, _rejects,
+            ]
+            if quar_rows is not None:
+                members.append(_quar)
+            with ThreadPoolExecutor(max_workers=len(members)) as pool:
+                futures = [pool.submit(f) for f in members]
                 for fut in futures:
                     fut.result()  # re-raise the first member failure
             if emb_batch is not None:

@@ -57,6 +57,7 @@ from .corpus_pipeline import (
     CORPUS,
     GRAMS,
     QUANTS,
+    QUAR,
     REJECTS,
     TOKENS,
     corpus_batch_txn,
@@ -253,6 +254,61 @@ def pipeline_trending_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _trending_from_token_counts(
         spark, _pipeline_upsert_catalog(spark, sf_dir)
     )
+
+
+# Delta-style ingest expectations for the constrained pipeline build.
+# Plain ANSI SQL over the batch columns — Spark evaluates them at ingest,
+# the oracle re-evaluates the SAME strings on DuckDB. The set is chosen to
+# exercise all three dispositions on the test corpus: a rule that fires
+# rarely, a rule that fires often, and a rule that never fires (whose
+# contribution to the member must be exactly zero rows).
+EXPECTATIONS = [
+    ("text_min_len", "length(text) >= 50"),
+    ("text_max_len", "length(text) <= 500"),
+    ("lang_known", "lang IS NOT NULL"),
+]
+
+
+def _pipeline_expect_catalog(spark: SparkSession, sf_dir: str) -> TableCatalog:
+    """A pipeline catalog built with :data:`EXPECTATIONS` armed — same
+    three-batch build as the primary, plus the ``quarantine`` member."""
+
+    def _build(path: str) -> None:
+        cat = TableCatalog(path)
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text", "lang")
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        )
+        for i in range(PIPELINE_BATCHES):
+            corpus_batch_txn(
+                spark,
+                docs.filter(F.pmod("doc_id", F.lit(PIPELINE_BATCHES)) == i),
+                cat,
+                i,
+                expectations=EXPECTATIONS,
+            )
+
+    return TableCatalog(served_artifact("pipeline_expect", sf_dir, _build))
+
+
+def pipeline_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quarantine audit member of a constraint-armed pipeline (r11).
+
+    Ingest-time data-quality enforcement, Delta-expectations style: the
+    three batch transactions run with :data:`EXPECTATIONS` armed, rows
+    failing a rule are diverted BEFORE admission (never reaching bands,
+    corpus, or the rejection report) and indicted as one (doc_id, rule)
+    audit row per violated rule inside the same catalog CAS as the data
+    members. Serving is one scan of the member; the oracle re-evaluates
+    the expectation expressions verbatim over the documents table, so
+    the driver's hash crosses constraint evaluation, the quarantine
+    diversion, and the transactional audit trail end-to-end. The
+    interplay pins (quarantined docs absent from every data member,
+    replay no-op) live in tests/test_corpus_pipeline.py.
+    """
+    cat = _pipeline_expect_catalog(spark, sf_dir)
+    return member(spark, cat, QUAR).select("doc_id", "rule")
 
 
 def pipeline_length_quantiles(
@@ -548,6 +604,12 @@ ORACLES["pipeline_trending_upsert"] = _KEPT_CTES + _upsert_ctes() + f"""
 SELECT word, count(*) AS cnt FROM fwords GROUP BY word
 HAVING count(*) * {HH_K} > (SELECT n FROM ftot)
 """
+
+ORACLES["pipeline_quarantine"] = "\nUNION ALL\n".join(
+    f"SELECT doc_id, '{name}' AS rule FROM documents "
+    f"WHERE NOT coalesce(({expr}), FALSE)"
+    for name, expr in EXPECTATIONS
+)
 
 ORACLES["pipeline_trending"] = ORACLES["pipeline_trending"].replace(
     "{tok}", _sql_tokens_k()

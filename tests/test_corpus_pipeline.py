@@ -1294,3 +1294,65 @@ def test_semantic_admission_gate(spark, sf_dir, tmp_path):
         r["doc_id"] for r in member(spark, cat, CORPUS).select("doc_id").collect()
     }
     assert 51_000_000 in got2
+
+
+def test_ingest_expectations_quarantine(spark, sf_dir, tmp_path):
+    """Constraint-armed batches divert violating rows to the quarantine
+    member BEFORE admission: audit rows match a per-rule re-evaluation,
+    quarantined ids are absent from every data member, the never-firing
+    rule contributes zero rows, and replay is a joint no-op."""
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import QUAR
+    from map_reduce_in_go_spark.streaming.pipeline_read import EXPECTATIONS
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    for i in range(3):
+        assert corpus_batch_txn(
+            spark,
+            docs.filter(F.pmod("doc_id", F.lit(3)) == i),
+            cat,
+            i,
+            expectations=EXPECTATIONS,
+        )
+
+    quar = member(spark, cat, QUAR)
+    got = {(r["doc_id"], r["rule"]) for r in quar.collect()}
+    want = set()
+    for name, expr in EXPECTATIONS:
+        bad = docs.filter(~F.coalesce(F.expr(expr), F.lit(False)))
+        want |= {(r["doc_id"], name) for r in bad.select("doc_id").collect()}
+    assert got == want and got
+    assert not any(rule == "lang_known" for _, rule in got)  # never fires here
+
+    # quarantined ids reached NO data member — not even the rejection report
+    quar_ids = {d for d, _ in got}
+    for name in (CORPUS, BANDS, REJECTS):
+        ids = {r["doc_id"] for r in member(spark, cat, name).select("doc_id").collect()}
+        assert not (ids & quar_ids), name
+
+    # the member is versioned with the batch: each audit row names its batch
+    by_batch = {r["batch_id"] for r in quar.select("batch_id").collect()}
+    assert by_batch <= {0, 1, 2}
+
+    # joint replay no-op: same op labels, nothing re-applied anywhere
+    v = cat.version()
+    n_quar = quar.count()
+    for i in range(3):
+        assert not corpus_batch_txn(
+            spark,
+            docs.filter(F.pmod("doc_id", F.lit(3)) == i),
+            cat,
+            i,
+            expectations=EXPECTATIONS,
+        )
+    assert cat.version() == v
+    assert member(spark, cat, QUAR).count() == n_quar
+
+    # an unconstrained build never creates the member at all
+    cat2 = TableCatalog(str(tmp_path / "cat2"))
+    assert corpus_batch_txn(spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 0), cat2, 0)
+    try:
+        member(spark, cat2, QUAR)
+        raise AssertionError("quarantine member must not exist unconstrained")
+    except KeyError:
+        pass
