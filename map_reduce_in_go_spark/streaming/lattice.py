@@ -1,0 +1,211 @@
+"""Rollup LATTICE with subsumption-based query answering (r11).
+
+``streaming/rollup.py`` maintains ONE additive GROUP BY as a ledgered
+materialized view. Real serving layers keep a *lattice* of them — the
+same stream pre-aggregated at several granularities — and route each
+query to the cheapest view that can still answer it exactly. This module
+adds both halves:
+
+- :class:`RollupLattice` maintains every level in **one catalog CAS per
+  batch** (the ``corpus_pipeline`` discipline): the batch is scanned
+  ONCE for the apex partial (the union of all level keys); every coarser
+  level's partial derives from that apex partial by re-aggregation, so
+  per-batch cost is one scan + k tiny folds, and a reader can never
+  observe one level advanced past another. Replays are ledger-detected
+  before any recompute (exactly-once per batch id).
+- :meth:`RollupLattice.answer` performs the MV-rewrite step: a query is
+  ``(dims, measures[, filter over dims])``; the navigator picks the
+  maintained level with the fewest keys whose key set ⊇ dims ∪ filter
+  columns, folds its stored partials, and never touches the base data.
+  Additivity makes the rewrite EXACT — counts and sums fold, averages
+  derive as sum/count. A query no level subsumes refuses loudly (the
+  caller owns the raw data; silently scanning it would hide a lattice
+  design gap).
+
+This is the aggregate-navigation contract of OLAP engines (Harinarayan
+et al., "Implementing Data Cubes Efficiently", SIGMOD'96 — level choice
+by subsumption; here the cost proxy is key-set size since additive folds
+make every subsuming level exact). Reference parity: the reference
+engine (map_reduce/*.go) has no materialized views at all — this is
+part of the Spark-first serving layer built beyond it.
+
+At 100 TB: each level's stored state is O(distinct key tuples), batches
+land partials of their own size only, ``compact()`` keeps logs flat,
+and serving folds O(batches × keys-per-batch) partial rows — the corpus
+itself is read exactly once, at ingest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import CommitConflict, TableCatalog
+
+__all__ = ["RollupLattice"]
+
+
+def _level_member(keys: tuple[str, ...]) -> str:
+    return "rollup_" + ("_".join(keys) if keys else "total")
+
+
+class RollupLattice:
+    """A set of additive rollups over one stream, advanced atomically.
+
+    ``levels`` maps level name → key columns (possibly empty for the
+    grand total). ``sum_cols`` maps measure name → SQL expression summed
+    over the raw rows (``"1"`` for count). The APEX level (union of all
+    level keys) is maintained implicitly and used to derive the others.
+    """
+
+    def __init__(
+        self,
+        cat: TableCatalog,
+        levels: dict[str, tuple[str, ...]],
+        sum_cols: dict[str, str],
+    ) -> None:
+        if not levels:
+            raise ValueError("a lattice needs at least one level")
+        self.cat = cat
+        # canonical (sorted) key tuples: levels are key SETS — two specs
+        # naming the same columns in different orders are one level, one
+        # member table
+        self.levels = {n: tuple(sorted(k)) for n, k in levels.items()}
+        self.sum_cols = dict(sum_cols)
+        apex = sorted({c for ks in self.levels.values() for c in ks})
+        self.apex_keys = tuple(apex)
+        if self.apex_keys not in self.levels.values():
+            self.levels["_apex"] = self.apex_keys
+
+    # ------------------------------------------------------------- ingest
+
+    def ingest_batch(
+        self,
+        spark: SparkSession,
+        batch_df: DataFrame,
+        batch_id: int,
+        app_id: str = "lattice",
+        max_retries: int = 10,
+    ) -> bool:
+        """Land one batch's partials on EVERY level in one catalog CAS.
+
+        The batch is aggregated once at apex granularity; coarser levels
+        re-aggregate that (usually tiny) partial, not the batch. False on
+        ledger replay — no level sees a duplicate contribution.
+        """
+        op = f"{app_id}-batch-{batch_id}"
+        if op in self.cat.committed_ops():
+            return False
+        from ..functions.caching import (
+            persisted_count,
+            release_persisted_since,
+            scoped_persist,
+        )
+
+        for _ in range(max_retries):
+            txn = self.cat.transaction(spark)
+            if op in self.cat.committed_ops():  # linearizable replay check
+                return False
+            mark = persisted_count()
+            try:
+                apex = scoped_persist(
+                    batch_df.groupBy(*self.apex_keys).agg(
+                        *[
+                            F.sum(F.expr(e)).alias(n)
+                            for n, e in self.sum_cols.items()
+                        ]
+                    )
+                )
+                for keys in sorted(set(self.levels.values())):
+                    part = apex.groupBy(*keys).agg(
+                        *[F.sum(n).alias(n) for n in self.sum_cols]
+                    )
+                    txn.append(
+                        _level_member(keys),
+                        part,
+                        op=op,
+                        stats_cols=list(keys) or None,
+                    )
+                try:
+                    txn.commit(op=op)
+                    return True
+                except CommitConflict:
+                    continue  # racing batch landed; re-plan on new base
+            finally:
+                release_persisted_since(mark)
+        raise CommitConflict(
+            f"lattice batch {batch_id} lost the catalog race "
+            f"{max_retries} times at {self.cat.root}"
+        )
+
+    # -------------------------------------------------------------- serve
+
+    def choose_level(
+        self, dims: tuple[str, ...], filter_cols: tuple[str, ...] = ()
+    ) -> tuple[str, ...]:
+        """Key set of the cheapest maintained level subsuming the query.
+
+        Exactness needs keys ⊇ dims ∪ filter columns (a filter on a
+        non-key column would have been pre-aggregated away); among the
+        subsumers the fewest-keys level folds the fewest rows. Raises
+        ``KeyError`` when nothing subsumes — never silently falls back
+        to raw data this class does not own.
+        """
+        need = set(dims) | set(filter_cols)
+        fits = [ks for ks in set(self.levels.values()) if need <= set(ks)]
+        if not fits:
+            raise KeyError(
+                f"no lattice level subsumes dims={sorted(need)}; "
+                f"maintained: {sorted(set(self.levels.values()))}"
+            )
+        return min(fits, key=lambda ks: (len(ks), ks))
+
+    def answer(
+        self,
+        spark: SparkSession,
+        dims: tuple[str, ...],
+        measures: dict[str, str],
+        where: Column | None = None,
+        filter_cols: tuple[str, ...] = (),
+    ) -> DataFrame:
+        """Serve GROUP BY ``dims`` from the cheapest subsuming level.
+
+        ``measures`` maps output column → either a maintained sum name
+        (folded as sum) or ``"avg:<sum>/<cnt>"`` for a derived ratio.
+        ``where`` (with its ``filter_cols`` named for routing) applies to
+        key columns BEFORE the fold — partial rows are additive, so
+        key-column filters commute with re-aggregation.
+        """
+        keys = self.choose_level(dims, filter_cols)
+        df = self.cat.read(spark, _level_member(keys))
+        if where is not None:
+            df = df.filter(where)
+        aggs = []
+        for out, spec in measures.items():
+            if spec.startswith("avg:"):
+                num, den = spec[4:].split("/")
+                aggs.append((F.sum(num) / F.sum(den)).alias(out))
+            else:
+                aggs.append(F.sum(spec).alias(out))
+        return df.groupBy(*dims).agg(*aggs)
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold every level's partial log to O(distinct keys) rows in one
+        maintenance transaction (the ``compact_pipeline`` discipline)."""
+        for _ in range(10):
+            txn = self.cat.transaction(spark)
+            try:
+                for keys in sorted(set(self.levels.values())):
+                    name = _level_member(keys)
+                    folded = (
+                        txn.read(name)
+                        .groupBy(*keys)
+                        .agg(*[F.sum(n).alias(n) for n in self.sum_cols])
+                        .coalesce(1)
+                    )
+                    txn.overwrite(name, folded, stats_cols=list(keys) or None)
+                txn.commit(op=f"lattice-compact-v{txn.base_version}")
+                return
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"lattice compact lost the race at {self.cat.root}")

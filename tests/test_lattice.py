@@ -1,0 +1,147 @@
+"""Rollup-lattice maintenance + subsumption answering pins.
+
+The lattice must (a) answer every routed query EXACTLY equal to the
+direct GROUP BY over the raw stream, (b) route to the cheapest subsuming
+level and refuse unsubsumed queries, (c) serve WITHOUT reading the raw
+data or any other level (input-file proof), (d) advance every level in
+one atomic catalog commit with ledger-exact replays, and (e) stay
+consistent through compaction.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_in_go_spark.sources.catalog import TableCatalog
+from map_reduce_in_go_spark.sources.tables import load_table
+from map_reduce_in_go_spark.streaming.lattice import RollupLattice, _level_member
+
+LEVELS = {
+    "by_type_day": ("event_type", "day"),
+    "by_type": ("event_type",),
+    "by_day": ("day",),
+    "total": (),
+}
+SUMS = {"cnt": "1", "val": "value"}
+
+
+def _events(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("day", F.to_date("ts"))
+        .select("day", "event_type", "value", "user_id")
+    )
+
+
+def _feed(spark, sf_dir, tmp_path, n_batches=3):
+    ev = _events(spark, sf_dir)
+    lat = RollupLattice(TableCatalog(str(tmp_path / "lat")), LEVELS, SUMS)
+    for i in range(n_batches):
+        assert lat.ingest_batch(
+            spark, ev.filter(F.pmod("user_id", F.lit(n_batches)) == i), i
+        )
+    return lat, ev
+
+
+def _rows(df, dims):
+    return {
+        tuple(r[d] for d in dims): (r["cnt"], round(r["val"] or 0.0, 6))
+        for r in df.collect()
+    }
+
+
+def test_lattice_answers_equal_direct_groupby(spark, sf_dir, tmp_path):
+    lat, ev = _feed(spark, sf_dir, tmp_path)
+    for dims in (("event_type", "day"), ("event_type",), ("day",), ()):
+        got = lat.answer(spark, dims, {"cnt": "cnt", "val": "val"})
+        want = ev.groupBy(*dims).agg(
+            F.sum(F.expr("1")).alias("cnt"), F.sum("value").alias("val")
+        )
+        assert _rows(got, dims) == _rows(want, dims), dims
+
+    # derived ratio measure: avg = sum/count, exact through the fold
+    got = lat.answer(spark, ("event_type",), {"avg_val": "avg:val/cnt"})
+    want = ev.groupBy("event_type").agg(F.avg("value").alias("avg_val"))
+    g = {r["event_type"]: round(r["avg_val"], 9) for r in got.collect()}
+    w = {r["event_type"]: round(r["avg_val"], 9) for r in want.collect()}
+    assert g == w
+
+    # key-column filter commutes with the fold
+    got = lat.answer(
+        spark,
+        ("day",),
+        {"cnt": "cnt"},
+        where=F.col("event_type") == "click",
+        filter_cols=("event_type",),
+    )
+    want = ev.filter(F.col("event_type") == "click").groupBy("day").agg(
+        F.count("*").alias("cnt")
+    )
+    assert {r["day"]: r["cnt"] for r in got.collect()} == {
+        r["day"]: r["cnt"] for r in want.collect()
+    }
+
+
+def test_lattice_routing_and_refusal(spark, sf_dir, tmp_path):
+    lat, _ = _feed(spark, sf_dir, tmp_path, n_batches=2)
+    assert lat.choose_level(("event_type",)) == ("event_type",)
+    assert lat.choose_level(("day",)) == ("day",)
+    assert lat.choose_level(()) == ()
+    # a filter column forces a level that still carries it
+    assert lat.choose_level(("day",), ("event_type",)) == ("day", "event_type") or \
+        lat.choose_level(("day",), ("event_type",)) == ("event_type", "day")
+    with pytest.raises(KeyError):
+        lat.choose_level(("user_id",))  # nothing subsumes → loud refusal
+
+
+def test_lattice_serves_only_from_chosen_level(spark, sf_dir, tmp_path):
+    """Input-file proof: answering ('event_type',) reads ONLY that level's
+    member files — not the raw events, not the apex, not any other level."""
+    lat, _ = _feed(spark, sf_dir, tmp_path, n_batches=2)
+    df = lat.answer(spark, ("event_type",), {"cnt": "cnt"})
+    files = df.inputFiles()
+    assert files
+    want = _level_member(("event_type",))
+    assert all(f"/{want}/" in f for f in files), files
+
+
+def test_lattice_atomic_advance_and_replay(spark, sf_dir, tmp_path):
+    lat, ev = _feed(spark, sf_dir, tmp_path)
+    v = lat.cat.version()
+    # replay: ledger no-op, no level double-counts, catalog doesn't move
+    assert not lat.ingest_batch(
+        spark, ev.filter(F.pmod("user_id", F.lit(3)) == 0), 0
+    )
+    assert lat.cat.version() == v
+    # every level agrees on the grand totals — no level drifted
+    totals = []
+    for dims in (("event_type", "day"), ("event_type",), ("day",), ()):
+        r = (
+            lat.answer(spark, dims, {"cnt": "cnt", "val": "val"})
+            .agg(F.sum("cnt"), F.sum("val"))
+            .collect()[0]
+        )
+        totals.append((r[0], round(r[1], 6)))
+    assert len(set(totals)) == 1
+
+    # compaction folds logs without changing any answer
+    before = _rows(
+        lat.answer(spark, ("event_type", "day"), {"cnt": "cnt", "val": "val"}),
+        ("event_type", "day"),
+    )
+    lat.compact(spark)
+    after = _rows(
+        lat.answer(spark, ("event_type", "day"), {"cnt": "cnt", "val": "val"}),
+        ("event_type", "day"),
+    )
+    assert before == after
+    # compacted level is O(distinct keys): one file, folded rows
+    n_keys = len(after)
+    assert (
+        lat.cat.read(spark, _level_member(("day", "event_type"))).count()
+        >= n_keys
+    )
+    assert lat.cat.read(spark, _level_member(("event_type",))).count() == len(
+        {k[0] for k in after}
+    )
