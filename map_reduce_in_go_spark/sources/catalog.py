@@ -432,6 +432,42 @@ class Transaction:
         self._staged[name] = (path, v)
         return v
 
+    def files_pruned_in(
+        self, name: str, col: str, values
+    ) -> tuple[list[str], int]:
+        """(files possibly holding a probe value, total files) for member
+        ``name`` at this transaction's pinned view — the targeting half of
+        a file-granular rewrite (:meth:`replace_files`)."""
+        self._check_open()
+        tbl, _path, pinned = self._member(name)
+        if pinned < 0:
+            raise KeyError(f"member {name!r} not in this transaction's view")
+        return tbl.files_pruned_in(col, values, version=pinned)
+
+    def replace_files(
+        self,
+        name: str,
+        remove: list[str],
+        df: DataFrame | None,
+        op: str = "txn-stage-replace",
+        stats_cols: list[str] | None = None,
+    ) -> int:
+        """Stage a copy-on-write rewrite of a file subset of ``name``:
+        pinned content − ``remove`` + files written from ``df`` (None =
+        pure delete). Untouched files survive by reference — the MERGE/
+        DELETE file-granularity verb; pair with :meth:`files_pruned_in`
+        to target only the files whose stats admit the affected keys."""
+        self._check_open()
+        tbl, path, pinned = self._member(name, stats_cols)
+        if pinned < 0:
+            raise KeyError(
+                f"member {name!r} not in this transaction's view; "
+                "replace_files rewrites existing content only"
+            )
+        v = tbl.replace_files(remove, df, op=op, base_version=pinned)
+        self._staged[name] = (path, v)
+        return v
+
     def drop(self, name: str) -> None:
         """Stage removal of member ``name`` from the catalog (DROP TABLE).
 

@@ -214,12 +214,18 @@ class ManifestTable:
     def _merged_stats(
         self, base_version: int, files: list[str], new_stats: dict[str, dict]
     ) -> dict[str, dict]:
-        """Stats for a commit's full file list: carried-forward + new."""
-        if not self.stats_cols:
-            return {}
+        """Stats for a commit's full file list: carried-forward + new.
+
+        Carried stats survive even when THIS handle was built without
+        ``stats_cols``: a writer that doesn't collect stats must not
+        erase the skipping index earlier writers paid for (its own new
+        files simply have none and are conservatively kept).
+        """
         carried = {}
         if base_version >= 0:
             carried = self._manifest(base_version).get("stats", {})
+        if not self.stats_cols and not carried:
+            return {}
         out = {}
         for name in files:
             if name in new_stats:
@@ -537,6 +543,69 @@ class ManifestTable:
             f"overwrite lost the commit race {max_retries} times at {self.root}"
         )
 
+    def replace_files(
+        self,
+        remove: list[str],
+        df: DataFrame | None,
+        max_retries: int = 20,
+        op: str = "replace-files",
+        expected_version: int | None = None,
+        base_version: int | None = None,
+    ) -> int:
+        """Copy-on-write rewrite of a file SUBSET, one atomic commit.
+
+        The Delta-MERGE file-granularity primitive: the committed content
+        is ``files(base) − remove + files written from df`` — every
+        untouched file survives BY REFERENCE (its manifest entry and
+        stats carried forward, zero data movement), so a correction that
+        touches k of N files costs O(k), not O(N). ``df=None`` is a pure
+        delete. ``remove`` entries may be manifest names or full paths;
+        a name absent from the base snapshot refuses loudly — the
+        caller's pruning reasoned over a different snapshot than the one
+        being committed against, and silently ignoring it would commit a
+        rewrite derived from stale file content.
+
+        ``expected_version`` / ``base_version`` carry :meth:`append`'s
+        CAS / pinned-base semantics. With ``df=None`` the base manifest's
+        schema is carried forward (a delete must not erase the read
+        schema).
+        """
+        drop = {os.path.basename(f) for f in remove}
+        new_names = self._write_data_files(df) if df is not None else []
+        schema_json = df.schema.json() if df is not None else None
+        new_stats = self._file_stats(new_names)
+        for _ in range(max_retries):
+            v = self.version()
+            if expected_version is not None and v != expected_version:
+                raise CommitConflict(
+                    f"expected to replace on v{expected_version} but table "
+                    f"is at v{v} at {self.root}"
+                )
+            base = v if base_version is None else base_version
+            man = self._manifest(base) if base >= 0 else {"files": []}
+            live = man["files"]
+            missing = drop.difference(live)
+            if missing:
+                raise ValueError(
+                    f"replace_files: {sorted(missing)[:5]} not in snapshot "
+                    f"v{base} at {self.root}; the caller pruned against a "
+                    "different snapshot than it is committing on"
+                )
+            files = [f for f in live if f not in drop] + new_names
+            if self._try_commit(
+                v + 1,
+                files,
+                op=op,
+                schema_json=schema_json or man.get("schema"),
+                stats=self._merged_stats(base, files, new_stats),
+            ):
+                self._maybe_checkpoint(v + 1)
+                return v + 1
+        raise CommitConflict(
+            f"replace_files lost the commit race {max_retries} times at "
+            f"{self.root}"
+        )
+
     def committed_ops(self) -> set[str]:
         """Op labels of every commit ≤ the newest version.
 
@@ -658,6 +727,15 @@ class ManifestTable:
         v = self.version() if version is None else version
         files = self.files(v)
         if not files:
+            # a COMMITTED zero-file snapshot (a replace_files pure delete
+            # that emptied the table) still has a pinned schema — serve an
+            # empty frame; only a never-committed table refuses
+            if v >= 0:
+                schema_json = self._manifest(v).get("schema")
+                if schema_json is not None:
+                    return spark.createDataFrame(
+                        [], StructType.fromJson(json.loads(schema_json))
+                    )
             raise FileNotFoundError(f"no committed version at {self.root}")
         reader = spark.read
         if merge_schema:

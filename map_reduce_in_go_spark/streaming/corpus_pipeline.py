@@ -265,8 +265,13 @@ def corpus_batch_txn(
             from concurrent.futures import ThreadPoolExecutor
 
             def _corpus():
+                # doc_id stats: the skipping index file-granular
+                # corrections (retract/update copy-on-write) prune with
                 txn.append(
-                    CORPUS, kept.select("doc_id", "text", "lang", *extras), op=op
+                    CORPUS,
+                    kept.select("doc_id", "text", "lang", *extras),
+                    op=op,
+                    stats_cols=["doc_id"],
                 )
 
             def _bands():
@@ -274,7 +279,7 @@ def corpus_batch_txn(
                     BANDS,
                     batch_bands.join(survivors, "doc_id", "left_semi"),
                     op=op,
-                    stats_cols=["band_hash"],
+                    stats_cols=["band_hash", "doc_id"],
                 )
 
             def _grams():
@@ -467,9 +472,14 @@ def bootstrap_pipeline(
 
         appends = (
             lambda: txn.append(
-                CORPUS, kept.select("doc_id", "text", "lang", *extras), op=op
+                CORPUS,
+                kept.select("doc_id", "text", "lang", *extras),
+                op=op,
+                stats_cols=["doc_id"],
             ),
-            lambda: txn.append(BANDS, bands, op=op, stats_cols=["band_hash"]),
+            lambda: txn.append(
+                BANDS, bands, op=op, stats_cols=["band_hash", "doc_id"]
+            ),
             lambda: txn.append(GRAMS, grams, op=op, stats_cols=["g"]),
             lambda: txn.append(
                 TOKENS, _token_count_rows(kept), op=op, stats_cols=["word"]
@@ -490,6 +500,47 @@ def bootstrap_pipeline(
         for df in (kept, survivors):
             if df is not None:
                 free_local_checkpoint(df)
+
+
+# past this many affected ids, per-file [min,max] pruning buys nothing
+# (same bound + rationale as operators/dedup.py MAX_PROBE_KEYS)
+MERGE_MAX_IDS = 100_000
+
+
+def _remove_ids_cow(
+    spark: SparkSession,
+    txn,
+    name: str,
+    ids: DataFrame,
+    id_vals: list[int],
+    op: str,
+    stats_cols: list[str] | None = None,
+) -> None:
+    """Remove rows with ``doc_id ∈ ids`` from member ``name`` by COPY-ON-
+    WRITE: rewrite ONLY the files whose recorded [min, max] doc_id admits
+    an affected id; every other file survives by reference. At 100 TB
+    this is the difference between O(corpus) and O(touched files) per
+    correction — the Delta-MERGE posture. Falls back to the full
+    anti-join overwrite when the id set exceeds :data:`MERGE_MAX_IDS`
+    (driver probe-set bound) or when stats are absent (every file kept →
+    the rewrite IS the full member, same cost either way, one code path).
+    """
+    if len(id_vals) > MERGE_MAX_IDS:
+        txn.overwrite(
+            name,
+            txn.read(name, merge_schema=True).join(ids, "doc_id", "left_anti"),
+            stats_cols=stats_cols,
+        )
+        return
+    touched, _total = txn.files_pruned_in(name, "doc_id", id_vals)
+    if not touched:
+        return  # stats prove no file holds an affected id
+    survivors = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*touched)
+        .join(ids, "doc_id", "left_anti")
+    )
+    txn.replace_files(name, touched, survivors, op=op, stats_cols=stats_cols)
 
 
 def retract_docs(
@@ -584,29 +635,31 @@ def retract_docs(
                     f"none of {sorted(set(doc_ids))[:10]}... is in the corpus "
                     f"or the rejection report at {cat.root}; nothing to retract"
                 )
+            id_vals = sorted({int(d) for d in doc_ids})
             if rej_gone:
-                txn.overwrite(
-                    REJECTS,
-                    txn.read(REJECTS, merge_schema=True).join(
-                        ids, "doc_id", "left_anti"
-                    ),
-                    stats_cols=["doc_id"],
+                _remove_ids_cow(
+                    spark, txn, REJECTS, ids, id_vals, op, stats_cols=["doc_id"]
                 )
             if not n_gone:
                 # rejected-only erasure: no other member ever saw the doc
                 txn.commit(op=op)
                 return True
-            remaining = txn.read(CORPUS, merge_schema=True).join(
-                ids, "doc_id", "left_anti"
+            # copy-on-write removals: only files whose doc_id stats admit a
+            # retracted id are rewritten; the rest survive by reference
+            _remove_ids_cow(
+                spark, txn, CORPUS, ids, id_vals, op, stats_cols=["doc_id"]
             )
-            txn.overwrite(CORPUS, remaining)
-            txn.overwrite(
+            _remove_ids_cow(
+                spark,
+                txn,
                 BANDS,
-                txn.read(BANDS, merge_schema=True).join(
-                    ids, "doc_id", "left_anti"
-                ),
-                stats_cols=["band_hash"],
+                ids,
+                id_vals,
+                op,
+                stats_cols=["band_hash", "doc_id"],
             )
+            # read-your-writes: the staged post-removal corpus
+            remaining = txn.read(CORPUS, merge_schema=True)
             neg = _token_gram_counts(gone).select(
                 "g", (-F.col("n")).alias("n")
             )
@@ -769,16 +822,40 @@ def update_docs(
             ]
 
             remaining = corpus0.join(ids, "doc_id", "left_anti")
-            txn.overwrite(CORPUS, remaining)
+            # file-granular removal of the replaced versions (copy-on-
+            # write; O(touched files)); past the probe bound, collect
+            # nothing and fall back to the full anti-join overwrite
+            id_vals = None
+            if ids.limit(MERGE_MAX_IDS + 1).count() <= MERGE_MAX_IDS:
+                id_vals = sorted(int(r["doc_id"]) for r in ids.collect())
+
+            def _rm(name: str, stats: list[str]) -> None:
+                if id_vals is None:
+                    txn.overwrite(
+                        name,
+                        txn.read(name, merge_schema=True).join(
+                            ids, "doc_id", "left_anti"
+                        ),
+                        stats_cols=stats,
+                    )
+                else:
+                    _remove_ids_cow(
+                        spark, txn, name, ids, id_vals, op, stats_cols=stats
+                    )
+
+            _rm(CORPUS, ["doc_id"])
             txn.append(
-                CORPUS, kept.select("doc_id", "text", "lang", *extras), op=op
+                CORPUS,
+                kept.select("doc_id", "text", "lang", *extras),
+                op=op,
+                stats_cols=["doc_id"],
             )
-            txn.overwrite(BANDS, bands_kept, stats_cols=["band_hash"])
+            _rm(BANDS, ["band_hash", "doc_id"])
             txn.append(
                 BANDS,
                 batch_bands.join(survivors, "doc_id", "left_semi"),
                 op=op,
-                stats_cols=["band_hash"],
+                stats_cols=["band_hash", "doc_id"],
             )
             # additive members: negative (old) and positive (new) rows in
             # one append each — the fold is the state, rows are the delta
@@ -861,13 +938,7 @@ def update_docs(
             if REJECTS in names:
                 # purge any stored trace of the replaced versions, then
                 # store the NEW versions' rejection report rows
-                txn.overwrite(
-                    REJECTS,
-                    txn.read(REJECTS, merge_schema=True).join(
-                        ids, "doc_id", "left_anti"
-                    ),
-                    stats_cols=["doc_id"],
-                )
+                _rm(REJECTS, ["doc_id"])
                 txn.append(
                     REJECTS,
                     _gram_rows_of(rejected),
@@ -982,7 +1053,7 @@ def compact_pipeline(
             zorder_layout(
                 txn.read(BANDS, merge_schema=True), ["band_hash"], num_files
             ),
-            stats_cols=["band_hash"],
+            stats_cols=["band_hash", "doc_id"],
         )
         if TOKENS in names:
             toks = (
@@ -1025,8 +1096,15 @@ def compact_pipeline(
                 schema=_Q_SCHEMA,
             ).coalesce(1),
         )
+        # sort-by-doc_id layout: post-compaction files PARTITION the id
+        # space, so later corrections' copy-on-write removals prune to the
+        # few files whose [min,max] admit the affected ids
         txn.overwrite(
-            CORPUS, txn.read(CORPUS, merge_schema=True).coalesce(num_files)
+            CORPUS,
+            zorder_layout(
+                txn.read(CORPUS, merge_schema=True), ["doc_id"], num_files
+            ),
+            stats_cols=["doc_id"],
         )
         if "centroids" in names:
             for cell in [r["cell"] for r in txn.read("centroids").collect()]:

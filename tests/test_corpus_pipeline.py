@@ -1356,3 +1356,118 @@ def test_ingest_expectations_quarantine(spark, sf_dir, tmp_path):
         raise AssertionError("quarantine member must not exist unconstrained")
     except KeyError:
         pass
+
+
+def test_file_granular_corrections(spark, sf_dir, tmp_path, monkeypatch):
+    """retract_docs / update_docs rewrite ONLY the corpus/bands files whose
+    doc_id stats admit the affected ids: after a sort-layout compaction,
+    untouched files survive BY REFERENCE (same manifest names), the end
+    state equals the full-overwrite fallback path's bit-for-bit, and the
+    cow commit replicates cleanly."""
+    import map_reduce_in_go_spark.streaming.corpus_pipeline as cp
+    from map_reduce_in_go_spark.sources.replicate import (
+        catalog_divergence,
+        replicate_catalog,
+    )
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+        compact_pipeline,
+        retract_docs,
+    )
+
+    def _member_files(cat, name):
+        path, pin = cat.snapshot(spark)[name]
+        return set(cat.table(path).files(pin))
+
+    def _build(root):
+        cat = TableCatalog(str(root))
+        _feed(spark, sf_dir, cat)
+        compact_pipeline(spark, cat, num_files=8)
+        return cat
+
+    cat = _build(tmp_path / "cow")
+    accepted = sorted(
+        r["doc_id"] for r in member(spark, cat, CORPUS).select("doc_id").collect()
+    )
+    victims = accepted[:2]  # contiguous low ids → one or two sorted files
+
+    before = _member_files(cat, CORPUS)
+    assert len(before) > 2
+    assert retract_docs(spark, cat, victims, op="fg-retract")
+    after = _member_files(cat, CORPUS)
+    # copy-on-write: most files survive by reference, few are rewritten
+    assert before & after, "no file survived by reference"
+    assert len(before - after) < len(before) / 2, (
+        f"rewrote {len(before - after)}/{len(before)} files for 2 ids"
+    )
+    left = {r["doc_id"] for r in member(spark, cat, CORPUS).select("doc_id").collect()}
+    assert left == set(accepted) - set(victims)
+    for name in (BANDS, REJECTS):
+        ids = {r["doc_id"] for r in member(spark, cat, name).select("doc_id").collect()}
+        assert not (ids & set(victims)), name
+
+    # fallback-path twin (probe bound forced to 0 → full anti-join
+    # overwrite): end state must be identical member-for-member
+    monkeypatch.setattr(cp, "MERGE_MAX_IDS", 0)
+    cat2 = _build(tmp_path / "full")
+    assert retract_docs(spark, cat2, victims, op="fg-retract")
+    monkeypatch.undo()
+    for name in (CORPUS, BANDS, GRAMS, TOKENS):
+        a = member(spark, cat, name, merge_schema=True)
+        b = member(spark, cat2, name, merge_schema=True)
+        cols = sorted(a.columns)
+        assert sorted(
+            map(tuple, a.select(*cols).collect())
+        ) == sorted(map(tuple, b.select(*cols).collect())), name
+
+    # the cow commit ships through replication like any rewrite
+    dst = TableCatalog(str(tmp_path / "replica"))
+    replicate_catalog(spark, cat, dst)
+    assert not catalog_divergence(spark, cat, dst)
+
+    # update_docs takes the same path: upsert two victims back with new
+    # text; most files again survive by reference
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import update_docs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    redo = docs.filter(F.col("doc_id").isin([int(v) for v in victims]))
+    before_u = _member_files(cat, CORPUS)
+    assert update_docs(spark, cat, redo, op="fg-upsert")
+    after_u = _member_files(cat, CORPUS)
+    assert before_u & after_u, "upsert rewrote every file"
+    ids_now = {
+        r["doc_id"] for r in member(spark, cat, CORPUS).select("doc_id").collect()
+    }
+    assert set(victims) <= ids_now
+
+
+def test_replace_files_primitive(spark, tmp_path):
+    """ManifestTable.replace_files: stale-name refusal, pure delete keeps
+    the read schema, stats carried for files kept by reference."""
+    import pytest as _pytest
+
+    from map_reduce_in_go_spark.sources.manifest_table import ManifestTable
+
+    tbl = ManifestTable(str(tmp_path / "t"), stats_cols=["k"])
+    df1 = spark.range(0, 10).selectExpr("id AS k", "id * 2 AS v").coalesce(1)
+    df2 = spark.range(10, 20).selectExpr("id AS k", "id * 2 AS v").coalesce(1)
+    tbl.append(df1)
+    v2 = tbl.append(df2)
+    f_lo, _ = tbl.files_pruned_in("k", [3], version=v2)
+    assert len(f_lo) == 1
+    # replace the low file with filtered content
+    repl = spark.read.parquet(*f_lo).filter("k != 3")
+    v3 = tbl.replace_files(f_lo, repl)
+    rows = {r["k"] for r in tbl.read(spark, v3).collect()}
+    assert rows == set(range(20)) - {3}
+    # the untouched file kept its stats: pruning for a high key still
+    # reads one file
+    f_hi, total = tbl.files_pruned_in("k", [15], version=v3)
+    assert len(f_hi) == 1 and total == 2
+    # pure delete keeps schema readable even when the table empties
+    f_all = tbl.files(v3)
+    v4 = tbl.replace_files(f_all, None)
+    empty = tbl.read(spark, v4)
+    assert empty.count() == 0 and set(empty.columns) == {"k", "v"}
+    # a name absent from the base refuses loudly
+    with _pytest.raises(ValueError):
+        tbl.replace_files(["nope.parquet"], None)
