@@ -515,6 +515,7 @@ def _remove_ids_cow(
     id_vals: list[int],
     op: str,
     stats_cols: list[str] | None = None,
+    extra_probe: tuple[str, list] | None = None,
 ) -> None:
     """Remove rows with ``doc_id ∈ ids`` from member ``name`` by COPY-ON-
     WRITE: rewrite ONLY the files whose recorded [min, max] doc_id admits
@@ -533,6 +534,18 @@ def _remove_ids_cow(
         )
         return
     touched, _total = txn.files_pruned_in(name, "doc_id", id_vals)
+    if extra_probe is not None:
+        # compositional pruning: both probes are sound over-approximations
+        # of "files that may hold an affected row", so their intersection
+        # is too. This is what keeps the BANDS member file-granular after
+        # compaction z-orders it by band_hash (its doc_id stats then span
+        # every file, but the gone docs' band-hash point set does not).
+        col, vals = extra_probe
+        if not vals:
+            return  # empty probe value set ⇒ the ids own no row here
+        if len(vals) <= MERGE_MAX_IDS:
+            extra, _t = txn.files_pruned_in(name, col, vals)
+            touched = [f for f in touched if f in set(extra)]
     if not touched:
         return  # stats prove no file holds an affected id
     survivors = (
@@ -649,6 +662,17 @@ def retract_docs(
             _remove_ids_cow(
                 spark, txn, CORPUS, ids, id_vals, op, stats_cols=["doc_id"]
             )
+            # the gone docs' own band hashes sharpen the file probe: after
+            # compaction z-orders BANDS by band_hash, doc_id stats span
+            # every file but this point set does not (≤ N_BANDS per doc)
+            gone_hashes = [
+                r["band_hash"]
+                for r in txn.read(BANDS)
+                .join(ids, "doc_id", "left_semi")
+                .select("band_hash")
+                .distinct()
+                .collect()
+            ]
             _remove_ids_cow(
                 spark,
                 txn,
@@ -657,6 +681,7 @@ def retract_docs(
                 id_vals,
                 op,
                 stats_cols=["band_hash", "doc_id"],
+                extra_probe=("band_hash", gone_hashes),
             )
             # read-your-writes: the staged post-removal corpus
             remaining = txn.read(CORPUS, merge_schema=True)
@@ -829,7 +854,11 @@ def update_docs(
             if ids.limit(MERGE_MAX_IDS + 1).count() <= MERGE_MAX_IDS:
                 id_vals = sorted(int(r["doc_id"]) for r in ids.collect())
 
-            def _rm(name: str, stats: list[str]) -> None:
+            def _rm(
+                name: str,
+                stats: list[str],
+                extra: tuple[str, list] | None = None,
+            ) -> None:
                 if id_vals is None:
                     txn.overwrite(
                         name,
@@ -840,7 +869,14 @@ def update_docs(
                     )
                 else:
                     _remove_ids_cow(
-                        spark, txn, name, ids, id_vals, op, stats_cols=stats
+                        spark,
+                        txn,
+                        name,
+                        ids,
+                        id_vals,
+                        op,
+                        stats_cols=stats,
+                        extra_probe=extra,
                     )
 
             _rm(CORPUS, ["doc_id"])
@@ -850,7 +886,23 @@ def update_docs(
                 op=op,
                 stats_cols=["doc_id"],
             )
-            _rm(BANDS, ["band_hash", "doc_id"])
+            old_hashes = None
+            if id_vals is not None:
+                # the replaced versions' own band hashes (≤ N_BANDS per
+                # doc): sharpens BANDS file pruning post-compaction
+                old_hashes = [
+                    r["band_hash"]
+                    for r in txn.read(BANDS)
+                    .join(ids, "doc_id", "left_semi")
+                    .select("band_hash")
+                    .distinct()
+                    .collect()
+                ]
+            _rm(
+                BANDS,
+                ["band_hash", "doc_id"],
+                extra=None if old_hashes is None else ("band_hash", old_hashes),
+            )
             txn.append(
                 BANDS,
                 batch_bands.join(survivors, "doc_id", "left_semi"),

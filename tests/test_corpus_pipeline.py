@@ -1391,13 +1391,22 @@ def test_file_granular_corrections(spark, sf_dir, tmp_path, monkeypatch):
     victims = accepted[:2]  # contiguous low ids → one or two sorted files
 
     before = _member_files(cat, CORPUS)
+    before_b = _member_files(cat, BANDS)
     assert len(before) > 2
     assert retract_docs(spark, cat, victims, op="fg-retract")
     after = _member_files(cat, CORPUS)
+    after_b = _member_files(cat, BANDS)
     # copy-on-write: most files survive by reference, few are rewritten
     assert before & after, "no file survived by reference"
     assert len(before - after) < len(before) / 2, (
         f"rewrote {len(before - after)}/{len(before)} files for 2 ids"
+    )
+    # BANDS is z-ordered by band_hash after compaction, so its doc_id
+    # stats span every file — the gone docs' band-hash point probe is
+    # what keeps its rewrite file-granular
+    assert before_b & after_b, "bands rewrote every file"
+    assert len(before_b - after_b) < len(before_b), (
+        f"bands rewrote {len(before_b - after_b)}/{len(before_b)} files"
     )
     left = {r["doc_id"] for r in member(spark, cat, CORPUS).select("doc_id").collect()}
     assert left == set(accepted) - set(victims)
