@@ -643,18 +643,34 @@ def retract_docs(
                     .limit(1)
                     .count()
                 )
-            if not n_gone and not rej_gone:
+            quar_gone = 0
+            if QUAR in names:
+                quar_gone = (
+                    txn.read(QUAR)
+                    .join(ids, "doc_id", "left_semi")
+                    .limit(1)
+                    .count()
+                )
+            if not n_gone and not rej_gone and not quar_gone:
                 raise ValueError(
-                    f"none of {sorted(set(doc_ids))[:10]}... is in the corpus "
-                    f"or the rejection report at {cat.root}; nothing to retract"
+                    f"none of {sorted(set(doc_ids))[:10]}... is in the corpus, "
+                    f"the rejection report, or the quarantine at {cat.root}; "
+                    "nothing to retract"
                 )
             id_vals = sorted({int(d) for d in doc_ids})
             if rej_gone:
                 _remove_ids_cow(
                     spark, txn, REJECTS, ids, id_vals, op, stats_cols=["doc_id"]
                 )
+            if quar_gone:
+                # erasure covers the audit trail too: quarantine rows are
+                # content-free (doc_id, rule, batch_id) but they are still
+                # a stored trace of the document's ingest attempts
+                _remove_ids_cow(
+                    spark, txn, QUAR, ids, id_vals, op, stats_cols=["doc_id"]
+                )
             if not n_gone:
-                # rejected-only erasure: no other member ever saw the doc
+                # rejected/quarantined-only erasure: no data member saw it
                 txn.commit(op=op)
                 return True
             # copy-on-write removals: only files whose doc_id stats admit a
@@ -768,6 +784,7 @@ def update_docs(
     op: str,
     max_retries: int = 10,
     emb_batch: DataFrame | None = None,
+    expectations: list[tuple[str, str]] | None = None,
 ) -> bool:
     """UPSERT documents into every member in ONE catalog CAS (r11).
 
@@ -798,6 +815,14 @@ def update_docs(
     the new versions, encoded with the catalog's SERVED IVF-PQ model so
     replaced codes leave and replacement codes land in the same commit.
 
+    ``expectations`` mirrors ingest's constraint gate (r11): a revision
+    failing a rule is QUARANTINED — its audit rows (batch_id −4) land in
+    the ``quarantine`` member and the OLD version STAYS untouched
+    (refusing a correction is not erasing the record). Every id the
+    attempt touched clears its previous audit rows first, so the member
+    reads as each document's LATEST adjudication: a fixed revision's
+    stale indictment disappears in the same commit that admits it.
+
     Exactly-once per ``op`` from the catalog ledger; CAS conflicts
     re-plan against the new snapshot. Returns False on replay.
     """
@@ -821,7 +846,32 @@ def update_docs(
         survivors = kept = gone = None
         try:
             names = cat.snapshot(spark, txn.base_version)
-            ids = new_docs.select("doc_id").distinct()
+            # constraint parity with ingest (r11): a revision failing an
+            # expectation is QUARANTINED — audit rows land, the OLD
+            # version STAYS (the correction is refused per-doc; refusing
+            # is not erasing). Clean revisions proceed unchanged.
+            src_docs = new_docs
+            quar_rows = None
+            if expectations:
+                viol = F.array_compact(
+                    F.array(
+                        *[
+                            F.when(
+                                ~F.coalesce(F.expr(expr), F.lit(False)),
+                                F.lit(name),
+                            )
+                            for name, expr in expectations
+                        ]
+                    )
+                )
+                tagged = scoped_persist(new_docs.withColumn("_viol", viol))
+                quar_rows = (
+                    tagged.filter(F.size("_viol") > 0)
+                    .select("doc_id", F.explode("_viol").alias("rule"))
+                    .withColumn("batch_id", F.lit(-4))
+                )
+                src_docs = tagged.filter(F.size("_viol") == 0).drop("_viol")
+            ids = src_docs.select("doc_id").distinct()
             corpus0 = txn.read(CORPUS, merge_schema=True)
             gone = (
                 corpus0.join(ids, "doc_id", "left_semi")
@@ -832,17 +882,17 @@ def update_docs(
             bands_kept = txn.read(BANDS, merge_schema=True).join(
                 ids, "doc_id", "left_anti"
             )
-            batch_bands = scoped_persist(bands_of_docs(new_docs))
+            batch_bands = scoped_persist(bands_of_docs(src_docs))
             survivors = dedup_batch_against_bands(
-                new_docs, bands_kept, batch_bands=batch_bands
+                src_docs, bands_kept, batch_bands=batch_bands
             ).localCheckpoint(eager=True)
-            kept = new_docs.join(survivors, "doc_id", "left_semi").localCheckpoint(
+            kept = src_docs.join(survivors, "doc_id", "left_semi").localCheckpoint(
                 eager=True
             )
-            rejected = new_docs.join(survivors, "doc_id", "left_anti")
+            rejected = src_docs.join(survivors, "doc_id", "left_anti")
             extras = [
                 c
-                for c in new_docs.columns
+                for c in src_docs.columns
                 if c not in ("doc_id", "text", "lang")
             ]
 
@@ -997,6 +1047,38 @@ def update_docs(
                     op=op,
                     stats_cols=["doc_id"],
                 )
+            if expectations:
+                # latest-adjudication semantics: every id this attempt
+                # touched clears its old audit rows (a fixed revision's
+                # stale indictment must not linger); this attempt's own
+                # violations land in the same commit
+                attempt_ids = new_docs.select("doc_id").distinct()
+                if QUAR in names:
+                    if (
+                        attempt_ids.limit(MERGE_MAX_IDS + 1).count()
+                        <= MERGE_MAX_IDS
+                    ):
+                        a_vals = sorted(
+                            int(r["doc_id"]) for r in attempt_ids.collect()
+                        )
+                        _remove_ids_cow(
+                            spark,
+                            txn,
+                            QUAR,
+                            attempt_ids,
+                            a_vals,
+                            op,
+                            stats_cols=["doc_id"],
+                        )
+                    else:
+                        txn.overwrite(
+                            QUAR,
+                            txn.read(QUAR, merge_schema=True).join(
+                                attempt_ids, "doc_id", "left_anti"
+                            ),
+                            stats_cols=["doc_id"],
+                        )
+                txn.append(QUAR, quar_rows, op=op, stats_cols=["doc_id"])
             if "centroids" in names:
                 vec_ids = ids.select(F.col("doc_id").alias("vec_id"))
                 for r in txn.read("centroids").collect():

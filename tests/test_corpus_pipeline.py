@@ -1480,3 +1480,81 @@ def test_replace_files_primitive(spark, tmp_path):
     # a name absent from the base refuses loudly
     with _pytest.raises(ValueError):
         tbl.replace_files(["nope.parquet"], None)
+
+
+def test_update_docs_expectations(spark, sf_dir, tmp_path):
+    """Constraint parity for the MERGE verb: a violating revision is
+    quarantined while the OLD version stays; a fixed revision of a
+    quarantined doc is admitted and its stale indictment clears; erasure
+    purges the audit trail; quarantined-only docs are retractable."""
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+        QUAR,
+        retract_docs,
+        update_docs,
+    )
+    from map_reduce_in_go_spark.streaming.pipeline_read import EXPECTATIONS
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    for i in range(3):
+        assert corpus_batch_txn(
+            spark,
+            docs.filter(F.pmod("doc_id", F.lit(3)) == i),
+            cat,
+            i,
+            expectations=EXPECTATIONS,
+        )
+
+    quar0 = {r["doc_id"] for r in member(spark, cat, QUAR).select("doc_id").collect()}
+    corpus0 = {
+        r["doc_id"]: r["text"]
+        for r in member(spark, cat, CORPUS).select("doc_id", "text").collect()
+    }
+    fixee = sorted(quar0)[0]  # quarantined at ingest (text too long/short)
+    breakee = sorted(set(corpus0) - quar0)[0]  # accepted; we break it now
+
+    upsert = docs.filter(F.col("doc_id").isin([int(fixee), int(breakee)])).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == fixee, F.expr("substr(text, 1, 300)")
+        ).otherwise(F.concat(F.col("text"), F.lit("x" * 600))),
+    )
+    assert update_docs(
+        spark, cat, upsert, op="constrained-upsert", expectations=EXPECTATIONS
+    )
+
+    corpus1 = {
+        r["doc_id"]: r["text"]
+        for r in member(spark, cat, CORPUS).select("doc_id", "text").collect()
+    }
+    # the fixed revision is admitted with the new text
+    assert fixee in corpus1 and len(corpus1[fixee]) <= 300
+    # the broken revision was refused: OLD text untouched
+    assert corpus1[breakee] == corpus0[breakee]
+
+    quar1 = {
+        (r["doc_id"], r["batch_id"])
+        for r in member(spark, cat, QUAR).select("doc_id", "batch_id").collect()
+    }
+    assert not any(d == fixee for d, _ in quar1), "stale indictment lingered"
+    assert (breakee, -4) in quar1, "violating revision not indicted"
+
+    # replay: joint no-op
+    v = cat.version()
+    assert not update_docs(
+        spark, cat, upsert, op="constrained-upsert", expectations=EXPECTATIONS
+    )
+    assert cat.version() == v
+
+    # a quarantined-only doc (never accepted) is erasable: audit purged
+    only_q = sorted(
+        d
+        for d in quar0
+        if d not in corpus0 and d != fixee
+    )
+    if only_q:
+        assert retract_docs(spark, cat, [int(only_q[0])], op="erase-quar")
+        left = {
+            r["doc_id"] for r in member(spark, cat, QUAR).select("doc_id").collect()
+        }
+        assert only_q[0] not in left
