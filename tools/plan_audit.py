@@ -74,6 +74,12 @@ SCALAR_CROSS_OK = {
     "heavy_hitters",
     "heavy_hitters_cms",
     "pipeline_trending_served",  # 1-row vocab-total scalar cross
+    # same _trending_from_token_counts fold, same 1-row scalar cross —
+    # served from the replica / a time-travel snapshot / the post-upsert
+    # clone respectively
+    "pipeline_trending_replica",
+    "pipeline_trending_asof",
+    "pipeline_trending_upsert",
 }
 
 # Queries whose plans legitimately contain an UNPARTITIONED sorted Window:
