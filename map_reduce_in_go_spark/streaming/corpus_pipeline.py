@@ -366,8 +366,18 @@ def bootstrap_pipeline(
     grams: DataFrame | None = None,
     app_id: str = "corpus",
     writer_token: str | None = None,
+    expectations: list[tuple[str, str]] | None = None,
 ) -> bool:
     """Seed an EMPTY pipeline catalog from a static corpus, then stream.
+
+    ``expectations`` mirrors :func:`corpus_batch_txn`'s constraint gate
+    (full verb parity, r11): violating rows are diverted to the
+    ``quarantine`` member (batch_id −2) BEFORE admission — they never
+    reach bands/corpus/rejects, so a constraint-armed bootstrap followed
+    by constraint-armed streaming is member-identical to streaming
+    everything constrained. REFUSED (loudly) on the adoption path: with
+    precomputed ``bands`` the caller vouches ``docs`` is already curated,
+    and silently skipping the gate would make the two claims ambiguous.
 
     The backfill posture: a corpus already exists (and often its band
     index and gram index exist as standalone batch artifacts — e.g.
@@ -417,20 +427,48 @@ def bootstrap_pipeline(
     kept = None
     survivors = None
     try:
+        quar_rows = None
         if bands is None:
+            src = docs
+            if expectations:
+                viol = F.array_compact(
+                    F.array(
+                        *[
+                            F.when(
+                                ~F.coalesce(F.expr(expr), F.lit(False)),
+                                F.lit(name),
+                            )
+                            for name, expr in expectations
+                        ]
+                    )
+                )
+                tagged = scoped_persist(docs.withColumn("_viol", viol))
+                quar_rows = (
+                    tagged.filter(F.size("_viol") > 0)
+                    .select("doc_id", F.explode("_viol").alias("rule"))
+                    .withColumn("batch_id", F.lit(-2))
+                )
+                src = tagged.filter(F.size("_viol") == 0).drop("_viol")
             empty = spark.createDataFrame(
                 [], "band_idx int, band_hash string"
             )
-            batch_bands = scoped_persist(bands_of_docs(docs))
+            batch_bands = scoped_persist(bands_of_docs(src))
             survivors = dedup_batch_against_bands(
-                docs, empty, batch_bands=batch_bands
+                src, empty, batch_bands=batch_bands
             ).localCheckpoint(eager=True)
-            kept = docs.join(survivors, "doc_id", "left_semi").localCheckpoint(
+            kept = src.join(survivors, "doc_id", "left_semi").localCheckpoint(
                 eager=True
             )
             bands = batch_bands.join(survivors, "doc_id", "left_semi")
-            rejected = docs.join(survivors, "doc_id", "left_anti")
+            rejected = src.join(survivors, "doc_id", "left_anti")
         else:
+            if expectations:
+                raise ValueError(
+                    "bootstrap_pipeline: expectations cannot be combined "
+                    "with precomputed bands/grams — the adoption path "
+                    "trusts docs as already curated; filter upstream or "
+                    "drop the precomputed artifacts"
+                )
             kept = docs.localCheckpoint(eager=True)
             # adoption path: docs are described as already near-dup-free,
             # so the rejection report starts empty (still created — every
@@ -490,7 +528,13 @@ def bootstrap_pipeline(
             _cms,
             _quants,
         )
-        with ThreadPoolExecutor(max_workers=7) as pool:
+        if quar_rows is not None:
+            appends = appends + (
+                lambda: txn.append(
+                    QUAR, quar_rows, op=op, stats_cols=["doc_id"]
+                ),
+            )
+        with ThreadPoolExecutor(max_workers=len(appends)) as pool:
             for fut in [pool.submit(f) for f in appends]:
                 fut.result()
         txn.commit(op=op)

@@ -1558,3 +1558,65 @@ def test_update_docs_expectations(spark, sf_dir, tmp_path):
             r["doc_id"] for r in member(spark, cat, QUAR).select("doc_id").collect()
         }
         assert only_q[0] not in left
+
+
+def test_bootstrap_expectations_parity(spark, sf_dir, tmp_path):
+    """Constraint-armed bootstrap + constrained streaming is member-
+    identical to streaming everything constrained (quarantine included,
+    modulo the bootstrap batch marker); expectations on the adoption
+    path refuse loudly."""
+    import pytest as _pytest
+
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+        QUAR,
+        bootstrap_pipeline,
+    )
+    from map_reduce_in_go_spark.streaming.pipeline_read import EXPECTATIONS
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+
+    cat_full = TableCatalog(str(tmp_path / "full"))
+    for i in range(3):
+        assert corpus_batch_txn(
+            spark,
+            docs.filter(F.pmod("doc_id", F.lit(3)) == i),
+            cat_full,
+            i,
+            expectations=EXPECTATIONS,
+        )
+
+    cat_boot = TableCatalog(str(tmp_path / "boot"))
+    assert bootstrap_pipeline(
+        spark,
+        cat_boot,
+        docs.filter(F.pmod("doc_id", F.lit(3)) == 0),
+        expectations=EXPECTATIONS,
+    )
+    for i in (1, 2):
+        assert corpus_batch_txn(
+            spark,
+            docs.filter(F.pmod("doc_id", F.lit(3)) == i),
+            cat_boot,
+            i,
+            expectations=EXPECTATIONS,
+        )
+
+    for name in (CORPUS, BANDS, QUAR):
+        cols = ["doc_id", "rule"] if name == QUAR else None
+        a = member(spark, cat_full, name, merge_schema=True)
+        b = member(spark, cat_boot, name, merge_schema=True)
+        cols = cols or sorted(a.columns)
+        assert sorted(map(tuple, a.select(*cols).collect())) == sorted(
+            map(tuple, b.select(*cols).collect())
+        ), name
+
+    # adoption path + expectations: ambiguous claims, loud refusal
+    pre_bands = member(spark, cat_full, BANDS)
+    with _pytest.raises(ValueError, match="expectations"):
+        bootstrap_pipeline(
+            spark,
+            TableCatalog(str(tmp_path / "adopt")),
+            docs,
+            bands=pre_bands,
+            expectations=EXPECTATIONS,
+        )
