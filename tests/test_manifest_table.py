@@ -268,3 +268,65 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert by_id[3] == "crawl-2" and by_id[1] is None
     # default read stays usable on the original columns
     assert tbl.read(spark).select("doc_id").count() == 3
+
+
+def test_replace_files_random_op_sequences(spark, tmp_path):
+    """Model-based check of the copy-on-write primitive: 30 seeded-random
+    commits mixing appends, subset replaces (filtered rewrites), and pure
+    deletes; after every commit the table equals an in-memory row model,
+    and point-set pruning stays SOUND (kept files ⊇ files whose content
+    holds a probe) while stats survive commits that kept files by
+    reference."""
+    import random
+
+    from map_reduce_in_go_spark.sources.manifest_table import ManifestTable
+
+    rng = random.Random(20260815)
+    tbl = ManifestTable(str(tmp_path / "t"), stats_cols=["k"])
+    model: dict[int, int] = {}  # k -> v (keys unique by construction)
+    next_k = 0
+
+    def _df(rows):
+        return spark.createDataFrame(rows or [(-1, -1)], "k long, v long").filter(
+            "k >= 0"
+        ).coalesce(1)
+
+    for step in range(30):
+        op = rng.choice(["append", "append", "replace", "delete"])
+        if op == "append" or tbl.version() < 0 or not tbl.files():
+            rows = [(next_k + i, rng.randrange(1000)) for i in range(rng.randrange(1, 6))]
+            next_k += len(rows)
+            tbl.append(_df(rows))
+            model.update(dict(rows))
+        else:
+            files = tbl.files()
+            pick = rng.sample(files, k=rng.randrange(1, len(files) + 1))
+            picked_rows = {
+                r["k"]: r["v"]
+                for r in spark.read.parquet(*pick).collect()
+            }
+            if op == "delete":
+                tbl.replace_files(pick, None)
+                for k in picked_rows:
+                    model.pop(k)
+            else:
+                # rewrite the subset: drop a random half, bump the rest
+                survivors = {
+                    k: v + 1 for k, v in picked_rows.items() if rng.random() < 0.5
+                }
+                tbl.replace_files(pick, _df(sorted(survivors.items())))
+                for k in picked_rows:
+                    model.pop(k)
+                model.update(survivors)
+        got = {r["k"]: r["v"] for r in tbl.read(spark).collect()}
+        assert got == model, f"content diverged at step {step} ({op})"
+        # pruning soundness on a random probe set
+        if model:
+            probes = rng.sample(sorted(model), k=min(3, len(model)))
+            kept, total = tbl.files_pruned_in("k", probes)
+            holding = set()
+            for f in tbl.files():
+                ks = {r["k"] for r in spark.read.parquet(f).select("k").collect()}
+                if ks & set(probes):
+                    holding.add(f)
+            assert holding <= set(kept), f"pruning dropped a holding file at {step}"
