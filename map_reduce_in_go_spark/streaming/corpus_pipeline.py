@@ -1253,6 +1253,15 @@ def compact_pipeline(
                 ),
                 stats_cols=["doc_id"],
             )
+        if QUAR in names:
+            # the audit member is tiny (one row per violated rule), but
+            # constraint-armed pipelines append to it every batch — fold
+            # its log like every other member so reads stay O(1 file)
+            txn.overwrite(
+                QUAR,
+                txn.read(QUAR, merge_schema=True).coalesce(1),
+                stats_cols=["doc_id"],
+            )
         cms_rows = txn.read(CMS).collect()
         if cms_rows:
             total = int(sum(r["n"] for r in cms_rows))

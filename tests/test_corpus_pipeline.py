@@ -1620,3 +1620,65 @@ def test_bootstrap_expectations_parity(spark, sf_dir, tmp_path):
             bands=pre_bands,
             expectations=EXPECTATIONS,
         )
+
+
+def test_cow_retraction_preserves_time_travel(spark, sf_dir, tmp_path):
+    """A copy-on-write retraction must not break history: the files it
+    removes from the NEW snapshot are still pinned by older catalog
+    snapshots, so a time-travel read at the pre-retraction version serves
+    the retracted doc; vacuum below the horizon then reclaims it and the
+    read refuses loudly. Compaction folds the quarantine member too."""
+    import pytest as _pytest
+
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+        QUAR,
+        compact_pipeline,
+        retract_docs,
+    )
+    from map_reduce_in_go_spark.streaming.pipeline_read import EXPECTATIONS
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    for i in range(3):
+        assert corpus_batch_txn(
+            spark,
+            docs.filter(F.pmod("doc_id", F.lit(3)) == i),
+            cat,
+            i,
+            expectations=EXPECTATIONS,
+        )
+    compact_pipeline(spark, cat, num_files=8)
+    v_pre = cat.version()
+    victim = min(
+        r["doc_id"] for r in member(spark, cat, CORPUS).select("doc_id").collect()
+    )
+    assert retract_docs(spark, cat, [int(victim)], op="tt-retract")
+
+    # newest snapshot: gone; pre-retraction snapshot: still served
+    now_ids = {
+        r["doc_id"] for r in member(spark, cat, CORPUS).select("doc_id").collect()
+    }
+    assert victim not in now_ids
+    old_ids = {
+        r["doc_id"]
+        for r in member(spark, cat, CORPUS, version=v_pre).select("doc_id").collect()
+    }
+    assert victim in old_ids
+
+    # quarantine member folded to one file by compaction, content intact
+    quar_before = sorted(
+        (r["doc_id"], r["rule"])
+        for r in member(spark, cat, QUAR).select("doc_id", "rule").collect()
+    )
+    path, pin = cat.snapshot(spark)[QUAR]
+    assert len(cat.table(path).files(pin)) == 1
+    assert quar_before  # rules fired on this corpus
+
+    # vacuum keeps only the newest snapshot's pins → history reclaimed
+    cat.vacuum(spark, retain_seconds=0.0)
+    with _pytest.raises(FileNotFoundError):
+        member(spark, cat, CORPUS, version=v_pre).collect()
+    # the live snapshot is untouched
+    assert victim not in {
+        r["doc_id"] for r in member(spark, cat, CORPUS).select("doc_id").collect()
+    }
