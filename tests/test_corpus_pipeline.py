@@ -1682,3 +1682,74 @@ def test_cow_retraction_preserves_time_travel(spark, sf_dir, tmp_path):
     assert victim not in {
         r["doc_id"] for r in member(spark, cat, CORPUS).select("doc_id").collect()
     }
+
+
+def test_batch_races_update_docs(spark, sf_dir, tmp_path):
+    """Cross-VERB race: a new micro-batch and a single-CAS upsert race on
+    the same catalog from two threads. Exactly one loses the CAS and
+    re-plans on the winner's snapshot; BOTH ops end up in the ledger, and
+    the additive members still equal a recompute from the corpus member —
+    no contribution lost or doubled whichever order won."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from map_reduce_in_go_spark.sources.substring_index import _token_gram_counts
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import update_docs
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    for i in range(2):
+        assert corpus_batch_txn(
+            spark, docs.filter(F.pmod("doc_id", F.lit(3)) == i), cat, i
+        )
+
+    batch2 = docs.filter(F.pmod("doc_id", F.lit(3)) == 2)
+    upsert_ids = [
+        r["doc_id"]
+        for r in member(spark, cat, CORPUS).select("doc_id").limit(3).collect()
+    ]
+    redo = docs.filter(F.col("doc_id").isin([int(d) for d in upsert_ids])).withColumn(
+        "text", F.concat("text", F.lit(" raced revision"))
+    )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(corpus_batch_txn, spark, batch2, cat, 2)
+        f2 = pool.submit(update_docs, spark, cat, redo, "raced-upsert")
+        r1, r2 = f1.result(), f2.result()
+    assert r1 and r2  # both committed (loser re-planned, no silent drop)
+    assert {"corpus-batch-2", "raced-upsert"} <= cat.committed_ops()
+
+    corpus = member(spark, cat, CORPUS, merge_schema=True)
+    # gram index == recompute from the final corpus
+    stored = {
+        r["g"]: r["n"]
+        for r in member(spark, cat, GRAMS)
+        .groupBy("g")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+        if r["n"] != 0
+    }
+    recomputed = {r["g"]: r["n"] for r in _token_gram_counts(corpus).collect()}
+    assert stored == recomputed
+    # token counts == recompute from the final corpus
+    from map_reduce_in_go_spark.functions.text import tokens as _tok
+
+    stored_t = {
+        r["word"]: r["n"]
+        for r in member(spark, cat, TOKENS)
+        .groupBy("word")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+        if r["n"] != 0
+    }
+    recomputed_t = {
+        r["w"]: r["c"]
+        for r in corpus.select(F.explode(_tok(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert stored_t == recomputed_t
+    # the raced revisions are present exactly once (admitted or rejected,
+    # never both): corpus doc_ids are unique
+    ids = [r["doc_id"] for r in corpus.select("doc_id").collect()]
+    assert len(ids) == len(set(ids))
