@@ -59,9 +59,27 @@ __all__ = ["TableCatalog", "Transaction", "CommitConflict"]
 class TableCatalog:
     """A set of ManifestTables published atomically via one catalog table."""
 
-    def __init__(self, root: str) -> None:
+    def __init__(self, root: str, ledger: str = "_catalog") -> None:
+        """``ledger`` names the catalog table's directory under ``root``.
+        The default is the main timeline; zero-copy BRANCHES
+        (sources/branches.py) are sibling ledgers (``_catalog@<name>``)
+        over the SAME member tables — member data files are shared, only
+        the (name, path, version) pin rows differ per timeline."""
         self.root = root
-        self._catalog = ManifestTable(os.path.join(root, "_catalog"))
+        self.ledger = ledger
+        self._catalog = ManifestTable(os.path.join(root, ledger))
+
+    def branch_ledgers(self) -> list[str]:
+        """Ledger directory names of every branch in this root (not the
+        main ``_catalog``). Maintenance verbs that delete member files or
+        truncate member manifests must account for THEIR pins too."""
+        import glob as _glob
+
+        return sorted(
+            os.path.basename(p)
+            for p in _glob.glob(os.path.join(self.root, "_catalog@*"))
+            if os.path.isdir(p)
+        )
 
     # ------------------------------------------------------------ snapshots
 
@@ -122,10 +140,23 @@ class TableCatalog:
         unit of work (e.g. a streaming batch id) checks membership here for
         replay detection; member-table ops don't count, because a staged
         member commit whose catalog publication never landed is an orphan,
-        not a completed transaction."""
+        not a completed transaction.
+
+        A BRANCH ledger additionally inherits the op labels its fork
+        point had already committed (``inherited_ops.json``, written by
+        ``create_branch``): exactly-once must survive the fork — a main
+        batch replayed onto the branch is still a replay, or forking
+        mid-stream would double-apply every pre-fork batch."""
+        inherited: set[str] = set()
+        sidecar = os.path.join(self.root, self.ledger, "inherited_ops.json")
+        if os.path.exists(sidecar):
+            import json as _json
+
+            with open(sidecar) as f:
+                inherited = set(_json.load(f))
         if self._catalog.version() < 0:
-            return set()
-        return self._catalog.committed_ops()
+            return inherited
+        return inherited | self._catalog.committed_ops()
 
     def read(
         self,
@@ -163,12 +194,30 @@ class TableCatalog:
         reclaimed. Returns total files removed.
         """
         removed = 0
+        # BRANCH pins are live too: sibling ledgers share these member
+        # tables, so their pinned files must survive main's GC (and vice
+        # versa) — a branch is zero-copy precisely because the data files
+        # have one owner, the root
+        peer_pins: dict[str, set[int]] = {}
+        for led in self.branch_ledgers() + (
+            ["_catalog"] if self.ledger != "_catalog" else []
+        ):
+            if led == self.ledger:
+                continue
+            peer = TableCatalog(self.root, ledger=led)
+            for _n, (p, v) in peer.snapshot(spark).items():
+                peer_pins.setdefault(p, set()).add(v)
         snap = self.snapshot(spark)
         for _name, (path, pinned) in snap.items():
             tbl = ManifestTable(
                 os.path.join(self.root, path), checkpoint_interval=None
             )
             pinned_files = {os.path.basename(p) for p in tbl.files(pinned)}
+            for v in peer_pins.get(path, ()):
+                try:
+                    pinned_files |= {os.path.basename(p) for p in tbl.files(v)}
+                except FileNotFoundError:
+                    pass  # peer pin already below this member's log horizon
             removed += tbl.vacuum(retain_seconds, extra_live=pinned_files)
         return removed
 
@@ -189,6 +238,17 @@ class TableCatalog:
         version.
         """
         out: dict[str, int] = {}
+        # branch ledgers pin versions of these same member tables —
+        # truncating below THEIR pins would break every branch read
+        peer_pins: dict[str, set[int]] = {}
+        for led in self.branch_ledgers() + (
+            ["_catalog"] if self.ledger != "_catalog" else []
+        ):
+            if led == self.ledger:
+                continue
+            peer = TableCatalog(self.root, ledger=led)
+            for _n, (p, v) in peer.snapshot(spark).items():
+                peer_pins.setdefault(p, set()).add(v)
         snap = self.snapshot(spark)
         for name, (path, pinned) in snap.items():
             tbl = ManifestTable(
@@ -198,7 +258,7 @@ class TableCatalog:
             # mid-verb can move this member's pin to a version that is not
             # the member's newest (a later stager's orphan may sit above
             # it); protect both observations
-            protect = {pinned}
+            protect = {pinned} | peer_pins.get(path, set())
             fresh = self.snapshot(spark).get(name)
             if fresh is not None and fresh[0] == path:
                 protect.add(fresh[1])

@@ -1,0 +1,132 @@
+"""Zero-copy catalog branching: isolation, exactly-once across the fork,
+fast-forward merge, divergence refusal, and branch-aware GC."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_in_go_spark.sources.branches import (
+    branch,
+    branch_divergence,
+    create_branch,
+    drop_branch,
+    fork_point,
+    merge_branch,
+)
+from map_reduce_in_go_spark.sources.catalog import CommitConflict, TableCatalog
+from map_reduce_in_go_spark.sources.tables import load_table
+from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+    CORPUS,
+    corpus_batch_txn,
+    member,
+)
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+
+
+def _corpus_ids(spark, cat):
+    return {r["doc_id"] for r in member(spark, cat, CORPUS).select("doc_id").collect()}
+
+
+def test_branch_isolation_and_fast_forward(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    cat = TableCatalog(str(tmp_path / "cat"))
+    for i in range(2):
+        assert corpus_batch_txn(
+            spark, docs.filter(F.pmod("doc_id", F.lit(3)) == i), cat, i
+        )
+    main_ids = _corpus_ids(spark, cat)
+    v_fork = cat.version()
+
+    # fork: one metadata commit, zero data files written
+    data_files_before = {
+        f
+        for base, _dirs, files in os.walk(tmp_path / "cat")
+        for f in files
+        if f.endswith(".parquet") and "_catalog" not in base
+    }
+    br = create_branch(spark, cat, "exp")
+    data_files_after = {
+        f
+        for base, _dirs, files in os.walk(tmp_path / "cat")
+        for f in files
+        if f.endswith(".parquet") and "_catalog" not in base
+    }
+    assert data_files_before == data_files_after, "branch copied data"
+    assert fork_point(br) == v_fork
+    assert _corpus_ids(spark, br) == main_ids
+
+    # exactly-once survives the fork: a pre-fork batch replayed onto the
+    # branch is a ledger no-op, not a double-apply
+    assert not corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 0), br, 0
+    )
+    assert _corpus_ids(spark, br) == main_ids
+
+    # experiment on the branch: batch 2 lands THERE only
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 2), br, 2
+    )
+    br_ids = _corpus_ids(spark, br)
+    assert br_ids > main_ids
+    assert _corpus_ids(spark, cat) == main_ids, "branch write leaked to main"
+
+    # fast-forward: main's pointer becomes the branch snapshot in one CAS
+    div = branch_divergence(spark, cat, "exp")
+    assert div["main"] == [] and div["branch"]
+    merge_branch(spark, cat, "exp")
+    assert _corpus_ids(spark, cat) == br_ids
+    assert any(op.startswith("merge-exp-") for _v, op in cat.history())
+
+
+def test_branch_divergence_refusal_and_gc(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    cat = TableCatalog(str(tmp_path / "cat"))
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 0), cat, 0
+    )
+    br = create_branch(spark, cat, "exp")
+    # both sides advance with different batches → no fast-forward
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 1), cat, 1
+    )
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 2), br, 2
+    )
+    with pytest.raises(CommitConflict, match="fast-forward"):
+        merge_branch(spark, cat, "exp")
+    div = branch_divergence(spark, cat, "exp")
+    assert CORPUS in div["main"] and CORPUS in div["branch"]
+
+    # branch-aware GC: main compacts (corpus rewritten), vacuum must keep
+    # the old files the branch still pins
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import compact_pipeline
+
+    br_ids = _corpus_ids(spark, br)
+    compact_pipeline(spark, cat, num_files=4)
+    cat.vacuum(spark, retain_seconds=0.0)
+    assert _corpus_ids(spark, br) == br_ids, "vacuum ate branch-pinned files"
+    # member-log truncation protects branch pins too
+    cat.checkpoint_members(spark)
+    assert _corpus_ids(spark, br) == br_ids
+
+    # dropped branch → its exclusive files become reclaimable
+    drop_branch(cat, "exp")
+    cat.vacuum(spark, retain_seconds=0.0)
+    assert _corpus_ids(spark, cat)  # main intact
+
+    # validation
+    with pytest.raises(ValueError, match="invalid branch name"):
+        create_branch(spark, cat, "bad/name")
+    b2 = create_branch(spark, cat, "exp2")
+    with pytest.raises(ValueError, match="already exists"):
+        create_branch(spark, cat, "exp2")
+    with pytest.raises(ValueError, match="main timeline"):
+        create_branch(spark, b2, "nested")
+    with pytest.raises(ValueError, match="no branch"):
+        drop_branch(cat, "ghost")
