@@ -130,3 +130,28 @@ def test_branch_divergence_refusal_and_gc(spark, sf_dir, tmp_path):
         create_branch(spark, b2, "nested")
     with pytest.raises(ValueError, match="no branch"):
         drop_branch(cat, "ghost")
+
+
+def test_replication_ignores_branches(spark, sf_dir, tmp_path):
+    """Replication walks the MAIN ledger only: a follower of a root that
+    has diverged branches matches main exactly (branch content never
+    ships), and the divergence detector stays clean."""
+    from map_reduce_in_go_spark.sources.replicate import (
+        catalog_divergence,
+        replicate_catalog,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cat = TableCatalog(str(tmp_path / "cat"))
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 0), cat, 0
+    )
+    br = create_branch(spark, cat, "exp")
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 1), br, 1
+    )
+    dst = TableCatalog(str(tmp_path / "replica"))
+    replicate_catalog(spark, cat, dst)
+    assert _corpus_ids(spark, dst) == _corpus_ids(spark, cat)
+    assert _corpus_ids(spark, dst) != _corpus_ids(spark, br)
+    assert not catalog_divergence(spark, cat, dst)
