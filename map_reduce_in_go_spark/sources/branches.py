@@ -175,9 +175,24 @@ def merge_branch(
             "replay, or resolve main's commits first."
         )
     pins = br.snapshot(spark)
-    return cat._publish(
+    v = cat._publish(
         spark, pins, expected_version=fork_v, op=f"merge-{name}-v{br.version()}"
     )
+    # exactly-once must survive the merge too (the mirror image of the
+    # fork's inherited ops): the branch's batch op labels flow into
+    # main's sidecar, so a merged batch replayed against MAIN is a
+    # ledger no-op, not a double-apply. Written after the CAS — if two
+    # mergers race, the CAS loser never reaches here.
+    import json
+
+    sidecar = os.path.join(cat.root, cat.ledger, "inherited_ops.json")
+    have: set[str] = set()
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            have = set(json.load(f))
+    with open(sidecar, "w") as f:
+        json.dump(sorted(have | br.committed_ops()), f)
+    return v
 
 
 def drop_branch(cat: TableCatalog, name: str) -> None:

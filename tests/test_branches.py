@@ -155,3 +155,35 @@ def test_replication_ignores_branches(spark, sf_dir, tmp_path):
     assert _corpus_ids(spark, dst) == _corpus_ids(spark, cat)
     assert _corpus_ids(spark, dst) != _corpus_ids(spark, br)
     assert not catalog_divergence(spark, cat, dst)
+
+
+def test_merged_batch_replay_noops_on_main(spark, sf_dir, tmp_path):
+    """The mirror image of fork inheritance: after a fast-forward merge,
+    the branch's batch op labels are in MAIN's ledger view, so replaying
+    a merged batch against main is a no-op — and correction verbs run on
+    a branch merge cleanly too."""
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import retract_docs
+
+    docs = _docs(spark, sf_dir)
+    cat = TableCatalog(str(tmp_path / "cat"))
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 0), cat, 0
+    )
+    br = create_branch(spark, cat, "exp")
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 1), br, 1
+    )
+    victim = min(_corpus_ids(spark, br))
+    assert retract_docs(spark, br, [int(victim)], op="branch-retract")
+    br_ids = _corpus_ids(spark, br)
+    assert victim not in br_ids
+
+    merge_branch(spark, cat, "exp")
+    assert _corpus_ids(spark, cat) == br_ids
+    # replaying the merged batch AND the merged retraction on main: no-ops
+    n = len(_corpus_ids(spark, cat))
+    assert not corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 1), cat, 1
+    )
+    assert not retract_docs(spark, cat, [int(victim)], op="branch-retract")
+    assert len(_corpus_ids(spark, cat)) == n
