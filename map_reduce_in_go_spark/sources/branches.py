@@ -43,8 +43,10 @@ __all__ = [
     "branch",
     "branch_divergence",
     "create_branch",
+    "describe_history",
     "drop_branch",
     "fork_point",
+    "list_branches",
     "merge_branch",
 ]
 
@@ -193,6 +195,38 @@ def merge_branch(
     with open(sidecar, "w") as f:
         json.dump(sorted(have | br.committed_ops()), f)
     return v
+
+
+def list_branches(spark: SparkSession, cat: TableCatalog):
+    """(branch, fork_version, version, n_commits) rows for every branch
+    of ``cat``'s root — the timeline inventory, from metadata alone."""
+    rows = []
+    for led in cat.branch_ledgers():
+        name = led.split("@", 1)[1]
+        br = branch(cat, name)
+        rows.append((name, fork_point(br), br.version(), len(br.history())))
+    return spark.createDataFrame(
+        rows or [("", -1, -1, -1)],
+        "branch string, fork_version long, version long, n_commits long",
+    ).filter("fork_version >= 0 OR branch != ''")
+
+
+def describe_history(spark: SparkSession, cat: TableCatalog):
+    """(version, op, n_members) per catalog commit, ascending — the
+    DESCRIBE HISTORY verb. Versions below the catalog ledger's own
+    checkpoint horizon are omitted (their op labels survive only in the
+    consolidated replay set), same retention trade as the time-travel
+    reads."""
+    rows = []
+    for v, op in cat.history():
+        try:
+            n = len(cat.snapshot(spark, v))
+        except FileNotFoundError:
+            continue
+        rows.append((v, op, n))
+    return spark.createDataFrame(
+        rows or [(-1, "", -1)], "version long, op string, n_members long"
+    ).filter("version >= 0")
 
 
 def drop_branch(cat: TableCatalog, name: str) -> None:

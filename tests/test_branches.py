@@ -187,3 +187,42 @@ def test_merged_batch_replay_noops_on_main(spark, sf_dir, tmp_path):
     )
     assert not retract_docs(spark, cat, [int(victim)], op="branch-retract")
     assert len(_corpus_ids(spark, cat)) == n
+
+
+def test_introspection_and_racing_mergers(spark, sf_dir, tmp_path):
+    """list_branches / describe_history read pure metadata; two racing
+    fast-forward mergers: exactly one wins the CAS, the loser refuses."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from map_reduce_in_go_spark.sources.branches import (
+        describe_history,
+        list_branches,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cat = TableCatalog(str(tmp_path / "cat"))
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 0), cat, 0
+    )
+    br = create_branch(spark, cat, "exp")
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 1), br, 1
+    )
+
+    bl = {r["branch"]: (r["fork_version"], r["version"]) for r in list_branches(spark, cat).collect()}
+    assert "exp" in bl and bl["exp"][0] == 0
+    hist = describe_history(spark, cat).collect()
+    assert [r["version"] for r in hist] == sorted(r["version"] for r in hist)
+    assert all(r["n_members"] > 0 for r in hist)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(merge_branch, spark, cat, "exp") for _ in range(2)]
+        results = []
+        for f in futs:
+            try:
+                results.append(("ok", f.result()))
+            except CommitConflict:
+                results.append(("conflict", None))
+    kinds = sorted(k for k, _ in results)
+    assert kinds == ["conflict", "ok"], results
+    assert _corpus_ids(spark, cat) == _corpus_ids(spark, br)
