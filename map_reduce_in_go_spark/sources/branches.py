@@ -20,6 +20,13 @@ a wrong merge is worse than a loud refusal. ``drop_branch`` deletes the
 ledger; the branch's member versions become unreferenced and age out of
 branch-aware vacuum.
 
+Writer identity: ``acquire_app_id`` leases are ROOT-scoped on purpose.
+Op labels cross timelines (a branch inherits main's committed ops; a
+merge flows the branch's back), so a main writer and a branch writer
+sharing an ``app_id`` could silently alias each other's batch ids as
+replays across the fork — give each experiment its own ``app_id`` and
+the root-level lease makes any collision loud.
+
 Reference parity: none — the reference engine has no catalogs. This
 extends the repo's lakehouse arc (transactions → replication → PITR
 clone → time travel → branches).
