@@ -38,9 +38,11 @@ Nothing is ever copied because a timeline is just a pointer table.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import shutil
+import uuid
 
 from pyspark.sql import SparkSession
 
@@ -59,6 +61,23 @@ __all__ = [
 
 _NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
 _FORK_RE = re.compile(r"^branch-from-v(\d+)$")
+
+
+def _atomic_json(path: str, obj) -> None:
+    """Durably publish a JSON sidecar: temp file + fsync + ``os.replace``.
+
+    Readers see the old content or the new content, never a truncated
+    write (r11 advice, medium — the bare ``open('w')`` this replaces
+    could be observed half-written by a concurrent ``committed_ops``
+    reader, or left truncated by a crash mid-write)."""
+    tmp = os.path.join(
+        os.path.dirname(path), f"_tmp_{uuid.uuid4().hex}.json"
+    )
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
 def _ledger(name: str) -> str:
@@ -100,18 +119,22 @@ def create_branch(
     pins = cat.snapshot(spark, v)
     # exactly-once must survive the fork: the branch inherits every op
     # label main had committed, so a pre-fork batch replayed onto the
-    # branch is detected as a replay (see TableCatalog.committed_ops)
-    import json
-
+    # branch is detected as a replay (see TableCatalog.committed_ops).
+    # Both sidecars publish atomically (temp + fsync + replace) and
+    # BEFORE the ledger CAS: a crash between leaves an unpublished
+    # ledger (br.version() < 0 — the branch does not exist yet) with
+    # inert sidecars a re-create simply overwrites; racing creators are
+    # decided by the expected_version=-1 CAS below, exactly one wins.
     os.makedirs(os.path.join(cat.root, br.ledger), exist_ok=True)
-    with open(
-        os.path.join(cat.root, br.ledger, "inherited_ops.json"), "w"
-    ) as f:
-        json.dump(sorted(cat.committed_ops()), f)
+    _atomic_json(
+        os.path.join(cat.root, br.ledger, "inherited_ops.json"),
+        sorted(cat.committed_ops()),
+    )
     # the fork version also lives in a sidecar: the branch ledger's own
     # checkpoints may truncate the branch-from manifest's op label
-    with open(os.path.join(cat.root, br.ledger, "fork.json"), "w") as f:
-        json.dump({"fork_version": v}, f)
+    _atomic_json(
+        os.path.join(cat.root, br.ledger, "fork.json"), {"fork_version": v}
+    )
     br._publish(spark, pins, expected_version=-1, op=f"branch-from-v{v}")
     return br
 
@@ -119,23 +142,46 @@ def create_branch(
 def fork_point(br: TableCatalog) -> int:
     """Main-catalog version this branch forked from (the ``fork.json``
     sidecar, falling back to the first commit's op label for ledgers
-    predating it)."""
-    import json
+    predating it).
 
+    When BOTH witnesses are resolvable they are cross-checked: the
+    sidecar is a mutable file, the ledger op label is CAS-published —
+    a disagreement (e.g. two racing ``create_branch`` calls where the
+    sidecar loser won the ledger) means the branch's provenance is
+    ambiguous, and a merge keyed on the wrong fork version could
+    fast-forward over main commits the branch never saw. Loud beats
+    wrong."""
     sidecar = os.path.join(br.root, br.ledger, "fork.json")
+    sidecar_v: int | None = None
     if os.path.exists(sidecar):
         with open(sidecar) as f:
-            return int(json.load(f)["fork_version"])
+            sidecar_v = int(json.load(f)["fork_version"])
     hist = br.history()
+    ledger_v: int | None = None
+    if hist:
+        m = _FORK_RE.match(hist[0][1])
+        # first SURVIVING manifest: after a branch-ledger checkpoint the
+        # branch-from commit's manifest may be truncated — then only the
+        # sidecar witnesses the fork point, which is why it exists
+        if m:
+            ledger_v = int(m.group(1))
+    if sidecar_v is not None and ledger_v is not None and sidecar_v != ledger_v:
+        raise RuntimeError(
+            f"branch {br.ledger!r} at {br.root} has conflicting fork "
+            f"witnesses: fork.json says v{sidecar_v}, ledger op "
+            f"{hist[0][1]!r} says v{ledger_v}; refusing to merge an "
+            "ambiguous fork point (racing create_branch calls?)"
+        )
+    if sidecar_v is not None:
+        return sidecar_v
     if not hist:
         raise ValueError(f"no branch ledger at {br.root}/{br.ledger}")
-    m = _FORK_RE.match(hist[0][1])
-    if not m:
+    if ledger_v is None:
         raise ValueError(
             f"ledger {br.ledger!r} does not start with a branch-from "
             f"commit (op {hist[0][1]!r}); not a branch?"
         )
-    return int(m.group(1))
+    return ledger_v
 
 
 def branch_divergence(
@@ -148,7 +194,21 @@ def branch_divergence(
     identity the catalog itself serves by."""
     br = branch(cat, name)
     fork_v = fork_point(br)
-    base = cat.snapshot(spark, fork_v)
+    try:
+        base = cat.snapshot(spark, fork_v)
+    except FileNotFoundError:
+        # main's ledger auto-checkpoints every 16 commits and truncates
+        # older manifests; a branch older than that horizon has no
+        # fork-version snapshot to diff against. Refuse with the verb's
+        # own contract exception instead of leaking a FileNotFoundError
+        # out of merge_branch's refusal path (r11 advice, low).
+        raise CommitConflict(
+            f"branch {name!r} forked at main v{fork_v}, which is below "
+            f"the catalog ledger's retention horizon (its manifest was "
+            "truncated by a checkpoint); per-member divergence cannot be "
+            "computed. Re-branch from current main and replay the "
+            "experiment."
+        ) from None
     main_now = cat.snapshot(spark)
     br_now = br.snapshot(spark)
 
@@ -169,9 +229,20 @@ def merge_branch(
     branch's member versions are already durable — merge publishes, it
     does not move data). If main moved, refuses with the per-member
     divergence on BOTH sides; re-branch from the new main and replay the
-    experiment, or retract the conflicting main commits first. Returns
-    the new main version. The branch ledger is left intact (it keeps
-    working as a read handle; drop it explicitly)."""
+    experiment, or resolve main's commits first. Returns the new main
+    version. The branch ledger is left intact (it keeps working as a
+    read handle; drop it explicitly).
+
+    Exactly-once survives the merge CRASH-SAFELY (r11 advice, medium):
+    the branch's batch op labels are durably published to
+    ``merge_ops/<merge-op>.json`` in main's ledger dir — atomic
+    temp+fsync+rename — BEFORE the CAS, and ``committed_ops`` counts
+    that sidecar only once the merge op label is actually in the
+    published ledger. Crash between sidecar and CAS: the merge never
+    happened and the sidecar is inert. Crash after the CAS: the sidecar
+    is already durable, so a merged batch replayed on main is a ledger
+    no-op, never a double-apply. A racing CAS loser's sidecar stays
+    inert the same way (its op label never publishes)."""
     br = branch(cat, name)
     fork_v = fork_point(br)
     if cat.version() != fork_v:
@@ -184,24 +255,13 @@ def merge_branch(
             "replay, or resolve main's commits first."
         )
     pins = br.snapshot(spark)
-    v = cat._publish(
-        spark, pins, expected_version=fork_v, op=f"merge-{name}-v{br.version()}"
+    op = f"merge-{name}-v{br.version()}"
+    merge_dir = os.path.join(cat.root, cat.ledger, "merge_ops")
+    os.makedirs(merge_dir, exist_ok=True)
+    _atomic_json(
+        os.path.join(merge_dir, f"{op}.json"), sorted(br.committed_ops())
     )
-    # exactly-once must survive the merge too (the mirror image of the
-    # fork's inherited ops): the branch's batch op labels flow into
-    # main's sidecar, so a merged batch replayed against MAIN is a
-    # ledger no-op, not a double-apply. Written after the CAS — if two
-    # mergers race, the CAS loser never reaches here.
-    import json
-
-    sidecar = os.path.join(cat.root, cat.ledger, "inherited_ops.json")
-    have: set[str] = set()
-    if os.path.exists(sidecar):
-        with open(sidecar) as f:
-            have = set(json.load(f))
-    with open(sidecar, "w") as f:
-        json.dump(sorted(have | br.committed_ops()), f)
-    return v
+    return cat._publish(spark, pins, expected_version=fork_v, op=op)
 
 
 def list_branches(spark: SparkSession, cat: TableCatalog):

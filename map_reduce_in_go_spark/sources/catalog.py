@@ -146,17 +146,41 @@ class TableCatalog:
         point had already committed (``inherited_ops.json``, written by
         ``create_branch``): exactly-once must survive the fork — a main
         batch replayed onto the branch is still a replay, or forking
-        mid-stream would double-apply every pre-fork batch."""
+        mid-stream would double-apply every pre-fork batch.
+
+        The mirror image — a MERGE flowing the branch's op labels into
+        main — is ledger-gated (r11 advice, medium): ``merge_branch``
+        durably writes ``merge_ops/<merge-op>.json`` BEFORE its CAS, and
+        this reader counts a sidecar only when its op label actually
+        appears in the published ledger. A crash after the sidecar but
+        before the CAS leaves the sidecar inert (never counted); a crash
+        after the CAS finds it already durable — there is no ordering in
+        which a merged batch can double-apply or an unmerged branch's
+        labels can suppress main's own batches. Op labels survive the
+        catalog's own checkpoints (the checkpoint consolidates them), so
+        gated sidecars stay counted forever."""
+        import json as _json
+
         inherited: set[str] = set()
         sidecar = os.path.join(self.root, self.ledger, "inherited_ops.json")
         if os.path.exists(sidecar):
-            import json as _json
-
             with open(sidecar) as f:
                 inherited = set(_json.load(f))
-        if self._catalog.version() < 0:
-            return inherited
-        return inherited | self._catalog.committed_ops()
+        ledger_ops: set[str] = (
+            self._catalog.committed_ops()
+            if self._catalog.version() >= 0
+            else set()
+        )
+        merge_dir = os.path.join(self.root, self.ledger, "merge_ops")
+        if os.path.isdir(merge_dir):
+            for fn in sorted(os.listdir(merge_dir)):
+                if not fn.endswith(".json"):
+                    continue
+                if fn[: -len(".json")] not in ledger_ops:
+                    continue  # pending/lost merge: sidecar is inert
+                with open(os.path.join(merge_dir, fn)) as f:
+                    inherited |= set(_json.load(f))
+        return inherited | ledger_ops
 
     def read(
         self,
@@ -208,16 +232,37 @@ class TableCatalog:
             for _n, (p, v) in peer.snapshot(spark).items():
                 peer_pins.setdefault(p, set()).add(v)
         snap = self.snapshot(spark)
-        for _name, (path, pinned) in snap.items():
+        for name, (path, pinned) in snap.items():
             tbl = ManifestTable(
                 os.path.join(self.root, path), checkpoint_interval=None
             )
             pinned_files = {os.path.basename(p) for p in tbl.files(pinned)}
+            unresolvable = []
             for v in peer_pins.get(path, ()):
                 try:
                     pinned_files |= {os.path.basename(p) for p in tbl.files(v)}
                 except FileNotFoundError:
-                    pass  # peer pin already below this member's log horizon
+                    unresolvable.append(v)
+            if unresolvable:
+                # a peer ledger (branch or main) pins a version whose
+                # manifest this member's log no longer holds, so its file
+                # set CANNOT be added to the live set — vacuuming anyway
+                # could delete data that branch still serves, breaking its
+                # reads with no warning (r11 advice, low). Skip this
+                # member and say so; checkpoint_members protects pins, so
+                # this state means the member log was truncated outside
+                # it — worth a human look, not a silent data loss.
+                import warnings
+
+                warnings.warn(
+                    f"vacuum skipped member {name!r} at {self.root}: peer "
+                    f"ledger pin(s) v{sorted(unresolvable)} have no "
+                    "manifest in the member log, so their live file set "
+                    "cannot be protected",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                continue
             removed += tbl.vacuum(retain_seconds, extra_live=pinned_files)
         return removed
 
@@ -262,7 +307,19 @@ class TableCatalog:
             fresh = self.snapshot(spark).get(name)
             if fresh is not None and fresh[0] == path:
                 protect.add(fresh[1])
-            out[name] = tbl.checkpoint(protect_versions=protect)
+            # race-free floor (r11 advice, medium): a racing transaction's
+            # staged member version can sit anywhere ABOVE the oldest
+            # published pin (two concurrent stagers on one member put the
+            # loser's version between the pin and the chain tip), and it
+            # can land while this verb runs — point-set protection cannot
+            # enumerate it. Every live pin and every possible in-flight
+            # staging is >= the oldest pin, so truncate strictly below it;
+            # staged/orphan history above the pin is bounded by in-flight
+            # transactions and is reclaimed by later checkpoints once the
+            # pins advance past it.
+            out[name] = tbl.checkpoint(
+                protect_versions=protect, protect_from=min(protect)
+            )
         return out
 
     # ------------------------------------------------------- writer leases

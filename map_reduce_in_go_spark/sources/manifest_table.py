@@ -649,7 +649,11 @@ class ManifestTable:
         ) as f:
             return vs[-1], json.load(f)
 
-    def checkpoint(self, protect_versions: set[int] | None = None) -> int:
+    def checkpoint(
+        self,
+        protect_versions: set[int] | None = None,
+        protect_from: int | None = None,
+    ) -> int:
         """Consolidate op history ≤ newest version; truncate older manifests.
 
         Writes ``checkpoint-v<N>.json`` holding the full op list up to N
@@ -669,6 +673,17 @@ class ManifestTable:
         so "newest manifest" and "version the published catalog reads"
         are different files and an unprotected truncation would break
         every published-snapshot read (r10 advice, high).
+
+        ``protect_from`` exempts EVERY version ``>= protect_from`` — the
+        race-free form of the same protection. A racing transaction can
+        stage a member version between the published pin and the chain
+        tip at any moment (even between the caller enumerating versions
+        and this truncation loop), so point-set protection alone cannot
+        cover it; all live pins and all possible in-flight stagings sit
+        at or above the OLDEST published pin, which is the floor
+        ``TableCatalog.checkpoint_members`` passes here (r11 advice,
+        medium). The floor is applied at unlink time, so versions staged
+        after the caller's observation are protected too.
         """
         n = self.version()
         if n < 0:
@@ -679,8 +694,9 @@ class ManifestTable:
             json.dumps({"version": n, "ops": sorted(ops)}, indent=1),
         )
         protected = protect_versions or set()
+        floor = n if protect_from is None else protect_from
         for v in self._versions():
-            if v < n and v not in protected:
+            if v < n and v < floor and v not in protected:
                 try:
                     os.unlink(os.path.join(self._log_dir, f"v{v}.json"))
                 except FileNotFoundError:

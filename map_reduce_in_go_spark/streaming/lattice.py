@@ -174,11 +174,35 @@ class RollupLattice:
         (folded as sum) or ``"avg:<sum>/<cnt>"`` for a derived ratio.
         ``where`` (with its ``filter_cols`` named for routing) applies to
         key columns BEFORE the fold — partial rows are additive, so
-        key-column filters commute with re-aggregation.
+        key-column filters commute with re-aggregation. The predicate is
+        VALIDATED against the chosen level's key columns: a ``where``
+        touching a measure column would filter partial sums (not raw
+        rows) and silently return wrong exact aggregates, because
+        ``filter_cols`` is used only for routing (r11 advice, low) —
+        resolving it against a keys-only projection makes that a loud
+        analysis error instead.
         """
         keys = self.choose_level(dims, filter_cols)
         df = self.cat.read(spark, _level_member(keys))
         if where is not None:
+            try:
+                # resolve the predicate against a LINEAGE-FREE relation
+                # holding only the key columns: analysis is eager, so a
+                # reference to anything else (a measure column, a typo)
+                # raises here. A plain df.select(keys).filter(where)
+                # would NOT catch it — Catalyst's ResolveMissingReferences
+                # silently re-adds projected-away child columns under a
+                # Filter, which is exactly the hole being closed.
+                probe = spark.createDataFrame(
+                    [], df.select(*[F.col(k) for k in keys]).schema
+                )
+                probe.filter(where)
+            except Exception as exc:
+                raise ValueError(
+                    f"lattice `where` must reference only the chosen "
+                    f"level's key columns {sorted(keys)}; it does not "
+                    f"resolve against them ({exc})"
+                ) from None
             df = df.filter(where)
         aggs = []
         for out, spec in measures.items():

@@ -189,6 +189,147 @@ def test_merged_batch_replay_noops_on_main(spark, sf_dir, tmp_path):
     assert len(_corpus_ids(spark, cat)) == n
 
 
+def test_merge_crash_injection_exactly_once(spark, sf_dir, tmp_path, monkeypatch):
+    """The merge-ops sidecar is ledger-gated (r12): durably written BEFORE
+    the CAS and counted only once the merge op label is published. A crash
+    between the two leaves the sidecar inert — main neither double-applies
+    nor falsely suppresses — and the retried merge lands exactly-once."""
+    docs = _docs(spark, sf_dir)
+    cat = TableCatalog(str(tmp_path / "cat"))
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 0), cat, 0
+    )
+    br = create_branch(spark, cat, "exp")
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 1), br, 1
+    )
+    br_ids = _corpus_ids(spark, br)
+
+    # inject a crash AFTER the sidecar write, BEFORE the CAS publishes
+    real_publish = TableCatalog._publish
+
+    def _crash(self, *a, **k):
+        if (k.get("op") or (a[3] if len(a) > 3 else "")).startswith("merge-"):
+            raise RuntimeError("injected crash between sidecar and CAS")
+        return real_publish(self, *a, **k)
+
+    monkeypatch.setattr(TableCatalog, "_publish", _crash)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        merge_branch(spark, cat, "exp")
+    monkeypatch.undo()
+
+    # the orphaned sidecar exists but is INERT: its op label never
+    # published, so main must not treat the branch's batch as committed
+    merge_dir = os.path.join(cat.root, cat.ledger, "merge_ops")
+    assert os.path.isdir(merge_dir) and os.listdir(merge_dir)
+    assert "corpus-batch-1" not in cat.committed_ops(), (
+        "a lost merge suppressed main's future batches"
+    )
+    assert _corpus_ids(spark, cat) != br_ids  # merge really didn't land
+
+    # retry (recovery path): merge lands, sidecar now counted, replays no-op
+    merge_branch(spark, cat, "exp")
+    assert _corpus_ids(spark, cat) == br_ids
+    assert "corpus-batch-1" in cat.committed_ops()
+    assert not corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 1), cat, 1
+    )
+    assert _corpus_ids(spark, cat) == br_ids
+
+
+def test_checkpoint_members_protects_racing_stager(spark, sf_dir, tmp_path):
+    """A staged member version BETWEEN the published pin and the chain tip
+    (two concurrent stagers on one member) must survive member-log
+    truncation: checkpoint_members truncates only below the oldest live
+    pin (r11 advice, medium)."""
+    docs = _docs(spark, sf_dir).limit(30)
+    cat = TableCatalog(str(tmp_path / "cat"))
+    txn0 = cat.transaction(spark)
+    txn0.append("m", docs)
+    txn0.commit(op="seed")
+
+    # two racing stagers: txn1's member version sits between the pin and
+    # txn2's (the chain tip) — the r11 advice's exact scenario
+    txn1 = cat.transaction(spark)
+    v1 = txn1.append("m", docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    txn2 = cat.transaction(spark)
+    v2 = txn2.append("m", docs.withColumn("doc_id", F.col("doc_id") + 2_000_000))
+    assert v1 < v2
+
+    cat.checkpoint_members(spark)
+
+    # the middle stager publishes and its snapshot must be readable: under
+    # point-set protection its manifest was truncated and the published
+    # catalog pinned a deleted manifest
+    txn1.commit(op="mid-stager")
+    assert cat.read(spark, "m").count() == 60
+
+
+def test_divergence_below_retention_horizon(spark, sf_dir, tmp_path):
+    """A branch whose fork version fell below main's ledger checkpoint
+    horizon refuses merge with CommitConflict (naming the horizon), not a
+    leaked FileNotFoundError (r11 advice, low)."""
+    docs = _docs(spark, sf_dir)
+    cat = TableCatalog(str(tmp_path / "cat"))
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 0), cat, 0
+    )
+    create_branch(spark, cat, "old")
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 1), cat, 1
+    )
+    # main's ledger checkpoints: the fork-version manifest is truncated
+    cat._catalog.checkpoint()
+    with pytest.raises(CommitConflict, match="retention horizon"):
+        merge_branch(spark, cat, "old")
+    with pytest.raises(CommitConflict, match="retention horizon"):
+        branch_divergence(spark, cat, "old")
+
+
+def test_vacuum_skips_member_with_unresolvable_peer_pin(spark, sf_dir, tmp_path):
+    """If a peer ledger pins a member version whose manifest is gone (log
+    truncated outside checkpoint_members), vacuum must NOT silently treat
+    that branch's files as dead — it skips the member and warns (r11
+    advice, low)."""
+    docs = _docs(spark, sf_dir).limit(30)
+    cat = TableCatalog(str(tmp_path / "cat"))
+    txn = cat.transaction(spark)
+    txn.append("m", docs)
+    txn.commit(op="seed")
+    create_branch(spark, cat, "exp")
+    # main rewrites the member, then the member log is truncated OUTSIDE
+    # checkpoint_members (simulating external/buggy maintenance) so the
+    # branch's pinned manifest is unenumerable
+    txn2 = cat.transaction(spark)
+    txn2.overwrite("m", docs.withColumn("doc_id", F.col("doc_id") + 1_000))
+    txn2.commit(op="rewrite")
+    cat.table("m").checkpoint()
+    with pytest.warns(RuntimeWarning, match="vacuum skipped member 'm'"):
+        removed = cat.vacuum(spark, retain_seconds=0.0)
+    assert removed == 0
+    assert cat.read(spark, "m").count() == 30  # main still serves
+
+
+def test_fork_witness_disagreement_is_loud(spark, sf_dir, tmp_path):
+    """fork.json and the branch-from ledger op are cross-checked: a
+    tampered/raced sidecar raises instead of merging at the wrong fork."""
+    import json
+
+    docs = _docs(spark, sf_dir)
+    cat = TableCatalog(str(tmp_path / "cat"))
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 0), cat, 0
+    )
+    br = create_branch(spark, cat, "exp")
+    sidecar = os.path.join(cat.root, br.ledger, "fork.json")
+    with open(sidecar, "w") as f:
+        json.dump({"fork_version": 99}, f)
+    with pytest.raises(RuntimeError, match="conflicting fork witnesses"):
+        fork_point(br)
+    with pytest.raises(RuntimeError, match="conflicting fork witnesses"):
+        merge_branch(spark, cat, "exp")
+
+
 def test_introspection_and_racing_mergers(spark, sf_dir, tmp_path):
     """list_branches / describe_history read pure metadata; two racing
     fast-forward mergers: exactly one wins the CAS, the loser refuses."""

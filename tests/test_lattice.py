@@ -95,6 +95,49 @@ def test_lattice_routing_and_refusal(spark, sf_dir, tmp_path):
         lat.choose_level(("user_id",))  # nothing subsumes → loud refusal
 
 
+def test_lattice_where_must_touch_only_key_columns(spark, sf_dir, tmp_path):
+    """A `where` referencing a measure column would filter PARTIAL SUMS,
+    not raw rows — silently wrong exact answers. The navigator validates
+    the predicate against the chosen level's keys and refuses loudly
+    (r11 advice, low); the equivalent key-column filter still serves."""
+    lat, ev = _feed(spark, sf_dir, tmp_path, n_batches=2)
+    with pytest.raises(ValueError, match="key columns"):
+        lat.answer(
+            spark,
+            ("event_type",),
+            {"cnt": "cnt"},
+            where=F.col("val") > 100,  # measure column: partials, not rows
+            filter_cols=("event_type",),
+        )
+    # a typo'd/unknown column refuses the same way
+    with pytest.raises(ValueError, match="key columns"):
+        lat.answer(
+            spark,
+            ("event_type",),
+            {"cnt": "cnt"},
+            where=F.col("event_typ") == "click",
+            filter_cols=("event_type",),
+        )
+    # the legitimate key-column filter still matches the direct GROUP BY
+    got = _rows(
+        lat.answer(
+            spark,
+            ("event_type",),
+            {"cnt": "cnt", "val": "val"},
+            where=F.col("event_type") != "error",
+            filter_cols=("event_type",),
+        ),
+        ("event_type",),
+    )
+    want = _rows(
+        ev.filter(F.col("event_type") != "error")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("val")),
+        ("event_type",),
+    )
+    assert got == want
+
+
 def test_lattice_serves_only_from_chosen_level(spark, sf_dir, tmp_path):
     """Input-file proof: answering ('event_type',) reads ONLY that level's
     member files — not the raw events, not the apex, not any other level."""
