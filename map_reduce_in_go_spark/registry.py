@@ -303,6 +303,12 @@ def _build() -> None:
         "pipeline_spans",
     ])
 
+    from .streaming import lattice as _lat
+
+    _register(_lat, [
+        "events_cube_nav",
+    ])
+
 
 # Queries whose OUTPUT changed after their most recent driver-green round:
 # their stale rows validate a behavior that no longer exists, so they jump

@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from ..sources.catalog import CommitConflict, TableCatalog
 
-__all__ = ["RollupLattice"]
+__all__ = ["RollupLattice", "events_cube_nav"]
 
 
 def _level_member(keys: tuple[str, ...]) -> str:
@@ -241,6 +241,8 @@ class RollupLattice:
             .start()
         )
 
+    # ------------------------------------------------------------ maintenance
+
     def compact(self, spark: SparkSession) -> None:
         """Fold every level's partial log to O(distinct keys) rows in one
         maintenance transaction (the ``compact_pipeline`` discipline)."""
@@ -261,3 +263,86 @@ class RollupLattice:
             except CommitConflict:
                 continue
         raise CommitConflict(f"lattice compact lost the race at {self.cat.root}")
+
+
+# ------------------------------------------------------- registered query
+
+CUBE_LEVELS = {
+    "by_day_type": ("day", "event_type"),
+    "by_type": ("event_type",),
+    "by_day": ("day",),
+}
+# value sums in exact DECIMAL: partials fold by addition in any order, so
+# the served answer is bit-deterministic (functions/money.py discipline)
+CUBE_SUMS = {"cnt": "1", "val": "CAST(value AS DECIMAL(18,2))"}
+CUBE_BATCHES = 3
+CUBE_FROM = "2024-01-08"
+CUBE_TO = "2024-01-21"
+
+
+def _events_cube(spark: SparkSession, sf_dir: str) -> RollupLattice:
+    """The served events lattice for ``sf_dir`` — built once per corpus
+    behind the shared served-artifact latch (three ``event_id % 3``
+    batches through :meth:`RollupLattice.ingest_batch`, one catalog CAS
+    each); every later call is read-only."""
+    from ..sources.artifacts import served_artifact
+    from ..sources.tables import load_table
+
+    def _build(path: str) -> None:
+        lat = RollupLattice(TableCatalog(path), CUBE_LEVELS, CUBE_SUMS)
+        ev = load_table(spark, sf_dir, "events").select(
+            F.to_date("ts").alias("day"), "event_type", "value", "event_id"
+        )
+        for i in range(CUBE_BATCHES):
+            lat.ingest_batch(
+                spark, ev.filter(F.pmod("event_id", F.lit(CUBE_BATCHES)) == i), i
+            )
+
+    cat = TableCatalog(served_artifact("events_cube", sf_dir, _build))
+    return RollupLattice(cat, CUBE_LEVELS, CUBE_SUMS)
+
+
+def events_cube_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type totals over a two-week day window, served from the rollup
+    LATTICE — the raw events table is never re-read (r12, declared r11).
+
+    The first registered query through the MV-rewrite path: events are
+    ingested as three exactly-once batch transactions into the lattice
+    (each advancing every level in one catalog CAS), and the answer is
+    :meth:`RollupLattice.answer` with ``dims=(event_type,)`` plus a day
+    filter — the navigator must route PAST the cheaper ``(event_type,)``
+    level (its partials pre-aggregated the day away) to the
+    ``(day, event_type)`` level, apply the key-column filter to stored
+    partials, and fold. The oracle is the direct GROUP BY over raw
+    events, so the driver's hash gate crosses batch ingestion,
+    subsumption routing, filter-before-fold commutation, and decimal
+    additivity end-to-end. At 100 TB the fold reads O(days × types)
+    partial rows — the corpus was read once, at ingest.
+    """
+    lat = _events_cube(spark, sf_dir)
+    keys = lat.choose_level(("event_type",), ("day",))
+    assert keys == ("day", "event_type"), keys  # routing is part of the pin
+    ans = lat.answer(
+        spark,
+        ("event_type",),
+        {"cnt": "cnt", "val": "val"},
+        where=F.col("day").between(F.lit(CUBE_FROM), F.lit(CUBE_TO)),
+        filter_cols=("day",),
+    )
+    return ans.select(
+        "event_type",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("val").cast("double").alias("val_sum"),
+    )
+
+
+ORACLES = {
+    "events_cube_nav": f"""
+SELECT event_type,
+       count(*) AS cnt,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '{CUBE_FROM}' AND DATE '{CUBE_TO}'
+GROUP BY event_type
+""",
+}
