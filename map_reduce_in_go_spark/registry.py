@@ -299,6 +299,7 @@ def _build() -> None:
         "pipeline_trending_replica",
         "pipeline_trending_asof",
         "pipeline_trending_upsert",
+        "pipeline_trending_branch",
         "pipeline_quarantine",
         "pipeline_spans",
     ])

@@ -236,6 +236,61 @@ def _pipeline_upsert_catalog(spark: SparkSession, sf_dir: str) -> TableCatalog:
     return TableCatalog(served_artifact("pipeline_upsert", sf_dir, _build))
 
 
+def _pipeline_branch_catalog(spark: SparkSession, sf_dir: str) -> TableCatalog:
+    """A pipeline catalog whose LAST batch arrived via a zero-copy branch:
+    batches 0 and 1 land on main, batch 2 runs as an experiment on branch
+    ``exp`` (ordinary transactions against the shared member tables, its
+    own ledger), and a fast-forward merge republishes the branch pins onto
+    main. Built once per corpus behind its own latch."""
+    from ..sources.branches import create_branch, merge_branch
+
+    def _build(path: str) -> None:
+        cat = TableCatalog(path)
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text", "lang")
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        )
+        for i in range(PIPELINE_BATCHES - 1):
+            corpus_batch_txn(
+                spark,
+                docs.filter(F.pmod("doc_id", F.lit(PIPELINE_BATCHES)) == i),
+                cat,
+                i,
+            )
+        br = create_branch(spark, cat, "exp")
+        corpus_batch_txn(
+            spark,
+            docs.filter(
+                F.pmod("doc_id", F.lit(PIPELINE_BATCHES)) == PIPELINE_BATCHES - 1
+            ),
+            br,
+            PIPELINE_BATCHES - 1,
+        )
+        merge_branch(spark, cat, "exp")
+
+    return TableCatalog(served_artifact("pipeline_branch", sf_dir, _build))
+
+
+def pipeline_trending_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending tokens served from MAIN after a branch-routed batch (r12).
+
+    The branch verbs under the driver's hash gate, the way replication /
+    time travel / upsert already are: batch 2 is ingested on a zero-copy
+    BRANCH (admission probes the shared band index at the fork snapshot —
+    identical to main's, so the accepted set is exactly the 3-batch
+    chain), then fast-forward-merged back; serving reads main's
+    ``token_counts`` member. The answer must be bit-identical to
+    :func:`pipeline_trending_served` — it shares the trending oracle —
+    so a fork that loses pins, a merge that drops/duplicates the branch
+    commit's member content, or broken op-label inheritance across the
+    merge (the batch double-applying or vanishing) hash-mismatches here.
+    """
+    return _trending_from_token_counts(
+        spark, _pipeline_branch_catalog(spark, sf_dir)
+    )
+
+
 def pipeline_trending_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trending tokens after a single-CAS document UPSERT (r11).
 
@@ -628,6 +683,11 @@ ORACLES["pipeline_trending_served"] = ORACLES["pipeline_trending"]
 # byte-identically to the primary or replication dropped/duplicated a
 # commit's member content
 ORACLES["pipeline_trending_replica"] = ORACLES["pipeline_trending"]
+# the branch form shares it as well: batch 2 rode a fork → branch txn →
+# fast-forward merge, and the merged main must answer exactly as if the
+# batch had landed on main directly (the accepted set is snapshot-equal
+# because the branch probes the same band index the fork pinned)
+ORACLES["pipeline_trending_branch"] = ORACLES["pipeline_trending"]
 ORACLES["pipeline_spans"] = (
     ORACLES["pipeline_spans"]
     .replace("{tok}", _sql_tokens_k())

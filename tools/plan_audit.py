@@ -80,6 +80,7 @@ SCALAR_CROSS_OK = {
     "pipeline_trending_replica",
     "pipeline_trending_asof",
     "pipeline_trending_upsert",
+    "pipeline_trending_branch",
 }
 
 # Queries whose plans legitimately contain an UNPARTITIONED sorted Window:
