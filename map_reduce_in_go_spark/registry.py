@@ -12,6 +12,17 @@ the driver recorded a check for it (0 = never checked). Ties keep
 registration order. Each round the freshly-verified block rotates to the
 back, so driver coverage sweeps the whole registry across rounds with no
 manual re-ordering.
+
+Re-verification lag (r11 verdict #8, decided r12): at ~160 registered
+queries against the driver's 50-slot window, every query gets a fresh
+driver hash roughly every 3–4 rounds. That lag is ACCEPTED by design —
+the window size is the driver's, not ours, and the LRU sweep guarantees
+no query starves. Compensating controls: (a) the full gate runs locally
+every round (``tools/check_correctness.py`` — all keys, same compare),
+so regressions surface the round they happen even when the driver's
+window misses them; (b) behavior-changed queries jump the whole window
+via ``_CHANGED_SINCE_VERIFIED``; (c) new registrations are budgeted
+(≤ 4 per round) so the window always clears the stalest block first.
 """
 
 from __future__ import annotations
@@ -300,6 +311,7 @@ def _build() -> None:
         "pipeline_trending_asof",
         "pipeline_trending_upsert",
         "pipeline_trending_branch",
+        "pipeline_trending_rebase",
         "pipeline_quarantine",
         "pipeline_spans",
     ])

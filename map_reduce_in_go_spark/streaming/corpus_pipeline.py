@@ -67,6 +67,16 @@ TOKENS = "token_counts"
 QUANTS = "len_quantiles"
 REJECTS = "rejected_grams"
 QUAR = "quarantine"
+# batch-input WAL, written ONLY on branch timelines (r12): (op, doc_id)
+# rows recording each branch batch's INPUT id set in the same CAS as the
+# batch itself, so rebase_merge_branch can replay the experiment's batches
+# through ordinary admission onto a moved main. Ids only — content is
+# re-resolved from the caller's source at replay time (a WAL that copied
+# text would double the corpus at 100 TB). Keyed by the globally-unique
+# op label, not the bare batch id: a branch inherits its fork's pins
+# (including any stale WAL a past merge carried), and a different
+# app_id's batch 2 must not collide with an inherited batch 2.
+WAL = "batch_wal"
 
 
 def _gram_rows_of(docs: DataFrame) -> DataFrame:
@@ -322,11 +332,27 @@ def corpus_batch_txn(
             def _quar():
                 txn.append(QUAR, quar_rows, op=op, stats_cols=["doc_id"])
 
+            def _wal():
+                # the batch's full INPUT id set (pre-expectations, pre-
+                # admission): replaying the batch means re-adjudicating
+                # everything that was submitted, not just what survived
+                txn.append(
+                    WAL,
+                    batch_df.select(F.lit(op).alias("op"), "doc_id"),
+                    op=op,
+                    stats_cols=["op", "doc_id"],
+                )
+
             members = [
                 _corpus, _bands, _grams, _tokens, _cms, _quants, _rejects,
             ]
             if quar_rows is not None:
                 members.append(_quar)
+            if cat.ledger != "_catalog":
+                # branch timelines WAL their batch inputs so the experiment
+                # is replayable onto a moved main (rebase_merge_branch);
+                # main's hot path stays seven members
+                members.append(_wal)
             with ThreadPoolExecutor(max_workers=len(members)) as pool:
                 futures = [pool.submit(f) for f in members]
                 for fut in futures:
@@ -713,6 +739,26 @@ def retract_docs(
                 _remove_ids_cow(
                     spark, txn, QUAR, ids, id_vals, op, stats_cols=["doc_id"]
                 )
+            if WAL in names:
+                # branch input WAL: (op, doc_id) rows are content-free but
+                # trace a submission — purge them like quarantine rows. A
+                # later rebase replay then resubmits WITHOUT the erased id.
+                wal_gone = (
+                    txn.read(WAL)
+                    .join(ids, "doc_id", "left_semi")
+                    .limit(1)
+                    .count()
+                )
+                if wal_gone:
+                    _remove_ids_cow(
+                        spark,
+                        txn,
+                        WAL,
+                        ids,
+                        id_vals,
+                        op,
+                        stats_cols=["op", "doc_id"],
+                    )
             if not n_gone:
                 # rejected/quarantined-only erasure: no data member saw it
                 txn.commit(op=op)
@@ -1262,6 +1308,17 @@ def compact_pipeline(
                 txn.read(QUAR, merge_schema=True).coalesce(1),
                 stats_cols=["doc_id"],
             )
+        if WAL in names:
+            # branch-timeline input WAL: content is immutable (ids per
+            # batch op), compaction only re-clusters — doc_id layout for
+            # erasure point probes, op stats for per-batch replay reads
+            txn.overwrite(
+                WAL,
+                zorder_layout(
+                    txn.read(WAL, merge_schema=True), ["doc_id"], num_files
+                ),
+                stats_cols=["op", "doc_id"],
+            )
         cms_rows = txn.read(CMS).collect()
         if cms_rows:
             total = int(sum(r["n"] for r in cms_rows))
@@ -1350,6 +1407,100 @@ def member(
                 "versions newer than the last vacuumed rewrite are readable"
             )
     return tbl.read(spark, pinned, merge_schema=merge_schema)
+
+
+def rebase_merge_branch(
+    spark: SparkSession,
+    cat: TableCatalog,
+    name: str,
+    source_docs: DataFrame,
+    app_id: str = "corpus",
+) -> int:
+    """Merge branch ``name`` onto a MOVED main by REPLAYING its batches
+    (r12, declared r11): where :func:`~..sources.branches.merge_branch`
+    can only fast-forward, this verb re-runs the experiment's batch
+    transactions through the ORDINARY admission path against main's
+    current state — member-identical to having run the experiment on the
+    new main in the first place.
+
+    Mechanics: the branch ledger gives the batch ops in commit order;
+    each op's INPUT id set comes from the branch's ``batch_wal`` member
+    (written in the same CAS as the batch — see :data:`WAL`); inputs are
+    re-resolved as ``source_docs`` semi-joined on those ids and fed to
+    :func:`corpus_batch_txn` on main. Replay detection is the ordinary
+    ledger check, so a batch main already has (pre-fork, or landed on
+    both sides) no-ops, and re-running the rebase is idempotent.
+
+    Refuses LOUDLY (``CommitConflict``) instead of guessing when the
+    replay cannot be faithful:
+
+    - a branch commit that is not a plain ``{app_id}-batch-<n>`` op
+      (retractions/upserts/compactions carry semantics a batch replay
+      would misstate — re-apply those by hand on main);
+    - a branch predating the WAL member (nothing records its inputs);
+    - a branch ledger checkpointed past its fork commit (replay ORDER
+      is no longer known — op labels survive checkpoints, order does
+      not).
+
+    Semantics note: admission on the moved main may adjudicate
+    differently than it did on the branch (main's band index has grown —
+    that is the point of rebasing); and input CONTENT is re-resolved
+    from ``source_docs``, so a source that drifted since the experiment
+    makes this a different experiment, exactly as re-running it would.
+    A clean fast-forward (main never moved) delegates to
+    :func:`~..sources.branches.merge_branch`. Returns main's version.
+
+    At 100 TB: the WAL is O(ids); each replayed batch pays ordinary
+    ingest cost against only ITS OWN inputs — nothing about the rest of
+    main is read or rewritten beyond what admission always reads.
+    """
+    import re as _re
+
+    from ..sources.branches import branch, fork_point, merge_branch
+
+    br = branch(cat, name)
+    fork_v = fork_point(br)
+    if cat.version() == fork_v:
+        return merge_branch(spark, cat, name)  # nothing to rebase over
+    hist = br.history()
+    if not hist or hist[0][1] != f"branch-from-v{fork_v}":
+        raise CommitConflict(
+            f"branch {name!r} ledger no longer starts at its fork commit "
+            f"(branch-from-v{fork_v}); its manifests were checkpointed and "
+            "the replay ORDER is unrecoverable. Re-branch and re-run."
+        )
+    pat = _re.compile(rf"^{_re.escape(app_id)}-batch-(\d+)$")
+    batch_ids: list[int] = []
+    for _v, op2 in hist[1:]:
+        m = pat.match(op2)
+        if not m:
+            raise CommitConflict(
+                f"branch {name!r} commit {op2!r} is not a replayable "
+                f"{app_id} batch; rebase replays batch admissions only — "
+                "re-apply corrections/maintenance on main explicitly."
+            )
+        batch_ids.append(int(m.group(1)))
+    if batch_ids and WAL not in br.snapshot(spark):
+        raise CommitConflict(
+            f"branch {name!r} predates the batch-input WAL; its inputs "
+            "were never recorded. Re-branch from current main and re-run."
+        )
+    from pyspark.sql import functions as F
+
+    for bid in batch_ids:
+        ids = (
+            member(spark, br, WAL)
+            .filter(F.col("op") == f"{app_id}-batch-{bid}")
+            .select("doc_id")
+        )
+        corpus_batch_txn(
+            spark,
+            source_docs.join(ids, "doc_id", "left_semi"),
+            cat,
+            bid,
+            app_id=app_id,
+        )
+    return cat.version()
 
 
 def start_corpus_pipeline(

@@ -291,6 +291,70 @@ def pipeline_trending_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pipeline_rebase_catalog(spark: SparkSession, sf_dir: str) -> TableCatalog:
+    """A pipeline catalog where the last batch arrives by REBASE-merge:
+    batches 0 and 1 land on main, batch 2 runs on branch ``exp``, then
+    MAIN MOVES (a ``compact_pipeline`` maintenance commit — content-equal,
+    ledger-diverged), so the fast-forward merge refuses and
+    :func:`~.corpus_pipeline.rebase_merge_branch` replays the experiment's
+    batch from its input WAL through ordinary admission onto the moved
+    main. Built once per corpus behind its own latch."""
+    from ..sources.branches import create_branch, merge_branch
+    from ..sources.catalog import CommitConflict
+    from .corpus_pipeline import compact_pipeline, rebase_merge_branch
+
+    def _build(path: str) -> None:
+        cat = TableCatalog(path)
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text", "lang")
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        )
+        for i in range(PIPELINE_BATCHES - 1):
+            corpus_batch_txn(
+                spark,
+                docs.filter(F.pmod("doc_id", F.lit(PIPELINE_BATCHES)) == i),
+                cat,
+                i,
+            )
+        br = create_branch(spark, cat, "exp")
+        corpus_batch_txn(
+            spark,
+            docs.filter(
+                F.pmod("doc_id", F.lit(PIPELINE_BATCHES)) == PIPELINE_BATCHES - 1
+            ),
+            br,
+            PIPELINE_BATCHES - 1,
+        )
+        compact_pipeline(spark, cat, num_files=4)  # main moves
+        try:
+            merge_branch(spark, cat, "exp")
+            raise AssertionError("fast-forward must refuse: main moved")
+        except CommitConflict:
+            pass
+        rebase_merge_branch(spark, cat, "exp", docs)
+
+    return TableCatalog(served_artifact("pipeline_rebase", sf_dir, _build))
+
+
+def pipeline_trending_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending tokens after a REBASE-merge onto a moved main (r12).
+
+    The merge-as-replay verb under the driver's hash gate: main advanced
+    past the fork (a compaction commit — content-identical members, so
+    the replayed admission chain must still produce EXACTLY the 3-batch
+    accepted set), the fast-forward refused, and the branch's batch was
+    replayed from its input WAL through the ordinary admission path.
+    Shares the trending oracle verbatim: a WAL that dropped or duplicated
+    input ids, a replay that skipped admission (leaking near-dups), or a
+    compaction that changed the band index's content would all
+    hash-mismatch here. Serving stays the O(vocabulary) token fold.
+    """
+    return _trending_from_token_counts(
+        spark, _pipeline_rebase_catalog(spark, sf_dir)
+    )
+
+
 def pipeline_trending_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trending tokens after a single-CAS document UPSERT (r11).
 
@@ -688,6 +752,9 @@ ORACLES["pipeline_trending_replica"] = ORACLES["pipeline_trending"]
 # batch had landed on main directly (the accepted set is snapshot-equal
 # because the branch probes the same band index the fork pinned)
 ORACLES["pipeline_trending_branch"] = ORACLES["pipeline_trending"]
+# and the rebase form: main moved by a content-preserving compaction, so
+# the replayed batch must re-derive the identical 3-batch accepted set
+ORACLES["pipeline_trending_rebase"] = ORACLES["pipeline_trending"]
 ORACLES["pipeline_spans"] = (
     ORACLES["pipeline_spans"]
     .replace("{tok}", _sql_tokens_k())

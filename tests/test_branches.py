@@ -330,6 +330,107 @@ def test_fork_witness_disagreement_is_loud(spark, sf_dir, tmp_path):
         merge_branch(spark, cat, "exp")
 
 
+def test_rebase_merge_replays_onto_moved_main(spark, sf_dir, tmp_path):
+    """merge-as-replay (r12): when main moved past the fork, the branch's
+    batches replay through ORDINARY admission from the batch-input WAL —
+    member-identical to running the experiment on the new main directly,
+    with ledger-exact replay no-ops afterwards."""
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+        WAL,
+        rebase_merge_branch,
+    )
+
+    docs = _docs(spark, sf_dir)
+    b = [docs.filter(F.pmod("doc_id", F.lit(3)) == i) for i in range(3)]
+    cat = TableCatalog(str(tmp_path / "cat"))
+    assert corpus_batch_txn(spark, b[0], cat, 0)
+    br = create_branch(spark, cat, "exp")
+    assert corpus_batch_txn(spark, b[1], br, 1)  # experiment
+    assert corpus_batch_txn(spark, b[2], cat, 2)  # main moves concurrently
+    assert WAL in br.snapshot(spark) and WAL not in cat.snapshot(spark)
+
+    with pytest.raises(CommitConflict, match="fast-forward"):
+        merge_branch(spark, cat, "exp")
+    rebase_merge_branch(spark, cat, "exp", docs)
+
+    # member-identical to re-running the experiment on the new main:
+    # a fresh catalog ingesting the same batches in main's arrival order
+    ref = TableCatalog(str(tmp_path / "ref"))
+    for order, batch in ((0, b[0]), (2, b[2]), (1, b[1])):
+        assert corpus_batch_txn(spark, batch, ref, order)
+    assert _corpus_ids(spark, cat) == _corpus_ids(spark, ref)
+
+    # the replayed batch is ledger-committed on main: replays no-op, and
+    # re-running the whole rebase is idempotent
+    n = _corpus_ids(spark, cat)
+    assert not corpus_batch_txn(spark, b[1], cat, 1)
+    rebase_merge_branch(spark, cat, "exp", docs)
+    assert _corpus_ids(spark, cat) == n
+
+
+def test_rebase_refusals_and_fast_forward_delegation(spark, sf_dir, tmp_path):
+    """Rebase refuses non-replayable branch commits (corrections carry
+    semantics a batch replay would misstate) and delegates to the plain
+    fast-forward when main never moved."""
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+        rebase_merge_branch,
+        retract_docs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cat = TableCatalog(str(tmp_path / "cat"))
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 0), cat, 0
+    )
+    br = create_branch(spark, cat, "exp")
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 1), br, 1
+    )
+    # main never moved → rebase IS the fast-forward
+    rebase_merge_branch(spark, cat, "exp", docs)
+    assert _corpus_ids(spark, cat) == _corpus_ids(spark, br)
+
+    # a branch carrying a retraction refuses once main moves
+    br2 = create_branch(spark, cat, "exp2")
+    victim = int(min(_corpus_ids(spark, br2)))
+    assert retract_docs(spark, br2, [victim], op="exp2-retract")
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 2), cat, 2
+    )
+    with pytest.raises(CommitConflict, match="not a replayable"):
+        rebase_merge_branch(spark, cat, "exp2", docs)
+
+
+def test_retraction_purges_branch_wal(spark, sf_dir, tmp_path):
+    """The branch input WAL is part of the erasure surface: retracting a
+    doc on a branch purges its (op, doc_id) submission trace, so a later
+    replay resubmits without it."""
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+        WAL,
+        member,
+        retract_docs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cat = TableCatalog(str(tmp_path / "cat"))
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 0), cat, 0
+    )
+    br = create_branch(spark, cat, "exp")
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 1), br, 1
+    )
+    # the WAL records only the BRANCH batch's inputs (ids ≡ 1 mod 3);
+    # a batch-0 doc lives in the corpus but was never WAL'd
+    victim = int(min(i for i in _corpus_ids(spark, br) if i % 3 == 1))
+    wal_ids = {r["doc_id"] for r in member(spark, br, WAL).collect()}
+    assert victim in wal_ids
+    assert retract_docs(spark, br, [victim], op="erase-1")
+    wal_after = {r["doc_id"] for r in member(spark, br, WAL).collect()}
+    assert victim not in wal_after
+    assert wal_after == wal_ids - {victim}
+
+
 def test_introspection_and_racing_mergers(spark, sf_dir, tmp_path):
     """list_branches / describe_history read pure metadata; two racing
     fast-forward mergers: exactly one wins the CAS, the loser refuses."""

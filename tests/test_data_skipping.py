@@ -81,8 +81,13 @@ def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
     kept_ok, total = z.files_pruned({"l_orderkey": (None, ok_hi)})
     assert len(kept_ok) < total
 
-    # the 2-D box: z-order prunes strictly harder than the linear sort,
-    # because the linear layout's partkey file-ranges span the domain
+    # the 2-D box: z-order must never prune WORSE than the linear sort.
+    # `<=`, not `<` (r11 verdict #6): under a contended box the linear
+    # control's repartitionByRange boundary SAMPLING shifts, and its
+    # orderkey dimension alone can occasionally match the box as tightly
+    # as z-order does — a tie is a property of the sampled control, not a
+    # layout regression. The strict claim z-order actually makes is the
+    # SECONDARY dimension, asserted strictly below.
     zk, zt = z.files_pruned(
         {"l_orderkey": (None, ok_hi), "l_partkey": (None, pk_hi)}
     )
@@ -90,8 +95,11 @@ def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
         {"l_orderkey": (None, ok_hi), "l_partkey": (None, pk_hi)}
     )
     assert zt == lt == N_FILES
-    assert len(zk) < len(lk), (len(zk), len(lk))
-    # partkey alone prunes under z-order, not under the orderkey sort
+    assert len(zk) <= len(lk), (len(zk), len(lk))
+    # the actual claim, deterministically: partkey ALONE prunes under
+    # z-order (secondary-dimension locality exists) and cannot prune
+    # under the orderkey sort (every file's partkey range spans the
+    # domain) — boundary sampling can't change either fact
     zp, _ = z.files_pruned({"l_partkey": (None, pk_hi)})
     lp, _ = lin.files_pruned({"l_partkey": (None, pk_hi)})
     assert len(zp) < N_FILES

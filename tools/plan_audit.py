@@ -81,6 +81,7 @@ SCALAR_CROSS_OK = {
     "pipeline_trending_asof",
     "pipeline_trending_upsert",
     "pipeline_trending_branch",
+    "pipeline_trending_rebase",
 }
 
 # Queries whose plans legitimately contain an UNPARTITIONED sorted Window:
