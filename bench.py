@@ -69,6 +69,9 @@ HEADLINE = [
     # r10: the served-index twin of dedup_substring (steady-state probes
     # the persisted gram-frequency table; first rep pays the build)
     "dedup_substring_indexed",
+    # r12: the lattice-served cube query (first rep pays the 3-batch
+    # lattice build; steady state folds O(days × types) partial rows)
+    "events_cube_nav",
 ]
 
 

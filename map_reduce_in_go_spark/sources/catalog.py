@@ -182,6 +182,50 @@ class TableCatalog:
                     inherited |= set(_json.load(f))
         return inherited | ledger_ops
 
+    def ops_as_of(self, version: int) -> set[str]:
+        """The exactly-once ledger view AS OF one catalog version: every
+        op label committed at or before ``version``, plus inherited and
+        ledger-gated merged labels (which are all ≤ the fork/merge point
+        and therefore ≤ any version that can see them).
+
+        This is what a PITR clone must carry (sources/replicate.py): a
+        restored catalog that forgot its op history would double-apply
+        every pre-restore batch the upstream at-least-once source
+        re-delivers. Raises ``ValueError`` when the ledger's own
+        checkpoint consolidated op labels PAST ``version`` — the set
+        "ops ≤ version" is then unrecoverable (the checkpoint mixes
+        later labels in), and both an over-approximation (suppresses
+        re-delivery of post-restore batches → data loss) and an
+        under-approximation (double-applies) are wrong. In practice the
+        snapshot manifest for such a version is usually truncated too,
+        so the read refuses first.
+        """
+        import json as _json
+
+        ledger_ops = {op for ver, op in self.history() if ver <= version}
+        cv, cdata = self._catalog._latest_checkpoint()
+        if cdata is not None:
+            if cv > version:
+                raise ValueError(
+                    f"op history at {self.root} was consolidated at "
+                    f"v{cv} > v{version}; the exactly-once ledger as of "
+                    f"v{version} is unrecoverable — clone/restore at "
+                    f"v{cv} or newer, or retain more history"
+                )
+            ledger_ops |= set(cdata["ops"])
+        inherited: set[str] = set()
+        sidecar = os.path.join(self.root, self.ledger, "inherited_ops.json")
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                inherited = set(_json.load(f))
+        merge_dir = os.path.join(self.root, self.ledger, "merge_ops")
+        if os.path.isdir(merge_dir):
+            for fn in sorted(os.listdir(merge_dir)):
+                if fn.endswith(".json") and fn[: -len(".json")] in ledger_ops:
+                    with open(os.path.join(merge_dir, fn)) as f:
+                        inherited |= set(_json.load(f))
+        return inherited | ledger_ops
+
     def read(
         self,
         spark: SparkSession,

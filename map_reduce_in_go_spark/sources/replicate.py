@@ -59,6 +59,7 @@ assumes a single replicator per replica (racers converge via CAS).
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
@@ -320,6 +321,23 @@ def replicate_catalog(
             # impossible — base-sync this snapshot (correct from any
             # replica state), then continue diffing from here
             prev = None
+        # a MERGE commit's exactly-once payload rides in its ledger-gated
+        # merge_ops sidecar (sources/branches.py), not in the member
+        # content — ship it BEFORE staging the commit (inert until the
+        # replica's own ledger publishes the op), or a batch merged on
+        # the primary would double-apply if replayed against a promoted
+        # replica. Idempotent: a resumed replication rewrites it.
+        src_sidecar = os.path.join(
+            src.root, src.ledger, "merge_ops", f"{op}.json"
+        )
+        if os.path.exists(src_sidecar):
+            from .branches import _atomic_json
+
+            with open(src_sidecar) as f:
+                payload = json.load(f)
+            dst_dir = os.path.join(dst.root, dst.ledger, "merge_ops")
+            os.makedirs(dst_dir, exist_ok=True)
+            _atomic_json(os.path.join(dst_dir, f"{op}.json"), payload)
         _stage_commit(
             spark,
             src,
@@ -387,18 +405,33 @@ def clone_catalog(
     overwrites every member from the versions the chosen catalog snapshot
     pins, so the clone is exactly the multi-table state a time-travel
     reader would see — restore-to-before-a-bad-batch without touching the
-    primary. The clone starts a FRESH ledger (one ``clone-…`` commit):
-    it is a new timeline, not a follower — replaying the primary's later
-    commits into it would double-apply, so :func:`replicate_catalog`
-    refuses it naturally (its first shipped op would conflict with
-    content already present; stand up followers from empty catalogs).
+    primary. The clone starts a FRESH ledger (one ``clone-…`` commit) but
+    CARRIES the primary's op-label view as of the cloned version (below),
+    so :func:`replicate_catalog` sees commits ≤ v as already applied and
+    resumes shipping from v+1 — a backup restore can be PROMOTED to a
+    follower without a full base-sync (pinned). Replicating into a clone
+    that took its OWN post-restore writes mixes timelines — keep
+    restored-and-diverged catalogs off replication (that divergence is
+    what branches are for).
+
+    The clone CARRIES the exactly-once ledger view as of the cloned
+    version (r12): ``TableCatalog.ops_as_of(v)`` lands in the clone's
+    ``inherited_ops.json`` (atomic write, BEFORE the member commit —
+    same publication order as ``create_branch``; a crash between leaves
+    a member-less destination a retried clone simply overwrites). A
+    restored catalog that forgot its op history would double-apply
+    every pre-restore batch when the upstream at-least-once source
+    resumes — while ops committed AFTER the restore point are
+    deliberately NOT inherited, so re-delivering them re-applies them:
+    that re-application is exactly what restoring to before a bad
+    batch means.
 
     Refuses a non-empty destination loudly, and inherits the GC-horizon
     contract: if vacuum already reclaimed files the pinned snapshot
     needs, the clone refuses UP FRONT (member + version named) instead
     of dying mid-copy. Returns the destination catalog version.
     """
-    import os
+    from .branches import _atomic_json
 
     v = src.version() if version is None else version
     pins = src.snapshot(spark, v)
@@ -409,6 +442,7 @@ def clone_catalog(
             f"clone destination {dst.root} already has members; clones "
             "only materialize into an empty catalog"
         )
+    carried_ops = src.ops_as_of(v)
     for name, (path, pin) in sorted(pins.items()):
         tbl = src.table(path)
         missing = [f for f in tbl.files(pin) if not os.path.exists(f)]
@@ -418,6 +452,11 @@ def clone_catalog(
                 f"{len(missing)} data file(s) already reclaimed by vacuum "
                 f"(below the GC horizon), e.g. {missing[0]}"
             )
+    os.makedirs(os.path.join(dst.root, dst.ledger), exist_ok=True)
+    _atomic_json(
+        os.path.join(dst.root, dst.ledger, "inherited_ops.json"),
+        sorted(carried_ops),
+    )
     txn = dst.transaction(spark)
     op = f"clone-v{v}"
     for name, (path, pin) in sorted(pins.items()):

@@ -559,3 +559,82 @@ def test_overwrite_replay_preserves_evolved_columns(spark, sf_dir, tmp_path):
         u == f"https://example.org/doc/{d}" for d, u in urls.items()
     )
     assert catalog_divergence(spark, src, dst) == {}
+
+
+def test_replication_ships_merge_sidecars(spark, sf_dir, tmp_path):
+    """A merged primary's exactly-once payload rides its merge_ops
+    sidecar (r12): the replica must treat the branch's merged batches as
+    committed — a batch replayed against a PROMOTED replica is a ledger
+    no-op, not a double-apply."""
+    from map_reduce_in_go_spark.sources.branches import (
+        create_branch,
+        merge_branch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    src = TableCatalog(str(tmp_path / "primary"))
+    _feed(spark, sf_dir, src, batches=(0,))
+    br = create_branch(spark, src, "exp")
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 1), br, 1
+    )
+    merge_branch(spark, src, "exp")
+
+    dst = TableCatalog(str(tmp_path / "replica"))
+    replicate_catalog(spark, src, dst)
+    assert _state(spark, dst) == _state(spark, src)
+    assert "corpus-batch-1" in dst.committed_ops()
+    # the promoted-replica scenario: the merged batch re-delivered
+    n = _state(spark, dst)
+    assert not corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 1), dst, 1
+    )
+    assert _state(spark, dst) == n
+
+
+def test_clone_carries_ledger_and_promotes_to_follower(spark, sf_dir, tmp_path):
+    """A PITR clone carries the op-label view AS OF its version (r12):
+    pre-restore batches re-delivered by an at-least-once source no-op,
+    post-restore-point batches re-APPLY (that is what restoring to before
+    a bad batch means), and a current-version clone resumes as a follower
+    without a base-sync."""
+    from map_reduce_in_go_spark.sources.replicate import clone_catalog
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    src = TableCatalog(str(tmp_path / "primary"))
+    versions = []
+    for i in range(3):
+        assert corpus_batch_txn(
+            spark, docs.filter(F.pmod("doc_id", F.lit(3)) == i), src, i
+        )
+        versions.append(src.version())
+
+    # PITR at batch 1 (pretend batch 2 was bad)
+    restored = TableCatalog(str(tmp_path / "restored"))
+    clone_catalog(spark, src, restored, version=versions[1])
+    # pre-restore batches are remembered: re-delivery no-ops
+    assert not corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 0), restored, 0
+    )
+    # the rolled-back batch is NOT remembered: resubmission re-applies
+    before = _state(spark, restored)
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 2), restored, 2
+    )
+    assert _state(spark, restored) != before
+
+    # clone-to-follower promotion: a current-version clone + later
+    # primary commits = replication resumes from the clone point
+    follower = TableCatalog(str(tmp_path / "follower"))
+    clone_catalog(spark, src, follower)
+    victim = min(
+        r["doc_id"] for r in member(spark, src, CORPUS).select("doc_id").collect()
+    )
+    assert retract_docs(spark, src, [int(victim)], op="takedown-1")
+    applied = replicate_catalog(spark, src, follower)
+    assert applied == 1, "promotion must ship only the post-clone commit"
+    assert _state(spark, follower) == _state(spark, src)
