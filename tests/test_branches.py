@@ -431,6 +431,77 @@ def test_retraction_purges_branch_wal(spark, sf_dir, tmp_path):
     assert wal_after == wal_ids - {victim}
 
 
+def test_branch_model_random_interleaving(spark, sf_dir, tmp_path):
+    """Model test (the replace_files random-op discipline applied to
+    timelines): a seeded random interleaving of main batches, branch
+    batches, fast-forward merges, and rebase-merges must leave main
+    member-identical to a FRESH catalog ingesting the same batches in
+    main-ledger-equivalent order — the order each batch actually landed
+    on main (branch batches land at their merge/rebase point, in branch
+    order). Exactly-once must hold throughout: no batch applies twice no
+    matter which timeline carried it."""
+    import random
+
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+        rebase_merge_branch,
+    )
+
+    rng = random.Random(12)
+    docs = _docs(spark, sf_dir)
+    n_mod = 8
+    batches = {
+        i: docs.filter(F.pmod("doc_id", F.lit(n_mod)) == i) for i in range(n_mod)
+    }
+    cat = TableCatalog(str(tmp_path / "cat"))
+    assert corpus_batch_txn(spark, batches[0], cat, 0)
+    landed = [0]  # main-ledger-equivalent batch order
+    next_batch = 1
+    branch_state: tuple[str, list[int]] | None = None  # (name, its batches)
+    n_branches = 0
+
+    for _step in range(n_mod - 1):
+        choice = rng.random()
+        if branch_state is None and choice < 0.5:
+            n_branches += 1
+            create_branch(spark, cat, f"exp{n_branches}")
+            branch_state = (f"exp{n_branches}", [])
+        if branch_state is not None and rng.random() < 0.6:
+            name, blist = branch_state
+            assert corpus_batch_txn(
+                spark, batches[next_batch], branch(cat, name), next_batch
+            )
+            blist.append(next_batch)
+        else:
+            assert corpus_batch_txn(spark, batches[next_batch], cat, next_batch)
+            landed.append(next_batch)
+        next_batch += 1
+        # sometimes close the branch out (merge or rebase as divergence allows)
+        if branch_state is not None and rng.random() < 0.5:
+            name, blist = branch_state
+            try:
+                merge_branch(spark, cat, name)
+            except CommitConflict:
+                rebase_merge_branch(spark, cat, name, docs)
+            landed.extend(blist)
+            branch_state = None
+    if branch_state is not None:
+        name, blist = branch_state
+        try:
+            merge_branch(spark, cat, name)
+        except CommitConflict:
+            rebase_merge_branch(spark, cat, name, docs)
+        landed.extend(blist)
+
+    assert sorted(landed) == list(range(next_batch)), landed
+    ref = TableCatalog(str(tmp_path / "ref"))
+    for bid in landed:
+        assert corpus_batch_txn(spark, batches[bid], ref, bid)
+    assert _corpus_ids(spark, cat) == _corpus_ids(spark, ref)
+    # exactly-once across every timeline: every batch now no-ops on main
+    for bid in landed:
+        assert not corpus_batch_txn(spark, batches[bid], cat, bid)
+
+
 def test_introspection_and_racing_mergers(spark, sf_dir, tmp_path):
     """list_branches / describe_history read pure metadata; two racing
     fast-forward mergers: exactly one wins the CAS, the loser refuses."""
