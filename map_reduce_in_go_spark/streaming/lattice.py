@@ -297,6 +297,10 @@ def _events_cube(spark: SparkSession, sf_dir: str) -> RollupLattice:
             lat.ingest_batch(
                 spark, ev.filter(F.pmod("event_id", F.lit(CUBE_BATCHES)) == i), i
             )
+        # steady-state serving posture: fold the per-batch partial logs to
+        # O(distinct keys) rows per level — the serve-side fold then reads
+        # one file per level instead of one per (batch, level)
+        lat.compact(spark)
 
     cat = TableCatalog(served_artifact("events_cube", sf_dir, _build))
     return RollupLattice(cat, CUBE_LEVELS, CUBE_SUMS)
