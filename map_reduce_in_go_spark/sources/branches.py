@@ -255,7 +255,14 @@ def merge_branch(
             "replay, or resolve main's commits first."
         )
     pins = br.snapshot(spark)
-    op = f"merge-{name}-v{br.version()}"
+    # the fork version makes the label unique across drop/re-create of the
+    # same branch name: a successful merge always advances main, so a
+    # later namesake branch forks at a strictly newer version — without
+    # it, "merge-exp-v1" could mint twice and break replication's
+    # one-unique-label-per-commit contract (the gated sidecar itself is
+    # safe either way: inheritance is transitive, so a re-written sidecar
+    # always contains the earlier merge's op set)
+    op = f"merge-{name}-v{br.version()}-from-v{fork_v}"
     merge_dir = os.path.join(cat.root, cat.ledger, "merge_ops")
     os.makedirs(merge_dir, exist_ok=True)
     _atomic_json(
