@@ -1511,6 +1511,7 @@ def start_corpus_pipeline(
     emb_lookup: DataFrame | None = None,
     writer_token: str | None = None,
     semantic_threshold: float | None = None,
+    ledger: str = "_catalog",
 ):
     """(doc_id, text, lang) stream → one multi-member txn per micro-batch.
 
@@ -1520,9 +1521,19 @@ def start_corpus_pipeline(
     same transaction. ``writer_token`` carries the ``acquire_app_id``
     lease into every batch commit (multi-writer namespacing); a restarted
     driver passes the SAME token it persisted alongside its checkpoint.
+
+    ``ledger`` targets a TIMELINE (r12): pass a branch ledger name
+    (``_catalog@<name>`` — or just use ``branch(cat, name).ledger``) to
+    run a streaming experiment against a zero-copy branch. Branch
+    batches WAL their inputs (see :data:`WAL`), so the whole streamed
+    experiment stays mergeable — fast-forward if main never moved,
+    :func:`rebase_merge_branch` otherwise. Exactly-once is unchanged:
+    the branch ledger inherits main's op labels at the fork, so a
+    checkpoint-replayed batch that predates the fork is still a no-op.
+    Give each experiment its own ``app_id`` (root-scoped leases).
     """
     spark = stream_docs.sparkSession
-    cat = TableCatalog(catalog_root)
+    cat = TableCatalog(catalog_root, ledger=ledger)
 
     def _one(df: DataFrame, bid: int) -> None:
         emb = (

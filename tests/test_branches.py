@@ -502,6 +502,69 @@ def test_branch_model_random_interleaving(spark, sf_dir, tmp_path):
         assert not corpus_batch_txn(spark, batches[bid], cat, bid)
 
 
+def test_streaming_ingest_into_branch(spark, tmp_path):
+    """Structured-Streaming experiments on a timeline (r12): the stream's
+    foreachBatch transactions target a BRANCH ledger, WAL their inputs,
+    stay invisible to main, and fast-forward merge with exactly-once
+    intact — the streamed batch replays as a no-op on main afterwards."""
+    import json
+    import time
+
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+        WAL,
+        start_corpus_pipeline,
+    )
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    seed = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta", "en")],
+        "doc_id long, text string, lang string",
+    )
+    assert corpus_batch_txn(spark, seed, cat, 0)
+    main_ids = _corpus_ids(spark, cat)
+    br = create_branch(spark, cat, "exp")
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "b1.json").write_text(
+        "\n".join(
+            json.dumps({"doc_id": d, "text": t, "lang": "en"})
+            for d, t in [
+                (2, "one two three four five six seven eight"),
+                (3, "alpha beta gamma delta epsilon zeta eta theta"),  # dup
+            ]
+        )
+    )
+    time.sleep(0.2)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string"
+    ).json(str(drop))
+    q = start_corpus_pipeline(
+        stream,
+        str(tmp_path / "cat"),
+        str(tmp_path / "ckpt"),
+        app_id="exp",
+        ledger=br.ledger,
+    )
+    q.awaitTermination(120)
+
+    # streamed experiment landed on the branch (dup 3 rejected), WAL'd,
+    # and main never saw it
+    assert _corpus_ids(spark, br) == {1, 2}
+    assert _corpus_ids(spark, cat) == main_ids
+    assert WAL in br.snapshot(spark)
+    assert "exp-batch-0" in br.committed_ops()
+
+    merge_branch(spark, cat, "exp")
+    assert _corpus_ids(spark, cat) == {1, 2}
+    # the streamed batch is exactly-once across the merge
+    replay = spark.createDataFrame(
+        [(2, "one two three four five six seven eight", "en")],
+        "doc_id long, text string, lang string",
+    )
+    assert not corpus_batch_txn(spark, replay, cat, 0, app_id="exp")
+
+
 def test_introspection_and_racing_mergers(spark, sf_dir, tmp_path):
     """list_branches / describe_history read pure metadata; two racing
     fast-forward mergers: exactly one wins the CAS, the loser refuses."""
