@@ -308,6 +308,33 @@ class TableCatalog:
                 )
                 continue
             removed += tbl.vacuum(retain_seconds, extra_live=pinned_files)
+        # stale merge-ops sidecars: a CAS-losing (or crashed) merge leaves
+        # an inert merge_ops/<op>.json (never counted — its op label never
+        # published). Reclaim ones past the retention horizon; LEDGERED
+        # sidecars are permanent (they ARE the merged exactly-once state),
+        # and a younger pending one may be a merge mid-CAS right now.
+        import time as _time
+
+        merge_dir = os.path.join(self.root, self.ledger, "merge_ops")
+        if os.path.isdir(merge_dir):
+            ledgered = (
+                self._catalog.committed_ops()
+                if self._catalog.version() >= 0
+                else set()
+            )
+            cutoff = _time.time() - retain_seconds
+            for fn in os.listdir(merge_dir):
+                if not fn.endswith(".json"):
+                    continue
+                path = os.path.join(merge_dir, fn)
+                if fn[: -len(".json")] in ledgered:
+                    continue
+                try:
+                    if os.path.getmtime(path) <= cutoff:
+                        os.unlink(path)
+                        removed += 1
+                except FileNotFoundError:
+                    pass  # a concurrent vacuum got it
         return removed
 
     def checkpoint_members(self, spark: SparkSession) -> dict[str, int]:

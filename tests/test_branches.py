@@ -502,6 +502,58 @@ def test_branch_model_random_interleaving(spark, sf_dir, tmp_path):
         assert not corpus_batch_txn(spark, batches[bid], cat, bid)
 
 
+def test_two_branch_rebase_convergence(spark, sf_dir, tmp_path):
+    """Two experiments diverge CONCURRENTLY from the same fork; the first
+    merges fast-forward, the second (now behind) rebases — main converges
+    to the sequential ingest, batch replays no-op for both."""
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+        rebase_merge_branch,
+    )
+
+    docs = _docs(spark, sf_dir)
+    b = [docs.filter(F.pmod("doc_id", F.lit(3)) == i) for i in range(3)]
+    cat = TableCatalog(str(tmp_path / "cat"))
+    assert corpus_batch_txn(spark, b[0], cat, 0)
+    brA = create_branch(spark, cat, "expA")
+    brB = create_branch(spark, cat, "expB")
+    assert corpus_batch_txn(spark, b[1], brA, 1)
+    assert corpus_batch_txn(spark, b[2], brB, 2)
+
+    merge_branch(spark, cat, "expA")  # fast-forward: main never moved
+    with pytest.raises(CommitConflict, match="fast-forward"):
+        merge_branch(spark, cat, "expB")  # A's merge moved main
+    rebase_merge_branch(spark, cat, "expB", docs)
+
+    ref = TableCatalog(str(tmp_path / "ref"))
+    for i in range(3):
+        assert corpus_batch_txn(spark, b[i], ref, i)
+    assert _corpus_ids(spark, cat) == _corpus_ids(spark, ref)
+    for i in range(3):
+        assert not corpus_batch_txn(spark, b[i], cat, i)
+
+
+def test_vacuum_reclaims_stale_merge_sidecars(spark, sf_dir, tmp_path):
+    """A CAS-losing merge's inert sidecar ages out of vacuum past the
+    retention horizon; ledgered sidecars (real merged state) never do."""
+    import json
+    import os as _os
+
+    docs = _docs(spark, sf_dir)
+    cat = TableCatalog(str(tmp_path / "cat"))
+    assert corpus_batch_txn(spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 0), cat, 0)
+    br = create_branch(spark, cat, "exp")
+    assert corpus_batch_txn(spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 1), br, 1)
+    merge_branch(spark, cat, "exp")
+    merge_dir = _os.path.join(cat.root, cat.ledger, "merge_ops")
+    (ledgered,) = _os.listdir(merge_dir)
+    # simulate a crashed/raced merge's orphan
+    with open(_os.path.join(merge_dir, "merge-ghost-v9-from-v9.json"), "w") as f:
+        json.dump(["ghost-batch-1"], f)
+    cat.vacuum(spark, retain_seconds=0.0)
+    assert sorted(_os.listdir(merge_dir)) == [ledgered]
+    assert "corpus-batch-1" in cat.committed_ops()  # merged state intact
+
+
 def test_streaming_ingest_into_branch(spark, tmp_path):
     """Structured-Streaming experiments on a timeline (r12): the stream's
     foreachBatch transactions target a BRANCH ledger, WAL their inputs,
