@@ -335,10 +335,19 @@ def corpus_batch_txn(
             def _wal():
                 # the batch's full INPUT id set (pre-expectations, pre-
                 # admission): replaying the batch means re-adjudicating
-                # everything that was submitted, not just what survived
+                # everything that was submitted, not just what survived.
+                # `seq` = the transaction's base catalog version — strictly
+                # increasing across committed batches — so REPLAY ORDER
+                # survives even after the branch ledger's own checkpoint
+                # truncates per-version manifests (op labels survive a
+                # checkpoint; order otherwise would not).
                 txn.append(
                     WAL,
-                    batch_df.select(F.lit(op).alias("op"), "doc_id"),
+                    batch_df.select(
+                        F.lit(op).alias("op"),
+                        F.lit(int(txn.base_version)).alias("seq"),
+                        "doc_id",
+                    ),
                     op=op,
                     stats_cols=["op", "doc_id"],
                 )
@@ -1437,10 +1446,15 @@ def rebase_merge_branch(
     - a branch commit that is not a plain ``{app_id}-batch-<n>`` op
       (retractions/upserts/compactions carry semantics a batch replay
       would misstate — re-apply those by hand on main);
-    - a branch predating the WAL member (nothing records its inputs);
-    - a branch ledger checkpointed past its fork commit (replay ORDER
-      is no longer known — op labels survive checkpoints, order does
-      not).
+    - a branch predating the WAL member (nothing records its inputs),
+      or a batch whose WAL rows were fully erased (its replay order and
+      content are both unrecoverable).
+
+    Replay ORDER comes from the branch ledger when its manifests are
+    intact, else from the WAL's ``seq`` column (the committing
+    transaction's base version — strictly increasing), so long
+    experiments survive their own ledger auto-checkpoint: op labels
+    survive a checkpoint, and the WAL carries the order.
 
     Semantics note: admission on the moved main may adjudicate
     differently than it did on the branch (main's band index has grown —
@@ -1462,42 +1476,66 @@ def rebase_merge_branch(
     fork_v = fork_point(br)
     if cat.version() == fork_v:
         return merge_branch(spark, cat, name)  # nothing to rebase over
-    hist = br.history()
-    if not hist or hist[0][1] != f"branch-from-v{fork_v}":
-        raise CommitConflict(
-            f"branch {name!r} ledger no longer starts at its fork commit "
-            f"(branch-from-v{fork_v}); its manifests were checkpointed and "
-            "the replay ORDER is unrecoverable. Re-branch and re-run."
-        )
     pat = _re.compile(rf"^{_re.escape(app_id)}-batch-(\d+)$")
-    batch_ids: list[int] = []
-    for _v, op2 in hist[1:]:
-        m = pat.match(op2)
-        if not m:
-            raise CommitConflict(
-                f"branch {name!r} commit {op2!r} is not a replayable "
-                f"{app_id} batch; rebase replays batch admissions only — "
-                "re-apply corrections/maintenance on main explicitly."
-            )
-        batch_ids.append(int(m.group(1)))
-    if batch_ids and WAL not in br.snapshot(spark):
+    fork_re = _re.compile(r"^branch-from-v(\d+)$")
+    # the branch's OWN commits (ledger labels survive its checkpoints;
+    # inherited labels are main's, never replayed)
+    own_ops = br._catalog.committed_ops()
+    batch_ops: set[str] = set()
+    for op2 in sorted(own_ops):
+        if fork_re.match(op2):
+            continue
+        if pat.match(op2):
+            batch_ops.add(op2)
+            continue
+        raise CommitConflict(
+            f"branch {name!r} commit {op2!r} is not a replayable "
+            f"{app_id} batch; rebase replays batch admissions only — "
+            "re-apply corrections/maintenance on main explicitly."
+        )
+    if batch_ops and WAL not in br.snapshot(spark):
         raise CommitConflict(
             f"branch {name!r} predates the batch-input WAL; its inputs "
             "were never recorded. Re-branch from current main and re-run."
         )
+    ordered: list[str] = []
+    hist = br.history()
+    if hist and hist[0][1] == f"branch-from-v{fork_v}":
+        ordered = [op2 for _v, op2 in hist[1:]]  # ledger order, intact
+    elif batch_ops:
+        # ledger manifests truncated by the branch's own checkpoint:
+        # recover replay order from the WAL's seq column
+        from pyspark.sql import functions as F
+
+        rows = (
+            member(spark, br, WAL)
+            .filter(F.col("op").isin(list(batch_ops)))
+            .groupBy("op")
+            .agg(F.min("seq").alias("seq"))
+            .collect()
+        )
+        missing = batch_ops - {r["op"] for r in rows}
+        if missing:
+            raise CommitConflict(
+                f"branch {name!r} batches {sorted(missing)} have no WAL "
+                "rows (inputs fully erased, or the batch predates the "
+                "seq-carrying WAL); their replay order and content are "
+                "unrecoverable. Re-branch and re-run."
+            )
+        ordered = [r["op"] for r in sorted(rows, key=lambda r: r["seq"])]
     from pyspark.sql import functions as F
 
-    for bid in batch_ids:
+    for op2 in ordered:
         ids = (
             member(spark, br, WAL)
-            .filter(F.col("op") == f"{app_id}-batch-{bid}")
+            .filter(F.col("op") == op2)
             .select("doc_id")
         )
         corpus_batch_txn(
             spark,
             source_docs.join(ids, "doc_id", "left_semi"),
             cat,
-            bid,
+            int(pat.match(op2).group(1)),
             app_id=app_id,
         )
     return cat.version()

@@ -554,6 +554,36 @@ def test_vacuum_reclaims_stale_merge_sidecars(spark, sf_dir, tmp_path):
     assert "corpus-batch-1" in cat.committed_ops()  # merged state intact
 
 
+def test_rebase_survives_branch_ledger_checkpoint(spark, sf_dir, tmp_path):
+    """Long experiments outlive their own ledger: after the branch ledger
+    checkpoints (per-version manifests truncated, op labels consolidated),
+    rebase recovers the replay ORDER from the WAL's seq column and still
+    converges to the sequential ingest."""
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+        rebase_merge_branch,
+    )
+
+    docs = _docs(spark, sf_dir)
+    b = [docs.filter(F.pmod("doc_id", F.lit(4)) == i) for i in range(4)]
+    cat = TableCatalog(str(tmp_path / "cat"))
+    assert corpus_batch_txn(spark, b[0], cat, 0)
+    br = create_branch(spark, cat, "exp")
+    assert corpus_batch_txn(spark, b[1], br, 1)
+    assert corpus_batch_txn(spark, b[2], br, 2)
+    # the branch ledger checkpoints: branch-from and batch manifests gone
+    br._catalog.checkpoint()
+    assert br.history()[0][1] != "branch-from-v0"
+    assert corpus_batch_txn(spark, b[3], cat, 3)  # main moves
+
+    rebase_merge_branch(spark, cat, "exp", docs)
+    ref = TableCatalog(str(tmp_path / "ref"))
+    for order in (0, 3, 1, 2):
+        assert corpus_batch_txn(spark, b[order], ref, order)
+    assert _corpus_ids(spark, cat) == _corpus_ids(spark, ref)
+    for i in range(4):
+        assert not corpus_batch_txn(spark, b[i], cat, i)
+
+
 def test_streaming_ingest_into_branch(spark, tmp_path):
     """Structured-Streaming experiments on a timeline (r12): the stream's
     foreachBatch transactions target a BRANCH ledger, WAL their inputs,
