@@ -120,22 +120,21 @@ def create_branch(
     # exactly-once must survive the fork: the branch inherits every op
     # label main had committed, so a pre-fork batch replayed onto the
     # branch is detected as a replay (see TableCatalog.committed_ops).
-    # Both sidecars publish atomically (temp + fsync + replace) and
-    # BEFORE the ledger CAS: a crash between leaves an unpublished
-    # ledger (br.version() < 0 — the branch does not exist yet) with
-    # inert sidecars a re-create simply overwrites; racing creators are
-    # decided by the expected_version=-1 CAS below, exactly one wins.
+    # The inheritance is a LEDGER-GATED sidecar on the branch-from op,
+    # published atomically BEFORE the CAS: a crashed create leaves an
+    # unpublished ledger whose sidecars are inert (the branch does not
+    # exist, and committed_ops counts nothing), and a re-create simply
+    # overwrites them; racing creators are decided by the
+    # expected_version=-1 CAS below, exactly one wins.
     os.makedirs(os.path.join(cat.root, br.ledger), exist_ok=True)
-    _atomic_json(
-        os.path.join(cat.root, br.ledger, "inherited_ops.json"),
-        sorted(cat.committed_ops()),
-    )
+    op = f"branch-from-v{v}"
+    br.publish_gated_ops(op, cat.committed_ops())
     # the fork version also lives in a sidecar: the branch ledger's own
     # checkpoints may truncate the branch-from manifest's op label
     _atomic_json(
         os.path.join(cat.root, br.ledger, "fork.json"), {"fork_version": v}
     )
-    br._publish(spark, pins, expected_version=-1, op=f"branch-from-v{v}")
+    br._publish(spark, pins, expected_version=-1, op=op)
     return br
 
 
@@ -156,30 +155,40 @@ def fork_point(br: TableCatalog) -> int:
     if os.path.exists(sidecar):
         with open(sidecar) as f:
             sidecar_v = int(json.load(f)["fork_version"])
-    hist = br.history()
+    # the ledger witness is the OLDEST surviving manifest's op — read
+    # just that one file, not the whole history (a long-lived branch has
+    # hundreds of manifests and this verb is on every merge/list path)
+    first_op: str | None = None
+    versions = br._catalog._versions()
+    for v0 in versions:  # ascending; tolerate a concurrent checkpoint
+        try:
+            first_op = br._catalog._manifest(v0)["op"]
+            break
+        except FileNotFoundError:
+            continue
     ledger_v: int | None = None
-    if hist:
-        m = _FORK_RE.match(hist[0][1])
-        # first SURVIVING manifest: after a branch-ledger checkpoint the
-        # branch-from commit's manifest may be truncated — then only the
-        # sidecar witnesses the fork point, which is why it exists
+    if first_op is not None:
+        m = _FORK_RE.match(first_op)
+        # after a branch-ledger checkpoint the branch-from commit's
+        # manifest may be truncated — then only the sidecar witnesses
+        # the fork point, which is why it exists
         if m:
             ledger_v = int(m.group(1))
     if sidecar_v is not None and ledger_v is not None and sidecar_v != ledger_v:
         raise RuntimeError(
             f"branch {br.ledger!r} at {br.root} has conflicting fork "
             f"witnesses: fork.json says v{sidecar_v}, ledger op "
-            f"{hist[0][1]!r} says v{ledger_v}; refusing to merge an "
+            f"{first_op!r} says v{ledger_v}; refusing to merge an "
             "ambiguous fork point (racing create_branch calls?)"
         )
     if sidecar_v is not None:
         return sidecar_v
-    if not hist:
+    if first_op is None:
         raise ValueError(f"no branch ledger at {br.root}/{br.ledger}")
     if ledger_v is None:
         raise ValueError(
             f"ledger {br.ledger!r} does not start with a branch-from "
-            f"commit (op {hist[0][1]!r}); not a branch?"
+            f"commit (op {first_op!r}); not a branch?"
         )
     return ledger_v
 
@@ -263,26 +272,32 @@ def merge_branch(
     # safe either way: inheritance is transitive, so a re-written sidecar
     # always contains the earlier merge's op set)
     op = f"merge-{name}-v{br.version()}-from-v{fork_v}"
-    merge_dir = os.path.join(cat.root, cat.ledger, "merge_ops")
-    os.makedirs(merge_dir, exist_ok=True)
-    _atomic_json(
-        os.path.join(merge_dir, f"{op}.json"), sorted(br.committed_ops())
-    )
+    cat.publish_gated_ops(op, br.committed_ops())
     return cat._publish(spark, pins, expected_version=fork_v, op=op)
 
 
 def list_branches(spark: SparkSession, cat: TableCatalog):
     """(branch, fork_version, version, n_commits) rows for every branch
-    of ``cat``'s root — the timeline inventory, from metadata alone."""
+    of ``cat``'s root — the timeline inventory, from metadata alone.
+
+    A branch whose fork point cannot be resolved (conflicting witnesses
+    from racing creators, or a half-created ledger) is REPORTED with
+    ``fork_version = -2`` rather than failing the whole listing: the
+    inventory verb's job is to surface the wedged branch next to the
+    healthy ones, not to become unusable because one exists."""
     rows = []
     for led in cat.branch_ledgers():
         name = led.split("@", 1)[1]
         br = branch(cat, name)
-        rows.append((name, fork_point(br), br.version(), len(br.history())))
+        try:
+            fork_v = fork_point(br)
+        except (RuntimeError, ValueError):
+            fork_v = -2  # wedged/unresolvable — inspect with fork_point
+        rows.append((name, fork_v, br.version(), len(br.history())))
     return spark.createDataFrame(
         rows or [("", -1, -1, -1)],
         "branch string, fork_version long, version long, n_commits long",
-    ).filter("fork_version >= 0 OR branch != ''")
+    ).filter("fork_version >= -2 AND branch != ''")
 
 
 def describe_history(spark: SparkSession, cat: TableCatalog):

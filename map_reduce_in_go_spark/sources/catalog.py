@@ -158,29 +158,67 @@ class TableCatalog:
         which a merged batch can double-apply or an unmerged branch's
         labels can suppress main's own batches. Op labels survive the
         catalog's own checkpoints (the checkpoint consolidates them), so
-        gated sidecars stay counted forever."""
-        import json as _json
+        gated sidecars stay counted forever.
 
-        inherited: set[str] = set()
-        sidecar = os.path.join(self.root, self.ledger, "inherited_ops.json")
-        if os.path.exists(sidecar):
-            with open(sidecar) as f:
-                inherited = set(_json.load(f))
+        The same gated mechanism carries the ledger view across EVERY
+        timeline boundary (r12): fork (``branch-from-v*`` sidecar),
+        merge (``merge-*``), PITR clone (``clone-v*``), and a
+        replication base-sync across a truncated history horizon — one
+        publication rule, one reader."""
         ledger_ops: set[str] = (
             self._catalog.committed_ops()
             if self._catalog.version() >= 0
             else set()
         )
+        return self._legacy_inherited() | self._gated_ops(ledger_ops) | ledger_ops
+
+    def _legacy_inherited(self) -> set[str]:
+        """Pre-r12 ``inherited_ops.json`` (ungated) — read for backward
+        compatibility with catalogs written before the gated sidecars."""
+        import json as _json
+
+        sidecar = os.path.join(self.root, self.ledger, "inherited_ops.json")
+        if not os.path.exists(sidecar):
+            return set()
+        with open(sidecar) as f:
+            return set(_json.load(f))
+
+    def _gated_ops(self, ledger_ops: set[str]) -> set[str]:
+        """Union of op-label sidecars whose gate op is actually in
+        ``ledger_ops`` — pending/lost sidecars stay inert."""
+        import json as _json
+
+        out: set[str] = set()
         merge_dir = os.path.join(self.root, self.ledger, "merge_ops")
         if os.path.isdir(merge_dir):
             for fn in sorted(os.listdir(merge_dir)):
                 if not fn.endswith(".json"):
                     continue
                 if fn[: -len(".json")] not in ledger_ops:
-                    continue  # pending/lost merge: sidecar is inert
-                with open(os.path.join(merge_dir, fn)) as f:
-                    inherited |= set(_json.load(f))
-        return inherited | ledger_ops
+                    continue
+                try:
+                    with open(os.path.join(merge_dir, fn)) as f:
+                        out |= set(_json.load(f))
+                except FileNotFoundError:
+                    continue  # concurrent vacuum reclaimed a stale one
+        return out
+
+    def publish_gated_ops(self, gate_op: str, ops) -> None:
+        """Durably stage an op-label inheritance sidecar for ``gate_op``
+        (atomic temp+fsync+rename). Write BEFORE publishing the gating
+        commit: the sidecar is inert until ``gate_op`` is in the ledger,
+        so no crash ordering can double-apply or falsely suppress."""
+        import json as _json
+        import uuid as _uuid
+
+        merge_dir = os.path.join(self.root, self.ledger, "merge_ops")
+        os.makedirs(merge_dir, exist_ok=True)
+        tmp = os.path.join(merge_dir, f"_tmp_{_uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            _json.dump(sorted(ops), f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(merge_dir, f"{gate_op}.json"))
 
     def ops_as_of(self, version: int) -> set[str]:
         """The exactly-once ledger view AS OF one catalog version: every
@@ -200,8 +238,6 @@ class TableCatalog:
         snapshot manifest for such a version is usually truncated too,
         so the read refuses first.
         """
-        import json as _json
-
         ledger_ops = {op for ver, op in self.history() if ver <= version}
         cv, cdata = self._catalog._latest_checkpoint()
         if cdata is not None:
@@ -213,18 +249,7 @@ class TableCatalog:
                     f"v{cv} or newer, or retain more history"
                 )
             ledger_ops |= set(cdata["ops"])
-        inherited: set[str] = set()
-        sidecar = os.path.join(self.root, self.ledger, "inherited_ops.json")
-        if os.path.exists(sidecar):
-            with open(sidecar) as f:
-                inherited = set(_json.load(f))
-        merge_dir = os.path.join(self.root, self.ledger, "merge_ops")
-        if os.path.isdir(merge_dir):
-            for fn in sorted(os.listdir(merge_dir)):
-                if fn.endswith(".json") and fn[: -len(".json")] in ledger_ops:
-                    with open(os.path.join(merge_dir, fn)) as f:
-                        inherited |= set(_json.load(f))
-        return inherited | ledger_ops
+        return self._legacy_inherited() | self._gated_ops(ledger_ops) | ledger_ops
 
     def read(
         self,
@@ -308,33 +333,45 @@ class TableCatalog:
                 )
                 continue
             removed += tbl.vacuum(retain_seconds, extra_live=pinned_files)
-        # stale merge-ops sidecars: a CAS-losing (or crashed) merge leaves
-        # an inert merge_ops/<op>.json (never counted — its op label never
-        # published). Reclaim ones past the retention horizon; LEDGERED
-        # sidecars are permanent (they ARE the merged exactly-once state),
-        # and a younger pending one may be a merge mid-CAS right now.
+        # stale op-inheritance sidecars: a CAS-losing (or crashed) merge/
+        # clone/base-sync leaves an inert merge_ops/<op>.json (never
+        # counted — its gate op never published). Reclaim old ones;
+        # LEDGERED sidecars are permanent (they ARE the inherited
+        # exactly-once state). Two guards against an IN-FLIGHT publisher
+        # (sidecar written, CAS landing concurrently): the age floor —
+        # a publisher's sidecar→CAS gap is milliseconds, never an hour,
+        # so even retain_seconds=0.0 keeps anything younger — and a
+        # ledger re-read AFTER the candidate listing, so a CAS that
+        # landed while we walked is seen before any unlink.
         import time as _time
 
         merge_dir = os.path.join(self.root, self.ledger, "merge_ops")
         if os.path.isdir(merge_dir):
-            ledgered = (
-                self._catalog.committed_ops()
-                if self._catalog.version() >= 0
-                else set()
-            )
-            cutoff = _time.time() - retain_seconds
+            cutoff = _time.time() - max(retain_seconds, 3600.0)
+            candidates = []
             for fn in os.listdir(merge_dir):
                 if not fn.endswith(".json"):
                     continue
                 path = os.path.join(merge_dir, fn)
-                if fn[: -len(".json")] in ledgered:
-                    continue
                 try:
                     if os.path.getmtime(path) <= cutoff:
-                        os.unlink(path)
-                        removed += 1
+                        candidates.append((fn[: -len(".json")], path))
                 except FileNotFoundError:
                     pass  # a concurrent vacuum got it
+            if candidates:
+                ledgered = (
+                    self._catalog.committed_ops()
+                    if self._catalog.version() >= 0
+                    else set()
+                )
+                for op, path in candidates:
+                    if op in ledgered:
+                        continue
+                    try:
+                        os.unlink(path)
+                        removed += 1
+                    except FileNotFoundError:
+                        pass
         return removed
 
     def checkpoint_members(self, spark: SparkSession) -> dict[str, int]:

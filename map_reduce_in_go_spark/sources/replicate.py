@@ -321,23 +321,29 @@ def replicate_catalog(
             # impossible — base-sync this snapshot (correct from any
             # replica state), then continue diffing from here
             prev = None
-        # a MERGE commit's exactly-once payload rides in its ledger-gated
-        # merge_ops sidecar (sources/branches.py), not in the member
-        # content — ship it BEFORE staging the commit (inert until the
-        # replica's own ledger publishes the op), or a batch merged on
-        # the primary would double-apply if replayed against a promoted
-        # replica. Idempotent: a resumed replication rewrites it.
+        # Exactly-once payloads ride in ledger-gated sidecars, not in
+        # member content — ship them BEFORE staging the commit (inert
+        # until the replica's own ledger publishes the op); idempotent,
+        # a resumed replication rewrites them. Two cases:
+        # - a MERGE commit's sidecar carries the branch's op labels
+        #   (sources/branches.py) — copied verbatim;
+        # - a BASE-SYNC (prev=None) crosses the primary's truncation
+        #   horizon, so every op label consolidated below it would
+        #   otherwise never reach the replica ledger at all — a batch
+        #   behind the horizon would then double-apply on a promoted
+        #   replica. Ship the primary's full consolidated view as of
+        #   this commit, gated on this commit's own op.
+        payload: set[str] | None = None
         src_sidecar = os.path.join(
             src.root, src.ledger, "merge_ops", f"{op}.json"
         )
         if os.path.exists(src_sidecar):
-            from .branches import _atomic_json
-
             with open(src_sidecar) as f:
-                payload = json.load(f)
-            dst_dir = os.path.join(dst.root, dst.ledger, "merge_ops")
-            os.makedirs(dst_dir, exist_ok=True)
-            _atomic_json(os.path.join(dst_dir, f"{op}.json"), payload)
+                payload = set(json.load(f))
+        if prev is None:
+            payload = (payload or set()) | src.ops_as_of(v)
+        if payload is not None:
+            dst.publish_gated_ops(op, payload)
         _stage_commit(
             spark,
             src,
@@ -415,24 +421,23 @@ def clone_catalog(
     what branches are for).
 
     The clone CARRIES the exactly-once ledger view as of the cloned
-    version (r12): ``TableCatalog.ops_as_of(v)`` lands in the clone's
-    ``inherited_ops.json`` (atomic write, BEFORE the member commit —
-    same publication order as ``create_branch``; a crash between leaves
-    a member-less destination a retried clone simply overwrites). A
-    restored catalog that forgot its op history would double-apply
-    every pre-restore batch when the upstream at-least-once source
-    resumes — while ops committed AFTER the restore point are
-    deliberately NOT inherited, so re-delivering them re-applies them:
-    that re-application is exactly what restoring to before a bad
-    batch means.
+    version (r12): ``TableCatalog.ops_as_of(v)`` lands in a sidecar
+    GATED on the clone commit's own op label (written atomically before
+    the commit; inert until the commit publishes — a crashed clone
+    leaves a destination that still reads as truly empty, so a retried
+    clone or a fresh follower base-sync cannot be silently poisoned by
+    leftover labels). A restored catalog that forgot its op history
+    would double-apply every pre-restore batch when the upstream
+    at-least-once source resumes — while ops committed AFTER the
+    restore point are deliberately NOT inherited, so re-delivering them
+    re-applies them: that re-application is exactly what restoring to
+    before a bad batch means.
 
     Refuses a non-empty destination loudly, and inherits the GC-horizon
     contract: if vacuum already reclaimed files the pinned snapshot
     needs, the clone refuses UP FRONT (member + version named) instead
     of dying mid-copy. Returns the destination catalog version.
     """
-    from .branches import _atomic_json
-
     v = src.version() if version is None else version
     pins = src.snapshot(spark, v)
     if not pins:
@@ -452,13 +457,9 @@ def clone_catalog(
                 f"{len(missing)} data file(s) already reclaimed by vacuum "
                 f"(below the GC horizon), e.g. {missing[0]}"
             )
-    os.makedirs(os.path.join(dst.root, dst.ledger), exist_ok=True)
-    _atomic_json(
-        os.path.join(dst.root, dst.ledger, "inherited_ops.json"),
-        sorted(carried_ops),
-    )
-    txn = dst.transaction(spark)
     op = f"clone-v{v}"
+    dst.publish_gated_ops(op, carried_ops)
+    txn = dst.transaction(spark)
     for name, (path, pin) in sorted(pins.items()):
         man = src.table(path)._manifest(pin)
         txn.overwrite(

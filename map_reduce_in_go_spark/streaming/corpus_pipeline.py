@@ -1424,6 +1424,10 @@ def rebase_merge_branch(
     name: str,
     source_docs: DataFrame,
     app_id: str = "corpus",
+    emb_lookup: DataFrame | None = None,
+    writer_token: str | None = None,
+    semantic_threshold: float | None = None,
+    expectations: list[tuple[str, str]] | None = None,
 ) -> int:
     """Merge branch ``name`` onto a MOVED main by REPLAYING its batches
     (r12, declared r11): where :func:`~..sources.branches.merge_branch`
@@ -1461,7 +1465,14 @@ def rebase_merge_branch(
     that is the point of rebasing); and input CONTENT is re-resolved
     from ``source_docs``, so a source that drifted since the experiment
     makes this a different experiment, exactly as re-running it would.
-    A clean fast-forward (main never moved) delegates to
+    The same goes for ADMISSION CONFIGURATION: the WAL stores inputs,
+    not code — pass the experiment's own ``expectations`` /
+    ``semantic_threshold`` / ``emb_lookup`` here, or the replay runs
+    with those gates off and admits rows the branch quarantined or
+    semantically rejected. ``writer_token`` carries main's ``app_id``
+    lease into every replayed commit (the multi-writer loudness
+    contract applies to rebases like any other writer). A clean
+    fast-forward (main never moved) delegates to
     :func:`~..sources.branches.merge_branch`. Returns main's version.
 
     At 100 TB: the WAL is O(ids); each replayed batch pays ordinary
@@ -1498,45 +1509,64 @@ def rebase_merge_branch(
             f"branch {name!r} predates the batch-input WAL; its inputs "
             "were never recorded. Re-branch from current main and re-run."
         )
-    ordered: list[str] = []
-    hist = br.history()
-    if hist and hist[0][1] == f"branch-from-v{fork_v}":
-        ordered = [op2 for _v, op2 in hist[1:]]  # ledger order, intact
-    elif batch_ops:
-        # ledger manifests truncated by the branch's own checkpoint:
-        # recover replay order from the WAL's seq column
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
-        rows = (
-            member(spark, br, WAL)
-            .filter(F.col("op").isin(list(batch_ops)))
+    # only batches MAIN does not already have need replaying (pre-fork
+    # batches, or ones that landed on both sides, are ledger no-ops)
+    needed = batch_ops - cat.committed_ops()
+    walled: dict[str, int] = {}
+    if needed:
+        # one scan resolves both guards: which needed ops still have WAL
+        # rows (a fully-erased batch's order AND content are gone — both
+        # the ledger-intact and the checkpointed path must refuse it the
+        # same way, never silently mint an empty op label on main), and
+        # the seq order for the checkpointed fallback below
+        walled = {
+            r["op"]: r["seq"]
+            for r in member(spark, br, WAL)
+            .filter(F.col("op").isin(list(needed)))
             .groupBy("op")
             .agg(F.min("seq").alias("seq"))
             .collect()
-        )
-        missing = batch_ops - {r["op"] for r in rows}
+        }
+        missing = needed - set(walled)
         if missing:
             raise CommitConflict(
                 f"branch {name!r} batches {sorted(missing)} have no WAL "
-                "rows (inputs fully erased, or the batch predates the "
+                "rows (inputs fully erased, empty, or predating the "
                 "seq-carrying WAL); their replay order and content are "
                 "unrecoverable. Re-branch and re-run."
             )
-        ordered = [r["op"] for r in sorted(rows, key=lambda r: r["seq"])]
-    from pyspark.sql import functions as F
-
+    hist = br.history()
+    if hist and hist[0][1] == f"branch-from-v{fork_v}":
+        # ledger order, intact; skip ops main already has
+        ordered = [op2 for _v, op2 in hist[1:] if op2 in needed]
+    else:
+        # ledger manifests truncated by the branch's own checkpoint:
+        # recover replay order from the WAL's seq column
+        ordered = sorted(walled, key=lambda o: walled[o])
     for op2 in ordered:
         ids = (
             member(spark, br, WAL)
             .filter(F.col("op") == op2)
             .select("doc_id")
         )
+        inputs = source_docs.join(ids, "doc_id", "left_semi")
+        emb = (
+            None
+            if emb_lookup is None
+            else emb_lookup.join(ids, "doc_id", "left_semi")
+        )
         corpus_batch_txn(
             spark,
-            source_docs.join(ids, "doc_id", "left_semi"),
+            inputs,
             cat,
             int(pat.match(op2).group(1)),
             app_id=app_id,
+            emb_batch=emb,
+            writer_token=writer_token,
+            semantic_threshold=semantic_threshold,
+            expectations=expectations,
         )
     return cat.version()
 

@@ -236,37 +236,48 @@ def _pipeline_upsert_catalog(spark: SparkSession, sf_dir: str) -> TableCatalog:
     return TableCatalog(served_artifact("pipeline_upsert", sf_dir, _build))
 
 
+def _forked_pipeline_build(spark: SparkSession, sf_dir: str, path: str):
+    """Shared setup for the branch-crossing catalogs: batches 0..n-2 on
+    main, batch n-1 as an experiment on branch ``exp``. Returns
+    ``(cat, docs)`` with the merge left to the caller — fast-forward vs
+    diverge-and-rebase is the one step the two registered twins vary."""
+    from ..sources.branches import create_branch
+
+    cat = TableCatalog(path)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    for i in range(PIPELINE_BATCHES - 1):
+        corpus_batch_txn(
+            spark,
+            docs.filter(F.pmod("doc_id", F.lit(PIPELINE_BATCHES)) == i),
+            cat,
+            i,
+        )
+    br = create_branch(spark, cat, "exp")
+    corpus_batch_txn(
+        spark,
+        docs.filter(
+            F.pmod("doc_id", F.lit(PIPELINE_BATCHES)) == PIPELINE_BATCHES - 1
+        ),
+        br,
+        PIPELINE_BATCHES - 1,
+    )
+    return cat, docs
+
+
 def _pipeline_branch_catalog(spark: SparkSession, sf_dir: str) -> TableCatalog:
     """A pipeline catalog whose LAST batch arrived via a zero-copy branch:
     batches 0 and 1 land on main, batch 2 runs as an experiment on branch
     ``exp`` (ordinary transactions against the shared member tables, its
     own ledger), and a fast-forward merge republishes the branch pins onto
     main. Built once per corpus behind its own latch."""
-    from ..sources.branches import create_branch, merge_branch
+    from ..sources.branches import merge_branch
 
     def _build(path: str) -> None:
-        cat = TableCatalog(path)
-        docs = (
-            load_table(spark, sf_dir, "documents")
-            .select("doc_id", "text", "lang")
-            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        )
-        for i in range(PIPELINE_BATCHES - 1):
-            corpus_batch_txn(
-                spark,
-                docs.filter(F.pmod("doc_id", F.lit(PIPELINE_BATCHES)) == i),
-                cat,
-                i,
-            )
-        br = create_branch(spark, cat, "exp")
-        corpus_batch_txn(
-            spark,
-            docs.filter(
-                F.pmod("doc_id", F.lit(PIPELINE_BATCHES)) == PIPELINE_BATCHES - 1
-            ),
-            br,
-            PIPELINE_BATCHES - 1,
-        )
+        cat, _docs = _forked_pipeline_build(spark, sf_dir, path)
         merge_branch(spark, cat, "exp")
 
     return TableCatalog(served_artifact("pipeline_branch", sf_dir, _build))
@@ -299,33 +310,12 @@ def _pipeline_rebase_catalog(spark: SparkSession, sf_dir: str) -> TableCatalog:
     :func:`~.corpus_pipeline.rebase_merge_branch` replays the experiment's
     batch from its input WAL through ordinary admission onto the moved
     main. Built once per corpus behind its own latch."""
-    from ..sources.branches import create_branch, merge_branch
+    from ..sources.branches import merge_branch
     from ..sources.catalog import CommitConflict
     from .corpus_pipeline import compact_pipeline, rebase_merge_branch
 
     def _build(path: str) -> None:
-        cat = TableCatalog(path)
-        docs = (
-            load_table(spark, sf_dir, "documents")
-            .select("doc_id", "text", "lang")
-            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        )
-        for i in range(PIPELINE_BATCHES - 1):
-            corpus_batch_txn(
-                spark,
-                docs.filter(F.pmod("doc_id", F.lit(PIPELINE_BATCHES)) == i),
-                cat,
-                i,
-            )
-        br = create_branch(spark, cat, "exp")
-        corpus_batch_txn(
-            spark,
-            docs.filter(
-                F.pmod("doc_id", F.lit(PIPELINE_BATCHES)) == PIPELINE_BATCHES - 1
-            ),
-            br,
-            PIPELINE_BATCHES - 1,
-        )
+        cat, docs = _forked_pipeline_build(spark, sf_dir, path)
         compact_pipeline(spark, cat, num_files=4)  # main moves
         try:
             merge_branch(spark, cat, "exp")

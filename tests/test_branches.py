@@ -546,9 +546,16 @@ def test_vacuum_reclaims_stale_merge_sidecars(spark, sf_dir, tmp_path):
     merge_branch(spark, cat, "exp")
     merge_dir = _os.path.join(cat.root, cat.ledger, "merge_ops")
     (ledgered,) = _os.listdir(merge_dir)
-    # simulate a crashed/raced merge's orphan
-    with open(_os.path.join(merge_dir, "merge-ghost-v9-from-v9.json"), "w") as f:
+    # simulate a crashed/raced merge's orphan — backdated past the
+    # sidecar age floor (an hour: a live merge's sidecar→CAS gap is
+    # milliseconds, so anything younger is presumed in-flight and kept
+    # even at retain_seconds=0)
+    ghost = _os.path.join(merge_dir, "merge-ghost-v9-from-v9.json")
+    with open(ghost, "w") as f:
         json.dump(["ghost-batch-1"], f)
+    cat.vacuum(spark, retain_seconds=0.0)
+    assert _os.path.exists(ghost), "young orphan presumed in-flight"
+    _os.utime(ghost, (1.0, 1.0))
     cat.vacuum(spark, retain_seconds=0.0)
     assert sorted(_os.listdir(merge_dir)) == [ledgered]
     assert "corpus-batch-1" in cat.committed_ops()  # merged state intact
@@ -582,6 +589,95 @@ def test_rebase_survives_branch_ledger_checkpoint(spark, sf_dir, tmp_path):
     assert _corpus_ids(spark, cat) == _corpus_ids(spark, ref)
     for i in range(4):
         assert not corpus_batch_txn(spark, b[i], cat, i)
+
+
+def test_rebase_carries_admission_config(spark, sf_dir, tmp_path):
+    """The WAL stores inputs, not code: a rebase must be handed the
+    experiment's admission configuration, and then enforces it — rows the
+    branch quarantined stay quarantined on main (r12 review finding)."""
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+        QUAR,
+        member,
+        rebase_merge_branch,
+    )
+
+    rules = [("text_min_len", "length(text) >= 50")]
+    docs = _docs(spark, sf_dir)
+    cat = TableCatalog(str(tmp_path / "cat"))
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 0), cat, 0,
+        expectations=rules,
+    )
+    br = create_branch(spark, cat, "exp")
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 1), br, 1,
+        expectations=rules,
+    )
+    br_quar = {r["doc_id"] for r in member(spark, br, QUAR).collect()}
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 2), cat, 2,
+        expectations=rules,
+    )  # main moves
+    rebase_merge_branch(spark, cat, "exp", docs, expectations=rules)
+    main_quar = {r["doc_id"] for r in member(spark, cat, QUAR).collect()}
+    assert br_quar <= main_quar, "replay dropped the branch's quarantines"
+    assert not (br_quar & _corpus_ids(spark, cat)), (
+        "a quarantined row was admitted into main's corpus by the replay"
+    )
+
+
+def test_rebase_refuses_zero_wal_row_batch_even_with_intact_ledger(
+    spark, sf_dir, tmp_path
+):
+    """A branch batch with NO WAL rows (empty input, or its inputs fully
+    erased) must refuse on BOTH order paths — the ledger-intact path
+    previously replayed it as an empty commit, permanently minting the op
+    label on main (r12 review finding). (A branch that ran an explicit
+    retraction refuses even earlier, on the non-replayable commit.)"""
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+        rebase_merge_branch,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cat = TableCatalog(str(tmp_path / "cat"))
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 0), cat, 0
+    )
+    br = create_branch(spark, cat, "exp")
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 1), br, 1
+    )
+    # an empty-input batch commits its op label but zero WAL rows
+    assert corpus_batch_txn(spark, docs.filter(F.lit(False)), br, 5)
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 2), cat, 2
+    )  # main moves
+    with pytest.raises(CommitConflict, match="no WAL rows"):
+        rebase_merge_branch(spark, cat, "exp", docs)
+    # the refusal must not have minted any branch op label on main
+    assert "corpus-batch-1" not in cat.committed_ops()
+    assert "corpus-batch-5" not in cat.committed_ops()
+
+
+def test_wedged_branch_does_not_break_listing(spark, sf_dir, tmp_path):
+    """list_branches reports an unresolvable branch as fork_version -2
+    instead of raising and hiding every healthy branch."""
+    import json
+
+    docs = _docs(spark, sf_dir)
+    cat = TableCatalog(str(tmp_path / "cat"))
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 0), cat, 0
+    )
+    from map_reduce_in_go_spark.sources.branches import list_branches
+
+    create_branch(spark, cat, "good")
+    bad = create_branch(spark, cat, "bad")
+    with open(os.path.join(cat.root, bad.ledger, "fork.json"), "w") as f:
+        json.dump({"fork_version": 99}, f)  # conflicting witnesses
+    rows = {r["branch"]: r["fork_version"] for r in list_branches(spark, cat).collect()}
+    assert rows["good"] >= 0, "healthy branch hidden by the wedged one"
+    assert rows["bad"] == -2
 
 
 def test_streaming_ingest_into_branch(spark, tmp_path):

@@ -638,3 +638,56 @@ def test_clone_carries_ledger_and_promotes_to_follower(spark, sf_dir, tmp_path):
     applied = replicate_catalog(spark, src, follower)
     assert applied == 1, "promotion must ship only the post-clone commit"
     assert _state(spark, follower) == _state(spark, src)
+
+
+def test_base_sync_carries_behind_horizon_ops(spark, sf_dir, tmp_path):
+    """When replication base-syncs across the primary's checkpoint
+    horizon, the op labels consolidated below it must still reach the
+    replica's ledger view (gated on the base-sync commit) — a batch
+    behind the horizon re-delivered to a PROMOTED replica is a replay
+    no-op, not a double-apply (r12 review finding)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    src = TableCatalog(str(tmp_path / "primary"))
+    for i in range(3):
+        assert corpus_batch_txn(
+            spark, docs.filter(F.pmod("doc_id", F.lit(3)) == i), src, i
+        )
+    # the primary's catalog ledger checkpoints: v0/v1 manifests truncated,
+    # so a fresh follower can only base-sync the surviving snapshot
+    src._catalog.checkpoint()
+    assert len(src.history()) == 1
+
+    dst = TableCatalog(str(tmp_path / "replica"))
+    replicate_catalog(spark, src, dst)
+    assert _state(spark, dst) == _state(spark, src)
+    # the behind-horizon batches are remembered on the replica
+    assert {"corpus-batch-0", "corpus-batch-1"} <= dst.committed_ops()
+    n = _state(spark, dst)
+    for i in range(3):
+        assert not corpus_batch_txn(
+            spark, docs.filter(F.pmod("doc_id", F.lit(3)) == i), dst, i
+        )
+    assert _state(spark, dst) == n
+
+
+def test_crashed_clone_leaves_destination_truly_empty(spark, sf_dir, tmp_path):
+    """A clone that crashed between its gated sidecar and its commit must
+    look like a genuinely empty catalog: no phantom committed ops, and a
+    follower stood up there base-syncs everything (r12 review finding)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    src = TableCatalog(str(tmp_path / "primary"))
+    for i in range(2):
+        assert corpus_batch_txn(
+            spark, docs.filter(F.pmod("doc_id", F.lit(3)) == i), src, i
+        )
+    dst = TableCatalog(str(tmp_path / "replica"))
+    # simulate the crash: sidecar durably written, commit never landed
+    dst.publish_gated_ops(f"clone-v{src.version()}", src.ops_as_of(src.version()))
+    assert dst.committed_ops() == set(), "phantom ops on an empty catalog"
+    applied = replicate_catalog(spark, src, dst)
+    assert applied == 2, "leftover sidecar suppressed the base content"
+    assert _state(spark, dst) == _state(spark, src)
