@@ -313,6 +313,7 @@ def _build() -> None:
         "pipeline_trending_branch",
         "pipeline_trending_rebase",
         "pipeline_quarantine",
+        "pipeline_quantiles_check",
         "pipeline_spans",
     ])
 

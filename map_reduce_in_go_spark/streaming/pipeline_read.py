@@ -452,6 +452,46 @@ def pipeline_length_quantiles(
     )
 
 
+def pipeline_quantiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile member under the driver's hash gate (r12): exact
+    per-language counts + a rank-bracket verdict on the served values.
+
+    The r8 sketch-verdict pattern (``events_quantiles_approx``): the
+    quantile VALUES themselves aren't SQL-comparable across engines
+    (rank conventions differ), so the hash-checked columns are the exact
+    per-language accepted-doc counts and a boolean that each served
+    value's TRUE rank interval ``[count(<v)+1, count(<=v)]`` (computed
+    against the corpus member's exact token lengths) intersects
+    ``q·n ± (rank_err + 1)`` — the +1 absorbs the rank convention, so
+    the flag flips only if the summaries are actually broken. The oracle
+    replays the accepted set and pins ``TRUE``. Serving stays
+    member-only for the quantiles; the exact lengths are one corpus-
+    member scan (the verification cost, not the serving cost).
+    """
+    from ..functions.text import tokens
+
+    base = pipeline_length_quantiles(spark, sf_dir)
+    cat = _pipeline_catalog(spark, sf_dir)
+    lens = member(spark, cat, CORPUS).select(
+        "lang", F.size(tokens(F.col("text"))).cast("long").alias("len")
+    )
+    j = lens.join(F.broadcast(base), "lang")
+
+    def _ok(q: int) -> F.Column:
+        v, frac = F.col(f"q{q}"), q / 100.0
+        lt = F.sum((F.col("len") < v).cast("long"))
+        le = F.sum((F.col("len") <= v).cast("long"))
+        target = F.lit(frac) * F.first("n")
+        slack = F.first("rank_err") + F.lit(1)
+        return (lt + 1 <= target + slack) & (le >= target - slack)
+
+    agg = j.groupBy("lang").agg(
+        F.first("n").alias("n"),
+        (_ok(25) & _ok(50) & _ok(75)).alias("quantiles_ok"),
+    )
+    return agg.select("lang", "n", "quantiles_ok")
+
+
 def pipeline_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated spans of the REJECTED documents against the accepted
     corpus ∪ themselves — "what text did the near-dup filter catch",
@@ -712,6 +752,12 @@ ORACLES["pipeline_trending_upsert"] = _KEPT_CTES + _upsert_ctes() + f"""
 ), ftot AS (SELECT count(*) AS n FROM fwords)
 SELECT word, count(*) AS cnt FROM fwords GROUP BY word
 HAVING count(*) * {HH_K} > (SELECT n FROM ftot)
+"""
+
+ORACLES["pipeline_quantiles_check"] = _KEPT_CTES + """
+SELECT lang, count(*) AS n, TRUE AS quantiles_ok
+FROM kdocs
+GROUP BY lang
 """
 
 ORACLES["pipeline_quarantine"] = "\nUNION ALL\n".join(
