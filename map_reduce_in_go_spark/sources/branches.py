@@ -42,11 +42,10 @@ import json
 import os
 import re
 import shutil
-import uuid
 
 from pyspark.sql import SparkSession
 
-from .catalog import CommitConflict, TableCatalog
+from .catalog import CommitConflict, TableCatalog, atomic_json
 
 __all__ = [
     "branch",
@@ -63,21 +62,10 @@ _NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
 _FORK_RE = re.compile(r"^branch-from-v(\d+)$")
 
 
-def _atomic_json(path: str, obj) -> None:
-    """Durably publish a JSON sidecar: temp file + fsync + ``os.replace``.
-
-    Readers see the old content or the new content, never a truncated
-    write (r11 advice, medium — the bare ``open('w')`` this replaces
-    could be observed half-written by a concurrent ``committed_ops``
-    reader, or left truncated by a crash mid-write)."""
-    tmp = os.path.join(
-        os.path.dirname(path), f"_tmp_{uuid.uuid4().hex}.json"
-    )
-    with open(tmp, "w") as f:
-        json.dump(obj, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+# one atomic sidecar publisher for the whole package (catalog.py) —
+# two drifting copies of a durability-critical write protocol is how
+# the r12 review's tmp-leak finding happened
+_atomic_json = atomic_json
 
 
 def _ledger(name: str) -> str:
@@ -293,7 +281,12 @@ def list_branches(spark: SparkSession, cat: TableCatalog):
             fork_v = fork_point(br)
         except (RuntimeError, ValueError):
             fork_v = -2  # wedged/unresolvable — inspect with fork_point
-        rows.append((name, fork_v, br.version(), len(br.history())))
+        # n_commits from the manifest LISTING (one listdir), not from
+        # history() — which opens every surviving manifest file and
+        # makes the inventory verb O(total commits) in file opens
+        rows.append(
+            (name, fork_v, br.version(), len(br._catalog._versions()))
+        )
     return spark.createDataFrame(
         rows or [("", -1, -1, -1)],
         "branch string, fork_version long, version long, n_commits long",

@@ -56,6 +56,50 @@ from .manifest_table import CommitConflict, ManifestTable
 __all__ = ["TableCatalog", "Transaction", "CommitConflict"]
 
 
+def atomic_json(path: str, obj) -> None:
+    """Durably publish a JSON sidecar: temp file + fsync + ``os.replace``.
+
+    Readers see the old content or the new content, never a truncated
+    write. The ONE publisher for every sidecar in this package (fork /
+    merge / clone / base-sync inheritance, fork.json) — the temp name
+    keeps the ``.json`` suffix so a crash-orphaned temp inside a
+    ``merge_ops`` dir is still listed by the readers (inert — its stem
+    is never a ledgered op) and reclaimed by vacuum's sidecar GC once
+    stale, instead of leaking forever."""
+    import json as _json
+    import uuid as _uuid
+
+    tmp = os.path.join(
+        os.path.dirname(path), f"_tmp_{_uuid.uuid4().hex}.json"
+    )
+    with open(tmp, "w") as f:
+        _json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _sidecar_name(gate_op: str) -> str:
+    """Filesystem-safe sidecar filename for an arbitrary op label.
+
+    Gate ops come from USER-CHOSEN commit labels (any ``txn.commit(op=
+    ...)`` can end up a base-sync gate on a replica), so the label must
+    be encoded, not trusted: a '/' would escape the merge_ops dir or
+    crash the rename, wedging the follower on every retry. URL-quoting
+    with no safe chars beyond the default alnum+``_.-~`` is identity
+    for every label this package mints (merge-*/branch-from-*/clone-*),
+    so existing sidecars keep their names."""
+    from urllib.parse import quote
+
+    return quote(gate_op, safe="") + ".json"
+
+
+def _sidecar_op(fname: str) -> str:
+    from urllib.parse import unquote
+
+    return unquote(fname[: -len(".json")])
+
+
 class TableCatalog:
     """A set of ManifestTables published atomically via one catalog table."""
 
@@ -194,7 +238,7 @@ class TableCatalog:
             for fn in sorted(os.listdir(merge_dir)):
                 if not fn.endswith(".json"):
                     continue
-                if fn[: -len(".json")] not in ledger_ops:
+                if _sidecar_op(fn) not in ledger_ops:
                     continue
                 try:
                     with open(os.path.join(merge_dir, fn)) as f:
@@ -205,20 +249,15 @@ class TableCatalog:
 
     def publish_gated_ops(self, gate_op: str, ops) -> None:
         """Durably stage an op-label inheritance sidecar for ``gate_op``
-        (atomic temp+fsync+rename). Write BEFORE publishing the gating
-        commit: the sidecar is inert until ``gate_op`` is in the ledger,
-        so no crash ordering can double-apply or falsely suppress."""
-        import json as _json
-        import uuid as _uuid
-
+        (atomic temp+fsync+rename, filename-encoded for arbitrary op
+        labels). Write BEFORE publishing the gating commit: the sidecar
+        is inert until ``gate_op`` is in the ledger, so no crash
+        ordering can double-apply or falsely suppress."""
         merge_dir = os.path.join(self.root, self.ledger, "merge_ops")
         os.makedirs(merge_dir, exist_ok=True)
-        tmp = os.path.join(merge_dir, f"_tmp_{_uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            _json.dump(sorted(ops), f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(merge_dir, f"{gate_op}.json"))
+        atomic_json(
+            os.path.join(merge_dir, _sidecar_name(gate_op)), sorted(ops)
+        )
 
     def ops_as_of(self, version: int) -> set[str]:
         """The exactly-once ledger view AS OF one catalog version: every
@@ -355,7 +394,7 @@ class TableCatalog:
                 path = os.path.join(merge_dir, fn)
                 try:
                     if os.path.getmtime(path) <= cutoff:
-                        candidates.append((fn[: -len(".json")], path))
+                        candidates.append((_sidecar_op(fn), path))
                 except FileNotFoundError:
                     pass  # a concurrent vacuum got it
             if candidates:

@@ -1511,11 +1511,27 @@ def rebase_merge_branch(
         )
     from pyspark.sql import functions as F
 
+    from ..functions.caching import (
+        persisted_count,
+        release_persisted_since,
+        scoped_persist,
+    )
+
     # only batches MAIN does not already have need replaying (pre-fork
     # batches, or ones that landed on both sides, are ledger no-ops)
     needed = batch_ops - cat.committed_ops()
-    walled: dict[str, int] = {}
-    if needed:
+    if not needed:
+        return cat.version()
+    mark = persisted_count()
+    try:
+        # ONE materialized read of the WAL serves the guard scan AND
+        # every per-op id filter below — a long experiment would
+        # otherwise re-scan the whole member once per replayed batch
+        wal = scoped_persist(
+            member(spark, br, WAL)
+            .filter(F.col("op").isin(list(needed)))
+            .select("op", "seq", "doc_id")
+        )
         # one scan resolves both guards: which needed ops still have WAL
         # rows (a fully-erased batch's order AND content are gone — both
         # the ledger-intact and the checkpointed path must refuse it the
@@ -1523,11 +1539,7 @@ def rebase_merge_branch(
         # the seq order for the checkpointed fallback below
         walled = {
             r["op"]: r["seq"]
-            for r in member(spark, br, WAL)
-            .filter(F.col("op").isin(list(needed)))
-            .groupBy("op")
-            .agg(F.min("seq").alias("seq"))
-            .collect()
+            for r in wal.groupBy("op").agg(F.min("seq").alias("seq")).collect()
         }
         missing = needed - set(walled)
         if missing:
@@ -1537,37 +1549,35 @@ def rebase_merge_branch(
                 "seq-carrying WAL); their replay order and content are "
                 "unrecoverable. Re-branch and re-run."
             )
-    hist = br.history()
-    if hist and hist[0][1] == f"branch-from-v{fork_v}":
-        # ledger order, intact; skip ops main already has
-        ordered = [op2 for _v, op2 in hist[1:] if op2 in needed]
-    else:
-        # ledger manifests truncated by the branch's own checkpoint:
-        # recover replay order from the WAL's seq column
-        ordered = sorted(walled, key=lambda o: walled[o])
-    for op2 in ordered:
-        ids = (
-            member(spark, br, WAL)
-            .filter(F.col("op") == op2)
-            .select("doc_id")
-        )
-        inputs = source_docs.join(ids, "doc_id", "left_semi")
-        emb = (
-            None
-            if emb_lookup is None
-            else emb_lookup.join(ids, "doc_id", "left_semi")
-        )
-        corpus_batch_txn(
-            spark,
-            inputs,
-            cat,
-            int(pat.match(op2).group(1)),
-            app_id=app_id,
-            emb_batch=emb,
-            writer_token=writer_token,
-            semantic_threshold=semantic_threshold,
-            expectations=expectations,
-        )
+        hist = br.history()
+        if hist and hist[0][1] == f"branch-from-v{fork_v}":
+            # ledger order, intact; skip ops main already has
+            ordered = [op2 for _v, op2 in hist[1:] if op2 in needed]
+        else:
+            # ledger manifests truncated by the branch's own checkpoint:
+            # recover replay order from the WAL's seq column
+            ordered = sorted(walled, key=lambda o: walled[o])
+        for op2 in ordered:
+            ids = wal.filter(F.col("op") == op2).select("doc_id")
+            inputs = source_docs.join(ids, "doc_id", "left_semi")
+            emb = (
+                None
+                if emb_lookup is None
+                else emb_lookup.join(ids, "doc_id", "left_semi")
+            )
+            corpus_batch_txn(
+                spark,
+                inputs,
+                cat,
+                int(pat.match(op2).group(1)),
+                app_id=app_id,
+                emb_batch=emb,
+                writer_token=writer_token,
+                semantic_threshold=semantic_threshold,
+                expectations=expectations,
+            )
+    finally:
+        release_persisted_since(mark)
     return cat.version()
 
 

@@ -691,3 +691,38 @@ def test_crashed_clone_leaves_destination_truly_empty(spark, sf_dir, tmp_path):
     applied = replicate_catalog(spark, src, dst)
     assert applied == 2, "leftover sidecar suppressed the base content"
     assert _state(spark, dst) == _state(spark, src)
+
+
+def test_base_sync_survives_hostile_op_labels(spark, sf_dir, tmp_path):
+    """Gate-op sidecar filenames are ENCODED: an ad-hoc commit label with
+    a path separator (or spaces) must neither crash replication's
+    base-sync sidecar write nor escape the merge_ops dir (r12 review)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    src = TableCatalog(str(tmp_path / "primary"))
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 0), src, 0
+    )
+    txn = src.transaction(spark)
+    txn.append("notes", spark.createDataFrame([(1, "x")], "id long, s string"))
+    txn.commit(op="backfill 2026/08 (../adhoc)")
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 1), src, 1
+    )
+    src._catalog.checkpoint()  # force the base-sync path
+
+    dst = TableCatalog(str(tmp_path / "replica"))
+    replicate_catalog(spark, src, dst)
+    assert _state(spark, dst) == _state(spark, src)
+    assert "backfill 2026/08 (../adhoc)" in dst.committed_ops()
+    # nothing escaped the sidecar dir
+    merge_dir = os.path.join(dst.root, dst.ledger, "merge_ops")
+    assert all(
+        "/" not in f and ".." not in f for f in os.listdir(merge_dir)
+    )
+    n = _state(spark, dst)
+    assert not corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 0), dst, 0
+    )
+    assert _state(spark, dst) == n
