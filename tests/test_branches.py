@@ -780,3 +780,36 @@ def test_introspection_and_racing_mergers(spark, sf_dir, tmp_path):
     kinds = sorted(k for k, _ in results)
     assert kinds == ["conflict", "ok"], results
     assert _corpus_ids(spark, cat) == _corpus_ids(spark, br)
+
+
+def test_racing_rebasers_converge_exactly_once(spark, sf_dir, tmp_path):
+    """Two concurrent rebase_merge_branch calls on the same branch: both
+    complete (replays are ledger-idempotent, CAS conflicts retry), the
+    batch lands exactly once, and main equals the sequential reference."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+        rebase_merge_branch,
+    )
+
+    docs = _docs(spark, sf_dir)
+    b = [docs.filter(F.pmod("doc_id", F.lit(3)) == i) for i in range(3)]
+    cat = TableCatalog(str(tmp_path / "cat"))
+    assert corpus_batch_txn(spark, b[0], cat, 0)
+    br = create_branch(spark, cat, "exp")
+    assert corpus_batch_txn(spark, b[1], br, 1)
+    assert corpus_batch_txn(spark, b[2], cat, 2)  # main moves
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(rebase_merge_branch, spark, cat, "exp", docs)
+            for _ in range(2)
+        ]
+        for f in futs:
+            f.result()  # neither racer may error
+
+    ref = TableCatalog(str(tmp_path / "ref"))
+    for order in (0, 2, 1):
+        assert corpus_batch_txn(spark, b[order], ref, order)
+    assert _corpus_ids(spark, cat) == _corpus_ids(spark, ref)
+    assert not corpus_batch_txn(spark, b[1], cat, 1)

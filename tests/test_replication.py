@@ -726,3 +726,24 @@ def test_base_sync_survives_hostile_op_labels(spark, sf_dir, tmp_path):
         spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 0), dst, 0
     )
     assert _state(spark, dst) == n
+
+
+def test_ops_as_of_refuses_consolidated_horizon(spark, sf_dir, tmp_path):
+    """ops_as_of(v) refuses when the catalog checkpoint consolidated op
+    labels PAST v: any reconstruction would be wrong in one direction
+    (over-approx suppresses post-v re-delivery → data loss; under-approx
+    double-applies)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    src = TableCatalog(str(tmp_path / "primary"))
+    for i in range(3):
+        assert corpus_batch_txn(
+            spark, docs.filter(F.pmod("doc_id", F.lit(3)) == i), src, i
+        )
+    v_old = 0
+    src._catalog.checkpoint()  # consolidates ops up to the newest version
+    with pytest.raises(ValueError, match="unrecoverable"):
+        src.ops_as_of(v_old)
+    # the newest version is still reconstructable
+    assert "corpus-batch-2" in src.ops_as_of(src.version())
