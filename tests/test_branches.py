@@ -813,3 +813,46 @@ def test_racing_rebasers_converge_exactly_once(spark, sf_dir, tmp_path):
         assert corpus_batch_txn(spark, b[order], ref, order)
     assert _corpus_ids(spark, cat) == _corpus_ids(spark, ref)
     assert not corpus_batch_txn(spark, b[1], cat, 1)
+
+
+def test_branch_content_divergence_fingerprint(spark, sf_dir, tmp_path):
+    """`catalog_divergence` works main-vs-branch out of the box (both are
+    TableCatalogs over the same member tables): the row-level "what did
+    the experiment actually change" verb, sharper than the pin-level
+    `branch_divergence` — a maintenance commit that rewrites a member's
+    files WITHOUT changing its content moves the pin but fingerprints
+    clean."""
+    from map_reduce_in_go_spark.sources.replicate import catalog_divergence
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+        WAL,
+        compact_pipeline,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cat = TableCatalog(str(tmp_path / "cat"))
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 0), cat, 0
+    )
+    br = create_branch(spark, cat, "exp")
+    # freshly forked: zero content divergence
+    assert catalog_divergence(spark, cat, br) == {}
+
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 1), br, 1
+    )
+    div = catalog_divergence(spark, cat, br)
+    assert CORPUS in div and WAL in div  # the experiment's actual footprint
+    # pin-level divergence would ALSO flag a content-preserving compaction;
+    # the fingerprint must not
+    compact_pipeline(spark, cat, num_files=2)
+    div2 = catalog_divergence(
+        spark, cat, branch(cat, "exp"), members={CORPUS}
+    )
+    assert CORPUS in div2  # branch really has more corpus rows
+    cat2 = TableCatalog(str(tmp_path / "cat2"))
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 0), cat2, 0
+    )
+    compact_pipeline(spark, cat2, num_files=2)
+    # same content, different file layout/pins: fingerprints agree
+    assert catalog_divergence(spark, cat, cat2, members={CORPUS}) == {}
