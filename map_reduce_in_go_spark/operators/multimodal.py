@@ -37,6 +37,12 @@ FEATURE_SCHEMA = "doc_id long, n_bytes long, features array<double>"
 W_MOD, W_MIN = 29, 4
 H_MOD, H_MIN = 13, 4
 
+# Synthesized audio params (see encode_wav): sample count from the length
+# modulus, sample rate picked from the standard-rate ladder — both
+# oracle-replayable arithmetic, both yielding REAL RIFF/WAVE files.
+WAV_RATES = (8000, 11025, 16000, 22050, 44100)
+S_MOD, S_MIN = 211, 32
+
 
 def encode_ppm(text_bytes: bytes) -> bytes:
     """Deterministically synthesize a valid binary PPM (P6) image from a
@@ -78,6 +84,95 @@ def decode_ppm(payload: bytes) -> dict:
         "height": h,
         "maxval": maxval,
         "pixel_sum": sum(raster),
+    }
+
+
+def encode_wav(text_bytes: bytes) -> bytes:
+    """Deterministically synthesize a valid RIFF/WAVE file (16-bit PCM
+    mono) from a document's bytes: sample count and rate from the length,
+    samples = the bytes tiled cyclically and scaled to int16. The output
+    is a real audio file (``file`` says 'RIFF ... WAVE audio'); any WAV
+    reader plays it. Determinism makes it oracle-replayable, exactly like
+    :func:`encode_ppm` for images."""
+    import struct
+
+    if not text_bytes:
+        raise ValueError("encode_wav: empty payload")
+    n = len(text_bytes)
+    rate = WAV_RATES[n % len(WAV_RATES)]
+    n_samples = n % S_MOD + S_MIN
+    reps = n_samples // n + 1
+    tiled = (text_bytes * reps)[:n_samples]
+    pcm = struct.pack("<%dh" % n_samples, *(b * 256 - 16384 for b in tiled))
+    data_size = 2 * n_samples
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", data_size)
+        + pcm
+    )
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL decode of a RIFF/WAVE container: validate the RIFF magic and
+    declared size, walk the chunk list to find ``fmt `` and ``data``
+    (extra chunks between them are legal WAV and are skipped), validate
+    the PCM format fields for internal consistency, and return header
+    metadata + sample statistics. Raises ``ValueError`` on anything
+    malformed — no silent fallbacks."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("decode_wav: not a RIFF/WAVE payload")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if riff_size != len(payload) - 8:
+        raise ValueError(
+            f"decode_wav: RIFF size {riff_size} != {len(payload) - 8}"
+        )
+    fmt = None
+    data = None
+    off = 12
+    while off + 8 <= len(payload):
+        cid = payload[off : off + 4]
+        (csize,) = struct.unpack_from("<I", payload, off + 4)
+        body = payload[off + 8 : off + 8 + csize]
+        if len(body) != csize:
+            raise ValueError(f"decode_wav: chunk {cid!r} truncated")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        off += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("decode_wav: missing fmt/data chunk")
+    audio_fmt, channels, rate, byte_rate, block_align, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(
+            f"decode_wav: only 16-bit PCM supported, got fmt={audio_fmt} bits={bits}"
+        )
+    if rate == 0 or channels == 0:
+        raise ValueError("decode_wav: zero sample rate or channel count")
+    if block_align != channels * 2 or byte_rate != rate * block_align:
+        raise ValueError("decode_wav: inconsistent fmt fields")
+    if len(data) % block_align or not data:
+        raise ValueError("decode_wav: data chunk empty or not frame-aligned")
+    samples = np.frombuffer(data, dtype="<i2")
+    n_samples = len(samples) // channels
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "n_samples": n_samples,
+        "duration_us": n_samples * 1_000_000 // rate,
+        "peak": int(samples.max()),
+        "amp_sum": int(np.abs(samples.astype(np.int64)).sum()),
     }
 
 
@@ -160,6 +255,58 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "doc_id long, n_bytes long, digest string, width long, "
             "height long, pixel_sum long"
+        ),
+    )
+
+
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-column pipeline, decode FOR REAL: synthesize a RIFF/WAVE
+    (16-bit PCM mono) per doc, parse it back in an Arrow kernel (chunk
+    walk, fmt validation, PCM sample statistics), emit typed metadata.
+    The second real codec through the multimodal seam (PPM images are
+    §2 #40): WAV is the format a speech-training pipeline actually lands,
+    and the parse here is the genuine container walk — a header-write or
+    chunk-size bug lands in the oracle hash. Scale: one encode + one
+    decode kernel back-to-back in the SAME mapInPandas stage chain, zero
+    shuffles, zero Python-row paths; at 100 TB this is an embarrassingly
+    parallel scan, exactly like production decode. Zero-byte/NULL docs
+    are excluded on both sides (no audio for an empty doc)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+    )
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = encode_wav(text.encode("utf-8"))
+                meta = decode_wav(payload)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_bytes": len(payload),
+                        "sample_rate": meta["sample_rate"],
+                        "n_samples": meta["n_samples"],
+                        "duration_us": meta["duration_us"],
+                        "peak": meta["peak"],
+                        "amp_sum": meta["amp_sum"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "sample_rate", "n_samples",
+                    "duration_us", "peak", "amp_sum",
+                ],
+            )
+
+    return docs.mapInPandas(
+        _roundtrip,
+        schema=(
+            "doc_id long, n_bytes long, sample_rate long, n_samples long, "
+            "duration_us long, peak long, amp_sum long"
         ),
     )
 
@@ -297,5 +444,41 @@ ORACLES: dict[str, str] = {
            CAST(cycles * list_sum(codes)
                 + coalesce(list_sum(codes[1:rem]), 0) AS BIGINT) AS pixel_sum
     FROM sized
+    """,
+    # Replays the WAV synthesis arithmetically (ASCII corpus: char codes ==
+    # payload bytes): rate from the standard ladder indexed by len, sample
+    # count from the length modulus, sample values = tiled codes scaled to
+    # int16 (c*256 - 16384). The Spark side must PARSE its RIFF container
+    # back to these numbers — a chunk-size or fmt-field bug lands here.
+    "multimodal_audio": f"""
+    WITH base AS (
+      SELECT doc_id, octet_length(encode(text)) AS len,
+             list_transform(range(1, length(text) + 1),
+                            i -> ascii(substr(text, i, 1))) AS codes
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0
+    ), sized AS (
+      SELECT doc_id, len, codes,
+             ([{",".join(str(r) for r in WAV_RATES)}])[len % {len(WAV_RATES)} + 1]
+               AS rate,
+             len % {S_MOD} + {S_MIN} AS n_samples
+      FROM base
+    ), samp AS (
+      SELECT doc_id, rate, n_samples,
+             n_samples // len AS cycles, n_samples % len AS rem,
+             list_transform(codes, c -> abs(c * 256 - 16384)) AS amps,
+             list_transform(codes, c -> c * 256 - 16384) AS vals
+      FROM sized
+    )
+    SELECT doc_id,
+           CAST(44 + 2 * n_samples AS BIGINT) AS n_bytes,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST(n_samples * 1000000 // rate AS BIGINT) AS duration_us,
+           CAST(CASE WHEN cycles > 0 THEN list_max(vals)
+                     ELSE list_max(vals[1:rem]) END AS BIGINT) AS peak,
+           CAST(cycles * list_sum(amps)
+                + coalesce(list_sum(amps[1:rem]), 0) AS BIGINT) AS amp_sum
+    FROM samp
     """,
 }

@@ -264,7 +264,7 @@ def _build() -> None:
 
     from .operators import multimodal as _mm
 
-    _register(_mm, ["multimodal_meta", "multimodal_frames"])
+    _register(_mm, ["multimodal_meta", "multimodal_frames", "multimodal_audio"])
 
     from .operators import pipeline as _pl
 

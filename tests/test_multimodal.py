@@ -134,3 +134,97 @@ def test_empty_and_null_docs_are_excluded(spark):
     assert [r["doc_id"] for r in rows] == [1]
     meta = decode_ppm(bytes(rows[0]["payload"]))
     assert meta["width"] > 0 and meta["pixel_sum"] > 0
+
+
+def test_wav_roundtrip_is_a_real_audio_file():
+    """encode_wav emits a valid RIFF/WAVE (16-bit PCM mono) the stdlib
+    `wave` module — a third-party parser for this purpose — opens and
+    reads back sample-exact; decode_wav parses the header FIELDS (not the
+    input length) and its stats match a direct computation."""
+    import struct
+    import wave
+    from io import BytesIO
+
+    from map_reduce_in_go_spark.operators.multimodal import (
+        S_MIN,
+        S_MOD,
+        WAV_RATES,
+        decode_wav,
+        encode_wav,
+    )
+
+    raw = b"twelve tones of pcm, deterministically"
+    payload = encode_wav(raw)
+    with wave.open(BytesIO(payload)) as w:
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 2
+        assert w.getframerate() == WAV_RATES[len(raw) % len(WAV_RATES)]
+        n = len(raw) % S_MOD + S_MIN
+        assert w.getnframes() == n
+        frames = w.readframes(n)
+    tiled = (raw * (n // len(raw) + 1))[:n]
+    expect = [b * 256 - 16384 for b in tiled]
+    assert list(struct.unpack("<%dh" % n, frames)) == expect
+    meta = decode_wav(payload)
+    assert meta["sample_rate"] == WAV_RATES[len(raw) % len(WAV_RATES)]
+    assert meta["n_samples"] == n
+    assert meta["peak"] == max(expect)
+    assert meta["amp_sum"] == sum(abs(v) for v in expect)
+    assert meta["duration_us"] == n * 1_000_000 // meta["sample_rate"]
+
+
+def test_decode_wav_walks_chunks_and_rejects_malformed():
+    """decode_wav is a genuine container parser: a WAV written by another
+    producer with an extra LIST chunk between fmt and data decodes fine;
+    truncation, bad magic, size lies, and non-PCM formats all raise."""
+    import struct
+
+    from map_reduce_in_go_spark.operators.multimodal import decode_wav, encode_wav
+
+    # foreign file: fmt, then a LIST/INFO chunk (odd size → pad byte), then data
+    pcm = struct.pack("<4h", 100, -200, 300, -400)
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    info = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad to even
+    data = b"data" + struct.pack("<I", len(pcm)) + pcm
+    body = b"WAVE" + fmt + info + data
+    foreign = b"RIFF" + struct.pack("<I", len(body)) + body
+    meta = decode_wav(foreign)
+    assert meta == {
+        "sample_rate": 8000,
+        "channels": 1,
+        "n_samples": 4,
+        "duration_us": 500,
+        "peak": 300,
+        "amp_sum": 1000,
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"OggS not a wav")
+    good = encode_wav(b"some content")
+    with _pytest.raises(ValueError):
+        decode_wav(good[:-3])  # truncated data chunk (RIFF size lies)
+    bad_fmt = bytearray(good)
+    bad_fmt[20] = 3  # audio_format = IEEE float
+    with _pytest.raises(ValueError):
+        decode_wav(bytes(bad_fmt))
+
+
+def test_multimodal_audio_matches_direct_compute(spark, sf_dir):
+    from map_reduce_in_go_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        multimodal_audio,
+    )
+
+    out = multimodal_audio(spark, sf_dir).orderBy("doc_id").limit(5).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").limit(50).collect()
+    }
+    for r in out:
+        payload = encode_wav(docs[r["doc_id"]].encode())
+        local = decode_wav(payload)
+        assert r["n_bytes"] == len(payload)
+        for k in ("sample_rate", "n_samples", "duration_us", "peak", "amp_sum"):
+            assert r[k] == local[k], k
