@@ -260,3 +260,66 @@ ORACLES["corpus_report"] = f"""
     LEFT JOIN q USING (doc_id)
     GROUP BY b.lang, b.source
     """
+
+
+PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column table profile of the documents corpus — the
+    `DESCRIBE`-on-steroids every pipeline runs before trusting a new drop:
+    per column, row count, null count, EXACT distinct count, native-typed
+    min/max (rendered to string after aggregating, so numeric columns
+    order numerically, not lexically), and the exact sum of rendered value
+    lengths (a byte-budget proxy).
+
+    Shape: ONE scan, one aggregate, then a driver-free ``stack`` unpivot
+    of the single aggregated row into the per-column report. Multiple
+    exact ``count(distinct)`` aggregates compile to Catalyst's Expand
+    (×n_cols row amplification inside the aggregate, map-side partials
+    intact) — exact is the point here because the driver's hash gate
+    checks values; the 100 TB twin swaps ``approx_count_distinct`` in the
+    SAME plan shape, which drops the Expand and profiles any width in one
+    unamplified pass. No collect, no per-column jobs (`df.summary()`
+    launches one job per stat), no Python rows.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(*PROFILE_COLS)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+            F.sum(F.length(F.col(c).cast("string"))).alias(f"{c}__len"),
+        ]
+    one = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__min, {c}__max, {c}__len"
+        for c in PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {stack_args}) as "
+            "(col_name, n_nonnull, n_distinct, min_val, max_val, sum_len)"
+        ),
+        "n_rows",
+    ).select(
+        "col_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("n_nonnull")).alias("n_null"),
+        "n_distinct",
+        "min_val",
+        "max_val",
+        F.coalesce(F.col("sum_len"), F.lit(0)).alias("sum_len"),
+    )
+
+
+ORACLES["corpus_profile"] = " UNION ALL ".join(
+    f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+    count(*) - count({c}) AS n_null, count(DISTINCT {c}) AS n_distinct,
+    CAST(min({c}) AS VARCHAR) AS min_val, CAST(max({c}) AS VARCHAR) AS max_val,
+    CAST(coalesce(sum(length(CAST({c} AS VARCHAR))), 0) AS BIGINT) AS sum_len
+    FROM documents"""
+    for c in PROFILE_COLS
+)

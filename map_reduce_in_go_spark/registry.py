@@ -268,7 +268,12 @@ def _build() -> None:
 
     from .operators import pipeline as _pl
 
-    _register(_pl, ["corpus_clean", "corpus_clean_fused", "corpus_report"])
+    _register(_pl, [
+        "corpus_clean",
+        "corpus_clean_fused",
+        "corpus_report",
+        "corpus_profile",
+    ])
 
     from .operators import graph as _graph
 
