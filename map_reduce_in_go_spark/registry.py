@@ -317,6 +317,7 @@ def _build() -> None:
         "pipeline_trending_upsert",
         "pipeline_trending_branch",
         "pipeline_trending_rebase",
+        "pipeline_trending_mor",
         "pipeline_quarantine",
         "pipeline_quantiles_check",
         "pipeline_spans",

@@ -708,6 +708,18 @@ class Transaction:
             raise KeyError(f"member {name!r} not in this transaction's view")
         return tbl.files_pruned_in(col, values, version=pinned)
 
+    def files(self, name: str) -> list[str]:
+        """Full data-file paths of member ``name`` at this transaction's
+        read-your-writes view (staged version if written, else base pin) —
+        the targeting companion to :meth:`replace_files` when the caller
+        already knows WHICH file names it must rewrite (e.g. a merge-on-
+        read delete vector's recorded files) rather than probing by key."""
+        self._check_open()
+        tbl, _path, pinned = self._member(name)
+        if pinned < 0:
+            raise KeyError(f"member {name!r} not in this transaction's view")
+        return tbl.files(pinned)
+
     def replace_files(
         self,
         name: str,

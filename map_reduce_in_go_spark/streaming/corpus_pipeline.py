@@ -77,6 +77,69 @@ QUAR = "quarantine"
 # (including any stale WAL a past merge carried), and a different
 # app_id's batch 2 must not collide with an inherited batch 2.
 WAL = "batch_wal"
+# merge-on-read delete vector (r12): (member, file, doc_id) rows naming the
+# PHYSICAL rows a retraction has logically removed from the two big
+# row-level members (corpus, band_index) without rewriting their files —
+# the Iceberg-position-delete / Delta-deletion-vector posture. Reads apply
+# the vector (anti-join on the (file, doc_id) pair — FILE-scoped, so a
+# later re-insert of the same doc_id lands in a new file and is NOT
+# hidden); `apply_deletes` / `compact_pipeline` fold it back into
+# copy-on-write and truncate it. At 100 TB this turns erasure of k docs
+# from O(touched files rewritten at retract time) into O(1) metadata at
+# retract time, with the rewrite batched into maintenance windows.
+DELETES = "doc_deletes"
+_DELETES_SCHEMA = "member string, file string, doc_id long"
+# the two members the vector defers; every other member's retraction
+# algebra is already O(delta) (negative additive rows / summary rebuild /
+# tiny audit COW), so deferral would buy nothing and cost read complexity
+_MOR_MEMBERS = (CORPUS, BANDS)
+
+
+def _file_basename_col():
+    """Physical-file provenance of each row, as the manifest-unique
+    basename (data files are uuid-prefixed — see ManifestTable)."""
+    from pyspark.sql import functions as F
+
+    return F.element_at(F.split(F.input_file_name(), "/"), -1)
+
+
+def _apply_delete_vector(
+    df: DataFrame, dels: DataFrame, member_name: str
+) -> DataFrame:
+    """Filter the MOR delete vector's (file, doc_id) pairs out of a member
+    read. The pair match is what makes re-insertion sound: a doc_id
+    re-admitted after a MOR retraction lives in a NEWER file than the one
+    its delete entry names, so only the dead physical row is hidden.
+    The vector side is bounded by retractions since the last fold
+    (compaction truncates it), so Spark/AQE broadcasts it in practice —
+    no forced broadcast, no driver materialization."""
+    from pyspark.sql import functions as F
+
+    pairs = dels.filter(F.col("member") == F.lit(member_name)).select(
+        F.col("file").alias("_dv_f"), F.col("doc_id").alias("_dv_id")
+    )
+    tagged = df.withColumn("_dv_file", _file_basename_col())
+    return tagged.join(
+        pairs,
+        (tagged["_dv_file"] == pairs["_dv_f"])
+        & (tagged["doc_id"] == pairs["_dv_id"]),
+        "left_anti",
+    ).drop("_dv_file")
+
+
+def _txn_live_read(txn, name: str, merge_schema: bool = False) -> DataFrame:
+    """Transaction read of ``name`` with the MOR delete vector applied —
+    the view every verb must reason over for corpus/band content (a verb
+    that read raw rows would recompute deltas for documents already
+    logically erased). No-op for catalogs without the member."""
+    df = txn.read(name, merge_schema=merge_schema)
+    if name not in _MOR_MEMBERS:
+        return df
+    try:
+        dels = txn.read(DELETES)
+    except KeyError:
+        return df
+    return _apply_delete_vector(df, dels, name)
 
 
 def _gram_rows_of(docs: DataFrame) -> DataFrame:
@@ -200,7 +263,9 @@ def corpus_batch_txn(
         if op in cat.committed_ops():
             return False
         try:
-            old_bands = txn.read(BANDS)
+            # live view: a MOR-retracted doc's bands must not block a new
+            # near-duplicate, exactly as after a copy-on-write retraction
+            old_bands = _txn_live_read(txn, BANDS)
         except KeyError:
             old_bands = spark.createDataFrame([], "band_idx int, band_hash string")
         from ..functions.caching import scoped_persist
@@ -606,9 +671,14 @@ def _remove_ids_cow(
     the rewrite IS the full member, same cost either way, one code path).
     """
     if len(id_vals) > MERGE_MAX_IDS:
+        # live read: a full rewrite is a fold opportunity for any pending
+        # MOR deletes — and copying raw rows would RESURRECT them (their
+        # vector entries name the old files, which this rewrite replaces)
         txn.overwrite(
             name,
-            txn.read(name, merge_schema=True).join(ids, "doc_id", "left_anti"),
+            _txn_live_read(txn, name, merge_schema=True).join(
+                ids, "doc_id", "left_anti"
+            ),
             stats_cols=stats_cols,
         )
         return
@@ -627,11 +697,19 @@ def _remove_ids_cow(
             touched = [f for f in touched if f in set(extra)]
     if not touched:
         return  # stats prove no file holds an affected id
-    survivors = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*touched)
-        .join(ids, "doc_id", "left_anti")
-    )
+    survivors = spark.read.option("mergeSchema", "true").parquet(*touched)
+    if name in _MOR_MEMBERS:
+        # the rewritten files must not carry MOR-hidden rows forward: a
+        # copied raw row would outlive its (old file, doc_id) vector entry
+        # and silently reappear. Applying the vector here folds the
+        # touched files' pending deletes as a free side effect.
+        try:
+            survivors = _apply_delete_vector(
+                survivors, txn.read(DELETES), name
+            )
+        except KeyError:
+            pass
+    survivors = survivors.join(ids, "doc_id", "left_anti")
     txn.replace_files(name, touched, survivors, op=op, stats_cols=stats_cols)
 
 
@@ -641,6 +719,7 @@ def retract_docs(
     doc_ids: list[int],
     op: str,
     max_retries: int = 10,
+    mode: str = "cow",
 ) -> bool:
     """Remove previously-accepted documents from EVERY member, one CAS.
 
@@ -683,6 +762,22 @@ def retract_docs(
     CAS-conflict and one side re-plans. Raises if none of ``doc_ids``
     is in the corpus OR the rejection report (a silent no-op would mask
     an erasure failure).
+
+    ``mode="mor"`` (merge-on-read, r12): instead of rewriting corpus /
+    band files, ONE append to the :data:`DELETES` vector records the
+    affected (member, file, doc_id) physical rows — O(metadata) at
+    retract time where copy-on-write is O(touched files). Every read
+    path (serving :func:`member`, admission probes, later corrections)
+    applies the vector, so the logical deletion is immediate and
+    indistinguishable from COW; the PHYSICAL erasure lands when
+    :func:`apply_deletes` or :func:`compact_pipeline` folds the vector —
+    call one of them within your erasure SLA. Everything else is
+    identical in both modes: the linear members take their negative rows
+    NOW (deferral would buy nothing — they're O(delta) appends), the
+    affected languages' quantiles rebuild from the live view, audit
+    members (rejection report / quarantine / WAL) purge by COW — they
+    are tiny, content-free, and the stored-trace erasure should not wait
+    for a maintenance window.
     """
     from pyspark.sql import functions as F
 
@@ -691,6 +786,8 @@ def retract_docs(
     from .heavy import _batch_sketch
     from .quantiles import summaries_for
 
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"retract_docs: unknown mode {mode!r}")
     if op in cat.committed_ops():
         return False
     for _ in range(max_retries):
@@ -707,7 +804,9 @@ def retract_docs(
         # whole members, and the pinned (newest-append) schema may be
         # narrower than earlier batches' evolved columns (r10 advice)
         gone = (
-            txn.read(CORPUS, merge_schema=True)
+            # live view: an id already MOR-retracted contributes nothing
+            # here — recomputing its negative rows would double-subtract
+            _txn_live_read(txn, CORPUS, merge_schema=True)
             .join(ids, "doc_id", "left_semi")
             .localCheckpoint(eager=True)
         )
@@ -772,34 +871,62 @@ def retract_docs(
                 # rejected/quarantined-only erasure: no data member saw it
                 txn.commit(op=op)
                 return True
-            # copy-on-write removals: only files whose doc_id stats admit a
-            # retracted id are rewritten; the rest survive by reference
-            _remove_ids_cow(
-                spark, txn, CORPUS, ids, id_vals, op, stats_cols=["doc_id"]
-            )
-            # the gone docs' own band hashes sharpen the file probe: after
-            # compaction z-orders BANDS by band_hash, doc_id stats span
-            # every file but this point set does not (≤ N_BANDS per doc)
-            gone_hashes = [
-                r["band_hash"]
-                for r in txn.read(BANDS)
-                .join(ids, "doc_id", "left_semi")
-                .select("band_hash")
-                .distinct()
-                .collect()
-            ]
-            _remove_ids_cow(
-                spark,
-                txn,
-                BANDS,
-                ids,
-                id_vals,
-                op,
-                stats_cols=["band_hash", "doc_id"],
-                extra_probe=("band_hash", gone_hashes),
-            )
-            # read-your-writes: the staged post-removal corpus
-            remaining = txn.read(CORPUS, merge_schema=True)
+            if mode == "mor":
+                # merge-on-read: ONE metadata-sized append names the
+                # physical rows; no corpus/band file is rewritten. The
+                # pair scan is file-pruned exactly like the COW probe
+                # would be (doc_id stats admit the ids), and a duplicate
+                # pair (an id re-inserted then re-retracted) is harmless —
+                # anti-joins and folds are idempotent over pairs.
+                def _vector_rows(name: str) -> DataFrame:
+                    return (
+                        txn.read(name, merge_schema=True)
+                        .withColumn("file", _file_basename_col())
+                        .join(ids, "doc_id", "left_semi")
+                        .select(
+                            F.lit(name).alias("member"), "file", "doc_id"
+                        )
+                        .distinct()
+                    )
+
+                txn.append(
+                    DELETES,
+                    _vector_rows(CORPUS).unionByName(_vector_rows(BANDS)),
+                    op=op,
+                    stats_cols=["doc_id"],
+                )
+            else:
+                # copy-on-write removals: only files whose doc_id stats
+                # admit a retracted id are rewritten; the rest survive by
+                # reference
+                _remove_ids_cow(
+                    spark, txn, CORPUS, ids, id_vals, op, stats_cols=["doc_id"]
+                )
+                # the gone docs' own band hashes sharpen the file probe:
+                # after compaction z-orders BANDS by band_hash, doc_id
+                # stats span every file but this point set does not
+                # (≤ N_BANDS per doc)
+                gone_hashes = [
+                    r["band_hash"]
+                    for r in _txn_live_read(txn, BANDS)
+                    .join(ids, "doc_id", "left_semi")
+                    .select("band_hash")
+                    .distinct()
+                    .collect()
+                ]
+                _remove_ids_cow(
+                    spark,
+                    txn,
+                    BANDS,
+                    ids,
+                    id_vals,
+                    op,
+                    stats_cols=["band_hash", "doc_id"],
+                    extra_probe=("band_hash", gone_hashes),
+                )
+            # read-your-writes: the staged post-removal corpus (live —
+            # other docs' pending MOR deletes must stay invisible too)
+            remaining = _txn_live_read(txn, CORPUS, merge_schema=True)
             neg = _token_gram_counts(gone).select(
                 "g", (-F.col("n")).alias("n")
             )
@@ -873,6 +1000,98 @@ def retract_docs(
             free_local_checkpoint(gone)
     raise CommitConflict(
         f"retraction {op!r} lost the catalog race {max_retries} times at {cat.root}"
+    )
+
+
+def retract_docs_mor(
+    spark: SparkSession,
+    cat: TableCatalog,
+    doc_ids: list[int],
+    op: str,
+    max_retries: int = 10,
+) -> bool:
+    """Merge-on-read retraction: :func:`retract_docs` with ``mode="mor"``
+    — logical deletion via one delete-vector append (O(metadata)),
+    physical erasure deferred to :func:`apply_deletes` /
+    :func:`compact_pipeline`."""
+    return retract_docs(spark, cat, doc_ids, op, max_retries, mode="mor")
+
+
+def apply_deletes(
+    spark: SparkSession,
+    cat: TableCatalog,
+    op: str | None = None,
+    max_retries: int = 10,
+) -> int:
+    """Fold the MOR delete vector back into copy-on-write, ONE CAS.
+
+    The maintenance half of ``retract_docs(mode="mor")``: rewrite ONLY
+    the files the vector names (minus their deleted rows — and minus any
+    pairs whose file a later COW correction already replaced, which are
+    inert), then truncate the vector in the same commit. After it lands,
+    the physical state is identical to having retracted copy-on-write in
+    the first place; readers never see an intermediate (the vector and
+    the rewrites publish atomically). This is the deletion-vector →
+    compaction lifecycle Delta/Iceberg run on a schedule; unlike
+    :func:`compact_pipeline` it re-clusters nothing — cost is exactly
+    O(files holding deleted rows).
+
+    Driver work is one DISTINCT (member, file) collect — bounded by the
+    files touched since the last fold, not by row count. Exactly-once
+    when ``op`` is passed; the default label is base-version-scoped (a
+    retry after a conflict re-plans on fresh state, so idempotence comes
+    from the vector being empty on re-entry). Returns files rewritten.
+    """
+    import os
+
+    for _ in range(max_retries):
+        txn = cat.transaction(spark)
+        names = cat.snapshot(spark, txn.base_version)
+        if DELETES not in names:
+            return 0
+        label = op or f"apply-deletes-{txn.base_version}"
+        if label in cat.committed_ops():
+            return 0
+        dels = txn.read(DELETES)
+        touched = [
+            (r["member"], r["file"])
+            for r in dels.select("member", "file").distinct().collect()
+        ]
+        if not touched:
+            return 0
+        n_rewritten = 0
+        for name in _MOR_MEMBERS:
+            live = {os.path.basename(p): p for p in txn.files(name)}
+            fl = sorted(
+                {f for m, f in touched if m == name and f in live}
+            )
+            if not fl:
+                continue
+            survivors = _apply_delete_vector(
+                spark.read.option("mergeSchema", "true").parquet(
+                    *[live[f] for f in fl]
+                ),
+                dels,
+                name,
+            )
+            txn.replace_files(
+                name,
+                fl,
+                survivors,
+                op=label,
+                stats_cols=(
+                    ["doc_id"] if name == CORPUS else ["band_hash", "doc_id"]
+                ),
+            )
+            n_rewritten += len(fl)
+        txn.overwrite(DELETES, spark.createDataFrame([], _DELETES_SCHEMA))
+        try:
+            txn.commit(op=label)
+            return n_rewritten
+        except CommitConflict:
+            continue  # a batch landed mid-fold; re-plan on the new base
+    raise CommitConflict(
+        f"apply-deletes lost the catalog race {max_retries} times at {cat.root}"
     )
 
 
@@ -971,14 +1190,17 @@ def update_docs(
                 )
                 src_docs = tagged.filter(F.size("_viol") == 0).drop("_viol")
             ids = src_docs.select("doc_id").distinct()
-            corpus0 = txn.read(CORPUS, merge_schema=True)
+            # live view: upserting a MOR-retracted id is a clean INSERT
+            # (its old version is logically gone — no negative rows), and
+            # other docs' pending deletes must not leak into `remaining`
+            corpus0 = _txn_live_read(txn, CORPUS, merge_schema=True)
             gone = (
                 corpus0.join(ids, "doc_id", "left_semi")
                 .localCheckpoint(eager=True)
             )
             # the standing index minus the replaced ids' own bands: the
             # replacement text must not near-dup-collide with itself
-            bands_kept = txn.read(BANDS, merge_schema=True).join(
+            bands_kept = _txn_live_read(txn, BANDS, merge_schema=True).join(
                 ids, "doc_id", "left_anti"
             )
             batch_bands = scoped_persist(bands_of_docs(src_docs))
@@ -1281,10 +1503,14 @@ def compact_pipeline(
         # NEWEST append's, and a narrower late batch would make this
         # rewrite permanently drop earlier batches' evolved columns
         # (r10 advice, medium)
+        # live reads: the full rewrite FOLDS any pending MOR deletes (the
+        # vector's files all die here), so the vector truncates below
         txn.overwrite(
             BANDS,
             zorder_layout(
-                txn.read(BANDS, merge_schema=True), ["band_hash"], num_files
+                _txn_live_read(txn, BANDS, merge_schema=True),
+                ["band_hash"],
+                num_files,
             ),
             stats_cols=["band_hash", "doc_id"],
         )
@@ -1355,10 +1581,18 @@ def compact_pipeline(
         txn.overwrite(
             CORPUS,
             zorder_layout(
-                txn.read(CORPUS, merge_schema=True), ["doc_id"], num_files
+                _txn_live_read(txn, CORPUS, merge_schema=True),
+                ["doc_id"],
+                num_files,
             ),
             stats_cols=["doc_id"],
         )
+        if DELETES in names:
+            # every file the vector names was replaced by the rewrites
+            # above — the pairs are all inert now; truncate in the same CAS
+            txn.overwrite(
+                DELETES, spark.createDataFrame([], _DELETES_SCHEMA)
+            )
         if "centroids" in names:
             for cell in [r["cell"] for r in txn.read("centroids").collect()]:
                 txn.overwrite(cell, txn.read(cell).coalesce(1))
@@ -1415,7 +1649,17 @@ def member(
                 f"vacuum (below the GC horizon), e.g. {missing[0]}; only "
                 "versions newer than the last vacuumed rewrite are readable"
             )
-    return tbl.read(spark, pinned, merge_schema=merge_schema)
+    df = tbl.read(spark, pinned, merge_schema=merge_schema)
+    if name in _MOR_MEMBERS and DELETES in pins:
+        # serve the LIVE view: the MOR delete vector is read at the SAME
+        # catalog snapshot, so time-travel reads stay mutually consistent
+        # (the corpus AS OF v minus the deletes AS OF v)
+        dpath, dpin = pins[DELETES]
+        dels = ManifestTable(
+            os.path.join(cat.root, dpath), checkpoint_interval=None
+        ).read(spark, dpin)
+        df = _apply_delete_vector(df, dels, name)
+    return df
 
 
 def rebase_merge_branch(

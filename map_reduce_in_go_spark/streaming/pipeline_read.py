@@ -92,19 +92,14 @@ def _pipeline_catalog(spark: SparkSession, sf_dir: str) -> TableCatalog:
     return TableCatalog(served_artifact("pipeline", sf_dir, _build))
 
 
-def pipeline_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact trending tokens of the ACCEPTED corpus, from the CMS member.
-
-    The catalog's ``token_cms`` rows fold by addition into one screen
-    (a bounded driver fold — one ~128 KB row per batch), candidates
-    exact-recount against the ``corpus`` member in one scan: the
-    ``heavy_hitters_cms`` plan served from the pipeline's at-rest state.
-    """
+def _trending_from_cms(spark: SparkSession, cat: TableCatalog) -> DataFrame:
+    """CMS screen + exact corpus recount: the ``heavy_hitters_cms`` plan
+    served from a pipeline catalog's at-rest state (one bounded driver
+    fold of ~128 KB sketch rows, one corpus-member scan)."""
     import numpy as np
 
     from .heavy import trending_from_state
 
-    cat = _pipeline_catalog(spark, sf_dir)
     rows = member(spark, cat, CMS).collect()
     total = int(sum(r["n"] for r in rows))
     agg = np.zeros(CMS_D * CMS_W, dtype=np.int64)
@@ -114,6 +109,17 @@ def pipeline_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     return trending_from_state(spark, total, agg.reshape(CMS_D, CMS_W), corpus)
+
+
+def pipeline_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trending tokens of the ACCEPTED corpus, from the CMS member.
+
+    The catalog's ``token_cms`` rows fold by addition into one screen
+    (a bounded driver fold — one ~128 KB row per batch), candidates
+    exact-recount against the ``corpus`` member in one scan: the
+    ``heavy_hitters_cms`` plan served from the pipeline's at-rest state.
+    """
+    return _trending_from_cms(spark, _pipeline_catalog(spark, sf_dir))
 
 
 def _trending_from_token_counts(
@@ -206,6 +212,9 @@ def pipeline_trending_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 UPSERT_MOD = 17  # upsert every doc_id ≡ 3 (mod 17): replaced if accepted,
 UPSERT_RES = 3  # re-adjudicated if previously rejected — both paths covered
+
+MOR_MOD = 13  # MOR-retract every doc_id ≡ 4 (mod 13): mixes accepted ids
+MOR_RES = 4  # (delete-vector entries) and rejected ids (audit-purge only)
 # the tail deliberately repeats high-frequency words: admitted revisions
 # must SHIFT the trending counts, so a verb that silently no-ops (catalog
 # unchanged) cannot pass the hash gate by coincidence
@@ -234,6 +243,51 @@ def _pipeline_upsert_catalog(spark: SparkSession, sf_dir: str) -> TableCatalog:
         update_docs(spark, dst, new_docs, op="upsert-corrigendum")
 
     return TableCatalog(served_artifact("pipeline_upsert", sf_dir, _build))
+
+
+def _pipeline_mor_catalog(spark: SparkSession, sf_dir: str) -> TableCatalog:
+    """A PITR CLONE of the served pipeline with one MERGE-ON-READ
+    retraction applied: every ``doc_id ≡ MOR_RES (mod MOR_MOD)`` document
+    is retracted via ``retract_docs(mode="mor")`` — corpus/band files
+    UNTOUCHED, the delete vector carrying the logical removals. Built
+    once per corpus behind its own latch; deliberately NOT folded
+    (no apply_deletes), so every serving read must go through the
+    vector to be correct."""
+    from ..sources.replicate import clone_catalog
+    from .corpus_pipeline import retract_docs_mor
+
+    def _build(path: str) -> None:
+        src = _pipeline_catalog(spark, sf_dir)
+        dst = TableCatalog(path)
+        clone_catalog(spark, src, dst)
+        victims = [
+            int(r["doc_id"])
+            for r in load_table(spark, sf_dir, "documents")
+            .filter(F.pmod("doc_id", F.lit(MOR_MOD)) == MOR_RES)
+            .select("doc_id")
+            .collect()
+        ]
+        retract_docs_mor(spark, dst, victims, op="mor-erasure")
+
+    return TableCatalog(served_artifact("pipeline_mor", sf_dir, _build))
+
+
+def pipeline_trending_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending tokens after a MERGE-ON-READ retraction (r12).
+
+    The deletion-vector read path under the driver's hash gate: the
+    pipeline is PITR-cloned, every ``doc_id ≡ 4 (mod 13)`` document is
+    retracted with ``mode="mor"`` — ZERO corpus/band files rewritten,
+    one (member, file, doc_id) vector append — and the vector is
+    deliberately left UNFOLDED. Serving recounts CMS candidates against
+    the corpus member, which the read path must filter through the
+    vector: a ``member`` read that misses the vector (retracted rows
+    still counted), a CMS fold that lost the retraction's negative
+    sketch row, or a vector that over-matches (hiding live rows of a
+    re-inserted id) all hash-mismatch against the oracle, which replays
+    the 3-batch admission chain minus the retracted ids.
+    """
+    return _trending_from_cms(spark, _pipeline_mor_catalog(spark, sf_dir))
 
 
 def _forked_pipeline_build(spark: SparkSession, sf_dir: str, path: str):
@@ -754,6 +808,19 @@ SELECT word, count(*) AS cnt FROM fwords GROUP BY word
 HAVING count(*) * {HH_K} > (SELECT n FROM ftot)
 """
 
+# erasure, not time travel: the admission chain (kdocs) is replayed
+# UNCHANGED — a doc rejected because a later-retracted doc got there first
+# stays rejected — and only the retracted ids' own contributions leave
+ORACLES["pipeline_trending_mor"] = _KEPT_CTES + f"""
+, ldocs AS (
+  SELECT * FROM kdocs WHERE doc_id % {MOR_MOD} != {MOR_RES}
+), lwords AS (
+  SELECT unnest({{tok}}) AS word FROM ldocs
+), ltot AS (SELECT count(*) AS n FROM lwords)
+SELECT word, count(*) AS cnt FROM lwords GROUP BY word
+HAVING count(*) * {HH_K} > (SELECT n FROM ltot)
+"""
+
 ORACLES["pipeline_quantiles_check"] = _KEPT_CTES + """
 SELECT lang, count(*) AS n, TRUE AS quantiles_ok
 FROM kdocs
@@ -773,6 +840,9 @@ ORACLES["pipeline_trending_asof"] = ORACLES["pipeline_trending_asof"].replace(
     "{tok}", _sql_tokens_k()
 )
 ORACLES["pipeline_trending_upsert"] = ORACLES["pipeline_trending_upsert"].replace(
+    "{tok}", _sql_tokens_k()
+)
+ORACLES["pipeline_trending_mor"] = ORACLES["pipeline_trending_mor"].replace(
     "{tok}", _sql_tokens_k()
 )
 # the served form answers the SAME question from the token_counts member,

@@ -1,0 +1,234 @@
+"""Merge-on-read deletion vectors (r12): retract_docs(mode="mor") defers
+the corpus/band file rewrites behind a (member, file, doc_id) delete
+vector; every read applies it; apply_deletes / compact_pipeline fold it."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_in_go_spark.sources.catalog import TableCatalog
+from map_reduce_in_go_spark.sources.manifest_table import ManifestTable
+from map_reduce_in_go_spark.sources.tables import load_table
+from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+    BANDS,
+    CORPUS,
+    DELETES,
+    GRAMS,
+    QUANTS,
+    TOKENS,
+    apply_deletes,
+    corpus_batch_txn,
+    member,
+    retract_docs,
+    retract_docs_mor,
+)
+
+
+def _feed2(spark, sf_dir, root):
+    cat = TableCatalog(root)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    for i in range(2):
+        assert corpus_batch_txn(
+            spark, docs.filter(F.pmod("doc_id", F.lit(2)) == i), cat, i
+        )
+    return cat
+
+
+def _folds(spark, cat):
+    corpus = {
+        (r["doc_id"], r["text"], r["lang"])
+        for r in member(spark, cat, CORPUS).collect()
+    }
+    bands = {tuple(r) for r in member(spark, cat, BANDS).collect()}
+    grams = {
+        (r["g"], r["n"])
+        for r in member(spark, cat, GRAMS)
+        .groupBy("g")
+        .agg(F.sum("n").alias("n"))
+        .filter(F.col("n") != 0)
+        .collect()
+    }
+    toks = {
+        (r["word"], r["n"])
+        for r in member(spark, cat, TOKENS)
+        .groupBy("word")
+        .agg(F.sum("n").alias("n"))
+        .filter(F.col("n") != 0)
+        .collect()
+    }
+    quants = {
+        tuple(tuple(x) if isinstance(x, list) else x for x in r)
+        for r in member(spark, cat, QUANTS).collect()
+    }
+    return corpus, bands, grams, toks, quants
+
+
+def _raw_member(spark, cat, name):
+    """The member WITHOUT the delete vector — physical state."""
+    path, pinned = cat.snapshot(spark)[name]
+    return ManifestTable(
+        os.path.join(cat.root, path), checkpoint_interval=None
+    ).read(spark, pinned)
+
+
+def test_mor_equals_cow_and_fold_restores_physical(spark, sf_dir, tmp_path):
+    """The logical state after a MOR retraction is member-identical to the
+    COW retraction of the same ids; apply_deletes then makes the PHYSICAL
+    state identical too (and truncates the vector) without changing any
+    logical read."""
+    cow = _feed2(spark, sf_dir, str(tmp_path / "cow"))
+    mor = _feed2(spark, sf_dir, str(tmp_path / "mor"))
+    victims = sorted(
+        r["doc_id"]
+        for r in member(spark, cow, CORPUS).select("doc_id").limit(5).collect()
+    )
+
+    assert retract_docs(spark, cow, victims, op="erase-v")
+    assert retract_docs_mor(spark, mor, victims, op="erase-v")
+    # replay no-ops in both modes
+    assert retract_docs_mor(spark, mor, victims, op="erase-v") is False
+
+    cow_state = _folds(spark, cow)
+    mor_state = _folds(spark, mor)
+    # quantile summaries are rebuilt with a mode-tagged batch id on both
+    # sides from the SAME live corpus; compare them value-for-value
+    assert cow_state == mor_state
+    for v in victims:
+        assert v not in {r[0] for r in mor_state[0]}
+
+    # physical state: MOR kept the rows on disk (deferred erasure)...
+    raw_ids = {
+        r["doc_id"] for r in _raw_member(spark, mor, CORPUS).collect()
+    }
+    assert set(victims) <= raw_ids
+    vec = member(spark, mor, DELETES).collect()
+    assert {r["member"] for r in vec} == {CORPUS, BANDS}
+    assert {r["doc_id"] for r in vec} == set(victims)
+
+    # ...until the fold rewrites exactly the touched files
+    n = apply_deletes(spark, mor, op="fold-v")
+    assert n > 0
+    assert apply_deletes(spark, mor, op="fold-v") == 0  # replay no-op
+    assert member(spark, mor, DELETES).count() == 0
+    raw_after = {
+        r["doc_id"] for r in _raw_member(spark, mor, CORPUS).collect()
+    }
+    assert not (set(victims) & raw_after)
+    assert _folds(spark, mor) == cow_state  # logical reads unchanged
+
+
+def test_mor_unblocks_admission_like_cow(spark, tmp_path):
+    """A near-duplicate rejected because a MOR-retracted doc got there
+    first is admitted on re-submission — the band probe reads the live
+    view, same semantics as the copy-on-write retraction."""
+    cat = TableCatalog(str(tmp_path / "cat"))
+    blocker = spark.createDataFrame(
+        [
+            (
+                1,
+                "zanzibar quokka marimba fjord glyph taco nebula wombat "
+                "oxide pylon quartz rivet sonar tundra umbra vortex",
+                "en",
+            ),
+            (
+                2,
+                "completely different second document about alpine meadows "
+                "and the slow migration of glaciers across basalt plateaus",
+                "en",
+            ),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    assert corpus_batch_txn(spark, blocker, cat, 0)
+    dup = blocker.filter(F.col("doc_id") == 1).withColumn(
+        "doc_id", F.lit(3).cast("long")
+    )
+    assert corpus_batch_txn(spark, dup, cat, 1)
+    assert member(spark, cat, CORPUS).filter(F.col("doc_id") == 3).count() == 0
+
+    assert retract_docs_mor(spark, cat, [1], op="erase-blocker")
+    assert corpus_batch_txn(spark, dup, cat, 2)
+    assert member(spark, cat, CORPUS).filter(F.col("doc_id") == 3).count() == 1
+
+
+def test_mor_reinsert_same_id_is_file_scoped(spark, tmp_path):
+    """The vector hides (file, doc_id) PAIRS, not keys: an id re-inserted
+    after its MOR retraction lands in a newer file and serves normally;
+    a second MOR retraction then removes the new version too."""
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import update_docs
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    docs = spark.createDataFrame(
+        [
+            (
+                1,
+                "original text about estuaries and the kestrels hunting "
+                "over them at dusk while fishermen mend their nets",
+                "en",
+            ),
+            (
+                2,
+                "unrelated filler document describing the manufacture of "
+                "porcelain glazes in nineteenth century workshops",
+                "en",
+            ),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    assert corpus_batch_txn(spark, docs, cat, 0)
+    assert retract_docs_mor(spark, cat, [1], op="erase-1")
+    assert member(spark, cat, CORPUS).filter(F.col("doc_id") == 1).count() == 0
+
+    revised = spark.createDataFrame(
+        [
+            (
+                1,
+                "revised text about harbor cranes unloading container "
+                "ships beneath sodium lights in the winter fog",
+                "en",
+            )
+        ],
+        "doc_id long, text string, lang string",
+    )
+    assert update_docs(spark, cat, revised, op="reinsert-1")
+    live = member(spark, cat, CORPUS).filter(F.col("doc_id") == 1).collect()
+    assert len(live) == 1 and "harbor cranes" in live[0]["text"]
+
+    assert retract_docs_mor(spark, cat, [1], op="erase-1-again")
+    assert member(spark, cat, CORPUS).filter(F.col("doc_id") == 1).count() == 0
+    assert apply_deletes(spark, cat) >= 0
+    assert (
+        _raw_member(spark, cat, CORPUS).filter(F.col("doc_id") == 1).count()
+        == 0
+    )
+
+
+def test_compaction_folds_vector(spark, sf_dir, tmp_path):
+    """compact_pipeline reads the live view and truncates the vector in
+    the same CAS — post-compaction physical state carries no deleted row."""
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import compact_pipeline
+
+    cat = _feed2(spark, sf_dir, str(tmp_path / "cat"))
+    victims = sorted(
+        r["doc_id"]
+        for r in member(spark, cat, CORPUS).select("doc_id").limit(3).collect()
+    )
+    assert retract_docs_mor(spark, cat, victims, op="erase-v")
+    before = _folds(spark, cat)
+    compact_pipeline(spark, cat, num_files=4)
+    assert member(spark, cat, DELETES).count() == 0
+    raw_ids = {r["doc_id"] for r in _raw_member(spark, cat, CORPUS).collect()}
+    assert not (set(victims) & raw_ids)
+    after = _folds(spark, cat)
+    # corpus/bands/additive folds identical; quantiles are recompressed by
+    # compaction (rank-sample summaries change representation, not truth)
+    assert after[:4] == before[:4]
+
+
+def test_mor_nothing_to_retract_raises(spark, sf_dir, tmp_path):
+    cat = _feed2(spark, sf_dir, str(tmp_path / "cat"))
+    with pytest.raises(ValueError, match="nothing to retract"):
+        retract_docs_mor(spark, cat, [999_999_999], op="erase-nothing")
