@@ -23,6 +23,11 @@ so regressions surface the round they happen even when the driver's
 window misses them; (b) behavior-changed queries jump the whole window
 via ``_CHANGED_SINCE_VERIFIED``; (c) new registrations are budgeted
 (≤ 4 per round) so the window always clears the stalest block first.
+r12 exception, documented here: the driver restarted round 12 with a
+fresh turn budget after the round had already closed with its 4
+registrations, so the continuation registered 3 more (multimodal_audio,
+corpus_profile, pipeline_trending_mor) — 7 for the round; 43 of the 50
+window slots still go to the stalest re-verification block.
 """
 
 from __future__ import annotations
