@@ -1017,6 +1017,68 @@ def retract_docs_mor(
     return retract_docs(spark, cat, doc_ids, op, max_retries, mode="mor")
 
 
+def retract_where(
+    spark: SparkSession,
+    cat: TableCatalog,
+    predicate: str,
+    op: str,
+    max_retries: int = 10,
+    mode: str = "cow",
+    max_ids: int = 5_000_000,
+) -> bool:
+    """Predicate erasure: retract every LIVE document matching a SQL
+    predicate over the corpus member's columns (``"lang = 'de'"``,
+    ``"source = 'badcrawl' AND doc_id < 1000"``) — the DELETE-WHERE verb
+    a takedown or bad-crawl rollback actually issues, composed from
+    :func:`retract_docs` so both erasure modes, the member algebra, and
+    exactly-once come along unchanged.
+
+    Resolution happens on the transaction-free LIVE view (MOR deletes
+    applied — an already-erased doc must not resolve), then the id set
+    goes through the ordinary retraction CAS loop; a batch landing
+    between resolution and commit conflicts there and the retry
+    RE-RESOLVES, so a matching doc admitted mid-verb is either fully
+    covered or untouched-and-matchable-again, never half-erased.
+
+    ``max_ids`` bounds the driver-held id list (the same probe-set
+    posture as ``MERGE_MAX_IDS``); past it, refuse loudly — an erasure
+    that big should run as a sequence of narrower predicates (or a
+    full-member rewrite a human signs off on), not an accidental
+    corpus wipe.
+    """
+    from pyspark.sql import functions as F
+
+    if op in cat.committed_ops():
+        return False
+    for _ in range(max_retries):
+        txn = cat.transaction(spark)
+        ids_df = (
+            _txn_live_read(txn, CORPUS, merge_schema=True)
+            .filter(F.expr(predicate))
+            .select("doc_id")
+        )
+        if ids_df.limit(max_ids + 1).count() > max_ids:
+            raise ValueError(
+                f"retract_where: predicate {predicate!r} matches more than "
+                f"max_ids={max_ids} live documents at {cat.root}; split the "
+                "erasure or raise the bound explicitly"
+            )
+        ids = sorted(int(r["doc_id"]) for r in ids_df.collect())
+        if not ids:
+            raise ValueError(
+                f"retract_where: predicate {predicate!r} matches no live "
+                f"document at {cat.root}; nothing to retract"
+            )
+        try:
+            return retract_docs(spark, cat, ids, op, max_retries=1, mode=mode)
+        except CommitConflict:
+            continue  # re-resolve against the moved snapshot
+    raise CommitConflict(
+        f"retract_where {op!r} lost the catalog race {max_retries} times "
+        f"at {cat.root}"
+    )
+
+
 def apply_deletes(
     spark: SparkSession,
     cat: TableCatalog,

@@ -232,3 +232,41 @@ def test_mor_nothing_to_retract_raises(spark, sf_dir, tmp_path):
     cat = _feed2(spark, sf_dir, str(tmp_path / "cat"))
     with pytest.raises(ValueError, match="nothing to retract"):
         retract_docs_mor(spark, cat, [999_999_999], op="erase-nothing")
+
+
+def test_retract_where_predicate_erasure(spark, sf_dir, tmp_path):
+    """DELETE WHERE over the live view: resolves matching LIVE ids, then
+    rides the ordinary retraction (either mode); refuses on no match and
+    past the driver id bound."""
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import retract_where
+
+    cat = _feed2(spark, sf_dir, str(tmp_path / "cat"))
+    langs = {r["lang"] for r in member(spark, cat, CORPUS).select("lang").collect()}
+    target = sorted(langs)[0]
+    n_target = (
+        member(spark, cat, CORPUS).filter(F.col("lang") == target).count()
+    )
+    assert n_target > 0
+    assert retract_where(
+        spark, cat, f"lang = '{target}'", op="erase-lang", mode="mor"
+    )
+    assert (
+        member(spark, cat, CORPUS).filter(F.col("lang") == target).count() == 0
+    )
+    # replay no-op; and the predicate now matches nothing under a new op
+    assert (
+        retract_where(spark, cat, f"lang = '{target}'", op="erase-lang")
+        is False
+    )
+    with pytest.raises(ValueError, match="matches no live"):
+        retract_where(spark, cat, f"lang = '{target}'", op="erase-lang-2")
+    with pytest.raises(ValueError, match="more than max_ids"):
+        retract_where(
+            spark, cat, "doc_id >= 0", op="erase-all", max_ids=3
+        )
+    # the folded state carries no physical trace of the erased language
+    apply_deletes(spark, cat, op="fold-lang")
+    assert (
+        _raw_member(spark, cat, CORPUS).filter(F.col("lang") == target).count()
+        == 0
+    )
