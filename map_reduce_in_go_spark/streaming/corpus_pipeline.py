@@ -87,8 +87,7 @@ WAL = "batch_wal"
 # copy-on-write and truncate it. At 100 TB this turns erasure of k docs
 # from O(touched files rewritten at retract time) into O(1) metadata at
 # retract time, with the rewrite batched into maintenance windows.
-DELETES = "doc_deletes"
-_DELETES_SCHEMA = "member string, file string, doc_id long"
+DELETES = "doc_deletes"  # schema: member string, file string, doc_id long
 # the two members the vector defers; every other member's retraction
 # algebra is already O(delta) (negative additive rows / summary rebuild /
 # tiny audit COW), so deferral would buy nothing and cost read complexity
@@ -1146,7 +1145,10 @@ def apply_deletes(
                 ),
             )
             n_rewritten += len(fl)
-        txn.overwrite(DELETES, spark.createDataFrame([], _DELETES_SCHEMA))
+        # DROP, not overwrite-empty: an absent vector member short-circuits
+        # every later live read (no anti-join, no member scan); the next
+        # MOR retraction re-creates it
+        txn.drop(DELETES)
         try:
             txn.commit(op=label)
             return n_rewritten
@@ -1651,10 +1653,11 @@ def compact_pipeline(
         )
         if DELETES in names:
             # every file the vector names was replaced by the rewrites
-            # above — the pairs are all inert now; truncate in the same CAS
-            txn.overwrite(
-                DELETES, spark.createDataFrame([], _DELETES_SCHEMA)
-            )
+            # above — the pairs are all inert now. DROP the member (not
+            # overwrite-empty): an absent vector costs every later
+            # corpus/band read NOTHING, where an empty one would pay the
+            # anti-join forever; the next MOR retraction re-creates it.
+            txn.drop(DELETES)
         if "centroids" in names:
             for cell in [r["cell"] for r in txn.read("centroids").collect()]:
                 txn.overwrite(cell, txn.read(cell).coalesce(1))

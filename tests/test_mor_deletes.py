@@ -112,7 +112,8 @@ def test_mor_equals_cow_and_fold_restores_physical(spark, sf_dir, tmp_path):
     n = apply_deletes(spark, mor, op="fold-v")
     assert n > 0
     assert apply_deletes(spark, mor, op="fold-v") == 0  # replay no-op
-    assert member(spark, mor, DELETES).count() == 0
+    # the fold DROPS the vector member: later reads skip it entirely
+    assert DELETES not in mor.snapshot(spark)
     raw_after = {
         r["doc_id"] for r in _raw_member(spark, mor, CORPUS).collect()
     }
@@ -219,7 +220,7 @@ def test_compaction_folds_vector(spark, sf_dir, tmp_path):
     assert retract_docs_mor(spark, cat, victims, op="erase-v")
     before = _folds(spark, cat)
     compact_pipeline(spark, cat, num_files=4)
-    assert member(spark, cat, DELETES).count() == 0
+    assert DELETES not in cat.snapshot(spark)
     raw_ids = {r["doc_id"] for r in _raw_member(spark, cat, CORPUS).collect()}
     assert not (set(victims) & raw_ids)
     after = _folds(spark, cat)
