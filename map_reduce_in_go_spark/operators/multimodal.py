@@ -96,6 +96,8 @@ def encode_wav(text_bytes: bytes) -> bytes:
     :func:`encode_ppm` for images."""
     import struct
 
+    import numpy as np
+
     if not text_bytes:
         raise ValueError("encode_wav: empty payload")
     n = len(text_bytes)
@@ -103,7 +105,14 @@ def encode_wav(text_bytes: bytes) -> bytes:
     n_samples = n % S_MOD + S_MIN
     reps = n_samples // n + 1
     tiled = (text_bytes * reps)[:n_samples]
-    pcm = struct.pack("<%dh" % n_samples, *(b * 256 - 16384 for b in tiled))
+    # b*256 - 16384 exceeds int16 for bytes >= 192 (every UTF-8 lead byte
+    # of a non-ASCII char) — wrap into int16 deterministically instead of
+    # crashing the kernel; identity for all ASCII input, which is also
+    # the regime where the SQL oracle's codepoint replay is byte-exact
+    vals = (
+        np.frombuffer(tiled, dtype=np.uint8).astype(np.int32) * 256 - 16384
+    )
+    pcm = (((vals + 32768) % 65536) - 32768).astype("<i2").tobytes()
     data_size = 2 * n_samples
     return (
         b"RIFF"

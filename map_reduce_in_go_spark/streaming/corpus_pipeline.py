@@ -87,6 +87,12 @@ WAL = "batch_wal"
 # copy-on-write and truncate it. At 100 TB this turns erasure of k docs
 # from O(touched files rewritten at retract time) into O(1) metadata at
 # retract time, with the rewrite batched into maintenance windows.
+# INVARIANT every verb must keep: any read of corpus/band CONTENT goes
+# through _txn_live_read (or member()), and any rewrite that copies rows
+# out of existing files applies the vector to what it copies — a raw
+# txn.read of a _MOR_MEMBERS member resurrects logically-erased rows the
+# moment its output is rewritten into new files. (Transaction stays
+# pipeline-agnostic by design, so the rule lives here, not in catalog.py.)
 DELETES = "doc_deletes"  # schema: member string, file string, doc_id long
 # the two members the vector defers; every other member's retraction
 # algebra is already O(delta) (negative additive rows / summary rebuild /
@@ -1056,13 +1062,16 @@ def retract_where(
             .filter(F.expr(predicate))
             .select("doc_id")
         )
-        if ids_df.limit(max_ids + 1).count() > max_ids:
+        # one job resolves the bound check AND the id list (the live-view
+        # scan — corpus + vector anti-join + predicate — is paid once)
+        rows = ids_df.limit(max_ids + 1).collect()
+        if len(rows) > max_ids:
             raise ValueError(
                 f"retract_where: predicate {predicate!r} matches more than "
                 f"max_ids={max_ids} live documents at {cat.root}; split the "
                 "erasure or raise the bound explicitly"
             )
-        ids = sorted(int(r["doc_id"]) for r in ids_df.collect())
+        ids = sorted(int(r["doc_id"]) for r in rows)
         if not ids:
             raise ValueError(
                 f"retract_where: predicate {predicate!r} matches no live "
@@ -1295,9 +1304,13 @@ def update_docs(
                 extra: tuple[str, list] | None = None,
             ) -> None:
                 if id_vals is None:
+                    # live read: this full rewrite replaces every file, so
+                    # copying raw rows would resurrect other docs' MOR-
+                    # hidden rows (their vector entries die with the old
+                    # files) — same rule as _remove_ids_cow's fallback
                     txn.overwrite(
                         name,
-                        txn.read(name, merge_schema=True).join(
+                        _txn_live_read(txn, name, merge_schema=True).join(
                             ids, "doc_id", "left_anti"
                         ),
                         stats_cols=stats,
@@ -1720,10 +1733,22 @@ def member(
         # catalog snapshot, so time-travel reads stay mutually consistent
         # (the corpus AS OF v minus the deletes AS OF v)
         dpath, dpin = pins[DELETES]
-        dels = ManifestTable(
+        dtbl = ManifestTable(
             os.path.join(cat.root, dpath), checkpoint_interval=None
-        ).read(spark, dpin)
-        df = _apply_delete_vector(df, dels, name)
+        )
+        if version is not None:
+            # same up-front loud refusal as the member's own files: the
+            # vector is part of this snapshot's read set
+            dmissing = [f for f in dtbl.files(dpin) if not os.path.exists(f)]
+            if dmissing:
+                raise FileNotFoundError(
+                    f"time-travel read of member {name!r} at catalog "
+                    f"v{version} needs its delete-vector file(s) already "
+                    f"reclaimed by vacuum, e.g. {dmissing[0]}; only "
+                    "versions newer than the last vacuumed rewrite are "
+                    "readable"
+                )
+        df = _apply_delete_vector(df, dtbl.read(spark, dpin), name)
     return df
 
 

@@ -271,3 +271,69 @@ def test_retract_where_predicate_erasure(spark, sf_dir, tmp_path):
         _raw_member(spark, cat, CORPUS).filter(F.col("lang") == target).count()
         == 0
     )
+
+
+def test_large_upsert_does_not_resurrect_mor_hidden_rows(
+    spark, tmp_path, monkeypatch
+):
+    """The full-overwrite fallback of update_docs' removal helper (taken
+    past MERGE_MAX_IDS) rewrites every file — it must read the LIVE view,
+    or other docs' MOR-hidden rows get copied into the new files and
+    outlive their (now-inert) vector entries (r12 self-review finding)."""
+    from map_reduce_in_go_spark.streaming import corpus_pipeline as cp
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    docs = spark.createDataFrame(
+        [
+            (
+                1,
+                "hidden document about tidal estuaries and the herons "
+                "that stalk the mudflats when the water retreats",
+                "en",
+            ),
+            (
+                2,
+                "first replaceable document on the casting of bronze "
+                "bells in mountain foundries during the long winter",
+                "en",
+            ),
+            (
+                3,
+                "second replaceable document about semaphore telegraph "
+                "lines crossing the plateau before the electric wire",
+                "en",
+            ),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    assert corpus_batch_txn(spark, docs, cat, 0)
+    assert retract_docs_mor(spark, cat, [1], op="erase-hidden")
+    assert member(spark, cat, CORPUS).filter(F.col("doc_id") == 1).count() == 0
+
+    # force the full-overwrite fallback (id_vals is None past the bound)
+    monkeypatch.setattr(cp, "MERGE_MAX_IDS", 1)
+    revised = spark.createDataFrame(
+        [
+            (
+                2,
+                "first replaceable document, revised to mention the "
+                "tin content of the bell bronze and its overtone series",
+                "en",
+            ),
+            (
+                3,
+                "second replaceable document, revised to cover the "
+                "night-signalling lamps that replaced the semaphore arms",
+                "en",
+            ),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    assert cp.update_docs(spark, cat, revised, op="bulk-upsert")
+    # doc 1 stays erased, logically AND physically (its row must not have
+    # been copied into the rewrite's new files)
+    assert member(spark, cat, CORPUS).filter(F.col("doc_id") == 1).count() == 0
+    assert (
+        _raw_member(spark, cat, CORPUS).filter(F.col("doc_id") == 1).count()
+        == 0
+    )

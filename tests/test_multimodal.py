@@ -220,7 +220,10 @@ def test_multimodal_audio_matches_direct_compute(spark, sf_dir):
     out = multimodal_audio(spark, sf_dir).orderBy("doc_id").limit(5).collect()
     docs = {
         r["doc_id"]: r["text"]
-        for r in load_table(spark, sf_dir, "documents").limit(50).collect()
+        for r in load_table(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(50)
+        .collect()
     }
     for r in out:
         payload = encode_wav(docs[r["doc_id"]].encode())
@@ -228,3 +231,30 @@ def test_multimodal_audio_matches_direct_compute(spark, sf_dir):
         assert r["n_bytes"] == len(payload)
         for k in ("sample_rate", "n_samples", "duration_us", "peak", "amp_sum"):
             assert r[k] == local[k], k
+
+
+def test_encode_wav_wraps_non_ascii_bytes_into_int16():
+    """Bytes >= 192 (every UTF-8 lead byte of a non-ASCII char) would
+    overflow int16 under the raw b*256-16384 mapping; the kernel wraps
+    deterministically instead of crashing, and stays byte-identical on
+    pure-ASCII input (r12 self-review finding)."""
+    import struct
+
+    from map_reduce_in_go_spark.operators.multimodal import decode_wav, encode_wav
+
+    payload = encode_wav("café au lait".encode("utf-8"))
+    meta = decode_wav(payload)  # parses cleanly, no struct.error
+    raw = "café au lait".encode("utf-8")
+    n = meta["n_samples"]
+    tiled = (raw * (n // len(raw) + 1))[:n]
+    expect = [((b * 256 - 16384 + 32768) % 65536) - 32768 for b in tiled]
+    got = struct.unpack("<%dh" % n, payload[44:])
+    assert list(got) == expect
+    assert meta["peak"] == max(expect)
+    # identity on ASCII: same bytes as the unwrapped formula
+    ascii_payload = encode_wav(b"plain ascii text")
+    n2 = decode_wav(ascii_payload)["n_samples"]
+    tiled2 = (b"plain ascii text" * (n2 // 16 + 1))[:n2]
+    assert list(struct.unpack("<%dh" % n2, ascii_payload[44:])) == [
+        b * 256 - 16384 for b in tiled2
+    ]
