@@ -1168,6 +1168,67 @@ def apply_deletes(
     )
 
 
+def start_erasure_follower(
+    stream_requests: DataFrame,
+    catalog_root: str,
+    checkpoint_dir: str,
+    app_id: str = "erasure",
+    mode: str = "mor",
+    ledger: str = "_catalog",
+):
+    """Erasure-request stream → one retraction transaction per micro-batch.
+
+    The GDPR shape a production pipeline actually runs: deletion requests
+    arrive CONTINUOUSLY (a ``doc_id`` column is all the stream needs),
+    and each micro-batch applies one :func:`retract_docs` transaction —
+    ``mode="mor"`` by default, so steady-state erasure is O(metadata) per
+    batch (one delete-vector append + the additive negatives) and the
+    file rewrites batch into whatever :func:`apply_deletes` /
+    :func:`compact_pipeline` cadence the erasure SLA dictates.
+
+    Exactly-once mirrors :func:`start_corpus_pipeline`: the op label is
+    ``<app_id>-batch-<id>``, so Spark's at-least-once ``foreachBatch``
+    (or a checkpoint-wiped restart) re-delivering a batch is a ledger
+    no-op — negatives can never double-subtract. One follower semantics
+    difference from the interactive verb: a batch whose ids are ALL
+    absent from the catalog completes as a no-op instead of raising —
+    erasure is a final-state goal, and for a stream "never ingested or
+    already erased" IS the goal state (the interactive verb keeps its
+    loud ValueError, where a typo'd id means a human is watching).
+    Requests for ids that were only ever REJECTED still purge their
+    stored traces, exactly like the verb.
+
+    Driver work per batch is the distinct-id collect — erasure batches
+    are request-sized, not corpus-sized.
+    """
+    spark = stream_requests.sparkSession
+    cat = TableCatalog(catalog_root, ledger=ledger)
+
+    def _one(df: DataFrame, bid: int) -> None:
+        ids = [
+            int(r["doc_id"])
+            for r in df.select("doc_id").distinct().collect()
+        ]
+        if not ids:
+            return
+        try:
+            retract_docs(
+                spark, cat, ids, op=f"{app_id}-batch-{bid}", mode=mode
+            )
+        except ValueError as e:
+            if "nothing to retract" not in str(e):
+                raise
+            # all ids already absent everywhere: the erasure is complete
+            # by definition; a follower must not wedge on it
+
+    return (
+        stream_requests.writeStream.foreachBatch(_one)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def update_docs(
     spark: SparkSession,
     cat: TableCatalog,

@@ -337,3 +337,61 @@ def test_large_upsert_does_not_resurrect_mor_hidden_rows(
         _raw_member(spark, cat, CORPUS).filter(F.col("doc_id") == 1).count()
         == 0
     )
+
+
+def test_streaming_erasure_follower(spark, sf_dir, tmp_path):
+    """Erasure requests as a stream: each micro-batch is one MOR
+    retraction transaction, exactly-once across a checkpoint wipe, and a
+    batch of never-ingested ids completes instead of wedging the query."""
+    import json
+    import shutil
+    import time
+
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+        start_erasure_follower,
+    )
+
+    cat = _feed2(spark, sf_dir, str(tmp_path / "cat"))
+    victims = sorted(
+        r["doc_id"]
+        for r in member(spark, cat, CORPUS).select("doc_id").limit(4).collect()
+    )
+    drop = tmp_path / "requests"
+    drop.mkdir()
+    (drop / "r1.json").write_text(
+        "\n".join(json.dumps({"doc_id": d}) for d in victims[:2])
+    )
+    time.sleep(1.1)  # file-source orders batches by mod time
+    (drop / "r2.json").write_text(
+        "\n".join(
+            json.dumps({"doc_id": d}) for d in victims[2:] + [987_654_321]
+        )
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(drop))
+        )
+        q = start_erasure_follower(
+            stream, cat.root, str(tmp_path / "ckpt"), mode="mor"
+        )
+        q.awaitTermination(120)
+
+    run()
+    live = {r["doc_id"] for r in member(spark, cat, CORPUS).select("doc_id").collect()}
+    assert not (set(victims) & live)
+    assert {"erasure-batch-0", "erasure-batch-1"} <= cat.committed_ops()
+    state = _folds(spark, cat)
+
+    # at-least-once redelivery: wipe the checkpoint, replay everything —
+    # ledger no-ops, no double-subtraction in any additive member
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    run()
+    assert _folds(spark, cat) == state
+
+    # a batch of only never-ingested ids completes (no wedge, no commit)
+    (drop / "r3.json").write_text(json.dumps({"doc_id": 111_222_333}))
+    run()
+    assert _folds(spark, cat) == state
