@@ -1168,6 +1168,55 @@ def apply_deletes(
     )
 
 
+def deletes_status(spark: SparkSession, cat: TableCatalog) -> dict:
+    """Pending-delete-vector report — what an operator reads before
+    scheduling :func:`apply_deletes` against an erasure SLA.
+
+    Metadata + one tiny member scan (the vector is bounded by
+    retractions since the last fold): per member, the pending pair
+    count, the distinct files a fold would rewrite (inert entries for
+    already-replaced files excluded — those cost nothing), and that
+    member's total live file count for the rewrite fraction.
+    Returns ``{}`` when no vector member exists (nothing pending).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..sources.manifest_table import ManifestTable
+
+    snap = cat.snapshot(spark)
+    if DELETES not in snap:
+        return {}
+    dels = member(spark, cat, DELETES)
+    counts = {
+        (r["member"], r["file"]): r["n"]
+        for r in dels.groupBy("member", "file")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    out: dict = {}
+    for name in _MOR_MEMBERS:
+        path, pinned = snap[name]
+        live = {
+            os.path.basename(p)
+            for p in ManifestTable(
+                os.path.join(cat.root, path), checkpoint_interval=None
+            ).files(pinned)
+        }
+        mine = {f: n for (m, f), n in counts.items() if m == name}
+        fold_files = [f for f in mine if f in live]
+        out[name] = {
+            "pending_pairs": int(sum(mine.values())),
+            "files_to_rewrite": len(fold_files),
+            "inert_entries": int(
+                sum(n for f, n in mine.items() if f not in live)
+            ),
+            "member_files": len(live),
+        }
+    return out
+
+
 def start_erasure_follower(
     stream_requests: DataFrame,
     catalog_root: str,

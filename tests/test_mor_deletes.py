@@ -395,3 +395,27 @@ def test_streaming_erasure_follower(spark, sf_dir, tmp_path):
     (drop / "r3.json").write_text(json.dumps({"doc_id": 111_222_333}))
     run()
     assert _folds(spark, cat) == state
+
+
+def test_deletes_status_report(spark, sf_dir, tmp_path):
+    """The operator-facing pending-vector report: pair counts, fold-file
+    counts vs member totals, inert entries excluded; {} when nothing
+    pending; empty again after the fold drops the member."""
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import deletes_status
+
+    cat = _feed2(spark, sf_dir, str(tmp_path / "cat"))
+    assert deletes_status(spark, cat) == {}
+    victims = sorted(
+        r["doc_id"]
+        for r in member(spark, cat, CORPUS).select("doc_id").limit(3).collect()
+    )
+    assert retract_docs_mor(spark, cat, victims, op="erase-v")
+    st = deletes_status(spark, cat)
+    assert set(st) == {CORPUS, BANDS}
+    assert st[CORPUS]["pending_pairs"] == len(victims)
+    assert 0 < st[CORPUS]["files_to_rewrite"] <= st[CORPUS]["member_files"]
+    assert st[CORPUS]["inert_entries"] == 0
+    assert st[BANDS]["pending_pairs"] >= len(victims)  # ≥1 band row per doc
+    n = apply_deletes(spark, cat, op="fold")
+    assert n == st[CORPUS]["files_to_rewrite"] + st[BANDS]["files_to_rewrite"]
+    assert deletes_status(spark, cat) == {}
