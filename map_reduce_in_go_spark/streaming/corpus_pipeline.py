@@ -147,6 +147,13 @@ def _txn_live_read(txn, name: str, merge_schema: bool = False) -> DataFrame:
     return _apply_delete_vector(df, dels, name)
 
 
+class NothingToRetract(ValueError):
+    """No requested id exists anywhere in the catalog — raised as a TYPE
+    so programmatic callers (the erasure follower) can distinguish the
+    goal-state case from genuine argument errors without string-matching
+    an error message."""
+
+
 def _gram_rows_of(docs: DataFrame) -> DataFrame:
     """(doc_id, pos, g) gram rows — the same shingle/digest recipe as
     `substring_spans`'s in-flight path (operators/dedup.py)."""
@@ -835,7 +842,7 @@ def retract_docs(
                     .count()
                 )
             if not n_gone and not rej_gone and not quar_gone:
-                raise ValueError(
+                raise NothingToRetract(
                     f"none of {sorted(set(doc_ids))[:10]}... is in the corpus, "
                     f"the rejection report, or the quarantine at {cat.root}; "
                     "nothing to retract"
@@ -1073,7 +1080,7 @@ def retract_where(
             )
         ids = sorted(int(r["doc_id"]) for r in rows)
         if not ids:
-            raise ValueError(
+            raise NothingToRetract(
                 f"retract_where: predicate {predicate!r} matches no live "
                 f"document at {cat.root}; nothing to retract"
             )
@@ -1183,12 +1190,15 @@ def deletes_status(spark: SparkSession, cat: TableCatalog) -> dict:
 
     from pyspark.sql import functions as F
 
-    from ..sources.manifest_table import ManifestTable
-
-    snap = cat.snapshot(spark)
-    if DELETES not in snap:
+    # one transaction = one consistent base version for the vector AND
+    # the live-file sets (the same resolution apply_deletes uses): a
+    # concurrent fold dropping the member mid-report, or pair counts and
+    # file sets read from different snapshots, can't skew the numbers
+    txn = cat.transaction(spark)
+    try:
+        dels = txn.read(DELETES)
+    except KeyError:
         return {}
-    dels = member(spark, cat, DELETES)
     counts = {
         (r["member"], r["file"]): r["n"]
         for r in dels.groupBy("member", "file")
@@ -1197,13 +1207,7 @@ def deletes_status(spark: SparkSession, cat: TableCatalog) -> dict:
     }
     out: dict = {}
     for name in _MOR_MEMBERS:
-        path, pinned = snap[name]
-        live = {
-            os.path.basename(p)
-            for p in ManifestTable(
-                os.path.join(cat.root, path), checkpoint_interval=None
-            ).files(pinned)
-        }
+        live = {os.path.basename(p) for p in txn.files(name)}
         mine = {f: n for (m, f), n in counts.items() if m == name}
         fold_files = [f for f in mine if f in live]
         out[name] = {
@@ -1224,6 +1228,7 @@ def start_erasure_follower(
     app_id: str = "erasure",
     mode: str = "mor",
     ledger: str = "_catalog",
+    writer_token: str | None = None,
 ):
     """Erasure-request stream → one retraction transaction per micro-batch.
 
@@ -1243,32 +1248,66 @@ def start_erasure_follower(
     absent from the catalog completes as a no-op instead of raising —
     erasure is a final-state goal, and for a stream "never ingested or
     already erased" IS the goal state (the interactive verb keeps its
-    loud ValueError, where a typo'd id means a human is watching).
-    Requests for ids that were only ever REJECTED still purge their
-    stored traces, exactly like the verb.
+    loud :class:`NothingToRetract`, where a typo'd id means a human is
+    watching). The goal-state batch still COMMITS an empty marker
+    transaction under its op label: an un-ledgered batch would not be a
+    batch at all — a checkpoint-wiped replay of it after the requested
+    id finally got ingested would erase a document the original
+    execution did not (at-least-once must replay EFFECTS, not re-decide
+    them). Requests for ids that were only ever REJECTED still purge
+    their stored traces, exactly like the verb. NULL ids (a malformed
+    request record under the PERMISSIVE reader) are dropped rather than
+    wedging the query.
+
+    ``writer_token`` carries an :meth:`~..sources.catalog.TableCatalog.
+    acquire_app_id` lease into every batch, mirroring the ingest
+    follower: two erasure followers accidentally sharing an ``app_id``
+    would silently alias each other's batch ids as replays and SKIP
+    erasures — with a token, the expropriated follower fails loudly
+    before minting an op label.
 
     Driver work per batch is the distinct-id collect — erasure batches
     are request-sized, not corpus-sized.
     """
+    from pyspark.sql import functions as F
+
     spark = stream_requests.sparkSession
     cat = TableCatalog(catalog_root, ledger=ledger)
 
     def _one(df: DataFrame, bid: int) -> None:
         ids = [
             int(r["doc_id"])
-            for r in df.select("doc_id").distinct().collect()
+            for r in df.select("doc_id")
+            .filter(F.col("doc_id").isNotNull())
+            .distinct()
+            .collect()
         ]
         if not ids:
             return
+        op = f"{app_id}-batch-{bid}"
+        if writer_token is not None:
+            cat.check_app_id(app_id, writer_token)
         try:
-            retract_docs(
-                spark, cat, ids, op=f"{app_id}-batch-{bid}", mode=mode
-            )
-        except ValueError as e:
-            if "nothing to retract" not in str(e):
-                raise
+            retract_docs(spark, cat, ids, op=op, mode=mode)
+        except NothingToRetract:
             # all ids already absent everywhere: the erasure is complete
-            # by definition; a follower must not wedge on it
+            # by definition — but the DECISION must still be ledgered, or
+            # a checkpoint-wiped replay after one of these ids finally
+            # got ingested would erase what this execution did not
+            for _ in range(10):
+                if op in cat.committed_ops():
+                    return
+                txn = cat.transaction(spark)
+                if op in cat.committed_ops():  # linearizable recheck
+                    return
+                try:
+                    txn.commit(op=op, force=True)  # content-no-op marker
+                    return
+                except CommitConflict:
+                    continue
+            raise CommitConflict(
+                f"erasure marker {op!r} lost the catalog race at {cat.root}"
+            )
 
     return (
         stream_requests.writeStream.foreachBatch(_one)

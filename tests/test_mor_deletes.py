@@ -391,10 +391,37 @@ def test_streaming_erasure_follower(spark, sf_dir, tmp_path):
     run()
     assert _folds(spark, cat) == state
 
-    # a batch of only never-ingested ids completes (no wedge, no commit)
+    # a batch of only never-ingested ids completes (no wedge) AND is
+    # LEDGERED as an empty marker: an un-ledgered decision would replay
+    # differently once the id exists
     (drop / "r3.json").write_text(json.dumps({"doc_id": 111_222_333}))
     run()
     assert _folds(spark, cat) == state
+    assert "erasure-batch-2" in cat.committed_ops()
+
+    # the marker's whole point: ingest that id NOW, wipe the checkpoint,
+    # replay everything — batch 2 must no-op from the ledger, not
+    # re-decide and erase the newly ingested document
+    late = spark.createDataFrame(
+        [
+            (
+                111_222_333,
+                "late-arriving document about lighthouse keepers logging "
+                "the intervals of their own beam through winter nights",
+                "en",
+            )
+        ],
+        "doc_id long, text string, lang string",
+    )
+    assert corpus_batch_txn(spark, late, cat, 99)
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    run()
+    assert (
+        member(spark, cat, CORPUS)
+        .filter(F.col("doc_id") == 111_222_333)
+        .count()
+        == 1
+    )
 
 
 def test_deletes_status_report(spark, sf_dir, tmp_path):
