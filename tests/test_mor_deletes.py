@@ -446,3 +446,73 @@ def test_deletes_status_report(spark, sf_dir, tmp_path):
     n = apply_deletes(spark, cat, op="fold")
     assert n == st[CORPUS]["files_to_rewrite"] + st[BANDS]["files_to_rewrite"]
     assert deletes_status(spark, cat) == {}
+
+
+def test_gdpr_lifecycle_fold_then_vacuum_erases_history(
+    spark, sf_dir, tmp_path
+):
+    """The complete physical-erasure lifecycle: MOR retract (logical,
+    immediate) → apply_deletes (current files clean) → vacuum (historical
+    files holding the text reclaimed; pre-fold time-travel reads refuse
+    LOUDLY instead of serving the erased document)."""
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import compact_pipeline
+
+    cat = _feed2(spark, sf_dir, str(tmp_path / "cat"))
+    v_before = cat.version()
+    victim = member(spark, cat, CORPUS).select("doc_id").first()["doc_id"]
+    assert retract_docs_mor(spark, cat, [victim], op="erase-v")
+    v_mor = cat.version()
+    # time travel BEFORE the retraction still serves the doc (history is
+    # history until GC); AT the retraction version the vector hides it
+    assert (
+        member(spark, cat, CORPUS, version=v_before)
+        .filter(F.col("doc_id") == victim)
+        .count()
+        == 1
+    )
+    assert (
+        member(spark, cat, CORPUS, version=v_mor)
+        .filter(F.col("doc_id") == victim)
+        .count()
+        == 0
+    )
+    assert apply_deletes(spark, cat, op="fold") > 0
+    # compaction moves every member off the pre-fold files, then GC
+    compact_pipeline(spark, cat, num_files=4)
+    assert cat.vacuum(spark, retain_seconds=0.0) > 0
+    # the erased text has no remaining physical file...
+    assert (
+        _raw_member(spark, cat, CORPUS).filter(F.col("doc_id") == victim).count()
+        == 0
+    )
+    # ...and history below the GC horizon refuses loudly rather than
+    # serving the document back
+    with pytest.raises(FileNotFoundError, match="reclaimed by vacuum"):
+        member(spark, cat, CORPUS, version=v_before).collect()
+
+
+def test_mor_on_branch_stays_isolated_until_merge(spark, sf_dir, tmp_path):
+    """A branch's MOR retraction is a branch-ledger commit over the
+    shared member tables: main keeps serving the doc until the merge
+    republishes the branch pins (vector included); after the merge both
+    timelines agree the doc is gone."""
+    from map_reduce_in_go_spark.sources.branches import create_branch, merge_branch
+
+    cat = _feed2(spark, sf_dir, str(tmp_path / "cat"))
+    victim = member(spark, cat, CORPUS).select("doc_id").first()["doc_id"]
+    br = create_branch(spark, cat, "erasure-exp")
+    assert retract_docs_mor(spark, br, [victim], op="erase-on-branch")
+    # isolation: the branch serves the erased view, main is untouched
+    assert member(spark, br, CORPUS).filter(F.col("doc_id") == victim).count() == 0
+    assert member(spark, cat, CORPUS).filter(F.col("doc_id") == victim).count() == 1
+    assert DELETES not in cat.snapshot(spark)
+    merge_branch(spark, cat, "erasure-exp")
+    # the fast-forward republishes the branch's pins, vector included
+    assert member(spark, cat, CORPUS).filter(F.col("doc_id") == victim).count() == 0
+    assert DELETES in cat.snapshot(spark)
+    # and the fold works on main afterwards
+    assert apply_deletes(spark, cat, op="fold-after-merge") > 0
+    assert (
+        _raw_member(spark, cat, CORPUS).filter(F.col("doc_id") == victim).count()
+        == 0
+    )
