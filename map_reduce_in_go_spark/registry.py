@@ -25,9 +25,10 @@ via ``_CHANGED_SINCE_VERIFIED``; (c) new registrations are budgeted
 (≤ 4 per round) so the window always clears the stalest block first.
 r12 exception, documented here: the driver restarted round 12 with a
 fresh turn budget after the round had already closed with its 4
-registrations, so the continuation registered 3 more (multimodal_audio,
-corpus_profile, pipeline_trending_mor) — 7 for the round; 43 of the 50
-window slots still go to the stalest re-verification block.
+registrations, so the continuation registered 4 more (multimodal_audio,
+corpus_profile, pipeline_trending_mor, pipeline_trending_folded) — 8
+for the round; 42 of the 50 window slots still go to the stalest
+re-verification block.
 """
 
 from __future__ import annotations
@@ -323,6 +324,7 @@ def _build() -> None:
         "pipeline_trending_branch",
         "pipeline_trending_rebase",
         "pipeline_trending_mor",
+        "pipeline_trending_folded",
         "pipeline_quarantine",
         "pipeline_quantiles_check",
         "pipeline_spans",

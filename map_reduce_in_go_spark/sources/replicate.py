@@ -76,6 +76,39 @@ __all__ = [
 ]
 
 
+# Merge-on-read delete vector (streaming/corpus_pipeline.py DELETES): its
+# (member, file, doc_id) pairs are scoped to the OWNING catalog's physical
+# file names, which shipping does not preserve (content moves through
+# Spark reads into fresh destination files). Shipping the member verbatim
+# would leave an inert vector on the replica — serving erased documents
+# back. Replication and clones therefore materialize the LOGICAL view:
+# the vector member itself is never shipped; snapshot materializations
+# (clone, base-sync) read corpus/bands through the vector, and the
+# incremental walker applies each retraction commit's NEW pairs to the
+# replica as copy-on-write at walk order — by induction the replica's
+# state equals the primary's live view at every shipped version.
+_MOR_VECTOR = "doc_deletes"
+_MOR_MEMBERS = ("corpus", "band_index")
+
+
+def _live_view(
+    spark: SparkSession,
+    cat: TableCatalog,
+    snap: dict[str, tuple[str, int]],
+    name: str,
+    df: DataFrame,
+) -> DataFrame:
+    """Apply ``snap``'s MOR delete vector (if any) to a member read —
+    the logical content a ship/compare must reason over. The pairs match
+    because ``df`` still scans the OWNING catalog's files here."""
+    if name not in _MOR_MEMBERS or _MOR_VECTOR not in snap:
+        return df
+    from ..streaming.corpus_pipeline import _apply_delete_vector
+
+    dpath, dpin = snap[_MOR_VECTOR]
+    return _apply_delete_vector(df, cat.table(dpath).read(spark, dpin), name)
+
+
 def _member_stats_cols(manifest: dict) -> list[str] | None:
     """Stats columns the primary recorded for this member version —
     the union of per-file stats keys in its manifest."""
@@ -118,7 +151,22 @@ def _stage_commit(
 ) -> None:
     """Re-apply one primary commit (prev→cur pin diff; prev=None means
     base sync: overwrite everything) as one replica transaction.
-    ``members`` restricts the replayed member set (selective follower)."""
+    ``members`` restricts the replayed member set (selective follower).
+
+    MOR handling (see module constants): the delete-vector member never
+    ships; snapshot reads go through :func:`_live_view`; a commit whose
+    vector pin MOVED applies its new pairs' doc_ids to the replica's
+    corpus/bands as copy-on-write (file-granular via the pipeline's own
+    helper) — at walk order, which is exactly the primary's logical
+    removal at that commit."""
+    cur_all = dict(cur)
+    prev_all = None if prev is None else dict(prev)
+    cur = {n: v for n, v in cur.items() if n != _MOR_VECTOR}
+    prev = (
+        None
+        if prev is None
+        else {n: v for n, v in prev.items() if n != _MOR_VECTOR}
+    )
     if members is not None:
         cur = {n: v for n, v in cur.items() if n in members}
         prev = (
@@ -157,7 +205,10 @@ def _stage_commit(
                     # creation, rewrite, or relocation: full content replace
                     txn.overwrite(
                         name,
-                        _read_member(spark, tbl, pin),
+                        _live_view(
+                            spark, src, cur_all, name,
+                            _read_member(spark, tbl, pin),
+                        ),
                         op=op,
                         stats_cols=stats_cols,
                     )
@@ -166,10 +217,62 @@ def _stage_commit(
                     # mergeSchema: a txn may stack appends with evolved schemas
                     txn.append(
                         name,
-                        spark.read.option("mergeSchema", "true").parquet(*delta),
+                        _live_view(
+                            spark, src, cur_all, name,
+                            spark.read.option("mergeSchema", "true").parquet(
+                                *delta
+                            ),
+                        ),
                         op=op,
                         stats_cols=stats_cols,
                     )
+            # a commit that MOVED the vector pin is a MOR retraction:
+            # apply its NEW pairs' doc_ids to the replica's state
+            # copy-on-write. Base syncs (prev_all None) skip this — their
+            # overwrites above already materialized the live view.
+            if prev_all is not None and _MOR_VECTOR in cur_all:
+                cur_pin = cur_all[_MOR_VECTOR]
+                old_pin = prev_all.get(_MOR_VECTOR)
+                if old_pin != cur_pin:
+                    from pyspark.sql import functions as F
+
+                    from ..streaming.corpus_pipeline import _remove_ids_cow
+
+                    vec = src.table(cur_pin[0]).read(spark, cur_pin[1])
+                    if old_pin is not None and old_pin[0] == cur_pin[0]:
+                        # re-retraction of a re-inserted id can
+                        # legitimately duplicate an old pair: exceptAll
+                        # keeps the delta multiset exact
+                        vec = vec.exceptAll(
+                            src.table(old_pin[0]).read(spark, old_pin[1])
+                        )
+                    for name in _MOR_MEMBERS:
+                        if members is not None and name not in members:
+                            continue
+                        ids = vec.filter(
+                            F.col("member") == name
+                        ).select("doc_id").distinct()
+                        id_vals = sorted(
+                            int(r["doc_id"]) for r in ids.collect()
+                        )  # erasure-request-sized: the primary held this
+                        if not id_vals:
+                            continue
+                        try:
+                            txn.read(name)
+                        except KeyError:
+                            continue  # replica without this member
+                        mpath, mpin = cur_all[name]
+                        _remove_ids_cow(
+                            spark,
+                            txn,
+                            name,
+                            ids,
+                            id_vals,
+                            op,
+                            stats_cols=_member_stats_cols(
+                                src.table(mpath)._manifest(mpin)
+                            ),
+                        )
         except FileNotFoundError as exc:
             # A member manifest this diff needs was truncated (a member-log
             # checkpoint on the primary between our catalog walk and this
@@ -181,6 +284,7 @@ def _stage_commit(
             # high: previously any truncation stalled the follower).
             if prev is not None:
                 prev = None
+                prev_all = None  # base sync materializes live; no pair pass
                 continue
             raise FileNotFoundError(
                 f"replication of {op!r} cannot read the primary's pinned "
@@ -243,7 +347,11 @@ def catalog_divergence(
     """
     out: dict[str, str] = {}
     snap_a, snap_b = a.snapshot(spark), b.snapshot(spark)
-    names = set(snap_a) | set(snap_b)
+    # the MOR delete vector is physical layout, not logical content: a
+    # primary with a pending vector and its replica (which materializes
+    # the live view — see module constants) must fingerprint EQUAL, so
+    # the vector member is excluded and both sides compare live reads
+    names = (set(snap_a) | set(snap_b)) - {_MOR_VECTOR}
     if members is not None:
         names &= members
     for name in sorted(names):
@@ -259,8 +367,12 @@ def catalog_divergence(
         # dropped evolved columns would fingerprint clean), and can
         # DISAGREE spuriously (primary's pin = last append's narrow
         # schema, replica materialized wide) — r10 advice, low.
-        df_a = a.read(spark, name, merge_schema=True)
-        df_b = b.read(spark, name, merge_schema=True)
+        df_a = _live_view(
+            spark, a, snap_a, name, a.read(spark, name, merge_schema=True)
+        )
+        df_b = _live_view(
+            spark, b, snap_b, name, b.read(spark, name, merge_schema=True)
+        )
         sig_a = sorted((f.name, f.dataType.simpleString()) for f in df_a.schema)
         sig_b = sorted((f.name, f.dataType.simpleString()) for f in df_b.schema)
         if sig_a != sig_b:
@@ -461,10 +573,18 @@ def clone_catalog(
     dst.publish_gated_ops(op, carried_ops)
     txn = dst.transaction(spark)
     for name, (path, pin) in sorted(pins.items()):
+        if name == _MOR_VECTOR:
+            # a clone materializes the LIVE view (below), so the vector
+            # is already folded into what ships — and its file-name-
+            # scoped pairs would be inert against the clone's fresh
+            # files anyway (see module constants)
+            continue
         man = src.table(path)._manifest(pin)
         txn.overwrite(
             name,
-            _read_member(spark, src.table(path), pin),
+            _live_view(
+                spark, src, pins, name, _read_member(spark, src.table(path), pin)
+            ),
             op=op,
             stats_cols=_member_stats_cols(man),
         )

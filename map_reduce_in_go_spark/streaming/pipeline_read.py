@@ -290,6 +290,58 @@ def pipeline_trending_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _trending_from_cms(spark, _pipeline_mor_catalog(spark, sf_dir))
 
 
+def _pipeline_folded_catalog(spark: SparkSession, sf_dir: str) -> TableCatalog:
+    """A FRESH pipeline build + MOR retraction + :func:`~.corpus_pipeline.
+    apply_deletes`: the vector folded into copy-on-write, vector member
+    dropped. Deliberately NOT a clone of the MOR catalog — a PITR clone
+    materializes the live view (shipping an unfolded vector would go
+    inert under the destination's new file names), so a cloned catalog
+    has nothing left to fold; the fold must run on the timeline that
+    owns the vector. Built once per corpus behind its own latch."""
+    from .corpus_pipeline import apply_deletes, retract_docs_mor
+
+    def _build(path: str) -> None:
+        cat = TableCatalog(path)
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text", "lang")
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        )
+        for i in range(PIPELINE_BATCHES):
+            corpus_batch_txn(
+                spark,
+                docs.filter(F.pmod("doc_id", F.lit(PIPELINE_BATCHES)) == i),
+                cat,
+                i,
+            )
+        victims = [
+            int(r["doc_id"])
+            for r in docs.filter(F.pmod("doc_id", F.lit(MOR_MOD)) == MOR_RES)
+            .select("doc_id")
+            .collect()
+        ]
+        retract_docs_mor(spark, cat, victims, op="mor-erasure")
+        assert apply_deletes(spark, cat, op="fold-registered") > 0
+
+    return TableCatalog(served_artifact("pipeline_folded", sf_dir, _build))
+
+
+def pipeline_trending_folded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending tokens AFTER the delete-vector fold (r12).
+
+    Completes the MOR lifecycle under the driver's hash: the unfolded
+    catalog (`pipeline_trending_mor`) proved the READ path applies the
+    vector; this twin runs the same build + MOR retraction and then
+    :func:`~.corpus_pipeline.apply_deletes` (rewriting exactly the files
+    the vector names, then dropping the vector member), serving the same
+    CMS-screen + corpus-recount plan over the now-physical state. It
+    shares the MOR oracle verbatim — a fold that drops a survivor row,
+    resurrects a hidden row, or mis-handles an inert entry
+    hash-mismatches here.
+    """
+    return _trending_from_cms(spark, _pipeline_folded_catalog(spark, sf_dir))
+
+
 def _forked_pipeline_build(spark: SparkSession, sf_dir: str, path: str):
     """Shared setup for the branch-crossing catalogs: batches 0..n-2 on
     main, batch n-1 as an experiment on branch ``exp``. Returns
@@ -861,6 +913,10 @@ ORACLES["pipeline_trending_branch"] = ORACLES["pipeline_trending"]
 # and the rebase form: main moved by a content-preserving compaction, so
 # the replayed batch must re-derive the identical 3-batch accepted set
 ORACLES["pipeline_trending_rebase"] = ORACLES["pipeline_trending"]
+# the folded twin serves the SAME logical state as the unfolded MOR
+# catalog (the fold changes physical layout only), so it shares the
+# erasure oracle verbatim — any divergence is a fold bug
+ORACLES["pipeline_trending_folded"] = ORACLES["pipeline_trending_mor"]
 ORACLES["pipeline_spans"] = (
     ORACLES["pipeline_spans"]
     .replace("{tok}", _sql_tokens_k())

@@ -516,3 +516,116 @@ def test_mor_on_branch_stays_isolated_until_merge(spark, sf_dir, tmp_path):
         _raw_member(spark, cat, CORPUS).filter(F.col("doc_id") == victim).count()
         == 0
     )
+
+
+def test_replication_materializes_live_view_of_mor(spark, sf_dir, tmp_path):
+    """A shipped delete vector would be inert under the replica's fresh
+    file names — so replication never ships it: the walker applies each
+    retraction commit's new pairs as copy-on-write at walk order, and the
+    replica equals the primary's LIVE view (divergence empty) with no
+    vector member at all."""
+    from map_reduce_in_go_spark.sources.replicate import (
+        catalog_divergence,
+        replicate_catalog,
+    )
+
+    cat = _feed2(spark, sf_dir, str(tmp_path / "src"))
+    victims = sorted(
+        r["doc_id"]
+        for r in member(spark, cat, CORPUS).select("doc_id").limit(3).collect()
+    )
+    assert retract_docs_mor(spark, cat, victims, op="erase-v")
+
+    dst = TableCatalog(str(tmp_path / "dst"))
+    assert replicate_catalog(spark, cat, dst) == 3  # 2 batches + retract
+    assert DELETES not in dst.snapshot(spark)
+    live = {r["doc_id"] for r in member(spark, dst, CORPUS).select("doc_id").collect()}
+    assert not (set(victims) & live)
+    # the replica's corpus is PHYSICALLY clean (no vector to apply)
+    raw = {r["doc_id"] for r in _raw_member(spark, dst, CORPUS).collect()}
+    assert not (set(victims) & raw)
+    # logical equality across the physical difference (unfolded primary
+    # vs materialized replica)
+    assert catalog_divergence(spark, cat, dst) == {}
+
+    # the fold on the primary is a content-no-op for the replica: ship
+    # it and the two remain logically identical
+    assert apply_deletes(spark, cat, op="fold") > 0
+    assert replicate_catalog(spark, cat, dst) == 1
+    assert catalog_divergence(spark, cat, dst) == {}
+
+
+def test_replication_walk_order_with_reinsert(spark, tmp_path):
+    """Retract → re-insert (upsert) → retract again, then replicate the
+    whole ledger: pair application at walk order reproduces each logical
+    state transition, ending member-identical to the primary's live view
+    (the exceptAll delta keeps a re-retraction's duplicate old pair from
+    double-applying)."""
+    from map_reduce_in_go_spark.sources.replicate import (
+        catalog_divergence,
+        replicate_catalog,
+    )
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import update_docs
+
+    cat = TableCatalog(str(tmp_path / "src"))
+    docs = spark.createDataFrame(
+        [
+            (
+                1,
+                "the original charter of the lighthouse commission and "
+                "its schedule of lamp oil deliveries by season",
+                "en",
+            ),
+            (
+                2,
+                "an unrelated treatise on the migration of storks across "
+                "the high passes before the first snows close them",
+                "en",
+            ),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    assert corpus_batch_txn(spark, docs, cat, 0)
+    assert retract_docs_mor(spark, cat, [1], op="erase-a")
+    revised = spark.createDataFrame(
+        [
+            (
+                1,
+                "the revised charter after the commission electrified "
+                "the lamps and retired the oil schedule entirely",
+                "en",
+            )
+        ],
+        "doc_id long, text string, lang string",
+    )
+    assert update_docs(spark, cat, revised, op="reinsert")
+    assert retract_docs_mor(spark, cat, [1], op="erase-b")
+
+    dst = TableCatalog(str(tmp_path / "dst"))
+    replicate_catalog(spark, cat, dst)
+    assert DELETES not in dst.snapshot(spark)
+    assert member(spark, dst, CORPUS).filter(F.col("doc_id") == 1).count() == 0
+    assert member(spark, dst, CORPUS).filter(F.col("doc_id") == 2).count() == 1
+    assert catalog_divergence(spark, cat, dst) == {}
+
+
+def test_clone_materializes_live_view_of_mor(spark, sf_dir, tmp_path):
+    """A PITR clone of a catalog with a pending vector ships the live
+    view and no vector member — physically folded, logically identical."""
+    from map_reduce_in_go_spark.sources.replicate import (
+        catalog_divergence,
+        clone_catalog,
+    )
+
+    cat = _feed2(spark, sf_dir, str(tmp_path / "src"))
+    victims = sorted(
+        r["doc_id"]
+        for r in member(spark, cat, CORPUS).select("doc_id").limit(3).collect()
+    )
+    assert retract_docs_mor(spark, cat, victims, op="erase-v")
+    dst = TableCatalog(str(tmp_path / "dst"))
+    clone_catalog(spark, cat, dst)
+    assert DELETES not in dst.snapshot(spark)
+    raw = {r["doc_id"] for r in _raw_member(spark, dst, CORPUS).collect()}
+    assert not (set(victims) & raw)
+    assert catalog_divergence(spark, cat, dst) == {}
