@@ -87,8 +87,17 @@ __all__ = [
 # incremental walker applies each retraction commit's NEW pairs to the
 # replica as copy-on-write at walk order — by induction the replica's
 # state equals the primary's live view at every shipped version.
-_MOR_VECTOR = "doc_deletes"
-_MOR_MEMBERS = ("corpus", "band_index")
+# (A replica that shipped a vector VERBATIM — possible only in the brief
+# window before this module learned MOR — cannot be healed incrementally,
+# because its pairs name primary files; re-stand it up or base-sync.)
+# The names are THE pipeline's own constants: extending _MOR_MEMBERS there
+# (e.g. to PQ cells, SURVEY r13 candidate (b)) extends shipping fidelity
+# here automatically. Module-level import is cycle-safe: corpus_pipeline
+# imports this module only inside function bodies.
+from ..streaming.corpus_pipeline import (  # noqa: E402
+    _MOR_MEMBERS,
+    DELETES as _MOR_VECTOR,
+)
 
 
 def _live_view(
@@ -234,8 +243,6 @@ def _stage_commit(
                 cur_pin = cur_all[_MOR_VECTOR]
                 old_pin = prev_all.get(_MOR_VECTOR)
                 if old_pin != cur_pin:
-                    from pyspark.sql import functions as F
-
                     from ..streaming.corpus_pipeline import _remove_ids_cow
 
                     vec = src.table(cur_pin[0]).read(spark, cur_pin[1])
@@ -246,22 +253,45 @@ def _stage_commit(
                         vec = vec.exceptAll(
                             src.table(old_pin[0]).read(spark, old_pin[1])
                         )
+                    # ONE driver fold of the delta (erasure-request-sized:
+                    # the primary's retraction held this same list)
+                    new_pairs = [
+                        (r["member"], r["file"], int(r["doc_id"]))
+                        for r in vec.collect()
+                    ]
                     for name in _MOR_MEMBERS:
                         if members is not None and name not in members:
                             continue
-                        ids = vec.filter(
-                            F.col("member") == name
-                        ).select("doc_id").distinct()
+                        if name not in cur_all:
+                            continue
+                        mpath, mpin = cur_all[name]
+                        # FILE-SCOPE FIDELITY: only a pair naming a file
+                        # that is LIVE in this commit's own snapshot is a
+                        # logical removal. A consolidated commit (a branch
+                        # merge whose history retracted then re-inserted
+                        # an id) carries INERT pairs naming dead files —
+                        # applying those by bare doc_id would wrongly
+                        # erase the re-inserted document's live row.
+                        live_names = {
+                            os.path.basename(p)
+                            for p in src.table(mpath).files(mpin)
+                        }
                         id_vals = sorted(
-                            int(r["doc_id"]) for r in ids.collect()
-                        )  # erasure-request-sized: the primary held this
+                            {
+                                d
+                                for m, f, d in new_pairs
+                                if m == name and f in live_names
+                            }
+                        )
                         if not id_vals:
                             continue
                         try:
                             txn.read(name)
                         except KeyError:
                             continue  # replica without this member
-                        mpath, mpin = cur_all[name]
+                        ids = spark.createDataFrame(
+                            [(d,) for d in id_vals], "doc_id long"
+                        )
                         _remove_ids_cow(
                             spark,
                             txn,

@@ -245,29 +245,37 @@ def _pipeline_upsert_catalog(spark: SparkSession, sf_dir: str) -> TableCatalog:
     return TableCatalog(served_artifact("pipeline_upsert", sf_dir, _build))
 
 
-def _pipeline_mor_catalog(spark: SparkSession, sf_dir: str) -> TableCatalog:
-    """A PITR CLONE of the served pipeline with one MERGE-ON-READ
-    retraction applied: every ``doc_id ≡ MOR_RES (mod MOR_MOD)`` document
-    is retracted via ``retract_docs(mode="mor")`` — corpus/band files
-    UNTOUCHED, the delete vector carrying the logical removals. Built
-    once per corpus behind its own latch; deliberately NOT folded
-    (no apply_deletes), so every serving read must go through the
-    vector to be correct."""
+def _mor_erased_clone(spark: SparkSession, sf_dir: str, path: str) -> TableCatalog:
+    """PITR-clone the served pipeline, then MOR-retract every
+    ``doc_id ≡ MOR_RES (mod MOR_MOD)`` document on the clone — the pairs
+    name the CLONE's own files, so the vector is live and foldable there.
+    Shared by the unfolded and folded registered twins."""
     from ..sources.replicate import clone_catalog
     from .corpus_pipeline import retract_docs_mor
 
+    src = _pipeline_catalog(spark, sf_dir)
+    dst = TableCatalog(path)
+    clone_catalog(spark, src, dst)
+    victims = [
+        int(r["doc_id"])
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.pmod("doc_id", F.lit(MOR_MOD)) == MOR_RES)
+        .select("doc_id")
+        .collect()
+    ]
+    retract_docs_mor(spark, dst, victims, op="mor-erasure")
+    return dst
+
+
+def _pipeline_mor_catalog(spark: SparkSession, sf_dir: str) -> TableCatalog:
+    """A PITR CLONE of the served pipeline with one MERGE-ON-READ
+    retraction applied: corpus/band files UNTOUCHED, the delete vector
+    carrying the logical removals. Built once per corpus behind its own
+    latch; deliberately NOT folded (no apply_deletes), so every serving
+    read must go through the vector to be correct."""
+
     def _build(path: str) -> None:
-        src = _pipeline_catalog(spark, sf_dir)
-        dst = TableCatalog(path)
-        clone_catalog(spark, src, dst)
-        victims = [
-            int(r["doc_id"])
-            for r in load_table(spark, sf_dir, "documents")
-            .filter(F.pmod("doc_id", F.lit(MOR_MOD)) == MOR_RES)
-            .select("doc_id")
-            .collect()
-        ]
-        retract_docs_mor(spark, dst, victims, op="mor-erasure")
+        _mor_erased_clone(spark, sf_dir, path)
 
     return TableCatalog(served_artifact("pipeline_mor", sf_dir, _build))
 
@@ -291,37 +299,26 @@ def pipeline_trending_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pipeline_folded_catalog(spark: SparkSession, sf_dir: str) -> TableCatalog:
-    """A FRESH pipeline build + MOR retraction + :func:`~.corpus_pipeline.
-    apply_deletes`: the vector folded into copy-on-write, vector member
-    dropped. Deliberately NOT a clone of the MOR catalog — a PITR clone
-    materializes the live view (shipping an unfolded vector would go
-    inert under the destination's new file names), so a cloned catalog
-    has nothing left to fold; the fold must run on the timeline that
-    owns the vector. Built once per corpus behind its own latch."""
-    from .corpus_pipeline import apply_deletes, retract_docs_mor
+    """The same clone + MOR retraction as :func:`_pipeline_mor_catalog`,
+    then :func:`~.corpus_pipeline.apply_deletes`: the vector folded into
+    copy-on-write, vector member dropped. The retraction runs ON the
+    clone (its pairs name the clone's files), so the fold has real work;
+    cloning the already-erased MOR artifact instead would materialize
+    the live view and leave nothing to fold. Built once per corpus
+    behind its own latch."""
+    from .corpus_pipeline import apply_deletes
 
     def _build(path: str) -> None:
-        cat = TableCatalog(path)
-        docs = (
-            load_table(spark, sf_dir, "documents")
-            .select("doc_id", "text", "lang")
-            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        )
-        for i in range(PIPELINE_BATCHES):
-            corpus_batch_txn(
-                spark,
-                docs.filter(F.pmod("doc_id", F.lit(PIPELINE_BATCHES)) == i),
-                cat,
-                i,
+        cat = _mor_erased_clone(spark, sf_dir, path)
+        n = apply_deletes(spark, cat, op="fold-registered")
+        if n <= 0:
+            # not an assert: under python -O a stripped check would leave
+            # this twin silently serving an unfolded catalog
+            raise RuntimeError(
+                "fold-registered rewrote no files — the folded twin would "
+                "duplicate the unfolded MOR registration instead of "
+                "covering apply_deletes"
             )
-        victims = [
-            int(r["doc_id"])
-            for r in docs.filter(F.pmod("doc_id", F.lit(MOR_MOD)) == MOR_RES)
-            .select("doc_id")
-            .collect()
-        ]
-        retract_docs_mor(spark, cat, victims, op="mor-erasure")
-        assert apply_deletes(spark, cat, op="fold-registered") > 0
 
     return TableCatalog(served_artifact("pipeline_folded", sf_dir, _build))
 

@@ -629,3 +629,65 @@ def test_clone_materializes_live_view_of_mor(spark, sf_dir, tmp_path):
     raw = {r["doc_id"] for r in _raw_member(spark, dst, CORPUS).collect()}
     assert not (set(victims) & raw)
     assert catalog_divergence(spark, cat, dst) == {}
+
+
+def test_replication_of_consolidated_merge_keeps_reinserted_doc(
+    spark, tmp_path
+):
+    """A fast-forward merge can consolidate a branch's retract-then-
+    reinsert history into ONE main commit whose vector delta carries an
+    INERT pair (naming a file the branch's upsert already replaced).
+    The walker must apply only pairs whose file is LIVE in the shipped
+    commit's own snapshot — by bare doc_id it would erase the
+    re-inserted document from the replica (r12 self-review, pass 3)."""
+    from map_reduce_in_go_spark.sources.branches import create_branch, merge_branch
+    from map_reduce_in_go_spark.sources.replicate import (
+        catalog_divergence,
+        replicate_catalog,
+    )
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import update_docs
+
+    cat = TableCatalog(str(tmp_path / "src"))
+    docs = spark.createDataFrame(
+        [
+            (
+                1,
+                "the field notes of a surveyor mapping the eastern scarp "
+                "before the railway cut changed the valley's drainage",
+                "en",
+            ),
+            (
+                2,
+                "a cookbook chapter on preserving quinces in honey for "
+                "the months when the orchard stands bare",
+                "en",
+            ),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    assert corpus_batch_txn(spark, docs, cat, 0)
+    # replica catches up BEFORE the branch work
+    dst = TableCatalog(str(tmp_path / "dst"))
+    replicate_catalog(spark, cat, dst)
+
+    br = create_branch(spark, cat, "exp")
+    assert retract_docs_mor(spark, br, [1], op="erase-on-exp")
+    revised = spark.createDataFrame(
+        [
+            (
+                1,
+                "the surveyor's revised notes after the cutting exposed "
+                "the fault line his first map had drawn as a stream",
+                "en",
+            )
+        ],
+        "doc_id long, text string, lang string",
+    )
+    assert update_docs(spark, br, revised, op="reinsert-on-exp")
+    merge_branch(spark, cat, "exp")  # one consolidated main commit
+    assert member(spark, cat, CORPUS).filter(F.col("doc_id") == 1).count() == 1
+
+    replicate_catalog(spark, cat, dst)
+    live = member(spark, dst, CORPUS).filter(F.col("doc_id") == 1).collect()
+    assert len(live) == 1 and "fault line" in live[0]["text"]
+    assert catalog_divergence(spark, cat, dst) == {}
