@@ -691,3 +691,114 @@ def test_replication_of_consolidated_merge_keeps_reinserted_doc(
     live = member(spark, dst, CORPUS).filter(F.col("doc_id") == 1).collect()
     assert len(live) == 1 and "fault line" in live[0]["text"]
     assert catalog_divergence(spark, cat, dst) == {}
+
+
+def test_mor_model_randomized_interleaving(spark, tmp_path):
+    """Seeded random program over the verb algebra — ingest / retract
+    (BOTH modes) / upsert / fold / compact — checked after every step
+    against a dict model of the expected live corpus. Texts are globally
+    unique (no near-dup collisions), so admission is deterministic and
+    the model is exact; this hunts interplay bugs (a fold racing a
+    pending re-insert, a COW rewrite resurrecting hidden rows, a
+    retraction double-subtracting) that single-scenario pins miss."""
+    import random
+
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+        compact_pipeline,
+        update_docs,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    WORDS = (
+        "granite kestrel lantern mosaic nocturne oboe parapet quarry "
+        "rivulet saffron tundra umber violet wharf xylem yonder zephyr "
+        "anvil bramble cinder dulcimer ember fjord"
+    ).split()
+
+    def text_for(doc_id: int, rev: int) -> str:
+        r = random.Random((doc_id << 8) | rev)
+        return f"doc {doc_id} rev {rev} " + " ".join(
+            r.choice(WORDS) for _ in range(30)
+        )
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    model: dict[int, str] = {}
+    next_id = 0
+    batch_n = 0
+    op_n = 0
+
+    def check():
+        live = {
+            r["doc_id"]: r["text"]
+            for r in member(spark, cat, CORPUS).collect()
+        }
+        assert live == model
+        # band index at the same grain: one doc's bands present iff live
+        band_ids = {
+            r["doc_id"] for r in member(spark, cat, BANDS).collect()
+        }
+        assert band_ids == set(model)
+
+    # seed batch so every verb has something to act on
+    def ingest(k: int):
+        nonlocal next_id, batch_n
+        rows = []
+        for _ in range(k):
+            rows.append((next_id, text_for(next_id, 0), "en"))
+            model[next_id] = text_for(next_id, 0)
+            next_id += 1
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        assert corpus_batch_txn(spark, df, cat, batch_n)
+        batch_n += 1
+
+    ingest(6)
+    check()
+    for step in range(14):
+        op_n += 1
+        verb = rng.choice(
+            ["ingest", "retract_cow", "retract_mor", "upsert", "fold", "compact"]
+        )
+        if verb == "ingest":
+            ingest(rng.randint(1, 4))
+        elif verb in ("retract_cow", "retract_mor") and model:
+            victims = rng.sample(sorted(model), rng.randint(1, min(3, len(model))))
+            retract_docs(
+                spark,
+                cat,
+                victims,
+                op=f"model-erase-{op_n}",
+                mode="mor" if verb == "retract_mor" else "cow",
+            )
+            for v in victims:
+                del model[v]
+        elif verb == "upsert":
+            # mix of revisions of live ids, revivals of dead ids, and
+            # brand-new ids through the MERGE verb
+            ids = []
+            if model and rng.random() < 0.8:
+                ids.append(rng.choice(sorted(model)))
+            dead = set(range(next_id)) - set(model)
+            if dead and rng.random() < 0.6:
+                ids.append(rng.choice(sorted(dead)))
+            if not ids:
+                ids.append(next_id)
+                next_id += 1
+            rows = [(i, text_for(i, op_n), "en") for i in sorted(set(ids))]
+            df = spark.createDataFrame(
+                rows, "doc_id long, text string, lang string"
+            )
+            assert update_docs(spark, cat, df, op=f"model-upsert-{op_n}")
+            for i, t, _lang in rows:
+                model[i] = t
+        elif verb == "fold":
+            apply_deletes(spark, cat, op=f"model-fold-{op_n}")
+        elif verb == "compact":
+            compact_pipeline(spark, cat, num_files=3)
+        check()
+    # end state: fold everything and confirm the physical corpus equals
+    # the model too (no hidden rows left anywhere)
+    apply_deletes(spark, cat, op="model-fold-final")
+    raw = {
+        r["doc_id"]: r["text"] for r in _raw_member(spark, cat, CORPUS).collect()
+    }
+    assert raw == model
