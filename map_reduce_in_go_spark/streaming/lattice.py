@@ -138,6 +138,90 @@ class RollupLattice:
             f"{max_retries} times at {self.cat.root}"
         )
 
+    def retract_batch(
+        self,
+        spark: SparkSession,
+        batch_df: DataFrame,
+        batch_id: int,
+        app_id: str = "lattice",
+        max_retries: int = 10,
+    ) -> bool:
+        """Erase one previously-ingested batch's contribution from EVERY
+        level in one catalog CAS — the bad-crawl rollback on the events
+        side. Additivity makes retraction just the ingest partials
+        sign-flipped, so cost and shape are identical to ingest (one
+        batch scan, k tiny folds); :meth:`answer` needs no awareness at
+        all, and :meth:`compact` drops keys whose measures folded to
+        all-zero. The caller re-supplies the batch's rows (the lattice
+        stores partials, not rows — re-resolution from the upstream
+        source is the same WAL posture the corpus pipeline's rebase
+        uses), so they must be the rows the original ingest saw.
+
+        Refuses loudly when the batch was never ingested (negating a
+        contribution that never landed would corrupt every level), and
+        is exactly-once per retraction label. A retracted batch id stays
+        BURNED in the ledger — re-submission needs a fresh batch id
+        (exactly-once and resurrection are the same mechanism).
+
+        EXACT cancellation (a fully-retracted key folding to zero and
+        being dropped by :meth:`compact`) requires exact measure types —
+        integer counts and DECIMAL sums, the discipline the registered
+        cube (:data:`CUBE_SUMS`) already follows. DOUBLE measures cancel
+        only to float epsilon; their answers stay correct to rounding
+        but their dead keys may survive compaction with ~1e-12 residue.
+        """
+        ingest_op = f"{app_id}-batch-{batch_id}"
+        op = f"{app_id}-retract-{batch_id}"
+        committed = self.cat.committed_ops()
+        if op in committed:
+            return False
+        if ingest_op not in committed:
+            raise ValueError(
+                f"batch {batch_id} ({ingest_op!r}) was never ingested at "
+                f"{self.cat.root}; retracting it would corrupt every level"
+            )
+        from ..functions.caching import (
+            persisted_count,
+            release_persisted_since,
+            scoped_persist,
+        )
+
+        for _ in range(max_retries):
+            txn = self.cat.transaction(spark)
+            if op in self.cat.committed_ops():  # linearizable replay check
+                return False
+            mark = persisted_count()
+            try:
+                apex = scoped_persist(
+                    batch_df.groupBy(*self.apex_keys).agg(
+                        *[
+                            (-F.sum(F.expr(e))).alias(n)
+                            for n, e in self.sum_cols.items()
+                        ]
+                    )
+                )
+                for keys in sorted(set(self.levels.values())):
+                    part = apex.groupBy(*keys).agg(
+                        *[F.sum(n).alias(n) for n in self.sum_cols]
+                    )
+                    txn.append(
+                        _level_member(keys),
+                        part,
+                        op=op,
+                        stats_cols=list(keys) or None,
+                    )
+                try:
+                    txn.commit(op=op)
+                    return True
+                except CommitConflict:
+                    continue  # racing batch landed; re-plan on new base
+            finally:
+                release_persisted_since(mark)
+        raise CommitConflict(
+            f"lattice retraction of batch {batch_id} lost the catalog race "
+            f"{max_retries} times at {self.cat.root}"
+        )
+
     # -------------------------------------------------------------- serve
 
     def choose_level(
@@ -245,7 +329,13 @@ class RollupLattice:
 
     def compact(self, spark: SparkSession) -> None:
         """Fold every level's partial log to O(distinct keys) rows in one
-        maintenance transaction (the ``compact_pipeline`` discipline)."""
+        maintenance transaction (the ``compact_pipeline`` discipline).
+        Keys whose measures all folded to zero — fully retracted by
+        :meth:`retract_batch` — are dropped, the same dead-row rule the
+        gram/token members apply."""
+        import functools
+        import operator
+
         for _ in range(10):
             txn = self.cat.transaction(spark)
             try:
@@ -255,6 +345,12 @@ class RollupLattice:
                         txn.read(name)
                         .groupBy(*keys)
                         .agg(*[F.sum(n).alias(n) for n in self.sum_cols])
+                        .filter(
+                            functools.reduce(
+                                operator.or_,
+                                [F.col(n) != 0 for n in self.sum_cols],
+                            )
+                        )
                         .coalesce(1)
                     )
                     txn.overwrite(name, folded, stats_cols=list(keys) or None)

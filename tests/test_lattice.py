@@ -261,3 +261,49 @@ def test_lattice_stream_equals_batch(spark, sf_dir, tmp_path):
         for r in batch_lat.answer(spark, ("event_type",), {"cnt": "cnt"}).collect()
     }
     assert s == b
+
+
+def test_lattice_retract_batch(spark, sf_dir, tmp_path):
+    """Batch retraction = negative partials on every level: answers
+    equal a lattice that never saw the batch, replays no-op, retracting
+    a never-ingested batch refuses, and compaction drops fully-zeroed
+    keys instead of keeping dead rows."""
+    lat, ev = _feed(spark, sf_dir, tmp_path)
+    bad = ev.filter(F.pmod("user_id", F.lit(3)) == 1)  # batch 1 was bad
+    assert lat.retract_batch(spark, bad, 1)
+    assert lat.retract_batch(spark, bad, 1) is False  # replay no-op
+
+    never = RollupLattice(
+        TableCatalog(str(tmp_path / "never")), LEVELS, SUMS
+    )
+    for i in (0, 2):
+        assert never.ingest_batch(
+            spark, ev.filter(F.pmod("user_id", F.lit(3)) == i), i
+        )
+    for dims in (("event_type",), ("day",), ("event_type", "day"), ()):
+        got = _rows(lat.answer(spark, dims, {"cnt": "cnt", "val": "val"}), dims)
+        want = _rows(never.answer(spark, dims, {"cnt": "cnt", "val": "val"}), dims)
+        # the retracted lattice may carry zero-sum keys until compaction;
+        # they are additive no-ops
+        got = {k: v for k, v in got.items() if v[0] != 0 or v[1] != 0}
+        assert got == want
+
+    with pytest.raises(ValueError, match="never ingested"):
+        lat.retract_batch(spark, bad, 77)
+
+    # full cancellation needs EXACT measure types (the registered cube's
+    # decimal discipline): build a decimal twin, ingest, retract all,
+    # compact — every level folds to zero rows and drops them
+    dsums = {"cnt": "1", "val": "CAST(value AS DECIMAL(18,2))"}
+    dlat = RollupLattice(TableCatalog(str(tmp_path / "dec")), LEVELS, dsums)
+    for i in range(3):
+        b = ev.filter(F.pmod("user_id", F.lit(3)) == i)
+        assert dlat.ingest_batch(spark, b, i)
+    for i in range(3):
+        b = ev.filter(F.pmod("user_id", F.lit(3)) == i)
+        assert dlat.retract_batch(spark, b, i)
+    dlat.compact(spark)
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import member
+
+    for keys in sorted(set(dlat.levels.values())):
+        assert member(spark, dlat.cat, _level_member(keys)).count() == 0
