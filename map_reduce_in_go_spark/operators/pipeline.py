@@ -284,8 +284,18 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     launches one job per stat), no Python rows.
     """
     docs = load_table(spark, sf_dir, "documents").select(*PROFILE_COLS)
+    return profile_table(docs)
+
+
+def profile_table(df: DataFrame, cols: tuple[str, ...] | None = None) -> DataFrame:
+    """One-pass per-column profile of ANY DataFrame (the general form of
+    :func:`corpus_profile` — point it at lineitem, events, a member
+    table). ``cols`` defaults to every column; array/struct columns are
+    profile-able too (orderable in Spark; length operates on the string
+    rendering) — exclude map-typed columns, which Spark cannot order."""
+    cols = tuple(cols or df.columns)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in PROFILE_COLS:
+    for c in cols:
         aggs += [
             F.count(c).alias(f"{c}__nn"),
             F.countDistinct(c).alias(f"{c}__nd"),
@@ -293,14 +303,14 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(c).cast("string").alias(f"{c}__max"),
             F.sum(F.length(F.col(c).cast("string"))).alias(f"{c}__len"),
         ]
-    one = docs.agg(*aggs)
+    one = df.select(*cols).agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', {c}__nn, {c}__nd, {c}__min, {c}__max, {c}__len"
-        for c in PROFILE_COLS
+        f"'{c}', `{c}__nn`, `{c}__nd`, `{c}__min`, `{c}__max`, `{c}__len`"
+        for c in cols
     )
     return one.select(
         F.expr(
-            f"stack({len(PROFILE_COLS)}, {stack_args}) as "
+            f"stack({len(cols)}, {stack_args}) as "
             "(col_name, n_nonnull, n_distinct, min_val, max_val, sum_len)"
         ),
         "n_rows",

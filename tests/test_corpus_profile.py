@@ -60,3 +60,24 @@ def test_profile_is_one_scan(spark, sf_dir):
     per-column or per-stat fan-out of jobs like df.summary()."""
     plan = corpus_profile(spark, sf_dir)._jdf.queryExecution().optimizedPlan()
     assert plan.collectLeaves().size() == 1
+
+
+def test_profile_table_generalizes(spark, sf_dir):
+    """profile_table points the same one-pass shape at any table —
+    lineitem here — and an array column profiles via its rendering."""
+    from map_reduce_in_go_spark.operators.pipeline import profile_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    rows = {r["col_name"]: r for r in profile_table(li).collect()}
+    n = li.count()
+    assert rows["l_returnflag"]["n_rows"] == n
+    flags = [r["l_returnflag"] for r in li.select("l_returnflag").collect()]
+    assert rows["l_returnflag"]["n_distinct"] == len(set(flags))
+    assert rows["l_returnflag"]["min_val"] == min(flags)
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    erows = {r["col_name"]: r for r in profile_table(emb).collect()}
+    assert erows["embedding"]["n_distinct"] > 0
+    assert erows["embedding"]["sum_len"] > 0
