@@ -222,6 +222,88 @@ class RollupLattice:
             f"{max_retries} times at {self.cat.root}"
         )
 
+    def retract_keys(
+        self,
+        spark: SparkSession,
+        where: Column,
+        op: str,
+        max_retries: int = 10,
+    ) -> bool:
+        """Erase EVERYTHING for apex keys matching ``where``, one CAS —
+        the DELETE-WHERE of the lattice ("drop event_type='bot_click'
+        entirely"). The lattice stores partials, not raw rows, so a
+        predicate erasure is expressible exactly when it is a KEY
+        predicate: the matched apex keys' FOLDED totals are negated and
+        re-derived down every coarser level — the same shape as
+        :meth:`retract_batch` with the folded match standing in for the
+        batch partial, so all levels move consistently in the one commit.
+        The predicate is validated against the apex key columns (the
+        :meth:`answer` rule: a measure reference is a loud analysis
+        error, not a silent wrong answer). Exactly-once per ``op``;
+        raises when nothing matches (a silent no-op would mask an
+        erasure failure, the ``retract_docs`` discipline)."""
+        if op in self.cat.committed_ops():
+            return False
+        from ..functions.caching import (
+            persisted_count,
+            release_persisted_since,
+            scoped_persist,
+        )
+
+        for _ in range(max_retries):
+            txn = self.cat.transaction(spark)
+            if op in self.cat.committed_ops():  # linearizable replay check
+                return False
+            mark = persisted_count()
+            try:
+                apex_df = txn.read(_level_member(self.apex_keys))
+                probe = spark.createDataFrame(
+                    [], apex_df.select(*self.apex_keys).schema
+                )
+                try:
+                    probe.filter(where)
+                except Exception as e:  # noqa: BLE001 — analysis error
+                    raise ValueError(
+                        f"lattice retract_keys `where` must reference only "
+                        f"apex key columns {list(self.apex_keys)}: {e}"
+                    ) from e
+                neg = scoped_persist(
+                    apex_df.filter(where)
+                    .groupBy(*self.apex_keys)
+                    .agg(
+                        *[
+                            (-F.sum(n)).alias(n)
+                            for n in self.sum_cols
+                        ]
+                    )
+                )
+                if not neg.limit(1).count():
+                    raise ValueError(
+                        f"lattice retract_keys matched no stored key at "
+                        f"{self.cat.root}; nothing to erase"
+                    )
+                for keys in sorted(set(self.levels.values())):
+                    part = neg.groupBy(*keys).agg(
+                        *[F.sum(n).alias(n) for n in self.sum_cols]
+                    )
+                    txn.append(
+                        _level_member(keys),
+                        part,
+                        op=op,
+                        stats_cols=list(keys) or None,
+                    )
+                try:
+                    txn.commit(op=op)
+                    return True
+                except CommitConflict:
+                    continue  # racing batch landed; re-plan on new base
+            finally:
+                release_persisted_since(mark)
+        raise CommitConflict(
+            f"lattice retract_keys {op!r} lost the catalog race "
+            f"{max_retries} times at {self.cat.root}"
+        )
+
     # -------------------------------------------------------------- serve
 
     def choose_level(

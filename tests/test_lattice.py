@@ -307,3 +307,64 @@ def test_lattice_retract_batch(spark, sf_dir, tmp_path):
 
     for keys in sorted(set(dlat.levels.values())):
         assert member(spark, dlat.cat, _level_member(keys)).count() == 0
+
+
+def test_lattice_retract_keys(spark, sf_dir, tmp_path):
+    """Predicate erasure over the lattice: zeroing one event_type equals
+    a lattice that never ingested those rows; measure-column predicates
+    refuse loudly; no-match refuses; replay no-ops; consistent across
+    every level in the one commit."""
+    dsums = {"cnt": "1", "val": "CAST(value AS DECIMAL(18,2))"}
+    ev = _events(spark, sf_dir)
+    lat = RollupLattice(TableCatalog(str(tmp_path / "lat")), LEVELS, dsums)
+    for i in range(3):
+        assert lat.ingest_batch(
+            spark, ev.filter(F.pmod("user_id", F.lit(3)) == i), i
+        )
+    target = ev.select("event_type").first()["event_type"]
+
+    with pytest.raises(ValueError, match="apex key columns"):
+        lat.retract_keys(spark, F.col("cnt") > 0, op="bad-pred")
+
+    assert lat.retract_keys(
+        spark, F.col("event_type") == target, op="drop-type"
+    )
+    assert (
+        lat.retract_keys(spark, F.col("event_type") == target, op="drop-type")
+        is False
+    )
+
+    never = RollupLattice(TableCatalog(str(tmp_path / "never")), LEVELS, dsums)
+    for i in range(3):
+        assert never.ingest_batch(
+            spark,
+            ev.filter(
+                (F.pmod("user_id", F.lit(3)) == i)
+                & (F.col("event_type") != target)
+            ),
+            i,
+        )
+    for dims in (("event_type",), ("day",), ("event_type", "day"), ()):
+        got = _rows(lat.answer(spark, dims, {"cnt": "cnt", "val": "val"}), dims)
+        want = _rows(
+            never.answer(spark, dims, {"cnt": "cnt", "val": "val"}), dims
+        )
+        got = {k: v for k, v in got.items() if v[0] != 0 or v[1] != 0}
+        want = {k: v for k, v in want.items() if v[0] != 0 or v[1] != 0}
+        assert got == want
+
+    # the erased type's keys fold to zero and compact drops them
+    lat.compact(spark)
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import member
+
+    assert (
+        member(spark, lat.cat, _level_member(("event_type",)))
+        .filter(F.col("event_type") == target)
+        .count()
+        == 0
+    )
+
+    with pytest.raises(ValueError, match="matched no stored key"):
+        lat.retract_keys(
+            spark, F.col("event_type") == "no-such-type", op="drop-none"
+        )
