@@ -290,6 +290,20 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                # loud precondition (r12 advice, low): the SQL oracle
+                # replays samples from CODEPOINTS (c*256-16384), which is
+                # byte-exact only for ASCII — encode_wav's int16 wrap for
+                # bytes >= 192 (UTF-8 lead bytes) would silently diverge.
+                # The testdata generator emits pure ASCII today; if that
+                # ever changes, fail with the reason instead of
+                # hash-mismatching mysteriously.
+                if not text.isascii():
+                    raise ValueError(
+                        f"multimodal_audio: doc {int(doc_id)} contains "
+                        "non-ASCII text; the registered oracle's codepoint "
+                        "replay matches encode_wav only for ASCII input "
+                        "(see encode_wav's int16 wrap note)"
+                    )
                 payload = encode_wav(text.encode("utf-8"))
                 meta = decode_wav(payload)
                 rows.append(

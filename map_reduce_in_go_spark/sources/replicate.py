@@ -148,6 +148,105 @@ def _read_member(
     )
 
 
+def _resync_mor_ids(
+    spark: SparkSession,
+    src: TableCatalog,
+    txn,
+    cur_all: dict[str, tuple[str, int]],
+    name: str,
+    vec: DataFrame,
+    op: str,
+) -> None:
+    """Bring the replica's member ``name`` to the primary's live state for
+    every doc_id the vector delta ``vec`` touches: remove the ids, then
+    re-append the primary's LIVE rows for them (MOR vector applied).
+
+    Plain retraction commits leave no live rows, so this is exactly the
+    old removal. The resync form exists because bare-id removal is WRONG
+    for a consolidated commit (a fast-forward merge whose branch history
+    MOR-retracted doc X and then re-inserted X via a plain batch): the
+    pair (F, X) still names a LIVE file — MOR never rewrites F — so a
+    live-file filter cannot reject it, and bare-id erase would delete the
+    re-inserted row the same commit just shipped (r12 advice, medium).
+    Removing-then-re-appending the primary's live rows is correct in both
+    cases by construction: after it, the replica's content for each
+    affected id EQUALS the primary's live view at this commit.
+
+    Driver-bounded (r12 advice, low): nothing collects the raw pair delta
+    (up to ids × N_BANDS rows). Pairs naming dead files are dropped first
+    (inert — a COW correction already replaced their file), then only the
+    DISTINCT affected doc_ids come to the driver, capped at
+    ``MERGE_MAX_IDS``; past the cap the resync runs as one DataFrame-only
+    anti-join overwrite + live re-append with no driver id list at all.
+    Primary-side live-row reads scan only files whose [min,max] doc_id
+    stats admit an affected id (point-set skipping), so a retraction
+    commit's replication stays O(touched files), never O(corpus).
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.corpus_pipeline import (
+        MERGE_MAX_IDS,
+        _apply_delete_vector,
+        _remove_ids_cow,
+    )
+
+    mpath, mpin = cur_all[name]
+    mtbl = src.table(mpath)
+    live_names = sorted(
+        os.path.basename(p) for p in mtbl.files(mpin)
+    )
+    if not live_names:
+        ids_df = vec.filter(F.col("member") == F.lit(name)).select(
+            "doc_id"
+        ).distinct()
+    else:
+        names_df = spark.createDataFrame(
+            [(n,) for n in live_names], "file string"
+        )
+        ids_df = (
+            vec.filter(F.col("member") == F.lit(name))
+            .join(names_df, "file", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+    id_rows = ids_df.limit(MERGE_MAX_IDS + 1).collect()
+    if not id_rows:
+        return
+    stats_cols = _member_stats_cols(mtbl._manifest(mpin))
+    dpath, dpin = cur_all[_MOR_VECTOR]
+    dels = src.table(dpath).read(spark, dpin)
+
+    def _live_rows(member_files: list[str]) -> DataFrame:
+        if not member_files:
+            return _read_member(spark, mtbl, mpin).limit(0)
+        raw = spark.read.option("mergeSchema", "true").parquet(*member_files)
+        return _apply_delete_vector(raw, dels, name)
+
+    if len(id_rows) > MERGE_MAX_IDS:
+        # past the driver probe bound: one DataFrame-only resync
+        live_rows = _live_rows(mtbl.files(mpin)).join(
+            ids_df, "doc_id", "left_semi"
+        )
+        txn.overwrite(
+            name,
+            txn.read(name, merge_schema=True)
+            .join(ids_df, "doc_id", "left_anti")
+            .unionByName(live_rows, allowMissingColumns=True),
+            op=op,
+            stats_cols=stats_cols,
+        )
+        return
+    id_vals = sorted(int(r["doc_id"]) for r in id_rows)
+    ids = spark.createDataFrame([(d,) for d in id_vals], "doc_id long")
+    _remove_ids_cow(
+        spark, txn, name, ids, id_vals, op, stats_cols=stats_cols
+    )
+    pruned, _total = mtbl.files_pruned_in("doc_id", id_vals, mpin)
+    live_rows = _live_rows(pruned).join(ids, "doc_id", "left_semi")
+    if live_rows.limit(1).count():
+        txn.append(name, live_rows, op=op, stats_cols=stats_cols)
+
+
 def _stage_commit(
     spark: SparkSession,
     src: TableCatalog,
@@ -236,15 +335,13 @@ def _stage_commit(
                         stats_cols=stats_cols,
                     )
             # a commit that MOVED the vector pin is a MOR retraction:
-            # apply its NEW pairs' doc_ids to the replica's state
-            # copy-on-write. Base syncs (prev_all None) skip this — their
-            # overwrites above already materialized the live view.
+            # resync its pairs' doc_ids on the replica to the primary's
+            # live state at this commit. Base syncs (prev_all None) skip
+            # this — their overwrites above already materialized the view.
             if prev_all is not None and _MOR_VECTOR in cur_all:
                 cur_pin = cur_all[_MOR_VECTOR]
                 old_pin = prev_all.get(_MOR_VECTOR)
                 if old_pin != cur_pin:
-                    from ..streaming.corpus_pipeline import _remove_ids_cow
-
                     vec = src.table(cur_pin[0]).read(spark, cur_pin[1])
                     if old_pin is not None and old_pin[0] == cur_pin[0]:
                         # re-retraction of a re-inserted id can
@@ -253,55 +350,17 @@ def _stage_commit(
                         vec = vec.exceptAll(
                             src.table(old_pin[0]).read(spark, old_pin[1])
                         )
-                    # ONE driver fold of the delta (erasure-request-sized:
-                    # the primary's retraction held this same list)
-                    new_pairs = [
-                        (r["member"], r["file"], int(r["doc_id"]))
-                        for r in vec.collect()
-                    ]
                     for name in _MOR_MEMBERS:
                         if members is not None and name not in members:
                             continue
                         if name not in cur_all:
                             continue
-                        mpath, mpin = cur_all[name]
-                        # FILE-SCOPE FIDELITY: only a pair naming a file
-                        # that is LIVE in this commit's own snapshot is a
-                        # logical removal. A consolidated commit (a branch
-                        # merge whose history retracted then re-inserted
-                        # an id) carries INERT pairs naming dead files —
-                        # applying those by bare doc_id would wrongly
-                        # erase the re-inserted document's live row.
-                        live_names = {
-                            os.path.basename(p)
-                            for p in src.table(mpath).files(mpin)
-                        }
-                        id_vals = sorted(
-                            {
-                                d
-                                for m, f, d in new_pairs
-                                if m == name and f in live_names
-                            }
-                        )
-                        if not id_vals:
-                            continue
                         try:
                             txn.read(name)
                         except KeyError:
                             continue  # replica without this member
-                        ids = spark.createDataFrame(
-                            [(d,) for d in id_vals], "doc_id long"
-                        )
-                        _remove_ids_cow(
-                            spark,
-                            txn,
-                            name,
-                            ids,
-                            id_vals,
-                            op,
-                            stats_cols=_member_stats_cols(
-                                src.table(mpath)._manifest(mpin)
-                            ),
+                        _resync_mor_ids(
+                            spark, src, txn, cur_all, name, vec, op
                         )
         except FileNotFoundError as exc:
             # A member manifest this diff needs was truncated (a member-log

@@ -693,6 +693,73 @@ def test_replication_of_consolidated_merge_keeps_reinserted_doc(
     assert catalog_divergence(spark, cat, dst) == {}
 
 
+def test_replication_of_consolidated_merge_plain_batch_reinsert(
+    spark, tmp_path
+):
+    """The harder consolidation shape (r12 advice, medium): the branch
+    MOR-retracts doc 1 and re-inserts it via a PLAIN batch
+    (corpus_batch_txn, not update_docs). The plain batch never COWs the
+    retracted row's file, so the consolidated merge commit's vector pair
+    (F, 1) names a file that is STILL LIVE — a live-file filter cannot
+    reject it, and bare-id application would erase the re-inserted row
+    from the replica. The resync walker must leave the replica EQUAL to
+    the primary's live view: exactly one doc-1 row, the new text."""
+    from map_reduce_in_go_spark.sources.branches import (
+        create_branch,
+        merge_branch,
+    )
+    from map_reduce_in_go_spark.sources.replicate import (
+        catalog_divergence,
+        replicate_catalog,
+    )
+
+    cat = TableCatalog(str(tmp_path / "src"))
+    docs = spark.createDataFrame(
+        [
+            (
+                1,
+                "minutes of the harbor board debating whether the new "
+                "breakwater should carry a light or a bell",
+                "en",
+            ),
+            (
+                2,
+                "a botanical register of the alpine meadow listing each "
+                "sedge and saxifrage by its flowering week",
+                "en",
+            ),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    assert corpus_batch_txn(spark, docs, cat, 0)
+    dst = TableCatalog(str(tmp_path / "dst"))
+    replicate_catalog(spark, cat, dst)
+
+    br = create_branch(spark, cat, "exp")
+    assert retract_docs_mor(spark, br, [1], op="erase-on-exp")
+    reinserted = spark.createDataFrame(
+        [
+            (
+                1,
+                "the board's amended minutes adopting both the light and "
+                "the bell after the december gales",
+                "en",
+            )
+        ],
+        "doc_id long, text string, lang string",
+    )
+    assert corpus_batch_txn(spark, reinserted, br, 1)
+    merge_branch(spark, cat, "exp")  # one consolidated main commit
+    assert member(spark, cat, CORPUS).filter(F.col("doc_id") == 1).count() == 1
+
+    replicate_catalog(spark, cat, dst)
+    live = member(spark, dst, CORPUS).filter(F.col("doc_id") == 1).collect()
+    assert len(live) == 1 and "december gales" in live[0]["text"]
+    # band index must resync at the same grain (doc 1's live bands are
+    # the re-inserted text's, not the retracted original's)
+    assert catalog_divergence(spark, cat, dst) == {}
+
+
 def test_mor_model_randomized_interleaving(spark, tmp_path):
     """Seeded random program over the verb algebra — ingest / retract
     (BOTH modes) / upsert / fold / compact — checked after every step
