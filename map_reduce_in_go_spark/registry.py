@@ -339,6 +339,7 @@ def _build() -> None:
 
     _register(_lat, [
         "events_cube_nav",
+        "events_cube_minmax",  # r13: non-additive lattice measures
     ])
 
 
@@ -350,7 +351,12 @@ def _build() -> None:
 # dedup_minhash_fast's fast_ok verdict was re-scoped to the deterministic
 # exact-duplicate case — values are unchanged on the test corpus but the
 # semantics the r8 row validated are gone.)
-_CHANGED_SINCE_VERIFIED: set[str] = set()
+_CHANGED_SINCE_VERIFIED: set[str] = {
+    # r13: the served lattice artifact widened to the four measure
+    # families (events_cube_v2) — events_cube_nav's answers are
+    # value-identical but its serving plan and stored schema changed
+    "events_cube_nav",
+}
 # (r10 entries cleared: corpus_budget_select, orders_rfm, basket_pairs
 # all got fresh hash-green r10 driver rows.)
 

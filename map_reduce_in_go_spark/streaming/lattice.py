@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from ..sources.catalog import CommitConflict, TableCatalog
 
-__all__ = ["RollupLattice", "events_cube_nav"]
+__all__ = ["RollupLattice", "events_cube_nav", "events_cube_minmax"]
 
 
 def _level_member(keys: tuple[str, ...]) -> str:
@@ -56,6 +56,30 @@ class RollupLattice:
     grand total). ``sum_cols`` maps measure name → SQL expression summed
     over the raw rows (``"1"`` for count). The APEX level (union of all
     level keys) is maintained implicitly and used to derive the others.
+
+    Non-additive measures (r13, r12 verdict #1):
+
+    - ``minmax_cols`` maps measure name → ``"min:<expr>"`` / ``"max:<expr>"``.
+      MIN/MAX are semilattice-re-aggregable (min of mins IS the min), so
+      partials fold exactly at every level and serving stays exact.
+    - ``distinct_cols`` maps measure name → raw expression whose DISTINCT
+      count the lattice tracks as a mergeable Datasketches HLL sketch
+      (the ``sketch_rollup_users`` recipe, operators/approx.py): the apex
+      stores one sketch per key per batch, coarser levels fold by
+      ``hll_union_agg`` — register-state merging makes the union-of-parts
+      sketch IDENTICAL to the single-pass sketch, so serving estimates
+      carry the standard HLL error (rsd ≈ 1.6% at default lgK=12) and
+      nothing more.
+
+    Retraction honesty, pinned (r12 verdict #1): neither family is
+    UN-mergeable — knowing a batch's min (or its sketch) does not let you
+    recompute the min without it. :meth:`retract_batch` therefore REFUSES
+    loudly when non-additive measures are maintained; :meth:`retract_keys`
+    (key-predicate erasure) stays exact by switching from negative appends
+    to a REBUILD: fold the apex, drop the matched keys, re-derive every
+    coarser level from the surviving apex partials — O(apex keys), one
+    CAS, correct for every measure family because each level is a pure
+    re-aggregation of the apex.
     """
 
     def __init__(
@@ -63,6 +87,8 @@ class RollupLattice:
         cat: TableCatalog,
         levels: dict[str, tuple[str, ...]],
         sum_cols: dict[str, str],
+        minmax_cols: dict[str, str] | None = None,
+        distinct_cols: dict[str, str] | None = None,
     ) -> None:
         if not levels:
             raise ValueError("a lattice needs at least one level")
@@ -72,10 +98,56 @@ class RollupLattice:
         # member table
         self.levels = {n: tuple(sorted(k)) for n, k in levels.items()}
         self.sum_cols = dict(sum_cols)
+        self.minmax_cols = dict(minmax_cols or {})
+        for n, spec in self.minmax_cols.items():
+            if not (spec.startswith("min:") or spec.startswith("max:")):
+                raise ValueError(
+                    f"minmax_cols[{n!r}] must be 'min:<expr>' or "
+                    f"'max:<expr>', got {spec!r}"
+                )
+        self.distinct_cols = dict(distinct_cols or {})
+        overlap = (
+            set(self.sum_cols) & set(self.minmax_cols)
+            | set(self.sum_cols) & set(self.distinct_cols)
+            | set(self.minmax_cols) & set(self.distinct_cols)
+        )
+        if overlap:
+            raise ValueError(f"measure names overlap across families: {overlap}")
         apex = sorted({c for ks in self.levels.values() for c in ks})
         self.apex_keys = tuple(apex)
         if self.apex_keys not in self.levels.values():
             self.levels["_apex"] = self.apex_keys
+
+    @property
+    def _non_additive(self) -> bool:
+        return bool(self.minmax_cols) or bool(self.distinct_cols)
+
+    def _batch_aggs(self, negate: bool = False) -> list[Column]:
+        """Raw rows → apex partial. ``negate`` sign-flips the additive
+        sums (retraction); callers must have refused non-additive first."""
+        sign = -1 if negate else 1
+        aggs: list[Column] = [
+            (sign * F.sum(F.expr(e))).alias(n) for n, e in self.sum_cols.items()
+        ]
+        for n, spec in self.minmax_cols.items():
+            kind, expr = spec.split(":", 1)
+            fn = F.min if kind == "min" else F.max
+            aggs.append(fn(F.expr(expr)).alias(n))
+        for n, e in self.distinct_cols.items():
+            aggs.append(F.hll_sketch_agg(F.expr(e)).alias(n))
+        return aggs
+
+    def _fold_aggs(self) -> list[Column]:
+        """Partial rows → partial rows (level derivation / compaction /
+        serving fold): sum for sums, min-of-mins / max-of-maxes, HLL
+        register-union for sketches — each family's exact re-aggregation."""
+        aggs: list[Column] = [F.sum(n).alias(n) for n in self.sum_cols]
+        for n, spec in self.minmax_cols.items():
+            fn = F.min if spec.startswith("min:") else F.max
+            aggs.append(fn(n).alias(n))
+        for n in self.distinct_cols:
+            aggs.append(F.hll_union_agg(n).alias(n))
+        return aggs
 
     # ------------------------------------------------------------- ingest
 
@@ -109,17 +181,10 @@ class RollupLattice:
             mark = persisted_count()
             try:
                 apex = scoped_persist(
-                    batch_df.groupBy(*self.apex_keys).agg(
-                        *[
-                            F.sum(F.expr(e)).alias(n)
-                            for n, e in self.sum_cols.items()
-                        ]
-                    )
+                    batch_df.groupBy(*self.apex_keys).agg(*self._batch_aggs())
                 )
                 for keys in sorted(set(self.levels.values())):
-                    part = apex.groupBy(*keys).agg(
-                        *[F.sum(n).alias(n) for n in self.sum_cols]
-                    )
+                    part = apex.groupBy(*keys).agg(*self._fold_aggs())
                     txn.append(
                         _level_member(keys),
                         part,
@@ -169,7 +234,22 @@ class RollupLattice:
         cube (:data:`CUBE_SUMS`) already follows. DOUBLE measures cancel
         only to float epsilon; their answers stay correct to rounding
         but their dead keys may survive compaction with ~1e-12 residue.
+
+        Non-additive refusal (pinned): MIN/MAX partials and HLL sketches
+        cannot be un-merged — sign-flipping has no analogue, and serving
+        after a partial "retraction" would silently report the retracted
+        batch's extremes/cardinalities forever. A lattice maintaining
+        either family refuses batch retraction loudly; the exact options
+        are :meth:`retract_keys` (whole-key erasure rebuilds from apex)
+        or rebuilding the lattice from the upstream source.
         """
+        if self._non_additive:
+            raise ValueError(
+                "retract_batch is additive-only: min/max partials and HLL "
+                f"sketches ({sorted(self.minmax_cols) + sorted(self.distinct_cols)}) "
+                "cannot be un-merged; erase whole keys with retract_keys "
+                "or rebuild the lattice from the source"
+            )
         ingest_op = f"{app_id}-batch-{batch_id}"
         op = f"{app_id}-retract-{batch_id}"
         committed = self.cat.committed_ops()
@@ -194,16 +274,11 @@ class RollupLattice:
             try:
                 apex = scoped_persist(
                     batch_df.groupBy(*self.apex_keys).agg(
-                        *[
-                            (-F.sum(F.expr(e))).alias(n)
-                            for n, e in self.sum_cols.items()
-                        ]
+                        *self._batch_aggs(negate=True)
                     )
                 )
                 for keys in sorted(set(self.levels.values())):
-                    part = apex.groupBy(*keys).agg(
-                        *[F.sum(n).alias(n) for n in self.sum_cols]
-                    )
+                    part = apex.groupBy(*keys).agg(*self._fold_aggs())
                     txn.append(
                         _level_member(keys),
                         part,
@@ -241,7 +316,16 @@ class RollupLattice:
         :meth:`answer` rule: a measure reference is a loud analysis
         error, not a silent wrong answer). Exactly-once per ``op``;
         raises when nothing matches (a silent no-op would mask an
-        erasure failure, the ``retract_docs`` discipline)."""
+        erasure failure, the ``retract_docs`` discipline).
+
+        With non-additive measures (min/max/HLL) the negative-append
+        trick is unavailable, but key erasure stays EXACT by a rebuild
+        (r13): fold the apex, drop the matched keys, overwrite the apex
+        member with the survivors, and overwrite every coarser level
+        re-derived from them — every level is a pure re-aggregation of
+        the apex, for every measure family. Cost O(apex keys) instead of
+        the additive path's O(matched keys); the additive-only lattice
+        keeps the cheaper append path."""
         if op in self.cat.committed_ops():
             return False
         from ..functions.caching import (
@@ -267,6 +351,35 @@ class RollupLattice:
                         f"lattice retract_keys `where` must reference only "
                         f"apex key columns {list(self.apex_keys)}: {e}"
                     ) from e
+                if self._non_additive:
+                    # rebuild path: survivors of the folded apex re-derive
+                    # every level exactly (min/max/HLL fold, sums sum)
+                    matched = apex_df.filter(where).limit(1).count()
+                    if not matched:
+                        raise ValueError(
+                            f"lattice retract_keys matched no stored key at "
+                            f"{self.cat.root}; nothing to erase"
+                        )
+                    survivors = scoped_persist(
+                        apex_df.filter(~F.coalesce(where, F.lit(False)))
+                        .groupBy(*self.apex_keys)
+                        .agg(*self._fold_aggs())
+                    )
+                    for keys in sorted(set(self.levels.values())):
+                        part = survivors.groupBy(*keys).agg(
+                            *self._fold_aggs()
+                        )
+                        txn.overwrite(
+                            _level_member(keys),
+                            part,
+                            op=op,
+                            stats_cols=list(keys) or None,
+                        )
+                    try:
+                        txn.commit(op=op)
+                        return True
+                    except CommitConflict:
+                        continue  # racing batch landed; re-plan on new base
                 neg = scoped_persist(
                     apex_df.filter(where)
                     .groupBy(*self.apex_keys)
@@ -375,8 +488,25 @@ class RollupLattice:
             if spec.startswith("avg:"):
                 num, den = spec[4:].split("/")
                 aggs.append((F.sum(num) / F.sum(den)).alias(out))
-            else:
+            elif spec in self.minmax_cols:
+                fn = F.min if self.minmax_cols[spec].startswith("min:") else F.max
+                aggs.append(fn(spec).alias(out))
+            elif spec in self.distinct_cols:
+                # estimate at the END of the fold — unioning register
+                # state, never estimates, keeps the answer identical to a
+                # single-pass sketch over the matching raw rows
+                aggs.append(
+                    F.hll_sketch_estimate(F.hll_union_agg(spec)).alias(out)
+                )
+            elif spec in self.sum_cols:
                 aggs.append(F.sum(spec).alias(out))
+            else:
+                raise KeyError(
+                    f"measure spec {spec!r} names no maintained measure "
+                    f"(sums {sorted(self.sum_cols)}, minmax "
+                    f"{sorted(self.minmax_cols)}, distinct "
+                    f"{sorted(self.distinct_cols)})"
+                )
         return df.groupBy(*dims).agg(*aggs)
 
     def start_stream(
@@ -414,7 +544,10 @@ class RollupLattice:
         maintenance transaction (the ``compact_pipeline`` discipline).
         Keys whose measures all folded to zero — fully retracted by
         :meth:`retract_batch` — are dropped, the same dead-row rule the
-        gram/token members apply."""
+        gram/token members apply. The dead-key drop applies only to the
+        additive-only lattice: with min/max/HLL measures maintained,
+        batch retraction is refused (no dead keys can arise) and an
+        all-zero-sums key can still carry a live extreme or sketch."""
         import functools
         import operator
 
@@ -423,18 +556,17 @@ class RollupLattice:
             try:
                 for keys in sorted(set(self.levels.values())):
                     name = _level_member(keys)
-                    folded = (
-                        txn.read(name)
-                        .groupBy(*keys)
-                        .agg(*[F.sum(n).alias(n) for n in self.sum_cols])
-                        .filter(
+                    folded = txn.read(name).groupBy(*keys).agg(
+                        *self._fold_aggs()
+                    )
+                    if not self._non_additive:
+                        folded = folded.filter(
                             functools.reduce(
                                 operator.or_,
                                 [F.col(n) != 0 for n in self.sum_cols],
                             )
                         )
-                        .coalesce(1)
-                    )
+                    folded = folded.coalesce(1)
                     txn.overwrite(name, folded, stats_cols=list(keys) or None)
                 txn.commit(op=f"lattice-compact-v{txn.base_version}")
                 return
@@ -453,6 +585,13 @@ CUBE_LEVELS = {
 # value sums in exact DECIMAL: partials fold by addition in any order, so
 # the served answer is bit-deterministic (functions/money.py discipline)
 CUBE_SUMS = {"cnt": "1", "val": "CAST(value AS DECIMAL(18,2))"}
+# non-additive measures (r13): exact DECIMAL extremes fold as semilattice
+# partials; distinct users as a mergeable Datasketches HLL sketch per key
+CUBE_MINMAX = {
+    "val_min": "min:CAST(value AS DECIMAL(18,2))",
+    "val_max": "max:CAST(value AS DECIMAL(18,2))",
+}
+CUBE_DISTINCT = {"users_hll": "user_id"}
 CUBE_BATCHES = 3
 CUBE_FROM = "2024-01-08"
 CUBE_TO = "2024-01-21"
@@ -462,14 +601,28 @@ def _events_cube(spark: SparkSession, sf_dir: str) -> RollupLattice:
     """The served events lattice for ``sf_dir`` — built once per corpus
     behind the shared served-artifact latch (three ``event_id % 3``
     batches through :meth:`RollupLattice.ingest_batch`, one catalog CAS
-    each); every later call is read-only."""
+    each); every later call is read-only. ONE lattice carries all four
+    measure families (count, decimal sum, decimal min/max, HLL distinct)
+    — the batch is still scanned once, so adding measure columns costs a
+    wider partial row, not another pass (artifact name bumped to _v2 for
+    the r13 schema)."""
     from ..sources.artifacts import served_artifact
     from ..sources.tables import load_table
 
     def _build(path: str) -> None:
-        lat = RollupLattice(TableCatalog(path), CUBE_LEVELS, CUBE_SUMS)
+        lat = RollupLattice(
+            TableCatalog(path),
+            CUBE_LEVELS,
+            CUBE_SUMS,
+            minmax_cols=CUBE_MINMAX,
+            distinct_cols=CUBE_DISTINCT,
+        )
         ev = load_table(spark, sf_dir, "events").select(
-            F.to_date("ts").alias("day"), "event_type", "value", "event_id"
+            F.to_date("ts").alias("day"),
+            "event_type",
+            "value",
+            "event_id",
+            "user_id",
         )
         for i in range(CUBE_BATCHES):
             lat.ingest_batch(
@@ -480,8 +633,14 @@ def _events_cube(spark: SparkSession, sf_dir: str) -> RollupLattice:
         # one file per level instead of one per (batch, level)
         lat.compact(spark)
 
-    cat = TableCatalog(served_artifact("events_cube", sf_dir, _build))
-    return RollupLattice(cat, CUBE_LEVELS, CUBE_SUMS)
+    cat = TableCatalog(served_artifact("events_cube_v2", sf_dir, _build))
+    return RollupLattice(
+        cat,
+        CUBE_LEVELS,
+        CUBE_SUMS,
+        minmax_cols=CUBE_MINMAX,
+        distinct_cols=CUBE_DISTINCT,
+    )
 
 
 def events_cube_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,11 +677,79 @@ def events_cube_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_cube_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-additive lattice serving (r13, r12 verdict #1): per-type
+    MIN/MAX of value and approximate distinct users over the same
+    two-week day window, from the SAME served lattice as
+    :func:`events_cube_nav` — one ingest maintains every measure family.
+
+    What the hash gate crosses: min-of-mins / max-of-maxes folding
+    through batch partials, level derivation, compaction, and the
+    filter-before-fold commutation (all EXACT — min/max are semilattice
+    re-aggregations, emitted as hash-checked columns), plus the HLL
+    distinct path under the repo's sketch-verdict recipe (r8): the
+    served estimate is compared against the exact windowed distinct-user
+    count and emitted as a pinned-TRUE 3σ verdict (Datasketches HLL at
+    default lgK=12: rsd ≈ 1.6%, 3σ ≈ 5%), alongside the exact count the
+    oracle can replay. The exact count is computed from raw events FOR
+    THE VERDICT ONLY — the served answer itself never re-reads the
+    corpus; at 100 TB you'd ship the estimate and skip the audit column.
+    """
+    lat = _events_cube(spark, sf_dir)
+    keys = lat.choose_level(("event_type",), ("day",))
+    assert keys == ("day", "event_type"), keys  # routing is part of the pin
+    ans = lat.answer(
+        spark,
+        ("event_type",),
+        {
+            "cnt": "cnt",
+            "val_min": "val_min",
+            "val_max": "val_max",
+            "approx_users": "users_hll",
+        },
+        where=F.col("day").between(F.lit(CUBE_FROM), F.lit(CUBE_TO)),
+        filter_cols=("day",),
+    )
+    from ..sources.tables import load_table
+
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.to_date("ts").between(F.lit(CUBE_FROM), F.lit(CUBE_TO))
+        )
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    ok = (
+        F.abs(F.col("approx_users") - F.col("n_users"))
+        <= 0.05 * F.col("n_users")
+    )
+    return ans.join(exact, "event_type").select(
+        "event_type",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("val_min").cast("double").alias("val_min"),
+        F.col("val_max").cast("double").alias("val_max"),
+        F.col("n_users").cast("long").alias("n_users"),
+        ok.alias("users_ok"),
+    )
+
+
 ORACLES = {
     "events_cube_nav": f"""
 SELECT event_type,
        count(*) AS cnt,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '{CUBE_FROM}' AND DATE '{CUBE_TO}'
+GROUP BY event_type
+""",
+    "events_cube_minmax": f"""
+SELECT event_type,
+       count(*) AS cnt,
+       CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_min,
+       CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_max,
+       count(DISTINCT user_id) AS n_users,
+       TRUE AS users_ok
 FROM events
 WHERE CAST(ts AS DATE) BETWEEN DATE '{CUBE_FROM}' AND DATE '{CUBE_TO}'
 GROUP BY event_type

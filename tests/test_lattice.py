@@ -368,3 +368,189 @@ def test_lattice_retract_keys(spark, sf_dir, tmp_path):
         lat.retract_keys(
             spark, F.col("event_type") == "no-such-type", op="drop-none"
         )
+
+
+MM = {
+    "val_min": "min:CAST(value AS DECIMAL(18,2))",
+    "val_max": "max:CAST(value AS DECIMAL(18,2))",
+}
+DIST = {"users": "user_id"}
+
+
+def _feed_mm(spark, sf_dir, tmp_path, name="mm"):
+    dsums = {"cnt": "1", "val": "CAST(value AS DECIMAL(18,2))"}
+    ev = _events(spark, sf_dir)
+    lat = RollupLattice(
+        TableCatalog(str(tmp_path / name)),
+        LEVELS,
+        dsums,
+        minmax_cols=MM,
+        distinct_cols=DIST,
+    )
+    for i in range(3):
+        assert lat.ingest_batch(
+            spark, ev.filter(F.pmod("user_id", F.lit(3)) == i), i
+        )
+    return lat, ev
+
+
+def test_lattice_minmax_answers_exact_at_every_level(
+    spark, sf_dir, tmp_path
+):
+    """MIN/MAX are semilattice re-aggregations: the served extremes at
+    EVERY level equal the direct GROUP BY over raw rows exactly — through
+    batch partials, level derivation, filters, and compaction (r13)."""
+    lat, ev = _feed_mm(spark, sf_dir, tmp_path)
+
+    def direct(dims, flt=None):
+        base = ev if flt is None else ev.filter(flt)
+        return {
+            tuple(r[d] for d in dims): (
+                float(r["val_min"]),
+                float(r["val_max"]),
+            )
+            for r in base.groupBy(*dims)
+            .agg(
+                F.min(F.expr("CAST(value AS DECIMAL(18,2))")).alias("val_min"),
+                F.max(F.expr("CAST(value AS DECIMAL(18,2))")).alias("val_max"),
+            )
+            .collect()
+        }
+
+    def served(dims, where=None, filter_cols=()):
+        return {
+            tuple(r[d] for d in dims): (
+                float(r["val_min"]),
+                float(r["val_max"]),
+            )
+            for r in lat.answer(
+                spark,
+                dims,
+                {"val_min": "val_min", "val_max": "val_max"},
+                where=where,
+                filter_cols=filter_cols,
+            ).collect()
+        }
+
+    for dims in (("event_type", "day"), ("event_type",), ("day",), ()):
+        assert served(dims) == direct(dims), dims
+    # key filter commutes with the min/max fold too
+    assert served(
+        ("day",), where=F.col("event_type") == "click",
+        filter_cols=("event_type",),
+    ) == direct(("day",), F.col("event_type") == "click")
+    # compaction folds partial logs without changing any answer
+    lat.compact(spark)
+    for dims in (("event_type",), ()):
+        assert served(dims) == direct(dims), ("post-compact", dims)
+
+
+def test_lattice_hll_distinct_matches_single_pass_sketch(
+    spark, sf_dir, tmp_path
+):
+    """The served distinct estimate equals the SINGLE-PASS sketch over
+    the matching raw rows exactly (register-state union is partition- and
+    order-invariant — the sketch_rollup_users property, now through the
+    lattice's batch/level/compaction machinery), and lands within 3σ of
+    the exact count."""
+    lat, ev = _feed_mm(spark, sf_dir, tmp_path)
+    lat.compact(spark)
+    for dims in (("event_type",), ("day",), ()):
+        got = {
+            tuple(r[d] for d in dims): int(r["users"])
+            for r in lat.answer(
+                spark, dims, {"users": "users"}
+            ).collect()
+        }
+        one_pass = {
+            tuple(r[d] for d in dims): int(r["users"])
+            for r in ev.groupBy(*dims)
+            .agg(
+                F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
+                    "users"
+                )
+            )
+            .collect()
+        }
+        assert got == one_pass, dims
+        exact = {
+            tuple(r[d] for d in dims): int(r["users"])
+            for r in ev.groupBy(*dims)
+            .agg(F.countDistinct("user_id").alias("users"))
+            .collect()
+        }
+        for k, est in got.items():
+            assert abs(est - exact[k]) <= max(1, 0.05 * exact[k]), (dims, k)
+
+
+def test_lattice_non_additive_retraction_posture(spark, sf_dir, tmp_path):
+    """Pinned honesty (r12 verdict #1): batch retraction REFUSES on a
+    min/max/HLL lattice (partials cannot be un-merged); key erasure stays
+    exact via the rebuild path — equal to a lattice that never ingested
+    the erased keys, for every measure family, with replay no-op and
+    unknown-measure specs refused."""
+    lat, ev = _feed_mm(spark, sf_dir, tmp_path)
+    with pytest.raises(ValueError, match="additive-only"):
+        lat.retract_batch(spark, ev, 1)
+
+    target = ev.select("event_type").first()["event_type"]
+    assert lat.retract_keys(spark, F.col("event_type") == target, op="drop-t")
+    assert (
+        lat.retract_keys(spark, F.col("event_type") == target, op="drop-t")
+        is False
+    )
+    never_ev = ev.filter(F.col("event_type") != target)
+    never = RollupLattice(
+        TableCatalog(str(tmp_path / "never")),
+        LEVELS,
+        {"cnt": "1", "val": "CAST(value AS DECIMAL(18,2))"},
+        minmax_cols=MM,
+        distinct_cols=DIST,
+    )
+    for i in range(3):
+        assert never.ingest_batch(
+            spark, never_ev.filter(F.pmod("user_id", F.lit(3)) == i), i
+        )
+    for dims in (("event_type",), ("day",), ()):
+        got = {
+            tuple(r[d] for d in dims): (
+                r["cnt"],
+                float(r["val_min"]),
+                float(r["val_max"]),
+                int(r["users"]),
+            )
+            for r in lat.answer(
+                spark,
+                dims,
+                {
+                    "cnt": "cnt",
+                    "val_min": "val_min",
+                    "val_max": "val_max",
+                    "users": "users",
+                },
+            ).collect()
+        }
+        want = {
+            tuple(r[d] for d in dims): (
+                r["cnt"],
+                float(r["val_min"]),
+                float(r["val_max"]),
+                int(r["users"]),
+            )
+            for r in never.answer(
+                spark,
+                dims,
+                {
+                    "cnt": "cnt",
+                    "val_min": "val_min",
+                    "val_max": "val_max",
+                    "users": "users",
+                },
+            ).collect()
+        }
+        assert got == want, dims
+
+    with pytest.raises(ValueError, match="matched no stored key"):
+        lat.retract_keys(spark, F.col("event_type") == "no-such", op="none")
+    with pytest.raises(KeyError, match="no maintained measure"):
+        lat.answer(spark, ("event_type",), {"x": "nope"})
