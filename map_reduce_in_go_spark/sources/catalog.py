@@ -696,6 +696,28 @@ class Transaction:
         self._staged[name] = (path, v)
         return v
 
+    def adopt_snapshot(
+        self,
+        name: str,
+        src_tbl: "ManifestTable",
+        src_version: int,
+        op: str = "txn-stage-adopt",
+    ) -> int:
+        """Stage a VERBATIM physical replace of member ``name`` from one
+        source-table snapshot (:meth:`ManifestTable.adopt_snapshot`):
+        byte-copied files under their original basenames, source schema
+        and stats carried unchanged. The backup-replication staging verb
+        (r13) — file identity survives, so file-name-scoped metadata
+        (MOR delete-vector pairs) stays valid on this catalog."""
+        self._check_open()
+        self._dropped.discard(name)
+        tbl, path, _pinned = self._member(name)
+        v = tbl.adopt_snapshot(
+            src_tbl._data_dir, src_tbl._manifest(src_version), op=op
+        )
+        self._staged[name] = (path, v)
+        return v
+
     def files_pruned_in(
         self, name: str, col: str, values
     ) -> tuple[list[str], int]:

@@ -380,6 +380,54 @@ class ManifestTable:
         os.rmdir(scratch)
         return names
 
+    def adopt_snapshot(
+        self,
+        src_data_dir: str,
+        manifest: dict,
+        max_retries: int = 20,
+        op: str = "adopt",
+    ) -> int:
+        """VERBATIM physical replication of one source snapshot: byte-copy
+        the snapshot's data files (same basenames — they are uuid-prefixed
+        and immutable, so collisions cannot happen and an already-present
+        name is already-copied content) and commit a manifest listing
+        EXACTLY those files, with the source's pinned schema and per-file
+        stats carried unchanged.
+
+        This is the backup-fidelity verb (r13): unlike :meth:`append`/
+        :meth:`overwrite`, no Spark job re-reads and re-lays-out the rows,
+        so file identity survives — which is what lets file-name-scoped
+        metadata (merge-on-read delete-vector pairs) stay valid on the
+        destination. Copies are atomic (temp + rename) and idempotent, so
+        a retried ship re-converges; only files absent from the
+        destination move bytes, so steady-state cost is O(commit delta).
+        """
+        import shutil
+
+        os.makedirs(self._data_dir, exist_ok=True)
+        for name in manifest["files"]:
+            dst = os.path.join(self._data_dir, name)
+            if os.path.exists(dst):
+                continue
+            tmp = os.path.join(self._data_dir, f"_tmp_{uuid.uuid4().hex}")
+            shutil.copyfile(os.path.join(src_data_dir, name), tmp)
+            os.rename(tmp, dst)
+        for _ in range(max_retries):
+            v = self.version()
+            if self._try_commit(
+                v + 1,
+                list(manifest["files"]),
+                op=op,
+                schema_json=manifest.get("schema"),
+                stats=manifest.get("stats") or None,
+            ):
+                self._maybe_checkpoint(v + 1)
+                return v + 1
+        raise CommitConflict(
+            f"adopt_snapshot lost the commit race {max_retries} times "
+            f"at {self.root}"
+        )
+
     def overwrite_arrow(
         self,
         table,

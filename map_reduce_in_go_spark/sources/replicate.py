@@ -396,6 +396,76 @@ def _stage_commit(
     )
 
 
+def _stage_commit_verbatim(
+    spark: SparkSession,
+    src: TableCatalog,
+    dst: TableCatalog,
+    prev: dict[str, tuple[str, int]] | None,
+    cur: dict[str, tuple[str, int]],
+    op: str,
+    max_retries: int,
+    members: set[str] | None = None,
+) -> None:
+    """Re-apply one primary commit as a VERBATIM physical ship (r13,
+    r12 verdict #3): every member whose pin moved is adopted byte-for-byte
+    (:meth:`~.catalog.Transaction.adopt_snapshot` — same file basenames,
+    source schema/stats carried), INCLUDING the merge-on-read delete
+    vector, whose file-name-scoped pairs therefore stay valid on the
+    replica. The backup replica serves the UNFOLDED view identically to
+    the primary (vector applied against the same physical files), and a
+    local ``apply_deletes`` folds it to the same physical state the
+    primary's own fold would produce.
+
+    Steady-state cost is O(commit delta) byte copies + O(member files)
+    manifest listing — no Spark job reads a row, so verbatim shipping is
+    strictly cheaper than materializing replication AND layout-preserving
+    (Z-order, file-granular stats, bucketing all survive). Requirements,
+    honestly: source and destination must share a filesystem namespace
+    the driver can copy across (same-host/NFS/object-store posture), and
+    a replica is verbatim for its LIFETIME — mixing materializing passes
+    onto a verbatim replica (or vice versa) breaks the file-identity
+    invariant the vector pairs rely on. ``members`` keeps its selective-
+    follower meaning; the delete vector rides along automatically
+    whenever the commit carries one (a corpus-only backup without its
+    vector would resurrect logically-erased rows)."""
+    if members is not None:
+        cur = {
+            n: v
+            for n, v in cur.items()
+            if n in members or n == _MOR_VECTOR
+        }
+        prev = (
+            None
+            if prev is None
+            else {
+                n: v
+                for n, v in prev.items()
+                if n in members or n == _MOR_VECTOR
+            }
+        )
+    for _ in range(max_retries):
+        txn = dst.transaction(spark)
+        if op in dst.committed_ops():  # linearizable replay check
+            return
+        dst_names = set(dst.snapshot(spark, txn.base_version))
+        for name, (path, pin) in sorted(cur.items()):
+            old = None if prev is None else prev.get(name)
+            if old == (path, pin):
+                continue  # member untouched by this commit
+            txn.adopt_snapshot(name, src.table(path), pin, op=op)
+        for name in dst_names.difference(cur):
+            txn.drop(name)
+        try:
+            txn.commit(op=op, force=True)
+            return
+        except CommitConflict:
+            continue  # racing replicator/writer on the replica; re-walk
+    raise CommitConflict(
+        f"verbatim replication of {op!r} lost the replica catalog race "
+        f"{max_retries} times at {dst.root}"
+    )
+
+
 def _content_fingerprint(df: DataFrame) -> tuple[int, int, object]:
     """Order-insensitive content fingerprint: (row count, distinct row
     count, sum of per-row xxhash64 over name-sorted columns).
@@ -439,10 +509,22 @@ def catalog_divergence(
     # the MOR delete vector is physical layout, not logical content: a
     # primary with a pending vector and its replica (which materializes
     # the live view — see module constants) must fingerprint EQUAL, so
-    # the vector member is excluded and both sides compare live reads
+    # the vector member is excluded from the live comparison and both
+    # sides compare live reads. When BOTH sides carry a vector (primary
+    # vs verbatim backup, or two verbatim replicas — r13), the vectors'
+    # own content IS comparable state and drift there means the backup
+    # would fold differently: compare it like any member, raw.
     names = (set(snap_a) | set(snap_b)) - {_MOR_VECTOR}
     if members is not None:
         names &= members
+    if _MOR_VECTOR in snap_a and _MOR_VECTOR in snap_b:
+        fp_a = _content_fingerprint(a.read(spark, _MOR_VECTOR))
+        fp_b = _content_fingerprint(b.read(spark, _MOR_VECTOR))
+        if fp_a != fp_b:
+            out[_MOR_VECTOR] = (
+                f"delete-vector mismatch: (rows, distinct, hashsum) "
+                f"{fp_a} != {fp_b}"
+            )
     for name in sorted(names):
         if name not in snap_a:
             out[name] = "member absent from first catalog"
@@ -481,6 +563,7 @@ def replicate_catalog(
     dst: TableCatalog,
     max_retries: int = 10,
     members: set[str] | None = None,
+    verbatim: bool = False,
 ) -> int:
     """Ship every not-yet-replicated primary commit to ``dst``, in order.
 
@@ -498,6 +581,16 @@ def replicate_catalog(
     backfill members those commits carried — stand up a new replica (or
     base-sync) to widen. The replica still advances commit-by-commit, so
     its members stay mutually consistent at every snapshot.
+
+    ``verbatim=True`` (r13) switches to BACKUP-fidelity physical
+    shipping: byte-copied data files under their original basenames,
+    schema/stats/layout carried unchanged, and the merge-on-read delete
+    vector shipped AS METADATA instead of being materialized away —
+    the replica serves the unfolded view identically and folds locally
+    to the primary's own physical state. Like ``members``, the mode is
+    a LIFETIME property of the replica; see :func:`_stage_commit_verbatim`
+    for the honest requirements (shared copyable namespace, no mixing
+    with materializing passes).
     """
     hist = src.history()
     labels = [op for _, op in hist]
@@ -545,7 +638,8 @@ def replicate_catalog(
             payload = (payload or set()) | src.ops_as_of(v)
         if payload is not None:
             dst.publish_gated_ops(op, payload)
-        _stage_commit(
+        stage = _stage_commit_verbatim if verbatim else _stage_commit
+        stage(
             spark,
             src,
             dst,

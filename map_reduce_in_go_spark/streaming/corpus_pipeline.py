@@ -663,6 +663,34 @@ def bootstrap_pipeline(
 MERGE_MAX_IDS = 100_000
 
 
+def _touched_cells(
+    spark: SparkSession, txn, cells: list[str], vec_ids: DataFrame
+) -> list[str]:
+    """Which IVF-PQ cell members hold any of ``vec_ids`` — resolved in
+    ONE Spark job over the union of cell scans tagged with their member
+    name, instead of one membership-probe job per cell (r13: at many
+    cells the per-cell job loop dominates a retraction's wall clock —
+    driver job-submission overhead × #cells — while the union is a
+    single job whose tasks scan the same bytes in parallel). The
+    rewrite that follows stays per-TOUCHED-cell; untouched cells are
+    never read twice because the detection scan projects only vec_id."""
+    from pyspark.sql import functions as F
+
+    if not cells:
+        return []
+    tagged = None
+    for c in cells:
+        df = txn.read(c).select(F.lit(c).alias("_cell"), "vec_id")
+        tagged = df if tagged is None else tagged.unionByName(df)
+    return sorted(
+        r["_cell"]
+        for r in tagged.join(vec_ids, "vec_id", "left_semi")
+        .select("_cell")
+        .distinct()
+        .collect()
+    )
+
+
 def _remove_ids_cow(
     spark: SparkSession,
     txn,
@@ -991,19 +1019,19 @@ def retract_docs(
                 ).coalesce(1),
             )
             if "centroids" in names:
+                # PQ cells stay COPY-ON-WRITE by decision (r13, measured —
+                # see SURVEY §2 #... closure): touch detection is ONE
+                # union-scan job, the rewrite is O(touched cells) whose
+                # sizes the IVF maintenance bounds, and a MOR deferral
+                # would put a vector anti-join inside every ANN probe's
+                # served hot path to save rewrites that are already small.
                 vec_ids = ids.select(F.col("doc_id").alias("vec_id"))
-                for r in txn.read("centroids").collect():
-                    cell = r["cell"]
-                    had = (
-                        txn.read(cell)
-                        .join(vec_ids, "vec_id", "left_semi")
-                        .count()
+                cells = [r["cell"] for r in txn.read("centroids").collect()]
+                for cell in _touched_cells(spark, txn, cells, vec_ids):
+                    txn.overwrite(
+                        cell,
+                        txn.read(cell).join(vec_ids, "vec_id", "left_anti"),
                     )
-                    if had:
-                        txn.overwrite(
-                            cell,
-                            txn.read(cell).join(vec_ids, "vec_id", "left_anti"),
-                        )
             txn.commit(op=op)
             return True
         except CommitConflict:
@@ -1221,6 +1249,73 @@ def deletes_status(spark: SparkSession, cat: TableCatalog) -> dict:
     return out
 
 
+def _vector_age_commits(spark: SparkSession, cat: TableCatalog) -> int:
+    """How many catalog commits the CURRENT delete-vector streak has been
+    pending: walks back from the newest version while the vector member
+    is present; a truncated (checkpointed-away) snapshot ends the walk —
+    the streak is AT LEAST that old, which is the conservative answer an
+    age-based SLA wants. O(streak) driver-side manifest reads, no jobs."""
+    cur = cat.version()
+    first = None
+    v = cur
+    while v >= 0:
+        try:
+            snap = cat.snapshot(spark, v)
+        except FileNotFoundError:
+            break  # truncation horizon: at least this old
+        if DELETES not in snap:
+            break
+        first = v
+        v -= 1
+    return 0 if first is None else cur - first + 1
+
+
+def maintain_deletes(
+    spark: SparkSession,
+    cat: TableCatalog,
+    max_pending_pairs: int | None = None,
+    max_rewrite_files: int | None = None,
+    max_age_commits: int | None = None,
+) -> int:
+    """Erasure-SLA maintenance policy (r13, r12 verdict #5): fold the MOR
+    delete vector (:func:`apply_deletes`) when any threshold trips, no-op
+    otherwise. Returns files rewritten (0 = nothing pending or no trip).
+
+    The operator's contract made concrete: ``retract_docs(mode="mor")``
+    is O(metadata) at request time BECAUSE the physical erasure batches
+    into a maintenance window — this verb IS that window's trigger, so a
+    follower can run unattended while the vector stays bounded by policy
+    instead of by an operator watching :func:`deletes_status`:
+
+    - ``max_pending_pairs`` — bound on total vector rows (serve-side
+      anti-join cost is ∝ pending pairs);
+    - ``max_rewrite_files`` — bound on the files a fold would rewrite
+      (fold cost; also the knob that keeps each fold's window small);
+    - ``max_age_commits`` — bound on how many catalog commits the current
+      vector streak has been pending (the GDPR wall-clock proxy in ledger
+      time: every erasure request is at most that many commits from
+      physical erasure).
+
+    Thresholds are AND-of-None / OR-of-tripped: pass only the ones your
+    SLA names. Cost when nothing trips: the ``deletes_status`` metadata
+    scan (+ the O(streak) age walk if requested) — cheap enough for every
+    follower batch.
+    """
+    st = deletes_status(spark, cat)
+    if not st:
+        return 0
+    pend = sum(m["pending_pairs"] for m in st.values())
+    files = sum(m["files_to_rewrite"] for m in st.values())
+    trip = (
+        max_pending_pairs is not None and pend > max_pending_pairs
+    ) or (max_rewrite_files is not None and files > max_rewrite_files)
+    if not trip and max_age_commits is not None:
+        trip = _vector_age_commits(spark, cat) > max_age_commits
+    if not trip:
+        return 0
+    return apply_deletes(spark, cat)
+
+
 def start_erasure_follower(
     stream_requests: DataFrame,
     catalog_root: str,
@@ -1229,6 +1324,7 @@ def start_erasure_follower(
     mode: str = "mor",
     ledger: str = "_catalog",
     writer_token: str | None = None,
+    maintain: dict | None = None,
 ):
     """Erasure-request stream → one retraction transaction per micro-batch.
 
@@ -1268,6 +1364,15 @@ def start_erasure_follower(
 
     Driver work per batch is the distinct-id collect — erasure batches
     are request-sized, not corpus-sized.
+
+    ``maintain`` (r13, r12 verdict #5) arms the in-loop erasure-SLA
+    policy: a dict of :func:`maintain_deletes` thresholds (e.g.
+    ``{"max_pending_pairs": 10_000, "max_age_commits": 32}``) checked
+    after every batch, so the follower keeps the vector bounded WITHOUT
+    an operator scheduling folds. The fold is its own ledgered commit —
+    a crash between retraction and fold re-trips the policy on the next
+    batch, and a replayed batch (retraction no-op) still folds if the
+    thresholds say so.
     """
     from pyspark.sql import functions as F
 
@@ -1283,12 +1388,16 @@ def start_erasure_follower(
             .collect()
         ]
         if not ids:
+            if maintain:
+                maintain_deletes(spark, cat, **maintain)
             return
         op = f"{app_id}-batch-{bid}"
         if writer_token is not None:
             cat.check_app_id(app_id, writer_token)
         try:
             retract_docs(spark, cat, ids, op=op, mode=mode)
+            if maintain:
+                maintain_deletes(spark, cat, **maintain)
         except NothingToRetract:
             # all ids already absent everywhere: the erasure is complete
             # by definition — but the DECISION must still be ledgered, or
@@ -1627,22 +1736,17 @@ def update_docs(
                         )
                 txn.append(QUAR, quar_rows, op=op, stats_cols=["doc_id"])
             if "centroids" in names:
+                # same one-job touch detection + COW decision as
+                # retract_docs (r13)
                 vec_ids = ids.select(F.col("doc_id").alias("vec_id"))
-                for r in txn.read("centroids").collect():
-                    cell = r["cell"]
-                    had = (
-                        txn.read(cell)
-                        .join(vec_ids, "vec_id", "left_semi")
-                        .limit(1)
-                        .count()
+                cells = [r["cell"] for r in txn.read("centroids").collect()]
+                for cell in _touched_cells(spark, txn, cells, vec_ids):
+                    txn.overwrite(
+                        cell,
+                        txn.read(cell).join(
+                            vec_ids, "vec_id", "left_anti"
+                        ),
                     )
-                    if had:
-                        txn.overwrite(
-                            cell,
-                            txn.read(cell).join(
-                                vec_ids, "vec_id", "left_anti"
-                            ),
-                        )
                 if emb_batch is not None:
                     pq = PqIvfIndex(cat.root)
                     books, cells = pq.snapshot(spark, txn.base_version)

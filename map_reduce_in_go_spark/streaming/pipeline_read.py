@@ -339,6 +339,41 @@ def pipeline_trending_folded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _trending_from_cms(spark, _pipeline_folded_catalog(spark, sf_dir))
 
 
+def _pipeline_backup_catalog(spark: SparkSession, sf_dir: str) -> TableCatalog:
+    """A VERBATIM backup of the MOR-erased clone (r13): every commit of
+    :func:`_pipeline_mor_catalog`'s artifact shipped byte-for-byte
+    (`replicate_catalog(verbatim=True)`) — data files under their
+    original basenames, the UNFOLDED delete vector shipped as metadata
+    whose file-scoped pairs stay valid against the copied files. Built
+    once per corpus behind its own latch."""
+    from ..sources.replicate import replicate_catalog
+
+    def _build(path: str) -> None:
+        src = _pipeline_mor_catalog(spark, sf_dir)
+        replicate_catalog(spark, src, TableCatalog(path), verbatim=True)
+
+    return TableCatalog(served_artifact("pipeline_backup", sf_dir, _build))
+
+
+def pipeline_trending_backup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending tokens served from a VERBATIM backup replica (r13).
+
+    The backup-fidelity mode under the driver's hash gate: the MOR-erased
+    pipeline (vector deliberately unfolded) is shipped byte-for-byte into
+    a second catalog — `adopt_snapshot` copies every member's files under
+    their ORIGINAL basenames and ships the delete vector itself, so the
+    backup's serving reads must apply file-name-scoped pairs against its
+    OWN copied files. Shares the MOR oracle verbatim: a ship that
+    re-laid-out files (pairs gone inert → retracted rows counted), lost
+    the vector member, or broke a basename mapping hash-mismatches here.
+    With `pipeline_trending_replica` (materializing ship) and
+    `pipeline_trending_folded` (local fold), this completes the
+    replication-fidelity coverage: logical replica, physical backup, and
+    fold all under the same oracle family.
+    """
+    return _trending_from_cms(spark, _pipeline_backup_catalog(spark, sf_dir))
+
+
 def _forked_pipeline_build(spark: SparkSession, sf_dir: str, path: str):
     """Shared setup for the branch-crossing catalogs: batches 0..n-2 on
     main, batch n-1 as an experiment on branch ``exp``. Returns
@@ -914,6 +949,10 @@ ORACLES["pipeline_trending_rebase"] = ORACLES["pipeline_trending"]
 # catalog (the fold changes physical layout only), so it shares the
 # erasure oracle verbatim — any divergence is a fold bug
 ORACLES["pipeline_trending_folded"] = ORACLES["pipeline_trending_mor"]
+# the verbatim backup serves the SAME logical state again (byte-copied
+# files + the shipped vector applied against them), so it shares the
+# erasure oracle too — any divergence is a shipping-fidelity bug (r13)
+ORACLES["pipeline_trending_backup"] = ORACLES["pipeline_trending_mor"]
 ORACLES["pipeline_spans"] = (
     ORACLES["pipeline_spans"]
     .replace("{tok}", _sql_tokens_k())

@@ -869,3 +869,89 @@ def test_mor_model_randomized_interleaving(spark, tmp_path):
         r["doc_id"]: r["text"] for r in _raw_member(spark, cat, CORPUS).collect()
     }
     assert raw == model
+
+
+def test_maintain_deletes_policy_and_follower_bound(spark, sf_dir, tmp_path):
+    """Erasure-SLA maintenance (r13, r12 verdict #5): maintain_deletes
+    folds only when a threshold trips (pairs / rewrite files / streak
+    age); a follower armed with `maintain` keeps the vector bounded under
+    a stream of requests WITHOUT an operator scheduling folds."""
+    import json
+    import time
+
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+        deletes_status,
+        maintain_deletes,
+        start_erasure_follower,
+    )
+
+    cat = _feed2(spark, sf_dir, str(tmp_path / "cat"))
+    ids = sorted(
+        r["doc_id"]
+        for r in member(spark, cat, CORPUS).select("doc_id").limit(9).collect()
+    )
+
+    # no vector at all → 0, no commit
+    v0 = cat.version()
+    assert maintain_deletes(spark, cat, max_pending_pairs=0) == 0
+    assert cat.version() == v0
+
+    # below thresholds → no fold; above → folds and truncates
+    assert retract_docs_mor(spark, cat, ids[:2], op="e-a")
+    assert maintain_deletes(spark, cat, max_pending_pairs=10_000) == 0
+    assert DELETES in cat.snapshot(spark)
+    assert maintain_deletes(spark, cat, max_pending_pairs=1) > 0
+    assert DELETES not in cat.snapshot(spark)
+
+    # age threshold: a streak older than N catalog commits trips even
+    # when the pair count is tiny
+    assert retract_docs_mor(spark, cat, ids[2:3], op="e-b")
+    assert maintain_deletes(spark, cat, max_age_commits=5) == 0
+    for i in (7, 8):  # unrelated commits age the streak
+        assert corpus_batch_txn(
+            spark,
+            spark.createDataFrame(
+                [(10_000 + i, f"aging filler document number {i} with "
+                  "enough words to shingle cleanly", "en")],
+                "doc_id long, text string, lang string",
+            ),
+            cat,
+            i,
+        )
+    assert maintain_deletes(spark, cat, max_age_commits=2) > 0
+    assert DELETES not in cat.snapshot(spark)
+
+    # follower keeps the vector bounded hands-free
+    drop = tmp_path / "req"
+    drop.mkdir()
+    (drop / "r1.json").write_text(
+        "\n".join(json.dumps({"doc_id": d}) for d in ids[3:6])
+    )
+    time.sleep(1.1)
+    (drop / "r2.json").write_text(
+        "\n".join(json.dumps({"doc_id": d}) for d in ids[6:9])
+    )
+    stream = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(drop))
+    )
+    q = start_erasure_follower(
+        stream,
+        cat.root,
+        str(tmp_path / "ckpt"),
+        mode="mor",
+        maintain={"max_pending_pairs": 1},
+    )
+    q.awaitTermination(120)
+    live = {
+        r["doc_id"]
+        for r in member(spark, cat, CORPUS).select("doc_id").collect()
+    }
+    assert not (set(ids[3:9]) & live)
+    # every batch tripped the 1-pair bound → the vector never outlives
+    # its batch; the report agrees nothing is pending
+    assert DELETES not in cat.snapshot(spark)
+    assert deletes_status(spark, cat) == {}
+    folds = [op for op in cat.committed_ops() if op.startswith("apply-deletes")]
+    assert len(folds) >= 2  # one per follower batch, plus the manual ones

@@ -747,3 +747,97 @@ def test_ops_as_of_refuses_consolidated_horizon(spark, sf_dir, tmp_path):
         src.ops_as_of(v_old)
     # the newest version is still reconstructable
     assert "corpus-batch-2" in src.ops_as_of(src.version())
+
+
+def test_verbatim_backup_preserves_mor_vector_and_folds_identically(
+    spark, sf_dir, tmp_path
+):
+    """Verbatim shipping (r13, r12 verdict #3): the backup carries the
+    UNFOLDED merge-on-read state byte-faithfully — same member file
+    basenames, the delete vector shipped as metadata with its pairs still
+    valid — serves the live view identically to the primary, reports no
+    divergence (vector compared when both sides carry one), and a LOCAL
+    apply_deletes folds it to the primary's own post-fold physical state."""
+    from map_reduce_in_go_spark.sources.replicate import catalog_divergence
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+        DELETES,
+        apply_deletes,
+        retract_docs_mor,
+    )
+
+    src = TableCatalog(str(tmp_path / "primary"))
+    _feed(spark, sf_dir, src, batches=(0, 1))
+    victims = sorted(
+        r["doc_id"]
+        for r in member(spark, src, CORPUS).select("doc_id").limit(4).collect()
+    )
+    assert retract_docs_mor(spark, src, victims, op="erase-v")
+
+    dst = TableCatalog(str(tmp_path / "backup"))
+    assert replicate_catalog(spark, src, dst, verbatim=True) > 0
+    # rerun no-ops (exactly-once from the ledger, same as materializing)
+    assert replicate_catalog(spark, src, dst, verbatim=True) == 0
+
+    # the vector member SHIPPED (not materialized away) ...
+    assert DELETES in dst.snapshot(spark)
+    # ... byte-faithfully: identical file basenames for every member
+    for name in sorted(src.snapshot(spark)):
+        sp, sv = src.snapshot(spark)[name]
+        dp, dv = dst.snapshot(spark)[name]
+        src_files = sorted(os.path.basename(f) for f in src.table(sp).files(sv))
+        dst_files = sorted(os.path.basename(f) for f in dst.table(dp).files(dv))
+        assert src_files == dst_files, name
+    # the unfolded live view serves identically (pairs valid on the copy)
+    assert _state(spark, dst) == _state(spark, src)
+    assert not any(
+        d in victims
+        for d in [r["doc_id"] for r in member(spark, dst, CORPUS).collect()]
+    )
+    assert catalog_divergence(spark, src, dst) == {}
+
+    # local fold on the backup == the primary's own fold
+    n_dst = apply_deletes(spark, dst)
+    n_src = apply_deletes(spark, src)
+    assert n_dst == n_src > 0
+    assert DELETES not in dst.snapshot(spark)
+    assert _state(spark, dst) == _state(spark, src)
+
+
+def test_verbatim_ships_incremental_commits_and_detects_vector_drift(
+    spark, sf_dir, tmp_path
+):
+    """Incremental verbatim passes ship only moved pins; divergence names
+    the vector member when the two sides' pending-delete state drifts
+    (a backup that would fold differently is not a backup)."""
+    from map_reduce_in_go_spark.sources.replicate import catalog_divergence
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+        DELETES,
+        retract_docs_mor,
+    )
+
+    src = TableCatalog(str(tmp_path / "primary"))
+    docs = _feed(spark, sf_dir, src, batches=(0,))
+    dst = TableCatalog(str(tmp_path / "backup"))
+    replicate_catalog(spark, src, dst, verbatim=True)
+    assert _state(spark, dst) == _state(spark, src)
+
+    # two more primary commits: one batch, one MOR retraction
+    assert corpus_batch_txn(
+        spark, docs.filter(F.pmod("doc_id", F.lit(3)) == 1), src, 1
+    )
+    victim = member(spark, src, CORPUS).select("doc_id").first()["doc_id"]
+    assert retract_docs_mor(spark, src, [int(victim)], op="erase-one")
+    assert replicate_catalog(spark, src, dst, verbatim=True) == 2
+    assert _state(spark, dst) == _state(spark, src)
+    assert catalog_divergence(spark, src, dst) == {}
+
+    # drift the backup's vector (a direct write no follower should take)
+    extra = member(spark, dst, DELETES).limit(1)
+    txn = dst.transaction(spark)
+    txn.append(
+        DELETES,
+        extra.withColumn("doc_id", F.lit(999_999_999).cast("long")),
+    )
+    txn.commit(op="rogue-write")
+    div = catalog_divergence(spark, src, dst)
+    assert DELETES in div and "delete-vector mismatch" in div[DELETES]
