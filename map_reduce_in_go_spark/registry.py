@@ -341,6 +341,7 @@ def _build() -> None:
     _register(_lat, [
         "events_cube_nav",
         "events_cube_minmax",  # r13: non-additive lattice measures
+        "events_cube_erased",  # r13: retract_keys rebuild under the hash
     ])
 
 

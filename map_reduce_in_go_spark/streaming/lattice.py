@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from ..sources.catalog import CommitConflict, TableCatalog
 
-__all__ = ["RollupLattice", "events_cube_nav", "events_cube_minmax"]
+__all__ = ["RollupLattice", "events_cube_nav", "events_cube_minmax", "events_cube_erased"]
 
 
 def _level_member(keys: tuple[str, ...]) -> str:
@@ -734,6 +734,107 @@ def events_cube_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CUBE_ERASE_TYPE = "error"  # the type the erased twin drops (bot traffic)
+
+
+def _events_cube_erased(spark: SparkSession, sf_dir: str) -> RollupLattice:
+    """The served cube AFTER a key-predicate erasure: a SECOND lattice
+    artifact built by the same three-batch ingest, then
+    ``retract_keys(event_type == CUBE_ERASE_TYPE)`` — which, because the
+    lattice carries min/max + HLL measures, exercises the non-additive
+    REBUILD path (every level re-derived from the surviving apex
+    partials in one CAS). Built once per corpus behind its own latch;
+    the nav/minmax artifact is untouched."""
+    from ..sources.artifacts import served_artifact
+    from ..sources.tables import load_table
+
+    def _build(path: str) -> None:
+        lat = RollupLattice(
+            TableCatalog(path),
+            CUBE_LEVELS,
+            CUBE_SUMS,
+            minmax_cols=CUBE_MINMAX,
+            distinct_cols=CUBE_DISTINCT,
+        )
+        ev = load_table(spark, sf_dir, "events").select(
+            F.to_date("ts").alias("day"),
+            "event_type",
+            "value",
+            "event_id",
+            "user_id",
+        )
+        for i in range(CUBE_BATCHES):
+            lat.ingest_batch(
+                spark, ev.filter(F.pmod("event_id", F.lit(CUBE_BATCHES)) == i), i
+            )
+        lat.retract_keys(
+            spark,
+            F.col("event_type") == CUBE_ERASE_TYPE,
+            op=f"drop-{CUBE_ERASE_TYPE}",
+        )
+        lat.compact(spark)
+
+    cat = TableCatalog(served_artifact("events_cube_erased", sf_dir, _build))
+    return RollupLattice(
+        cat,
+        CUBE_LEVELS,
+        CUBE_SUMS,
+        minmax_cols=CUBE_MINMAX,
+        distinct_cols=CUBE_DISTINCT,
+    )
+
+
+def events_cube_erased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lattice DELETE-WHERE under the driver's hash (r13): per-DAY totals
+    and exact extremes served from a cube whose ``event_type =
+    '{CUBE_ERASE_TYPE}'`` keys were erased by ``retract_keys`` — the
+    bot-traffic takedown an analytics lattice actually runs.
+
+    What the hash gate crosses: the non-additive REBUILD path (min/max +
+    HLL lattices cannot negative-append, so the erasure re-derives every
+    level from the surviving apex partials — a rebuild that leaked an
+    erased key's contribution into any coarser level's sums or extremes
+    hash-mismatches against the oracle's direct filtered GROUP BY), plus
+    compaction over the rebuilt state and day-level routing (dims=(day,)
+    routes to the `(day,)` level, whose rows were themselves rebuilt).
+    The oracle excludes the type from raw events; sums/extremes are
+    exact DECIMAL, the distinct-user column follows the r8
+    sketch-verdict recipe (exact n_users + pinned-TRUE 3σ verdict).
+    """
+    lat = _events_cube_erased(spark, sf_dir)
+    assert lat.choose_level(("day",)) == ("day",)  # routing pinned
+    ans = lat.answer(
+        spark,
+        ("day",),
+        {
+            "cnt": "cnt",
+            "val_sum": "val",
+            "val_max": "val_max",
+            "approx_users": "users_hll",
+        },
+    )
+    from ..sources.tables import load_table
+
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") != CUBE_ERASE_TYPE)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    ok = (
+        F.abs(F.col("approx_users") - F.col("n_users"))
+        <= 0.05 * F.col("n_users")
+    )
+    return ans.join(exact, "day").select(
+        F.col("day").cast("string").alias("day"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("val_sum").cast("double").alias("val_sum"),
+        F.col("val_max").cast("double").alias("val_max"),
+        F.col("n_users").cast("long").alias("n_users"),
+        ok.alias("users_ok"),
+    )
+
+
 ORACLES = {
     "events_cube_nav": f"""
 SELECT event_type,
@@ -753,5 +854,16 @@ SELECT event_type,
 FROM events
 WHERE CAST(ts AS DATE) BETWEEN DATE '{CUBE_FROM}' AND DATE '{CUBE_TO}'
 GROUP BY event_type
+""",
+    "events_cube_erased": f"""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       count(*) AS cnt,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum,
+       CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_max,
+       count(DISTINCT user_id) AS n_users,
+       TRUE AS users_ok
+FROM events
+WHERE event_type <> '{CUBE_ERASE_TYPE}'
+GROUP BY CAST(ts AS DATE)
 """,
 }
