@@ -517,7 +517,13 @@ def catalog_divergence(
     names = (set(snap_a) | set(snap_b)) - {_MOR_VECTOR}
     if members is not None:
         names &= members
-    if _MOR_VECTOR in snap_a and _MOR_VECTOR in snap_b:
+    # the vector comparison respects the caller's scope like any member
+    # (r13 self-review): a scoped health check names what it covers
+    if (
+        (members is None or _MOR_VECTOR in members)
+        and _MOR_VECTOR in snap_a
+        and _MOR_VECTOR in snap_b
+    ):
         fp_a = _content_fingerprint(a.read(spark, _MOR_VECTOR))
         fp_b = _content_fingerprint(b.read(spark, _MOR_VECTOR))
         if fp_a != fp_b:

@@ -1252,9 +1252,16 @@ def deletes_status(spark: SparkSession, cat: TableCatalog) -> dict:
 def _vector_age_commits(spark: SparkSession, cat: TableCatalog) -> int:
     """How many catalog commits the CURRENT delete-vector streak has been
     pending: walks back from the newest version while the vector member
-    is present; a truncated (checkpointed-away) snapshot ends the walk —
-    the streak is AT LEAST that old, which is the conservative answer an
-    age-based SLA wants. O(streak) driver-side manifest reads, no jobs."""
+    is present. A truncated (checkpointed-away) snapshot means the
+    streak extends past the ledger's horizon — the walk cannot see how
+    much further — so the CONSERVATIVE answer for an age-based SLA is
+    ``sys.maxsize`` (older than any finite threshold: the fold TRIPS).
+    Returning the partial count instead would cap measurable age at the
+    ledger checkpoint interval (default 16) and a threshold above it
+    could never trip (r13 self-review).
+    O(streak) driver-side manifest reads, no jobs."""
+    import sys
+
     cur = cat.version()
     first = None
     v = cur
@@ -1262,7 +1269,7 @@ def _vector_age_commits(spark: SparkSession, cat: TableCatalog) -> int:
         try:
             snap = cat.snapshot(spark, v)
         except FileNotFoundError:
-            break  # truncation horizon: at least this old
+            return sys.maxsize  # streak crosses the truncation horizon
         if DELETES not in snap:
             break
         first = v
@@ -1405,18 +1412,25 @@ def start_erasure_follower(
             # got ingested would erase what this execution did not
             for _ in range(10):
                 if op in cat.committed_ops():
-                    return
+                    break
                 txn = cat.transaction(spark)
                 if op in cat.committed_ops():  # linearizable recheck
-                    return
+                    break
                 try:
                     txn.commit(op=op, force=True)  # content-no-op marker
-                    return
+                    break
                 except CommitConflict:
                     continue
-            raise CommitConflict(
-                f"erasure marker {op!r} lost the catalog race at {cat.root}"
-            )
+            else:
+                raise CommitConflict(
+                    f"erasure marker {op!r} lost the catalog race at {cat.root}"
+                )
+            # the policy runs on EVERY batch outcome (r13 self-review):
+            # a goal-state batch adds nothing, but an age threshold can
+            # trip on it — the final availableNow batch must not strand
+            # a tripping vector unfolded
+            if maintain:
+                maintain_deletes(spark, cat, **maintain)
 
     return (
         stream_requests.writeStream.foreachBatch(_one)

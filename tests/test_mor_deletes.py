@@ -955,3 +955,30 @@ def test_maintain_deletes_policy_and_follower_bound(spark, sf_dir, tmp_path):
     assert deletes_status(spark, cat) == {}
     folds = [op for op in cat.committed_ops() if op.startswith("apply-deletes")]
     assert len(folds) >= 2  # one per follower batch, plus the manual ones
+
+
+def test_vector_age_crosses_truncation_horizon(spark, sf_dir, tmp_path):
+    """A delete-vector streak older than the ledger's checkpoint horizon
+    must read as 'older than any finite threshold' (so an age SLA TRIPS),
+    not as the capped partial count — the cap would silently disable
+    max_age_commits thresholds above the checkpoint interval (r13
+    self-review)."""
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+        _vector_age_commits,
+        maintain_deletes,
+    )
+
+    cat = _feed2(spark, sf_dir, str(tmp_path / "cat"))
+    victim = member(spark, cat, CORPUS).select("doc_id").first()["doc_id"]
+    assert retract_docs_mor(spark, cat, [int(victim)], op="e-h")
+    age = _vector_age_commits(spark, cat)
+    assert 1 <= age <= cat.version()  # intact ledger: the true streak
+
+    # truncate the ledger below its newest version: the streak now
+    # crosses the horizon, so age must exceed any finite threshold
+    import sys
+
+    cat._catalog.checkpoint()
+    assert _vector_age_commits(spark, cat) == sys.maxsize
+    assert maintain_deletes(spark, cat, max_age_commits=10_000) > 0
+    assert DELETES not in cat.snapshot(spark)

@@ -58,7 +58,22 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/sfscale_report")
     args = ap.parse_args()
 
-    if not os.path.exists(os.path.join(args.out, "lineitem.parquet")):
+    # replica reuse is keyed on (src, k): a marker file records what the
+    # out dir holds, so a stale replica built at a different scale or
+    # from a different source is rebuilt, never silently relabeled
+    marker = os.path.join(args.out, "_scale_marker.json")
+    want = {"src": os.path.abspath(args.src), "k": args.k}
+    have = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            have = json.load(f)
+    if have != want or not os.path.exists(
+        os.path.join(args.out, "lineitem.parquet")
+    ):
+        if os.path.isdir(args.out):
+            import shutil
+
+            shutil.rmtree(args.out)
         subprocess.run(
             [
                 sys.executable,
@@ -73,18 +88,28 @@ def main() -> None:
             check=True,
             stdout=sys.stderr,
         )
+        with open(marker, "w") as f:
+            json.dump(want, f)
 
     base = _bench(args.src)
     big = _bench(args.out)
     queries = {}
+    dropped = []
     for q, b in base["queries"].items():
         t = big["queries"].get(q)
+        ok = t is not None and b is not None and t > 0 and b > 0
+        if not ok:
+            dropped.append(q)  # no silent caps: name what the median skips
         queries[q] = {
             "base_s": b,
             f"{args.k}x_s": t,
-            "ratio": round(t / b, 2) if t and b else None,
+            "ratio": round(t / b, 2) if ok else None,
         }
-    ratios = [v["ratio"] for v in queries.values() if v["ratio"]]
+    if dropped:
+        print(f"ratio excluded (zero/missing timing): {dropped}", file=sys.stderr)
+    import statistics
+
+    ratios = [v["ratio"] for v in queries.values() if v["ratio"] is not None]
     print(
         json.dumps(
             {
@@ -94,9 +119,8 @@ def main() -> None:
                 "base_total_s": base["value"],
                 f"{args.k}x_total_s": big["value"],
                 "total_ratio": round(big["value"] / base["value"], 2),
-                "median_ratio": round(
-                    sorted(ratios)[len(ratios) // 2], 2
-                ),
+                "median_ratio": round(statistics.median(ratios), 2),
+                "ratio_excluded": dropped,
                 "queries": queries,
                 "base_steal_s": base.get("cpu_steal_delta_sec"),
                 f"{args.k}x_steal_s": big.get("cpu_steal_delta_sec"),
