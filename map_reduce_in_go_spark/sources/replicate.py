@@ -786,6 +786,7 @@ def start_replication_follower(
     dst_root: str,
     checkpoint_dir: str,
     interval: str = "5 seconds",
+    verbatim: bool = False,
 ):
     """Continuously tail the primary's ledger into a replica (r12 (c)).
 
@@ -797,12 +798,17 @@ def start_replication_follower(
     checkpoint, a restarted follower, or an accidental second follower
     all converge to the same replica (pinned in tests/test_replication.
     py). The checkpoint only schedules passes; the ledger decides them.
+
+    ``verbatim=True`` (r13) makes this a continuously-tailing BACKUP:
+    every pass ships byte-copies with the delete vector as metadata
+    (see :func:`replicate_catalog`); like the batch verb, the mode is a
+    lifetime property of the destination.
     """
     src, dst = TableCatalog(src_root), TableCatalog(dst_root)
     ticks = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
 
     def _one(_df: DataFrame, _bid: int) -> None:
-        replicate_catalog(spark, src, dst)
+        replicate_catalog(spark, src, dst, verbatim=verbatim)
 
     return (
         ticks.writeStream.foreachBatch(_one)

@@ -446,8 +446,15 @@ class RollupLattice:
         measures: dict[str, str],
         where: Column | None = None,
         filter_cols: tuple[str, ...] = (),
+        version: int | None = None,
     ) -> DataFrame:
         """Serve GROUP BY ``dims`` from the cheapest subsuming level.
+
+        ``version`` (r13) serves AS OF one catalog snapshot — the lattice
+        is a :class:`TableCatalog`, so time travel comes free: a batch
+        ingested after that snapshot is invisible even though its partial
+        rows are already committed in newer versions of the same member
+        files (the dashboard-at-yesterday / audit-replay read).
 
         ``measures`` maps output column → either a maintained sum name
         (folded as sum) or ``"avg:<sum>/<cnt>"`` for a derived ratio.
@@ -462,7 +469,7 @@ class RollupLattice:
         analysis error instead.
         """
         keys = self.choose_level(dims, filter_cols)
-        df = self.cat.read(spark, _level_member(keys))
+        df = self.cat.read(spark, _level_member(keys), version=version)
         if where is not None:
             try:
                 # resolve the predicate against a LINEAGE-FREE relation

@@ -554,3 +554,73 @@ def test_lattice_non_additive_retraction_posture(spark, sf_dir, tmp_path):
         lat.retract_keys(spark, F.col("event_type") == "no-such", op="none")
     with pytest.raises(KeyError, match="no maintained measure"):
         lat.answer(spark, ("event_type",), {"x": "nope"})
+
+
+def test_lattice_time_travel_and_replication(spark, sf_dir, tmp_path):
+    """The lattice IS a TableCatalog, so the lakehouse verbs compose for
+    free (r13): `answer(version=v)` serves AS OF a snapshot (a batch
+    ingested after v is invisible even though newer member versions are
+    committed), and both replication modes ship a lattice — the replica
+    answers identically, and the verbatim backup preserves member file
+    basenames."""
+    import os
+
+    from map_reduce_in_go_spark.sources.replicate import (
+        catalog_divergence,
+        replicate_catalog,
+    )
+
+    dsums = {"cnt": "1", "val": "CAST(value AS DECIMAL(18,2))"}
+    ev = _events(spark, sf_dir)
+    lat = RollupLattice(
+        TableCatalog(str(tmp_path / "lat")),
+        LEVELS,
+        dsums,
+        minmax_cols=MM,
+        distinct_cols=DIST,
+    )
+    assert lat.ingest_batch(spark, ev.filter(F.pmod("user_id", F.lit(2)) == 0), 0)
+    v_after_0 = lat.cat.version()
+    assert lat.ingest_batch(spark, ev.filter(F.pmod("user_id", F.lit(2)) == 1), 1)
+
+    def served(lt, **kw):
+        return {
+            r["event_type"]: (r["cnt"], float(r["val_min"]))
+            for r in lt.answer(
+                spark,
+                ("event_type",),
+                {"cnt": "cnt", "val_min": "val_min"},
+                **kw,
+            ).collect()
+        }
+
+    # time travel: AS OF v_after_0 equals a direct GROUP BY over batch 0
+    want0 = {
+        r["event_type"]: (r["cnt"], float(r["val_min"]))
+        for r in ev.filter(F.pmod("user_id", F.lit(2)) == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(F.expr("CAST(value AS DECIMAL(18,2))")).alias("val_min"),
+        )
+        .collect()
+    }
+    assert served(lat, version=v_after_0) == want0
+    assert served(lat) != want0  # newest snapshot sees batch 1 too
+
+    # replication, both modes: the replica lattice answers identically
+    for mode, name in ((False, "rep"), (True, "bak")):
+        dst = TableCatalog(str(tmp_path / name))
+        assert replicate_catalog(spark, lat.cat, dst, verbatim=mode) > 0
+        rlat = RollupLattice(
+            dst, LEVELS, dsums, minmax_cols=MM, distinct_cols=DIST
+        )
+        assert served(rlat) == served(lat), mode
+        assert catalog_divergence(spark, lat.cat, dst) == {}
+    # the verbatim backup preserved file identity member-for-member
+    bak = TableCatalog(str(tmp_path / "bak"))
+    for name, (p, v) in lat.cat.snapshot(spark).items():
+        bp, bv = bak.snapshot(spark)[name]
+        assert sorted(
+            os.path.basename(f) for f in lat.cat.table(p).files(v)
+        ) == sorted(os.path.basename(f) for f in bak.table(bp).files(bv)), name
