@@ -624,3 +624,107 @@ def test_lattice_time_travel_and_replication(spark, sf_dir, tmp_path):
         assert sorted(
             os.path.basename(f) for f in lat.cat.table(p).files(v)
         ) == sorted(os.path.basename(f) for f in bak.table(bp).files(bv)), name
+
+
+def test_lattice_model_randomized_program(spark, tmp_path):
+    """Seeded random program over the non-additive lattice's verb algebra
+    — ingest / retract_keys / compact — checked after every step against
+    a dict model recomputed from the surviving raw rows (exact for cnt /
+    decimal sum / min / max; HLL within 3σ of exact). Hunts interplay
+    bugs (a rebuild leaking erased keys into a coarser level, compaction
+    after a rebuild, a retraction mid-sequence) that the single-scenario
+    pins miss."""
+    import random
+    from decimal import Decimal
+
+    rng = random.Random(0xB0BA)
+    TYPES = ["alpha", "beta", "gamma", "delta"]
+    DAYS = ["2024-02-0%d" % d for d in range(1, 4)]
+
+    lat = RollupLattice(
+        TableCatalog(str(tmp_path / "lat")),
+        {"by_t_d": ("event_type", "day"), "by_t": ("event_type",), "tot": ()},
+        {"cnt": "1", "val": "CAST(value AS DECIMAL(18,2))"},
+        minmax_cols={
+            "val_min": "min:CAST(value AS DECIMAL(18,2))",
+            "val_max": "max:CAST(value AS DECIMAL(18,2))",
+        },
+        distinct_cols={"users": "user_id"},
+    )
+    live_rows: list[tuple] = []  # (day, event_type, value, user_id)
+    bid = 0
+    op_n = 0
+
+    def check():
+        from collections import defaultdict
+
+        agg = defaultdict(lambda: [0, Decimal(0), None, None, set()])
+        for d, t, v, u in live_rows:
+            a = agg[t]
+            dv = Decimal(str(v)).quantize(Decimal("0.01"))
+            a[0] += 1
+            a[1] += dv
+            a[2] = dv if a[2] is None else min(a[2], dv)
+            a[3] = dv if a[3] is None else max(a[3], dv)
+            a[4].add(u)
+        got = {
+            r["event_type"]: (
+                r["cnt"],
+                Decimal(str(r["val"])),
+                Decimal(str(r["val_min"])),
+                Decimal(str(r["val_max"])),
+                int(r["users"]),
+            )
+            for r in lat.answer(
+                spark,
+                ("event_type",),
+                {
+                    "cnt": "cnt",
+                    "val": "val",
+                    "val_min": "val_min",
+                    "val_max": "val_max",
+                    "users": "users",
+                },
+            ).collect()
+        }
+        assert set(got) == set(agg), (sorted(got), sorted(agg))
+        for t, (cnt, s, lo, hi, users) in agg.items():
+            g = got[t]
+            assert g[0] == cnt and g[1] == s and g[2] == lo and g[3] == hi, t
+            assert abs(g[4] - len(users)) <= max(1, 0.05 * len(users)), t
+
+    for step in range(8):
+        verb = rng.choice(["ingest", "ingest", "ingest", "erase", "compact"])
+        if verb == "ingest":
+            rows = [
+                (
+                    rng.choice(DAYS),
+                    rng.choice(TYPES),
+                    round(rng.uniform(1, 500), 2),
+                    rng.randrange(40),
+                )
+                for _ in range(rng.randrange(5, 40))
+            ]
+            assert lat.ingest_batch(
+                spark,
+                spark.createDataFrame(
+                    rows, "day string, event_type string, value double, user_id long"
+                ),
+                bid,
+            )
+            live_rows.extend(rows)  # re-ingest of an erased type revives it
+            bid += 1
+        elif verb == "erase":
+            present = {r[1] for r in live_rows}
+            if not present:
+                continue
+            t = rng.choice(sorted(present))
+            op_n += 1
+            assert lat.retract_keys(
+                spark, F.col("event_type") == t, op=f"erase-{op_n}"
+            )
+            live_rows = [r for r in live_rows if r[1] != t]
+        else:
+            lat.compact(spark)
+        if live_rows:
+            check()
