@@ -841,3 +841,61 @@ def test_verbatim_ships_incremental_commits_and_detects_vector_drift(
     txn.commit(op="rogue-write")
     div = catalog_divergence(spark, src, dst)
     assert DELETES in div and "delete-vector mismatch" in div[DELETES]
+
+
+def test_verbatim_backup_promotes_to_primary(spark, sf_dir, tmp_path):
+    """The DR drill (r13): after the primary dies, the verbatim backup
+    IS the primary — its ledger carries the shipped op labels, so a
+    replayed upstream batch no-ops (exactly-once survives promotion),
+    fresh batches land normally, its shipped MOR vector folds locally,
+    and the promoted timeline ends member-identical to a primary that
+    never failed."""
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+        DELETES,
+        apply_deletes,
+        retract_docs_mor,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+
+    def batch(cat, i):
+        return corpus_batch_txn(
+            spark, docs.filter(F.pmod("doc_id", F.lit(3)) == i), cat, i
+        )
+
+    # primary takes batches 0,1 and a MOR retraction, then "dies"
+    src = TableCatalog(str(tmp_path / "primary"))
+    assert batch(src, 0) and batch(src, 1)
+    victims = sorted(
+        r["doc_id"]
+        for r in member(spark, src, CORPUS).select("doc_id").limit(3).collect()
+    )
+    assert retract_docs_mor(spark, src, victims, op="erase-v")
+    bak = TableCatalog(str(tmp_path / "backup"))
+    replicate_catalog(spark, src, bak, verbatim=True)
+
+    # the control: a primary that never failed, same history continued
+    ctl = TableCatalog(str(tmp_path / "control"))
+    assert batch(ctl, 0) and batch(ctl, 1)
+    assert retract_docs_mor(spark, ctl, victims, op="erase-v")
+
+    # PROMOTION: upstream replays batch 1 (at-least-once), then sends 2
+    assert batch(bak, 1) is False  # ledger no-op — no double ingest
+    assert batch(bak, 2)
+    assert batch(ctl, 2)
+    assert retract_docs_mor(spark, bak, victims, op="erase-v") is False
+
+    # the shipped vector folds ON the promoted catalog
+    assert apply_deletes(spark, bak) > 0
+    assert apply_deletes(spark, ctl) > 0
+    assert DELETES not in bak.snapshot(spark)
+
+    state_b = _state(spark, bak)
+    state_c = _state(spark, ctl)
+    # CMS audit rows carry the retraction batch tag; compare content-
+    # bearing members (identical admission chain => identical members)
+    assert state_b.keys() == state_c.keys()
+    for name in state_c:
+        assert state_b[name] == state_c[name], name
