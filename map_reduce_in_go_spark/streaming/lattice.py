@@ -516,6 +516,79 @@ class RollupLattice:
                 )
         return df.groupBy(*dims).agg(*aggs)
 
+    def distinct_overlap(
+        self,
+        spark: SparkSession,
+        measure: str,
+        key_col: str,
+        group_a,
+        group_b,
+        version: int | None = None,
+    ) -> dict:
+        """Overlap of one HLL distinct measure between two key groups —
+        the "how many users did BOTH X and Y" dashboard question (r13,
+        declared r14 (a)), answered from stored sketches alone.
+
+        HLL sketches union exactly (register max) but do not intersect;
+        the standard estimator is inclusion-exclusion over three
+        DISTINCT-COUNT estimates: |A∩B| = |A| + |B| − |A∪B|, each term a
+        fold of the apex level's stored sketches for the matching keys
+        (one scan, three unions — raw data never read). Honesty is part
+        of the contract: the three absolute errors COMPOUND, so the
+        returned dict carries ``rel_err_bound`` = 3σ·(|A|+|B|+|A∪B|) /
+        max(|A∩B|, 1) — tight overlaps of large sets are where
+        sketch-based intersection goes bad, and a caller seeing a bound
+        near/over 1.0 should fall back to an exact distinct-pairs query.
+        ``group_a``/``group_b`` are values (or value lists) of
+        ``key_col``, which must be an apex key column; groups may
+        overlap arbitrarily. Negative inclusion-exclusion results clamp
+        to 0 (a pure noise regime the bound already flags).
+        """
+        if measure not in self.distinct_cols:
+            raise KeyError(
+                f"{measure!r} is not a maintained HLL distinct measure "
+                f"(have {sorted(self.distinct_cols)})"
+            )
+        if key_col not in self.apex_keys:
+            raise ValueError(
+                f"key_col {key_col!r} must be an apex key column "
+                f"{list(self.apex_keys)}"
+            )
+        a_vals = group_a if isinstance(group_a, (list, tuple)) else [group_a]
+        b_vals = group_b if isinstance(group_b, (list, tuple)) else [group_b]
+        apex = self.cat.read(
+            spark, _level_member(self.apex_keys), version=version
+        )
+        # one scan, three conditional register-unions (sketches for keys
+        # in A, in B, in A∪B), estimates taken at the very end
+        in_a = F.col(key_col).isin(list(a_vals))
+        in_b = F.col(key_col).isin(list(b_vals))
+        row = apex.agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg(F.when(in_a, F.col(measure)))
+            ).alias("a"),
+            F.hll_sketch_estimate(
+                F.hll_union_agg(F.when(in_b, F.col(measure)))
+            ).alias("b"),
+            F.hll_sketch_estimate(
+                F.hll_union_agg(F.when(in_a | in_b, F.col(measure)))
+            ).alias("u"),
+        ).first()
+        est_a = int(row["a"] or 0)
+        est_b = int(row["b"] or 0)
+        est_u = int(row["u"] or 0)
+        inter = max(0, est_a + est_b - est_u)
+        rsd3 = 3 * 0.016  # Datasketches HLL default lgK=12: rsd ≈ 1.6%
+        return {
+            "distinct_a": est_a,
+            "distinct_b": est_b,
+            "distinct_union": est_u,
+            "distinct_intersection": inter,
+            "rel_err_bound": round(
+                rsd3 * (est_a + est_b + est_u) / max(inter, 1), 4
+            ),
+        }
+
     def start_stream(
         self,
         stream_df: DataFrame,

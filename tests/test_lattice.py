@@ -728,3 +728,50 @@ def test_lattice_model_randomized_program(spark, tmp_path):
             lat.compact(spark)
         if live_rows:
             check()
+
+
+def test_lattice_distinct_overlap(spark, sf_dir, tmp_path):
+    """HLL overlap between two key groups (r13): inclusion-exclusion over
+    three sketch folds lands within its own self-reported compounded
+    error bound of the exact intersection; empty groups answer zero; bad
+    measure/key refuse loudly."""
+    lat, ev = _feed_mm(spark, sf_dir, tmp_path)
+    got = lat.distinct_overlap(spark, "users", "event_type", "click", "purchase")
+
+    def exact_users(pred):
+        return {
+            r["user_id"]
+            for r in ev.filter(pred).select("user_id").distinct().collect()
+        }
+
+    a = exact_users(F.col("event_type") == "click")
+    b = exact_users(F.col("event_type") == "purchase")
+    inter = len(a & b)
+    union = len(a | b)
+    # each single-set estimate is a plain HLL estimate (3-sigma each);
+    # the intersection must sit inside ITS OWN reported compound bound
+    assert abs(got["distinct_a"] - len(a)) <= max(1, 0.05 * len(a))
+    assert abs(got["distinct_b"] - len(b)) <= max(1, 0.05 * len(b))
+    assert abs(got["distinct_union"] - union) <= max(1, 0.05 * union)
+    assert (
+        abs(got["distinct_intersection"] - inter)
+        <= max(2, got["rel_err_bound"] * max(inter, 1))
+    )
+
+    # group lists work; disjoint-with-itself sanity: A vs A intersects ≈ A
+    same = lat.distinct_overlap(
+        spark, "users", "event_type", ["click"], ["click"]
+    )
+    assert same["distinct_intersection"] == same["distinct_a"]
+
+    # empty group: zero everywhere, bound degenerate but finite
+    empty = lat.distinct_overlap(
+        spark, "users", "event_type", "no-such-type", "click"
+    )
+    assert empty["distinct_a"] == 0
+    assert empty["distinct_intersection"] <= empty["distinct_b"]
+
+    with pytest.raises(KeyError, match="HLL distinct measure"):
+        lat.distinct_overlap(spark, "cnt", "event_type", "click", "view")
+    with pytest.raises(ValueError, match="apex key column"):
+        lat.distinct_overlap(spark, "users", "value", "click", "view")
