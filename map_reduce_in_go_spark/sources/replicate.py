@@ -448,11 +448,26 @@ def _stage_commit_verbatim(
         if op in dst.committed_ops():  # linearizable replay check
             return
         dst_names = set(dst.snapshot(spark, txn.base_version))
-        for name, (path, pin) in sorted(cur.items()):
-            old = None if prev is None else prev.get(name)
-            if old == (path, pin):
-                continue  # member untouched by this commit
-            txn.adopt_snapshot(name, src.table(path), pin, op=op)
+        try:
+            for name, (path, pin) in sorted(cur.items()):
+                old = None if prev is None else prev.get(name)
+                if old == (path, pin):
+                    continue  # member untouched by this commit
+                txn.adopt_snapshot(name, src.table(path), pin, op=op)
+        except FileNotFoundError as exc:
+            # r14 (r13 advice): the materializing twin surfaces a primary
+            # member-log truncation with actionable guidance; mirror it.
+            # Verbatim shipping reads each member at its PINNED version —
+            # a base-sync retry (prev=None) would re-read the same pins,
+            # so if they are gone the commit's physical state is gone.
+            raise FileNotFoundError(
+                f"verbatim replication of {op!r} cannot read the primary's "
+                f"pinned member state at {src.root} (member log truncated "
+                f"below the commit's pins — deep-history backfill is "
+                f"unavailable in verbatim mode); re-replicate after the "
+                f"primary publishes a newer commit, which ships the "
+                f"current physical state directly"
+            ) from exc
         for name in dst_names.difference(cur):
             txn.drop(name)
         try:
@@ -609,6 +624,25 @@ def replicate_catalog(
     done = dst.committed_ops()
     avail = {v for v, _ in hist}
     applied = 0
+    # r14 (r13 advice): the verbatim-vs-materializing mode is a LIFETIME
+    # property of the replica — one mode-mismatched pass onto an existing
+    # replica silently breaks the file-identity invariant the shipped
+    # delete-vector pairs rely on. Enforce it: a marker persisted in the
+    # replica's ledger dir on first ship, checked on every later call.
+    mode_name = "verbatim" if verbatim else "materializing"
+    marker = os.path.join(dst.root, dst.ledger, "replication_mode.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            recorded = json.load(f).get("mode")
+        if recorded != mode_name:
+            raise ValueError(
+                f"replica at {dst.root} was established with "
+                f"{recorded!r} replication and cannot accept a "
+                f"{mode_name!r} pass: the mode is a lifetime property of "
+                f"the replica (mixing modes re-lays-out files under the "
+                f"shipped delete vector's file-name-scoped pairs). Stand "
+                f"up a new replica to switch modes."
+            )
     for v, op in hist:
         if op in done:
             continue
@@ -644,6 +678,10 @@ def replicate_catalog(
             payload = (payload or set()) | src.ops_as_of(v)
         if payload is not None:
             dst.publish_gated_ops(op, payload)
+        if not os.path.exists(marker):  # first ship pins the mode
+            os.makedirs(os.path.dirname(marker), exist_ok=True)
+            with open(marker, "w") as f:
+                json.dump({"mode": mode_name}, f)
         stage = _stage_commit_verbatim if verbatim else _stage_commit
         stage(
             spark,

@@ -1396,6 +1396,13 @@ def start_erasure_follower(
         ]
         if not ids:
             if maintain:
+                # r14 (r13 advice): maintenance folds COMMIT rewritten
+                # members — a fenced-out zombie follower must fail the
+                # lease check before it can fold, same as before a
+                # retraction. The empty-batch path previously skipped
+                # the fence entirely.
+                if writer_token is not None:
+                    cat.check_app_id(app_id, writer_token)
                 maintain_deletes(spark, cat, **maintain)
             return
         op = f"{app_id}-batch-{bid}"

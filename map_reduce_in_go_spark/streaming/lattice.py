@@ -677,6 +677,18 @@ CUBE_FROM = "2024-01-08"
 CUBE_TO = "2024-01-21"
 
 
+def _pin_routing(got: tuple[str, ...], want: tuple[str, ...]) -> None:
+    """Serving-contract guard (r14, r13 advice): the level the router
+    chose is part of what the registered query's hash validates — a
+    silent routing change must fail loudly, including under ``python
+    -O`` (which strips bare asserts)."""
+    if got != want:
+        raise RuntimeError(
+            f"lattice routing drifted: choose_level picked {got!r}, the "
+            f"serving contract pins {want!r}"
+        )
+
+
 def _events_cube(spark: SparkSession, sf_dir: str) -> RollupLattice:
     """The served events lattice for ``sf_dir`` — built once per corpus
     behind the shared served-artifact latch (three ``event_id % 3``
@@ -742,7 +754,7 @@ def events_cube_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     lat = _events_cube(spark, sf_dir)
     keys = lat.choose_level(("event_type",), ("day",))
-    assert keys == ("day", "event_type"), keys  # routing is part of the pin
+    _pin_routing(keys, ("day", "event_type"))
     ans = lat.answer(
         spark,
         ("event_type",),
@@ -777,7 +789,7 @@ def events_cube_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     lat = _events_cube(spark, sf_dir)
     keys = lat.choose_level(("event_type",), ("day",))
-    assert keys == ("day", "event_type"), keys  # routing is part of the pin
+    _pin_routing(keys, ("day", "event_type"))
     ans = lat.answer(
         spark,
         ("event_type",),
@@ -882,7 +894,7 @@ def events_cube_erased(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch-verdict recipe (exact n_users + pinned-TRUE 3σ verdict).
     """
     lat = _events_cube_erased(spark, sf_dir)
-    assert lat.choose_level(("day",)) == ("day",)  # routing pinned
+    _pin_routing(lat.choose_level(("day",)), ("day",))
     ans = lat.answer(
         spark,
         ("day",),

@@ -982,3 +982,50 @@ def test_vector_age_crosses_truncation_horizon(spark, sf_dir, tmp_path):
     assert _vector_age_commits(spark, cat) == sys.maxsize
     assert maintain_deletes(spark, cat, max_age_commits=10_000) > 0
     assert DELETES not in cat.snapshot(spark)
+
+
+def test_fenced_follower_cannot_fold_on_empty_batch(spark, sf_dir, tmp_path):
+    """r14 (r13 advice): maintenance folds COMMIT rewritten members, so
+    the writer_token fence must cover them on EVERY path — including the
+    empty-batch path (no non-null ids), which previously ran
+    maintain_deletes before any check_app_id. A fenced-out zombie
+    follower must fail the lease check; the pending vector stays put."""
+    import json
+
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+        start_erasure_follower,
+    )
+
+    cat = _feed2(spark, sf_dir, str(tmp_path / "cat"))
+    victim = member(spark, cat, CORPUS).select("doc_id").first()["doc_id"]
+    assert retract_docs_mor(spark, cat, [int(victim)], op="e-z")
+    assert DELETES in cat.snapshot(spark)  # a fold would trip on 1 pair
+
+    stale = cat.acquire_app_id("eraser")
+    cat.release_app_id("eraser", stale)
+    cat.acquire_app_id("eraser")  # a new follower took the name
+
+    drop = tmp_path / "req"
+    drop.mkdir()
+    # a malformed request record: doc_id NULL → the batch's id list is
+    # empty, exercising exactly the previously-unfenced path
+    (drop / "r1.json").write_text(json.dumps({"doc_id": None}))
+    stream = spark.readStream.schema("doc_id long").json(str(drop))
+    q = start_erasure_follower(
+        stream,
+        cat.root,
+        str(tmp_path / "ckpt"),
+        mode="mor",
+        app_id="eraser",
+        writer_token=stale,
+        maintain={"max_pending_pairs": 1},
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="leased by another"):
+        q.awaitTermination(120)
+    # the zombie committed nothing: the vector is still pending
+    assert DELETES in cat.snapshot(spark)
+    assert not any(
+        op.startswith("apply-deletes") for op in cat.committed_ops()
+    )

@@ -899,3 +899,50 @@ def test_verbatim_backup_promotes_to_primary(spark, sf_dir, tmp_path):
     assert state_b.keys() == state_c.keys()
     for name in state_c:
         assert state_b[name] == state_c[name], name
+
+
+def test_replication_mode_is_a_lifetime_property(spark, sf_dir, tmp_path):
+    """r14 (r13 advice): verbatim-vs-materializing is a LIFETIME property
+    of the replica — one mode-mismatched pass onto an existing replica
+    would re-lay-out files under the shipped delete vector's
+    file-name-scoped pairs. The marker persisted on first ship makes the
+    mismatch a loud refusal (both directions), while same-mode passes
+    keep flowing."""
+    src = TableCatalog(str(tmp_path / "primary"))
+    _feed(spark, sf_dir, src, batches=(0,))
+
+    backup = TableCatalog(str(tmp_path / "backup"))
+    assert replicate_catalog(spark, src, backup, verbatim=True) > 0
+    _feed(spark, sf_dir, src, batches=(1,))
+    with pytest.raises(ValueError, match="lifetime property"):
+        replicate_catalog(spark, src, backup)  # materializing onto verbatim
+    # nothing shipped by the refused pass; the same-mode pass resumes
+    assert replicate_catalog(spark, src, backup, verbatim=True) == 1
+
+    serving = TableCatalog(str(tmp_path / "serving"))
+    assert replicate_catalog(spark, src, serving) > 0
+    with pytest.raises(ValueError, match="lifetime property"):
+        replicate_catalog(spark, src, serving, verbatim=True)
+    assert replicate_catalog(spark, src, serving) == 0  # already current
+
+
+def test_verbatim_truncated_pins_surface_actionable_error(
+    spark, sf_dir, tmp_path
+):
+    """r14 (r13 advice): a primary member-log truncation below a pending
+    commit's pins must surface as the actionable 'pins truncated' message
+    on the verbatim path (its materializing twin already had one), not a
+    raw FileNotFoundError from the manifest read."""
+    src = TableCatalog(str(tmp_path / "primary"))
+    _feed(spark, sf_dir, src, batches=(0,))
+    dst = TableCatalog(str(tmp_path / "backup"))
+    assert replicate_catalog(spark, src, dst, verbatim=True) == 1
+
+    # two more primary commits, then member-log maintenance: batch 1's
+    # pinned member versions are now below the truncation horizon
+    _feed(spark, sf_dir, src, batches=(1, 2))
+    src.checkpoint_members(spark)
+    assert len(src.table(CORPUS)._versions()) == 1
+
+    with pytest.raises(FileNotFoundError, match="pins"):
+        replicate_catalog(spark, src, dst, verbatim=True)
