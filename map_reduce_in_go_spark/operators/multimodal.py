@@ -334,6 +334,127 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Perceptual-hash dedup shape: 64-bit dHash (8×8 horizontal-gradient bits
+# from a 9×8 nearest-neighbor downsample), banded 4×16 for LSH blocking —
+# the same band geometry as dedup_simhash. Threshold 8 matches
+# SIMHASH_HAMMING_MAX; pairs within ≤3 bits are GUARANTEED caught
+# (pigeonhole: 4 bands, ≤3 differing bits → one band untouched).
+PHASH_BANDS = 4
+PHASH_BAND_BITS = 16
+PHASH_HAMMING_MAX = 8
+
+
+def image_dhashes(payloads: DataFrame) -> DataFrame:
+    """64-bit dHash per image over REAL decoded PPM rasters.
+
+    The standard perceptual difference hash (dHash): grayscale the
+    raster ((r+g+b)//3 — integer, so the oracle replays it exactly),
+    nearest-neighbor downsample to a 9-wide × 8-tall grid
+    (``x_j = j·w//9``, ``y_i = i·h//8``), emit bit (i,j) = 1 iff the
+    right neighbor is strictly brighter. Everything is integer
+    arithmetic over genuinely parsed pixels (:func:`decode_ppm` raises
+    on malformed input), which is what makes the hash replayable in SQL.
+    One Arrow pass, numpy only — at 100 TB this is the embarrassingly
+    parallel scan production image-dedup runs (with PIL decoding JPEGs
+    in place of the PPM parser; the batch shape is identical).
+    """
+    import numpy as np
+
+    def _dh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys8 = np.arange(8)
+        xs9 = np.arange(9)
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                meta = decode_ppm(payload)
+                w, h = meta["width"], meta["height"]
+                px = np.frombuffer(
+                    payload[len(payload) - w * h * 3 :], dtype=np.uint8
+                ).astype(np.int64).reshape(h, w, 3)
+                gray = px.sum(axis=2) // 3
+                g = gray[np.ix_((ys8 * h) // 8, (xs9 * w) // 9)]
+                bits = (g[:, 1:] > g[:, :-1]).ravel()
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "dhash": "".join("1" if b else "0" for b in bits),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "dhash"])
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        _dh, schema="doc_id long, dhash string"
+    )
+
+
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs: dHash over the synthesized PPM
+    rasters, 16-bit band collision blocking, Hamming-verified (r14,
+    r13 verdict #1) — the image twin of ``dedup_simhash``
+    (operators/dedup.py) and the first dedup over the multimodal column.
+
+    Plan: encode → decode+hash in ONE chained mapInPandas stage (no
+    shuffle until the hashes exist — one 10-byte-ish row per image),
+    then the simhash banding: explode 4 bands × 16 bits, self-equijoin
+    on (chunk, band) — never all-pairs — and verify candidates by exact
+    Hamming distance ≤ {PHASH_HAMMING_MAX} as a codegen'd expression.
+    At 100 TB the hash scan is embarrassingly parallel and the shuffle
+    carries only (band, hash) tuples; bucket sizes are bounded by the
+    16-bit band space. The DuckDB oracle replays the ENTIRE pipeline —
+    grayscale, downsample grid, gradient bits, banding, Hamming — from
+    the synthesis arithmetic (ASCII corpus: char codes == raster
+    bytes), so a single flipped bit anywhere lands in the hash gate.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    dh = image_dhashes(with_ppm_payload(docs))
+    bands = dh.select(
+        "doc_id",
+        "dhash",
+        F.explode(F.sequence(F.lit(0), F.lit(PHASH_BANDS - 1))).alias("chunk"),
+    ).select(
+        "doc_id",
+        "dhash",
+        "chunk",
+        F.expr(
+            f"substr(dhash, chunk * {PHASH_BAND_BITS} + 1, {PHASH_BAND_BITS})"
+        ).alias("band"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.dhash").alias("dh_a"),
+            F.col("b.dhash").alias("dh_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.expr(
+                "size(filter(sequence(1, 64), "
+                "i -> substr(dh_a, i, 1) != substr(dh_b, i, 1)))"
+            ),
+        )
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .select(
+            "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+        )
+    )
+
+
 def extract_features(docs_with_ppm: DataFrame) -> DataFrame:
     """Feature extraction over REAL decoded rasters: per-channel means,
     image shape, and raster moments — the fixed-dim vector an embedding
@@ -419,6 +540,64 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    # Replays the ENTIRE perceptual-hash pipeline from the PPM synthesis
+    # arithmetic (ASCII corpus: char codes == raster bytes, raster[k] =
+    # codes[k % len + 1] by the cyclic tiling): integer grayscale,
+    # 9×8 nearest-neighbor grid, gradient bits, 4×16 banding, Hamming.
+    "dedup_image_phash": f"""
+    WITH base AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS len,
+             octet_length(encode(text)) % {W_MOD} + {W_MIN} AS w,
+             octet_length(encode(text)) % {H_MOD} + {H_MIN} AS h,
+             list_transform(range(1, length(text) + 1),
+                            i -> ascii(substr(text, i, 1))) AS codes
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ), cells AS (
+      SELECT doc_id, len, w, h, codes, t.b AS b,
+             (t.b // 8) AS gi, (t.b % 8) AS gj
+      FROM base, (SELECT unnest(range(0, 64)) AS b) t
+    ), pos AS (
+      SELECT doc_id, b, len, w, codes,
+             ((gi * h) // 8) AS y,
+             ((gj * w) // 9) AS x1,
+             (((gj + 1) * w) // 9) AS x2
+      FROM cells
+    ), gv AS (
+      SELECT doc_id, b,
+        (codes[CAST((3 * (y * w + x1)) % len AS BIGINT) + 1]
+         + codes[CAST((3 * (y * w + x1) + 1) % len AS BIGINT) + 1]
+         + codes[CAST((3 * (y * w + x1) + 2) % len AS BIGINT) + 1]) // 3 AS g1,
+        (codes[CAST((3 * (y * w + x2)) % len AS BIGINT) + 1]
+         + codes[CAST((3 * (y * w + x2) + 1) % len AS BIGINT) + 1]
+         + codes[CAST((3 * (y * w + x2) + 2) % len AS BIGINT) + 1]) // 3 AS g2
+      FROM pos
+    ), hashes AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN g2 > g1 THEN '1' ELSE '0' END, ''
+                        ORDER BY b) AS dh
+      FROM gv GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, dh, t.c AS c,
+             substr(dh, CAST(t.c * {PHASH_BAND_BITS} + 1 AS INTEGER),
+                    {PHASH_BAND_BITS}) AS band
+      FROM hashes, (SELECT unnest(range(0, {PHASH_BANDS})) AS c) t
+    ), cpairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.dh AS dh_a, b.dh AS dh_b
+      FROM bands a JOIN bands b
+        ON a.c = b.c AND a.band = b.band AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_filter(range(1, 65),
+                i -> substr(dh_a, CAST(i AS INTEGER), 1)
+                  <> substr(dh_b, CAST(i AS INTEGER), 1))) AS BIGINT)
+             AS hamming
+    FROM cpairs
+    WHERE len(list_filter(range(1, 65),
+          i -> substr(dh_a, CAST(i AS INTEGER), 1)
+            <> substr(dh_b, CAST(i AS INTEGER), 1))) <= {PHASH_HAMMING_MAX}
+    """,
     "multimodal_frames": """
     WITH b AS (
       SELECT doc_id, text, length(text) AS n FROM documents

@@ -275,7 +275,12 @@ def _build() -> None:
 
     from .operators import multimodal as _mm
 
-    _register(_mm, ["multimodal_meta", "multimodal_frames", "multimodal_audio"])
+    _register(_mm, [
+        "multimodal_meta",
+        "multimodal_frames",
+        "multimodal_audio",
+        "dedup_image_phash",  # r14: perceptual image near-dup dedup
+    ])
 
     from .operators import pipeline as _pl
 
