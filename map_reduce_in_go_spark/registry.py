@@ -347,6 +347,7 @@ def _build() -> None:
         "events_cube_nav",
         "events_cube_minmax",  # r13: non-additive lattice measures
         "events_cube_erased",  # r13: retract_keys rebuild under the hash
+        "events_cube_overlap",  # r14: HLL overlap under the sketch verdict
     ])
 
 

@@ -775,3 +775,22 @@ def test_lattice_distinct_overlap(spark, sf_dir, tmp_path):
         lat.distinct_overlap(spark, "cnt", "event_type", "click", "view")
     with pytest.raises(ValueError, match="apex key column"):
         lat.distinct_overlap(spark, "users", "value", "click", "view")
+
+
+def test_events_cube_overlap_registered_shape(spark, sf_dir):
+    """The registered overlap query (r14): three day-pair rows, exact
+    counts internally consistent (inclusion-exclusion), and every
+    sketch-served intersection inside its self-reported bound (the
+    pinned-TRUE verdict the driver hashes)."""
+    from map_reduce_in_go_spark.streaming.lattice import (
+        OVERLAP_DAY_PAIRS, events_cube_overlap,
+    )
+
+    rows = events_cube_overlap(spark, sf_dir).collect()
+    assert len(rows) == len(OVERLAP_DAY_PAIRS)
+    got_pairs = {(r["day_a"], r["day_b"]) for r in rows}
+    assert got_pairs == set(OVERLAP_DAY_PAIRS)
+    for r in rows:
+        assert r["n_inter"] == r["n_a"] + r["n_b"] - r["n_union"]
+        assert 0 <= r["n_inter"] <= min(r["n_a"], r["n_b"])
+        assert r["overlap_ok"] is True, r
