@@ -2015,3 +2015,70 @@ ORACLES["dedup_containment_exact"] = f"""
      AND len(a.text) >= {CONTAIN_MIN_CHARS}
      AND contains(b.text, a.text)
     """
+
+
+def _anchor_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process per resolved sf_dir) the served anchor-gram
+    index (sources/substring_index.py) — the `_gram_index_path` latch
+    discipline for the exact-substring structure."""
+    from ..sources.substring_index import build_substring_index
+
+    return served_artifact(
+        "anchor_grams",
+        sf_dir,
+        lambda path: build_substring_index(spark, sf_dir, path),
+    )
+
+
+def dedup_containment_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`dedup_containment_exact` served from the persisted
+    anchor-gram index (r14, r13 verdict #3 — the worst honest 10× tail).
+
+    Same pairs, same oracle — but the gram side comes from the SERVED
+    ``(h, doc_id, pos)`` index (sources/substring_index.py: one corpus
+    scan at build, hash-clustered layout) instead of re-exploding every
+    ``ANCHOR_W``-char gram of every document per run. The in-flight twin
+    pays O(corpus chars) explode + hash per query; steady state here is
+    a scan of pre-computed three-long rows. Anchors are the index's
+    32-char grams (each eligible doc's first ``ANCHOR_W`` chars); the
+    filter keeps ``CONTAIN_MIN_CHARS``-eligible docs only, and every
+    true occurrence of doc_a inside doc_b shares doc_a's anchor hash at
+    the match offset (completeness), so candidates are a superset that
+    the offset-exact ``substr`` verify — O(1) per candidate — reduces to
+    exactly the oracle's answer. The driver hash-checking this row
+    proves the served artifact answers exactly what the in-flight
+    explode answers — the ``dedup_substring_indexed`` twin discipline.
+    """
+    from ..sources.manifest_table import ManifestTable
+    from ..sources.substring_index import ANCHOR_W
+
+    A = CONTAIN_MIN_CHARS
+    root = _anchor_index_path(spark, sf_dir)
+    grams = (
+        ManifestTable(root, stats_cols=["h"])
+        .read(spark)
+        .select(F.col("doc_id").alias("doc_b"), "pos", "h")
+    )
+    docs = load_documents_parallel(spark, sf_dir).select("doc_id", "text")
+    anchors = docs.filter(F.length("text") >= A).select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("ta"),
+        F.length("text").alias("len_a"),
+        F.xxhash64(F.substring("text", 1, ANCHOR_W)).alias("h"),
+    )
+    cand = anchors.join(grams, "h").filter(F.col("doc_a") != F.col("doc_b"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    verified = (
+        cand.join(tb, "doc_b")
+        .filter(F.expr("substr(tb, pos, len_a) = ta"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("len_a").alias("len_a"), F.min("pos").alias("first_pos"))
+    )
+    return verified.select(
+        "doc_a", "doc_b", F.col("len_a").cast("long").alias("len_a"),
+        F.col("first_pos").cast("long").alias("first_pos"),
+    )
+
+
+# same answer, same oracle — the serve twin must hash identically
+ORACLES["dedup_containment_indexed"] = ORACLES["dedup_containment_exact"]

@@ -216,6 +216,7 @@ def _build() -> None:
         "dedup_incremental_stats",
         "dedup_containment",
         "dedup_containment_exact",
+        "dedup_containment_indexed",  # r14: served from the anchor index
         "semdedup",
         "sentence_dedup",
         "dedup_substring",

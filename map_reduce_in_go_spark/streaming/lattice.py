@@ -989,12 +989,18 @@ def events_cube_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.to_date("ts").alias("d"), "user_id")
         .distinct()
     )
+    # equijoin form: each pair contributes its two day rows, so the
+    # probe is a broadcast HASH join on d (an OR-of-equalities join
+    # would compile to a nested-loop probe — avoided by construction)
+    sides = pairs.select(
+        "day_a",
+        "day_b",
+        F.explode(
+            F.array(F.to_date("day_a"), F.to_date("day_b"))
+        ).alias("d"),
+    )
     ex = (
-        ud.join(
-            F.broadcast(pairs),
-            (F.col("d") == F.to_date("day_a"))
-            | (F.col("d") == F.to_date("day_b")),
-        )
+        ud.join(F.broadcast(sides), "d")
         .groupBy("day_a", "day_b")
         .agg(
             F.countDistinct(

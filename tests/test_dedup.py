@@ -408,3 +408,37 @@ def test_containment_exact_property_vs_bruteforce(spark, tmp_path):
                 if p >= 0:
                     want[(a, b)] = (len(ta), p + 1)
         assert got == want, f"case {case}"
+
+
+def test_containment_indexed_serves_without_reexplode(spark, sf_dir):
+    """The served twin (r14): identical pairs to the in-flight form, and
+    the optimized plan proves the gram explosion is GONE — the gram side
+    is the persisted index, not a per-run posexplode of the corpus."""
+    from map_reduce_in_go_spark.operators.dedup import (
+        dedup_containment_exact,
+        dedup_containment_indexed,
+    )
+
+    def rows(df):
+        return {
+            (r["doc_a"], r["doc_b"], r["len_a"], r["first_pos"])
+            for r in df.collect()
+        }
+
+    assert rows(dedup_containment_indexed(spark, sf_dir)) == rows(
+        dedup_containment_exact(spark, sf_dir)
+    )
+    pi = (
+        dedup_containment_indexed(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    pe = (
+        dedup_containment_exact(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "posexplode" not in pi.lower()
+    assert "posexplode" in pe.lower()  # the twin still pays it in-flight
