@@ -334,6 +334,132 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUDIO_BANDS = 4  # spectral band count for the band-energy feature vector
+
+
+def audio_spectral_features(docs: DataFrame) -> DataFrame:
+    """Per-document spectral summary through the REAL WAV codec (r14,
+    r13 verdict #7 — the audio twin of #41's raster features): encode →
+    container parse → numpy rFFT in ONE fused Arrow pass, zero shuffles.
+
+    Emitted per doc: exact integer time-domain stats (``sample_sum``,
+    ``energy`` = Σx², both replayable from the synthesis arithmetic),
+    the rFFT-derived features a speech pipeline would keep —
+    ``dominant_bin`` (argmax |X_k|² over k ≥ 1, DC excluded),
+    ``dominant_hz`` (bin · rate / N) and ``band_energy``
+    (``AUDIO_BANDS`` equal bin-range sums of |X_k|², DC excluded) — and
+    two float spectral invariants for the verdict recipe:
+    ``spec_energy`` (full-spectrum Σ|X_k|², unfolded from the one-sided
+    rFFT with correct even/odd-N edge handling) and ``dc_re`` (X₀, which
+    mathematically IS Σxₙ). The FFT arithmetic itself cannot be replayed
+    honestly in SQL; what CAN be checked exactly are its conservation
+    laws — Parseval (Σ|X_k|² = N·Σxₙ²) and the DC identity — which tie
+    the float spectrum to integer sums an oracle replays.
+    """
+    import numpy as np
+
+    def _spec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not text.isascii():  # same contract as multimodal_audio
+                    raise ValueError(
+                        f"audio_spectral_features: doc {int(doc_id)} is "
+                        "non-ASCII; the oracle's codepoint replay matches "
+                        "encode_wav only for ASCII input"
+                    )
+                payload = encode_wav(text.encode("utf-8"))
+                meta = decode_wav(payload)
+                x = np.frombuffer(payload[44:], dtype="<i2").astype(np.int64)
+                n = len(x)
+                X = np.fft.rfft(x.astype(np.float64))
+                mag2 = X.real * X.real + X.imag * X.imag
+                # unfold the one-sided spectrum: bins 1..⌈N/2⌉-1 appear
+                # twice in the full DFT; the Nyquist bin (even N) once
+                if n % 2 == 0:
+                    spec = mag2[0] + 2.0 * mag2[1:-1].sum() + mag2[-1]
+                else:
+                    spec = mag2[0] + 2.0 * mag2[1:].sum()
+                ac = mag2[1:]  # DC excluded for features
+                dom = int(np.argmax(ac)) + 1 if len(ac) else 0
+                edges = np.linspace(0, len(ac), AUDIO_BANDS + 1).astype(int)
+                bands = [
+                    float(ac[edges[i] : edges[i + 1]].sum())
+                    for i in range(AUDIO_BANDS)
+                ]
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_samples": n,
+                        "sample_rate": meta["sample_rate"],
+                        "sample_sum": int(x.sum()),
+                        "energy": int((x * x).sum()),
+                        "dominant_bin": dom,
+                        "dominant_hz": dom * meta["sample_rate"] / n,
+                        "band_energy": bands,
+                        "spec_energy": float(spec),
+                        "dc_re": float(X[0].real),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sample_rate", "sample_sum",
+                    "energy", "dominant_bin", "dominant_hz", "band_energy",
+                    "spec_energy", "dc_re",
+                ],
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _spec,
+        schema=(
+            "doc_id long, n_samples long, sample_rate long, "
+            "sample_sum long, energy long, dominant_bin long, "
+            "dominant_hz double, band_energy array<double>, "
+            "spec_energy double, dc_re double"
+        ),
+    )
+
+
+def audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered audio-FFT query under the sketch-verdict recipe (r14):
+    exact integer time-domain columns the DuckDB oracle replays from the
+    synthesis arithmetic (n_samples, rate, Σxₙ, Σxₙ²) plus a pinned-TRUE
+    ``fft_ok`` verdict that the kernel's rFFT obeys its conservation
+    laws against those exact integers — Parseval (Σ|X_k|² = N·Σxₙ²
+    within float tolerance) and the DC identity (X₀ = Σxₙ). A broken
+    FFT call, a mis-unfolded one-sided spectrum, or a sample-decode bug
+    flips the verdict and lands in the driver's hash; the feature
+    values themselves (dominant bin/Hz, band energies) are pinned in
+    pytest against an independent stdlib-``wave`` + numpy reference.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+    )
+    feat = audio_spectral_features(docs)
+    parseval = (
+        F.abs(
+            F.col("spec_energy") - F.col("n_samples") * F.col("energy")
+        )
+        <= 1e-6 * F.greatest(
+            F.col("n_samples") * F.col("energy"), F.lit(1)
+        ).cast("double")
+    )
+    dc = F.abs(F.col("dc_re") - F.col("sample_sum")) <= 1e-6 * F.greatest(
+        F.abs(F.col("sample_sum")), F.lit(1)
+    ).cast("double")
+    return feat.select(
+        "doc_id",
+        "n_samples",
+        "sample_rate",
+        "sample_sum",
+        "energy",
+        (parseval & dc).alias("fft_ok"),
+    )
+
+
 # Perceptual-hash dedup shape: 64-bit dHash (8×8 horizontal-gradient bits
 # from a 9×8 nearest-neighbor downsample), banded 4×16 for LSH blocking —
 # the same band geometry as dedup_simhash. Threshold 8 matches
@@ -540,6 +666,43 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    # Replays the WAV synthesis arithmetic for the exact time-domain
+    # columns (tiled codepoints scaled to int16 — the multimodal_audio
+    # recipe plus Σx and Σx²); the FFT's conservation-law verdict is
+    # pinned TRUE (Parseval + DC hold for a correct transform).
+    "audio_spectral": f"""
+    WITH base AS (
+      SELECT doc_id, octet_length(encode(text)) AS len,
+             list_transform(range(1, length(text) + 1),
+                            i -> ascii(substr(text, i, 1))) AS codes
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0
+    ), sized AS (
+      SELECT doc_id, len, codes,
+             ([{",".join(str(r) for r in WAV_RATES)}])[len % {len(WAV_RATES)} + 1]
+               AS rate,
+             len % {S_MOD} + {S_MIN} AS n_samples
+      FROM base
+    ), samp AS (
+      SELECT doc_id, rate, n_samples,
+             n_samples // len AS cycles, n_samples % len AS rem,
+             list_transform(codes, c -> CAST(c * 256 - 16384 AS BIGINT))
+               AS vals,
+             list_transform(codes,
+                            c -> CAST(c * 256 - 16384 AS BIGINT)
+                                 * CAST(c * 256 - 16384 AS BIGINT)) AS sqs
+      FROM sized
+    )
+    SELECT doc_id,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(cycles * list_sum(vals)
+                + coalesce(list_sum(vals[1:rem]), 0) AS BIGINT) AS sample_sum,
+           CAST(cycles * list_sum(sqs)
+                + coalesce(list_sum(sqs[1:rem]), 0) AS BIGINT) AS energy,
+           TRUE AS fft_ok
+    FROM samp
+    """,
     # Replays the ENTIRE perceptual-hash pipeline from the PPM synthesis
     # arithmetic (ASCII corpus: char codes == raster bytes, raster[k] =
     # codes[k % len + 1] by the cyclic tiling): integer grayscale,

@@ -281,6 +281,7 @@ def _build() -> None:
         "multimodal_frames",
         "multimodal_audio",
         "dedup_image_phash",  # r14: perceptual image near-dup dedup
+        "audio_spectral",  # r14: FFT features under conservation verdicts
     ])
 
     from .operators import pipeline as _pl
