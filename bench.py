@@ -39,7 +39,11 @@ HEADLINE = [
     "events_sessionize",
     "dedup_exact",
     "dedup_minhash",
-    "dedup_embedding",
+    # r14 (r13 verdict #6): dedup_embedding DROPPED from the headline
+    # suite — the by-design quadratic oracle-exact twin rode at 98.5x
+    # in the 10x scale artifact and would dominate every future one,
+    # hiding real regressions. It stays registered and oracle-checked;
+    # dedup_embedding_blocked represents the family here.
     "dedup_embedding_blocked",
     "ann_bruteforce",
     "ann_lsh",
@@ -72,6 +76,13 @@ HEADLINE = [
     # r12: the lattice-served cube query (first rep pays the 3-batch
     # lattice build; steady state folds O(days × types) partial rows)
     "events_cube_nav",
+    # r14 additions: the containment serve twin (steady state skips the
+    # per-run gram explosion), the perceptual image hash, the audio FFT
+    # pass, and the sketch-served overlap
+    "dedup_containment_indexed",
+    "dedup_image_phash",
+    "audio_spectral",
+    "events_cube_overlap",
 ]
 
 

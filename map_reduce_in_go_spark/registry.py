@@ -33,7 +33,9 @@ pipeline_trending_mor, pipeline_trending_folded) — 8 that round, 42
 stale slots. The window math in the paragraph above assumes the ≤ 4
 steady state; a driver restart is the only sanctioned exception, and
 each occurrence must be logged here with its keys so the lag guarantee
-stays auditable. r13 holds the line: ≤ 4 new registrations.
+stays auditable. r13 holds the line: ≤ 4 new registrations. r14 likewise
+registers exactly 4 (dedup_image_phash, events_cube_overlap,
+dedup_containment_indexed, audio_spectral).
 """
 
 from __future__ import annotations
@@ -361,12 +363,9 @@ def _build() -> None:
 # dedup_minhash_fast's fast_ok verdict was re-scoped to the deterministic
 # exact-duplicate case — values are unchanged on the test corpus but the
 # semantics the r8 row validated are gone.)
-_CHANGED_SINCE_VERIFIED: set[str] = {
-    # r13: the served lattice artifact widened to the four measure
-    # families (events_cube_v2) — events_cube_nav's answers are
-    # value-identical but its serving plan and stored schema changed
-    "events_cube_nav",
-}
+_CHANGED_SINCE_VERIFIED: set[str] = set()
+# (r13's events_cube_nav entry cleared: a fresh hash-green r13 driver row
+# landed, validating the widened four-measure-family artifact.)
 # (r10 entries cleared: corpus_budget_select, orders_rfm, basket_pairs
 # all got fresh hash-green r10 driver rows.)
 
