@@ -514,6 +514,42 @@ def image_dhashes(payloads: DataFrame) -> DataFrame:
     )
 
 
+def phash_bands_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk, band, dhash) banded dHash table straight from a
+    (doc_id, text) frame — encode → decode+hash → band explode, one
+    chained Arrow stage, no shuffle. The image family's analogue of
+    ``bands_of_docs`` (operators/dedup.py): the frame a standing
+    perceptual-hash index persists and a probing batch derives."""
+    dh = image_dhashes(
+        with_ppm_payload(
+            docs.select("doc_id", "text").filter(
+                F.col("text").isNotNull() & (F.length("text") > 0)
+            )
+        )
+    )
+    return dh.select(
+        "doc_id",
+        "dhash",
+        F.explode(F.sequence(F.lit(0), F.lit(PHASH_BANDS - 1))).alias("chunk"),
+    ).select(
+        "doc_id",
+        "chunk",
+        F.expr(
+            f"substr(dhash, chunk * {PHASH_BAND_BITS} + 1, {PHASH_BAND_BITS})"
+        ).alias("band"),
+        "dhash",
+        # packed halves: Hamming between two hashes is then two XOR
+        # popcounts (O(1) per candidate) instead of 64 substr compares —
+        # the verify kernel is what scales with candidate volume
+        F.expr("CAST(conv(substr(dhash, 1, 32), 2, 10) AS BIGINT)").alias(
+            "dh_hi"
+        ),
+        F.expr("CAST(conv(substr(dhash, 33, 32), 2, 10) AS BIGINT)").alias(
+            "dh_lo"
+        ),
+    )
+
+
 def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dup pairs: dHash over the synthesized PPM
     rasters, 16-bit band collision blocking, Hamming-verified (r14,
@@ -537,19 +573,9 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
-    dh = image_dhashes(with_ppm_payload(docs))
-    bands = dh.select(
-        "doc_id",
-        "dhash",
-        F.explode(F.sequence(F.lit(0), F.lit(PHASH_BANDS - 1))).alias("chunk"),
-    ).select(
-        "doc_id",
-        "dhash",
-        "chunk",
-        F.expr(
-            f"substr(dhash, chunk * {PHASH_BAND_BITS} + 1, {PHASH_BAND_BITS})"
-        ).alias("band"),
-    )
+    bands = phash_bands_of(docs).select(
+        "doc_id", "chunk", "band", "dh_hi", "dh_lo"
+    )  # the 64-char string stays out of the shuffle
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
@@ -561,18 +587,87 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.dhash").alias("dh_a"),
-            F.col("b.dhash").alias("dh_b"),
+            F.col("a.dh_hi").alias("hi_a"),
+            F.col("a.dh_lo").alias("lo_a"),
+            F.col("b.dh_hi").alias("hi_b"),
+            F.col("b.dh_lo").alias("lo_b"),
         )
         .distinct()
     )
     return (
         pairs.withColumn(
             "hamming",
-            F.expr(
-                "size(filter(sequence(1, 64), "
-                "i -> substr(dh_a, i, 1) != substr(dh_b, i, 1)))"
-            ),
+            F.expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"),
+        )
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .select(
+            "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+        )
+    )
+
+
+def build_phash_index(docs: DataFrame, root: str, op: str = "phash-build") -> bool:
+    """Persist a corpus's banded dHash table as a ledgered ManifestTable
+    index — the image family's standing near-dup structure (r14).
+
+    One commit per ``op`` id, exactly-once across retries/replays (the
+    band-index / substring-index discipline): an arriving image batch
+    appends its bands under its own op and a re-delivered batch is a
+    ledger no-op. ``stats_cols=["band"]`` gives per-file [min,max] on
+    the band string, so a small probing batch can prune index files by
+    point-set (the layout tightens under ``compact(zorder_cols=["band"])``).
+    Returns False (no recompute) on a replayed op."""
+    from ..sources.manifest_table import ManifestTable
+
+    tbl = ManifestTable(root, stats_cols=["band"])
+    if op in tbl.committed_ops():
+        return False
+    tbl.append(phash_bands_of(docs), op=op)
+    return True
+
+
+def image_batch_near_dups(
+    spark: SparkSession, batch_docs: DataFrame, root: str
+) -> DataFrame:
+    """A new image batch probed against the standing phash index:
+    (doc_a = index doc, doc_b = batch doc, hamming ≤ threshold).
+
+    Cost scales with the BATCH: only the batch's hashes are computed
+    (one Arrow pass over the batch), the join is (batch bands) ⋈
+    (indexed bands) on (chunk, band), and candidates are verified by
+    exact Hamming — the ``dedup_batch_against_index`` shape pointed at
+    the image modality. At 100 TB the standing index is the persisted
+    artifact daily ingest appends to; no corpus re-hash ever happens."""
+    from ..sources.manifest_table import ManifestTable
+
+    idx = (
+        ManifestTable(root, stats_cols=["band"])
+        .read(spark)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            "chunk",
+            "band",
+            F.col("dh_hi").alias("hi_a"),
+            F.col("dh_lo").alias("lo_a"),
+        )
+    )
+    nb = phash_bands_of(batch_docs).select(
+        F.col("doc_id").alias("doc_b"),
+        "chunk",
+        "band",
+        F.col("dh_hi").alias("hi_b"),
+        F.col("dh_lo").alias("lo_b"),
+    )
+    cand = (
+        nb.join(idx, ["chunk", "band"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"),
         )
         .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
         .select(

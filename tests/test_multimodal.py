@@ -413,3 +413,60 @@ def test_audio_spectral_matches_wave_numpy_reference(spark, sf_dir):
     # and the registered query's verdict is TRUE for the whole corpus
     out = audio_spectral(spark, sf_dir)
     assert out.filter(~F.col("fft_ok")).count() == 0
+
+
+def test_phash_index_incremental_probe(spark, sf_dir, tmp_path):
+    """Standing perceptual-hash index (r14): a batch probed against the
+    ledgered index finds exactly the cross pairs the full in-flight query
+    finds; appends are exactly-once per op; a day-2 batch collides with
+    day-1 appends only through the appended files."""
+    from map_reduce_in_go_spark.operators.multimodal import (
+        build_phash_index,
+        dedup_image_phash,
+        image_batch_near_dups,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.pmod("doc_id", F.lit(3)) == 0)
+    batch1 = docs.filter(F.pmod("doc_id", F.lit(3)) == 1)
+    batch2 = docs.filter(F.pmod("doc_id", F.lit(3)) == 2)
+    root = str(tmp_path / "phash_idx")
+
+    assert build_phash_index(corpus, root) is True
+    assert build_phash_index(corpus, root) is False  # replay no-op
+
+    got1 = {
+        frozenset((r["doc_a"], r["doc_b"])): r["hamming"]
+        for r in image_batch_near_dups(spark, batch1, root).collect()
+    }
+    # ground truth: the registered full query's pairs, restricted to
+    # corpus × batch1 (the probe is pure cross — in-batch pairs are the
+    # caller's in-batch dedup step, as in dedup_incremental)
+    full = {
+        frozenset((r["doc_a"], r["doc_b"])): r["hamming"]
+        for r in dedup_image_phash(spark, sf_dir).collect()
+    }
+    c_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    b1_ids = {r["doc_id"] for r in batch1.select("doc_id").collect()}
+    want1 = {
+        p: h
+        for p, h in full.items()
+        if len(p & c_ids) == 1 and len(p & b1_ids) == 1
+    }
+    assert got1 == want1
+
+    # day-2: append batch1's bands under an op, probe batch2 — pairs
+    # against batch1 docs can only come from the appended files
+    assert build_phash_index(batch1, root, op="day-1") is True
+    assert build_phash_index(batch1, root, op="day-1") is False
+    got2 = {
+        frozenset((r["doc_a"], r["doc_b"])): r["hamming"]
+        for r in image_batch_near_dups(spark, batch2, root).collect()
+    }
+    b2_ids = {r["doc_id"] for r in batch2.select("doc_id").collect()}
+    want2 = {
+        p: h
+        for p, h in full.items()
+        if len(p & b2_ids) == 1 and len(p & (c_ids | b1_ids)) == 1
+    }
+    assert got2 == want2
