@@ -363,7 +363,12 @@ def _build() -> None:
 # dedup_minhash_fast's fast_ok verdict was re-scoped to the deterministic
 # exact-duplicate case — values are unchanged on the test corpus but the
 # semantics the r8 row validated are gone.)
-_CHANGED_SINCE_VERIFIED: set[str] = set()
+_CHANGED_SINCE_VERIFIED: set[str] = {
+    # r14: corpus_clean now serves the FUSED plan (r13 verdict #5) —
+    # values are pinned identical but the serving plan changed, so the
+    # r13 driver row validates a plan that no longer runs
+    "corpus_clean",
+}
 # (r13's events_cube_nav entry cleared: a fresh hash-green r13 driver row
 # landed, validating the widened four-measure-family artifact.)
 # (r10 entries cleared: corpus_budget_select, orders_rfm, basket_pairs

@@ -11,7 +11,11 @@ the raw table) is caught without a benchmark."""
 from __future__ import annotations
 
 from map_reduce_in_go_spark.functions.caching import release_persisted
-from map_reduce_in_go_spark.operators.pipeline import corpus_clean, corpus_clean_fused
+from map_reduce_in_go_spark.operators.pipeline import (
+    corpus_clean,
+    corpus_clean_composed,
+    corpus_clean_fused,
+)
 
 
 def _raw_doc_relations(df) -> int:
@@ -41,7 +45,7 @@ def test_fused_form_scans_documents_once(spark, sf_dir):
     # substitutes it into the standalone operators' subtrees too
     # (legitimate reuse, but it would hide the raw-read count)
     release_persisted()
-    composed_raw = _raw_doc_relations(corpus_clean(spark, sf_dir))
+    composed_raw = _raw_doc_relations(corpus_clean_composed(spark, sf_dir))
     release_persisted()
     # composed: lang, quality, and the keeper window each re-read the raw
     # table (the MinHash subtree reads it through its signature cache)
@@ -51,6 +55,9 @@ def test_fused_form_scans_documents_once(spark, sf_dir):
     assert _raw_doc_relations(fused) == 0
     # and the fusion is not at the cost of correctness: identical rows
     a = sorted(map(tuple, fused.collect()))
-    b = sorted(map(tuple, corpus_clean(spark, sf_dir).collect()))
+    b = sorted(map(tuple, corpus_clean_composed(spark, sf_dir).collect()))
+    # the registered key now serves the fused plan (r14) — pin the alias
+    c = sorted(map(tuple, corpus_clean(spark, sf_dir).collect()))
+    assert c == b
     release_persisted()
     assert a == b
