@@ -360,7 +360,9 @@ def audio_spectral_features(docs: DataFrame) -> DataFrame:
 
     def _spec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            # per-doc container work (encode + parse) stays a loop —
+            # cheap byte ops; the FFTs are the cost, so they batch below
+            metas, xs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if not text.isascii():  # same contract as multimodal_audio
                     raise ValueError(
@@ -371,36 +373,55 @@ def audio_spectral_features(docs: DataFrame) -> DataFrame:
                 payload = encode_wav(text.encode("utf-8"))
                 meta = decode_wav(payload)
                 x = np.frombuffer(payload[44:], dtype="<i2").astype(np.int64)
-                n = len(x)
-                X = np.fft.rfft(x.astype(np.float64))
+                metas.append((int(doc_id), meta["sample_rate"], len(x)))
+                xs.append(x)
+            # vectorized spectra: group docs by sample count and run ONE
+            # matrix rFFT per distinct length (n ∈ [S_MIN, S_MIN+S_MOD) —
+            # ≤ S_MOD calls per Arrow batch instead of one per doc; the
+            # 10× sweep had the per-doc FFT loop as this kernel's tail)
+            rows: list[dict] = [None] * len(xs)
+            by_n: dict[int, list[int]] = {}
+            for i, (_, _, n) in enumerate(metas):
+                by_n.setdefault(n, []).append(i)
+            for n, idxs in by_n.items():
+                M = np.stack([xs[i] for i in idxs]).astype(np.float64)
+                X = np.fft.rfft(M, axis=1)
                 mag2 = X.real * X.real + X.imag * X.imag
                 # unfold the one-sided spectrum: bins 1..⌈N/2⌉-1 appear
                 # twice in the full DFT; the Nyquist bin (even N) once
                 if n % 2 == 0:
-                    spec = mag2[0] + 2.0 * mag2[1:-1].sum() + mag2[-1]
+                    spec = (
+                        mag2[:, 0]
+                        + 2.0 * mag2[:, 1:-1].sum(axis=1)
+                        + mag2[:, -1]
+                    )
                 else:
-                    spec = mag2[0] + 2.0 * mag2[1:].sum()
-                ac = mag2[1:]  # DC excluded for features
-                dom = int(np.argmax(ac)) + 1 if len(ac) else 0
-                edges = np.linspace(0, len(ac), AUDIO_BANDS + 1).astype(int)
-                bands = [
-                    float(ac[edges[i] : edges[i + 1]].sum())
-                    for i in range(AUDIO_BANDS)
-                ]
-                rows.append(
-                    {
-                        "doc_id": int(doc_id),
+                    spec = mag2[:, 0] + 2.0 * mag2[:, 1:].sum(axis=1)
+                ac = mag2[:, 1:]  # DC excluded for features
+                dom = (
+                    np.argmax(ac, axis=1) + 1
+                    if ac.shape[1]
+                    else np.zeros(len(idxs), dtype=np.int64)
+                )
+                edges = np.linspace(0, ac.shape[1], AUDIO_BANDS + 1).astype(int)
+                for row_j, i in enumerate(idxs):
+                    doc_id, rate, _ = metas[i]
+                    x = xs[i]
+                    rows[i] = {
+                        "doc_id": doc_id,
                         "n_samples": n,
-                        "sample_rate": meta["sample_rate"],
+                        "sample_rate": rate,
                         "sample_sum": int(x.sum()),
                         "energy": int((x * x).sum()),
-                        "dominant_bin": dom,
-                        "dominant_hz": dom * meta["sample_rate"] / n,
-                        "band_energy": bands,
-                        "spec_energy": float(spec),
-                        "dc_re": float(X[0].real),
+                        "dominant_bin": int(dom[row_j]),
+                        "dominant_hz": int(dom[row_j]) * rate / n,
+                        "band_energy": [
+                            float(ac[row_j, edges[k] : edges[k + 1]].sum())
+                            for k in range(AUDIO_BANDS)
+                        ],
+                        "spec_energy": float(spec[row_j]),
+                        "dc_re": float(X[row_j, 0].real),
                     }
-                )
             yield pd.DataFrame(
                 rows,
                 columns=[
