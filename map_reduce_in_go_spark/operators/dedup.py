@@ -471,8 +471,21 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     fewer rounds. Converges to per-component stars centered at the
     component minimum, so the output (doc_id → component-min label) is
     bit-identical to label propagation and shares its oracle.
+
+    r14: the contraction loop is factored into :func:`star_components`
+    so any pair family (MinHash text pairs here, perceptual-hash image
+    pairs in operators/multimodal.py) clusters through one engine.
     """
     pairs = scoped_persist(_band_pairs(_signatures(spark, sf_dir)))
+    return star_components(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    )
+
+
+def star_components(pair_edges: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id=component min) for an undirected edge frame
+    ``(u, v)`` — the Kiveris et al. star-contraction engine behind
+    :func:`dedup_clusters_star`, reusable by any near-dup pair family."""
 
     def _sym(e: DataFrame) -> DataFrame:
         return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -505,9 +518,7 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         attach_self = m.filter(F.col("u") != F.col("m")).select("u", F.col("m").alias("v"))
         return attach_nbrs.union(attach_self).distinct()
 
-    edges = pairs.select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    ).localCheckpoint(eager=True)
+    edges = pair_edges.select("u", "v").localCheckpoint(eager=True)
     for _ in range(CLUSTER_MAX_ITERS):
         new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         # both sides are duplicate-free by construction, so equal counts +
@@ -521,7 +532,7 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     else:
         raise RuntimeError(
-            f"dedup_clusters_star did not converge in {CLUSTER_MAX_ITERS} rounds"
+            f"star_components did not converge in {CLUSTER_MAX_ITERS} rounds"
         )
     # stars point member→center; centers label themselves
     members = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))

@@ -627,6 +627,27 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup CLUSTERS: connected components over the
+    :func:`dedup_image_phash` pair graph via the shared star-contraction
+    engine (``star_components``, operators/dedup.py — Kiveris et al.
+    SoCC'14), labels = component-minimum doc_id.
+
+    The keep-one-per-cluster step image dedup actually ships: pairs say
+    "these two look alike", clusters say "keep the min id of each look".
+    O(log² n) contraction rounds, each one groupBy + one join — the
+    shape that survives stringy components at 100 TB. r15 registration
+    candidate (recursive-CTE oracle over the replayable phash pairs);
+    pytest-pinned against a driver-side union-find this round.
+    """
+    from .dedup import star_components
+
+    pairs = dedup_image_phash(spark, sf_dir)
+    return star_components(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    )
+
+
 def build_phash_index(docs: DataFrame, root: str, op: str = "phash-build") -> bool:
     """Persist a corpus's banded dHash table as a ledgered ManifestTable
     index — the image family's standing near-dup structure (r14).

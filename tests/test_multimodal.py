@@ -470,3 +470,37 @@ def test_phash_index_incremental_probe(spark, sf_dir, tmp_path):
         if len(p & b2_ids) == 1 and len(p & (c_ids | b1_ids)) == 1
     }
     assert got2 == want2
+
+
+def test_image_clusters_match_union_find(spark, sf_dir):
+    """Star-contraction clusters over the phash pair graph equal a
+    driver-side union-find on the same pairs (labels = component min);
+    docs with no near-dup pair carry no row."""
+    from map_reduce_in_go_spark.operators.multimodal import (
+        dedup_image_clusters,
+        dedup_image_phash,
+    )
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_image_phash(spark, sf_dir).collect()
+    ]
+    assert pairs  # the fixture corpus has near-dup images
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_image_clusters(spark, sf_dir).collect()
+    }
+    assert got == want
