@@ -668,6 +668,21 @@ def build_phash_index(docs: DataFrame, root: str, op: str = "phash-build") -> bo
     return True
 
 
+def optimize_phash_index(
+    spark: SparkSession, root: str, num_files: int = 16
+) -> int:
+    """Re-cluster the phash index on the band string (OPTIMIZE-ZORDER):
+    one atomic CAS rewrite restores tight per-file [min,max] band ranges
+    after a run of incremental appends — same maintenance verb as the
+    anchor-gram and gram-frequency indexes (sources/substring_index.py).
+    Returns the new table version."""
+    from ..sources.manifest_table import ManifestTable
+
+    return ManifestTable(root, stats_cols=["band"]).compact(
+        spark, num_files=num_files, zorder_cols=["band"]
+    )
+
+
 def image_batch_near_dups(
     spark: SparkSession, batch_docs: DataFrame, root: str
 ) -> DataFrame:

@@ -471,6 +471,22 @@ def test_phash_index_incremental_probe(spark, sf_dir, tmp_path):
     }
     assert got2 == want2
 
+    # maintenance: the OPTIMIZE-ZORDER rewrite changes no probe answer
+    # and flattens the file count after the append run
+    from map_reduce_in_go_spark.operators.multimodal import (
+        optimize_phash_index,
+    )
+    from map_reduce_in_go_spark.sources.manifest_table import ManifestTable
+
+    optimize_phash_index(spark, root, num_files=4)
+    after = len(ManifestTable(root, stats_cols=["band"]).files())
+    assert after <= 4  # re-clustered into the requested file budget
+    got2b = {
+        frozenset((r["doc_a"], r["doc_b"])): r["hamming"]
+        for r in image_batch_near_dups(spark, batch2, root).collect()
+    }
+    assert got2b == got2
+
 
 def test_image_clusters_match_union_find(spark, sf_dir):
     """Star-contraction clusters over the phash pair graph equal a
