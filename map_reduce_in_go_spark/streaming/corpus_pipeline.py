@@ -67,6 +67,12 @@ TOKENS = "token_counts"
 QUANTS = "len_quantiles"
 REJECTS = "rejected_grams"
 QUAR = "quarantine"
+# banded perceptual-hash member (r14): (doc_id, chunk, band, dh_hi, dh_lo)
+# dHash bands of every ACCEPTED document's synthesized image, written only
+# when the image admission gate is armed (image_hamming=) — the image twin
+# of BANDS. Row-level and doc-keyed, so it rides the MOR delete vector and
+# the COW retraction exactly like BANDS.
+PHASH = "phash_bands"
 # batch-input WAL, written ONLY on branch timelines (r12): (op, doc_id)
 # rows recording each branch batch's INPUT id set in the same CAS as the
 # batch itself, so rebase_merge_branch can replay the experiment's batches
@@ -94,10 +100,12 @@ WAL = "batch_wal"
 # moment its output is rewritten into new files. (Transaction stays
 # pipeline-agnostic by design, so the rule lives here, not in catalog.py.)
 DELETES = "doc_deletes"  # schema: member string, file string, doc_id long
-# the two members the vector defers; every other member's retraction
+# the row-level members the vector defers; every other member's retraction
 # algebra is already O(delta) (negative additive rows / summary rebuild /
-# tiny audit COW), so deferral would buy nothing and cost read complexity
-_MOR_MEMBERS = (CORPUS, BANDS)
+# tiny audit COW), so deferral would buy nothing and cost read complexity.
+# PHASH joins the list (r14): absent on image-gate-less catalogs — every
+# _MOR_MEMBERS iteration must tolerate a missing member.
+_MOR_MEMBERS = (CORPUS, BANDS, PHASH)
 
 
 def _file_basename_col():
@@ -203,6 +211,7 @@ def corpus_batch_txn(
     writer_token: str | None = None,
     semantic_threshold: float | None = None,
     expectations: list[tuple[str, str]] | None = None,
+    image_hamming: int | None = None,
 ) -> bool:
     """Process one (doc_id, text, lang) micro-batch; False on replay.
 
@@ -229,6 +238,19 @@ def corpus_batch_txn(
     Semantic rejects land in the rejection report like band rejects, so
     the erasure story is unchanged; retraction frees the blocker — a
     later near-dup of a RETRACTED doc is admitted (pinned).
+
+    ``image_hamming`` arms the OPTIONAL image admission gate (r14 — the
+    #semdedup-at-ingest discipline for the multimodal column): each doc
+    surviving the text screens has its synthesized image dHashed
+    (operators/multimodal.py `phash_bands_of` — banded 4×16), and is
+    REJECTED when a band collision with an already-committed image (live
+    view: MOR-retracted blockers do not block) or an earlier in-batch
+    survivor verifies at Hamming ≤ the threshold. The accepted docs'
+    phash bands land in the :data:`PHASH` member inside the SAME CAS, so
+    the standing image index a later batch probes is exactly as
+    transactional as BANDS; retraction covers it in both modes (COW
+    anti-join / MOR vector pairs). Docs with no image (NULL/empty text)
+    pass un-checked, mirroring ``emb_batch``'s absent-embedding rule.
 
     ``writer_token`` (from :meth:`~..sources.catalog.TableCatalog.
     acquire_app_id`) verifies this process still holds ``app_id``'s
@@ -332,6 +354,65 @@ def corpus_batch_txn(
                     catalog_version=txn.base_version,
                 )
                 band_surv = band_surv.join(sem_drops, "doc_id", "left_anti")
+            batch_ph = None
+            if image_hamming is not None:
+                from ..operators.multimodal import phash_bands_of
+
+                batch_ph = scoped_persist(
+                    phash_bands_of(src_df).join(
+                        band_surv, "doc_id", "left_semi"
+                    )
+                )
+                try:
+                    old_ph = _txn_live_read(txn, PHASH)
+                except KeyError:  # first armed batch: no standing index yet
+                    old_ph = spark.createDataFrame(
+                        [],
+                        "doc_id long, chunk int, band string, "
+                        "dh_hi long, dh_lo long",
+                    )
+                ham = F.expr(
+                    "bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"
+                )
+                drop_old_img = (
+                    batch_ph.select(
+                        "doc_id", "chunk", "band",
+                        F.col("dh_hi").alias("hi_b"),
+                        F.col("dh_lo").alias("lo_b"),
+                    )
+                    .join(
+                        old_ph.select(
+                            "chunk", "band",
+                            F.col("dh_hi").alias("hi_a"),
+                            F.col("dh_lo").alias("lo_a"),
+                        ),
+                        ["chunk", "band"],
+                    )
+                    .filter(ham <= image_hamming)
+                    .select("doc_id")
+                )
+                pa, pb = batch_ph.alias("a"), batch_ph.alias("b")
+                drop_new_img = (
+                    pa.join(
+                        pb,
+                        (F.col("a.chunk") == F.col("b.chunk"))
+                        & (F.col("a.band") == F.col("b.band"))
+                        & (F.col("a.doc_id") < F.col("b.doc_id")),
+                    )
+                    .filter(
+                        F.expr(
+                            "bit_count(a.dh_hi ^ b.dh_hi) "
+                            "+ bit_count(a.dh_lo ^ b.dh_lo)"
+                        )
+                        <= image_hamming
+                    )
+                    .select(F.col("b.doc_id").alias("doc_id"))
+                )
+                band_surv = band_surv.join(
+                    drop_old_img.union(drop_new_img).distinct(),
+                    "doc_id",
+                    "left_anti",
+                )
             survivors = band_surv.localCheckpoint(eager=True)
             kept = src_df.join(survivors, "doc_id", "left_semi").localCheckpoint(
                 eager=True
@@ -429,9 +510,19 @@ def corpus_batch_txn(
                     stats_cols=["op", "doc_id"],
                 )
 
+            def _phash():
+                txn.append(
+                    PHASH,
+                    batch_ph.join(survivors, "doc_id", "left_semi"),
+                    op=op,
+                    stats_cols=["band", "doc_id"],
+                )
+
             members = [
                 _corpus, _bands, _grams, _tokens, _cms, _quants, _rejects,
             ]
+            if batch_ph is not None:
+                members.append(_phash)
             if quar_rows is not None:
                 members.append(_quar)
             if cat.ledger != "_catalog":
@@ -929,9 +1020,12 @@ def retract_docs(
                         .distinct()
                     )
 
+                vec = _vector_rows(CORPUS).unionByName(_vector_rows(BANDS))
+                if PHASH in names:
+                    vec = vec.unionByName(_vector_rows(PHASH))
                 txn.append(
                     DELETES,
-                    _vector_rows(CORPUS).unionByName(_vector_rows(BANDS)),
+                    vec,
                     op=op,
                     stats_cols=["doc_id"],
                 )
@@ -964,6 +1058,16 @@ def retract_docs(
                     stats_cols=["band_hash", "doc_id"],
                     extra_probe=("band_hash", gone_hashes),
                 )
+                if PHASH in names:
+                    _remove_ids_cow(
+                        spark,
+                        txn,
+                        PHASH,
+                        ids,
+                        id_vals,
+                        op,
+                        stats_cols=["band", "doc_id"],
+                    )
             # read-your-writes: the staged post-removal corpus (live —
             # other docs' pending MOR deletes must stay invisible too)
             remaining = _txn_live_read(txn, CORPUS, merge_schema=True)
@@ -1166,7 +1270,10 @@ def apply_deletes(
             return 0
         n_rewritten = 0
         for name in _MOR_MEMBERS:
-            live = {os.path.basename(p): p for p in txn.files(name)}
+            try:
+                live = {os.path.basename(p): p for p in txn.files(name)}
+            except KeyError:
+                continue  # member absent (e.g. image gate never armed)
             fl = sorted(
                 {f for m, f in touched if m == name and f in live}
             )
@@ -1235,7 +1342,10 @@ def deletes_status(spark: SparkSession, cat: TableCatalog) -> dict:
     }
     out: dict = {}
     for name in _MOR_MEMBERS:
-        live = {os.path.basename(p) for p in txn.files(name)}
+        try:
+            live = {os.path.basename(p) for p in txn.files(name)}
+        except KeyError:
+            continue  # member absent (e.g. image gate never armed)
         mine = {f: n for (m, f), n in counts.items() if m == name}
         fold_files = [f for f in mine if f in live]
         out[name] = {
@@ -1636,6 +1746,21 @@ def update_docs(
                 op=op,
                 stats_cols=["band_hash", "doc_id"],
             )
+            if PHASH in names:
+                # image-gated catalogs: the correction replaces the docs'
+                # phash bands too, or a later image probe would judge
+                # against the superseded version's image
+                from ..operators.multimodal import phash_bands_of
+
+                _rm(PHASH, ["band", "doc_id"])
+                txn.append(
+                    PHASH,
+                    phash_bands_of(kept).join(
+                        survivors, "doc_id", "left_semi"
+                    ),
+                    op=op,
+                    stats_cols=["band", "doc_id"],
+                )
             # additive members: negative (old) and positive (new) rows in
             # one append each — the fold is the state, rows are the delta
             neg_g = _token_gram_counts(gone).select(
@@ -1876,6 +2001,18 @@ def compact_pipeline(
                 TOKENS,
                 zorder_layout(toks, ["word"], num_files),
                 stats_cols=["word"],
+            )
+        if PHASH in names:
+            # image-gate member: live read folds any pending MOR deletes,
+            # band clustering restores probe pruning (same story as BANDS)
+            txn.overwrite(
+                PHASH,
+                zorder_layout(
+                    _txn_live_read(txn, PHASH, merge_schema=True),
+                    ["band"],
+                    num_files,
+                ),
+                stats_cols=["band", "doc_id"],
             )
         if REJECTS in names:
             txn.overwrite(

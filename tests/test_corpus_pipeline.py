@@ -1753,3 +1753,140 @@ def test_batch_races_update_docs(spark, sf_dir, tmp_path):
     # never both): corpus doc_ids are unique
     ids = [r["doc_id"] for r in corpus.select("doc_id").collect()]
     assert len(ids) == len(set(ids))
+
+
+# Crafted pair for the image admission gate (r14): X's bytes differ from
+# A's ONLY at raster positions the dHash 9x8 grid never samples, so their
+# synthesized images hash IDENTICALLY (Hamming 0) — while enough words
+# changed that no MinHash band collides (verified as a runtime
+# precondition below, so a recipe change fails loudly here, not
+# mysteriously downstream).
+_IMG_A = (
+    "kappa ember meadow umber bravo creek river delta lumen stone bravo "
+    "quartz grove bravo creek north north creek haven creek river north "
+    "bravo stone delta haven umber umber stone bravo stone stone meadow "
+    "bravo haven bravo river ember juno north ember river delta stone "
+    "juno river vapor frost delta stone stone umber grove lumen delta "
+    "river wharf creek stone bravo"
+)
+_IMG_X = (
+    "kappa pther dehdow mpber bravo creek river delta lumen stone bravo "
+    "quartz grove bravo creek north nzath cauck hztkn cwxpg grver ahltd "
+    "bopai ulmqe delto aaveq umbew gmber stone bravo stone stone meadow "
+    "bravo haven bravo dlfer xyser jpjo nhili zxghr ytddc llxya paopp "
+    "iutc tpclr tajmr zxgkl delta qtone ltone qpber grley ludkn deluc "
+    "rihwg wiurz fqazb qtgtz wdevr"
+)
+
+
+def test_image_admission_gate(spark, tmp_path):
+    """r14: the image phash admission gate end-to-end — a doc whose
+    synthesized image is a near-dup of a committed doc's is rejected even
+    though its TEXT passes the MinHash screen; accepted docs' phash bands
+    land in the PHASH member in the same CAS; replays no-op; a MOR
+    retraction of the blocker admits a later image near-dup; compaction
+    folds the member and the vector."""
+    from map_reduce_in_go_spark.operators.dedup import bands_of_docs
+    from map_reduce_in_go_spark.operators.multimodal import image_dhashes, with_ppm_payload
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+        PHASH,
+        compact_pipeline,
+        retract_docs,
+    )
+
+    K = 8
+    other = (
+        "orbital chestnut lantern silver prairie morning cobalt anchor "
+        "timber fjord harbor velvet cinder maple "
+    ) * 4
+    rows = [(1, _IMG_A, "en"), (2, other.strip(), "en")]
+    mk = lambda rws: spark.createDataFrame(rws, "doc_id long, text string, lang string")
+
+    # preconditions, checked against the PRODUCTION kernels: identical
+    # dHash (the gate must fire) but zero MinHash band collisions (the
+    # text screen must NOT fire)
+    pre = mk([(1, _IMG_A, "en"), (3, _IMG_X, "en")])
+    hs = {r["doc_id"]: r["dhash"] for r in image_dhashes(with_ppm_payload(pre)).collect()}
+    assert hs[1] == hs[3]
+    b = bands_of_docs(pre)
+    a, c = b.alias("a"), b.alias("c")
+    n_coll = (
+        a.join(
+            c,
+            (F.col("a.band_idx") == F.col("c.band_idx"))
+            & (F.col("a.band_hash") == F.col("c.band_hash"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        ).count()
+    )
+    assert n_coll == 0
+
+    cat = TableCatalog(str(tmp_path / "img_cat"))
+    assert corpus_batch_txn(spark, mk(rows), cat, 0, image_hamming=K)
+    assert PHASH in cat.snapshot(spark)
+    assert {r["doc_id"] for r in member(spark, cat, PHASH).collect()} == {1, 2}
+
+    # batch 1: X image-dups doc 1 (rejected by the IMAGE gate), doc 4 is
+    # distinct on both axes (admitted)
+    fresh = "granite plateau sundial meridian copper "*6
+    b1 = [(3, _IMG_X, "en"), (4, fresh.strip(), "en")]
+    assert corpus_batch_txn(spark, mk(b1), cat, 1, image_hamming=K)
+    live = {r["doc_id"] for r in member(spark, cat, CORPUS).collect()}
+    assert live == {1, 2, 4}
+    # replay no-ops
+    assert corpus_batch_txn(spark, mk(b1), cat, 1, image_hamming=K) is False
+    assert {r["doc_id"] for r in member(spark, cat, CORPUS).collect()} == {1, 2, 4}
+    # the standing image index covers exactly the accepted docs
+    assert {r["doc_id"] for r in member(spark, cat, PHASH).collect()} == {1, 2, 4}
+
+    # MOR-retract the blocker: its phash rows are logically gone, so a
+    # resubmitted image near-dup is now admitted (live-view probe)
+    assert retract_docs(spark, cat, [1], op="erase-1", mode="mor")
+    assert {r["doc_id"] for r in member(spark, cat, PHASH).collect()} == {2, 4}
+    assert corpus_batch_txn(spark, mk([(5, _IMG_X, "en")]), cat, 2, image_hamming=K)
+    assert {r["doc_id"] for r in member(spark, cat, CORPUS).collect()} == {2, 4, 5}
+
+    # in-batch keep-min: two image-dups arriving together keep the min id
+    assert corpus_batch_txn(
+        spark,
+        mk([(7, _IMG_A, "en"), (6, _IMG_A, "en")]),
+        cat,
+        3,
+        image_hamming=K,
+    )
+    live = {r["doc_id"] for r in member(spark, cat, CORPUS).collect()}
+    # 6 < 7, and both image-dup committed doc 5 (X ≡ A by image)... doc 5
+    # blocks BOTH; neither lands
+    assert 6 not in live and 7 not in live
+
+    # compaction folds the phash member and truncates the vector; the
+    # gate still answers identically from the folded layout
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import DELETES
+
+    compact_pipeline(spark, cat)
+    assert DELETES not in cat.snapshot(spark)
+    assert {r["doc_id"] for r in member(spark, cat, PHASH).collect()} == {2, 4, 5}
+    assert corpus_batch_txn(
+        spark, mk([(8, _IMG_A, "en")]), cat, 4, image_hamming=K
+    )
+    assert 8 not in {r["doc_id"] for r in member(spark, cat, CORPUS).collect()}
+
+    # correction verb: an upsert on a gated catalog replaces the doc's
+    # phash rows too — the next probe judges the NEW image
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import update_docs
+
+    new_text = "harvest quarry bluff timber auburn "*8
+    assert update_docs(spark, cat, mk([(5, new_text.strip(), "en")]), op="fix-5")
+    ph5 = member(spark, cat, PHASH).filter(F.col("doc_id") == 5)
+    fresh5 = mk([(5, new_text.strip(), "en")])
+    from map_reduce_in_go_spark.operators.multimodal import phash_bands_of
+
+    want5 = {
+        (r["chunk"], r["band"])
+        for r in phash_bands_of(fresh5).collect()
+    }
+    assert {(r["chunk"], r["band"]) for r in ph5.collect()} == want5
+    # doc 5 no longer carries A's image, so A is admittable again
+    assert corpus_batch_txn(
+        spark, mk([(9, _IMG_A, "en")]), cat, 5, image_hamming=K
+    )
+    assert 9 in {r["doc_id"] for r in member(spark, cat, CORPUS).collect()}
