@@ -204,7 +204,20 @@ def with_ppm_payload(docs: DataFrame) -> DataFrame:
     def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads, digests = [], []
-            for t in pdf["text"]:
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                # loud precondition (r14 advice, low — mirrors the audio
+                # kernels): every image oracle replays the raster from
+                # CODEPOINTS via ascii()/length(text), which is byte-exact
+                # only for ASCII; a non-ASCII doc would make the UTF-8-byte
+                # kernel silently diverge into a mysterious hash mismatch.
+                if not t.isascii():
+                    raise ValueError(
+                        f"with_ppm_payload: doc {int(doc_id)} contains "
+                        "non-ASCII text; the registered image oracles "
+                        "(multimodal_meta, dedup_image_phash, ...) replay "
+                        "the raster from codepoints, which matches the "
+                        "UTF-8 payload bytes only for ASCII input"
+                    )
                 b = t.encode("utf-8")
                 payloads.append(encode_ppm(b))
                 digests.append(hashlib.md5(b).hexdigest())
@@ -693,13 +706,35 @@ def image_batch_near_dups(
     (one Arrow pass over the batch), the join is (batch bands) ⋈
     (indexed bands) on (chunk, band), and candidates are verified by
     exact Hamming — the ``dedup_batch_against_index`` shape pointed at
-    the image modality. At 100 TB the standing index is the persisted
-    artifact daily ingest appends to; no corpus re-hash ever happens."""
+    the image modality. The batch's band strings are collected as probe
+    keys and the index is read through point-set file skipping
+    (``files_pruned_in`` on the per-file band [min,max] stats the build
+    records and OPTIMIZE tightens), falling back to the full snapshot
+    past ``MAX_PROBE_KEYS`` — the ``dedup_batch_against_stats_index``
+    path (r14 advice, low: the docstring promised pruning the read
+    never did). At 100 TB the standing index is the persisted artifact
+    daily ingest appends to; no corpus re-hash ever happens."""
     from ..sources.manifest_table import ManifestTable
+    from .dedup import MAX_PROBE_KEYS, scoped_persist
 
+    tbl = ManifestTable(root, stats_cols=["band"])
+    nb = scoped_persist(
+        phash_bands_of(batch_docs).select(
+            F.col("doc_id").alias("doc_b"),
+            "chunk",
+            "band",
+            F.col("dh_hi").alias("hi_b"),
+            F.col("dh_lo").alias("lo_b"),
+        )
+    )
+    n_probe = nb.count()
+    if n_probe <= MAX_PROBE_KEYS:
+        probes = [r["band"] for r in nb.select("band").distinct().collect()]
+        snap = tbl.read_pruned_in(spark, "band", probes)
+    else:
+        snap = tbl.read(spark)
     idx = (
-        ManifestTable(root, stats_cols=["band"])
-        .read(spark)
+        snap
         .select(
             F.col("doc_id").alias("doc_a"),
             "chunk",
@@ -707,13 +742,6 @@ def image_batch_near_dups(
             F.col("dh_hi").alias("hi_a"),
             F.col("dh_lo").alias("lo_a"),
         )
-    )
-    nb = phash_bands_of(batch_docs).select(
-        F.col("doc_id").alias("doc_b"),
-        "chunk",
-        "band",
-        F.col("dh_hi").alias("hi_b"),
-        F.col("dh_lo").alias("lo_b"),
     )
     cand = (
         nb.join(idx, ["chunk", "band"])
