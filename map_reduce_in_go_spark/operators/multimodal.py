@@ -548,20 +548,13 @@ def image_dhashes(payloads: DataFrame) -> DataFrame:
     )
 
 
-def phash_bands_of(docs: DataFrame) -> DataFrame:
-    """(doc_id, chunk, band, dhash) banded dHash table straight from a
-    (doc_id, text) frame — encode → decode+hash → band explode, one
-    chained Arrow stage, no shuffle. The image family's analogue of
-    ``bands_of_docs`` (operators/dedup.py): the frame a standing
-    perceptual-hash index persists and a probing batch derives."""
-    dh = image_dhashes(
-        with_ppm_payload(
-            docs.select("doc_id", "text").filter(
-                F.col("text").isNotNull() & (F.length("text") > 0)
-            )
-        )
-    )
-    return dh.select(
+def bands_of_hashes(hashes: DataFrame) -> DataFrame:
+    """(doc_id, chunk, band, dhash, dh_hi, dh_lo) banded table from any
+    64-bit perceptual hash frame ``(doc_id, dhash: 64-char bit string)``
+    — the LSH blocking geometry shared by the image dHash family and the
+    audio fingerprint family (4 bands × 16 bits, packed BIGINT halves
+    for the popcount verify). One projection + explode, no shuffle."""
+    return hashes.select(
         "doc_id",
         "dhash",
         F.explode(F.sequence(F.lit(0), F.lit(PHASH_BANDS - 1))).alias("chunk"),
@@ -581,6 +574,63 @@ def phash_bands_of(docs: DataFrame) -> DataFrame:
         F.expr("CAST(conv(substr(dhash, 33, 32), 2, 10) AS BIGINT)").alias(
             "dh_lo"
         ),
+    )
+
+
+def phash_bands_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk, band, dhash) banded dHash table straight from a
+    (doc_id, text) frame — encode → decode+hash → band explode, one
+    chained Arrow stage, no shuffle. The image family's analogue of
+    ``bands_of_docs`` (operators/dedup.py): the frame a standing
+    perceptual-hash index persists and a probing batch derives."""
+    return bands_of_hashes(
+        image_dhashes(
+            with_ppm_payload(
+                docs.select("doc_id", "text").filter(
+                    F.col("text").isNotNull() & (F.length("text") > 0)
+                )
+            )
+        )
+    )
+
+
+def banded_hamming_pairs(bands: DataFrame, hamming_max: int) -> DataFrame:
+    """(doc_a, doc_b, hamming) near-dup pairs from a banded 64-bit hash
+    table (:func:`bands_of_hashes` output): self-equijoin on
+    (chunk, band) — never all-pairs — then exact Hamming ≤ ``hamming_max``
+    verified by TWO XOR popcounts over the packed BIGINT halves. The
+    pair engine shared by :func:`dedup_image_phash` and
+    :func:`dedup_audio_fingerprint`; at 100 TB the shuffle carries only
+    (band, packed-hash) tuples and bucket sizes are bounded by the
+    16-bit band space."""
+    b_ = bands.select("doc_id", "chunk", "band", "dh_hi", "dh_lo")
+    a, b = b_.alias("a"), b_.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.dh_hi").alias("hi_a"),
+            F.col("a.dh_lo").alias("lo_a"),
+            F.col("b.dh_hi").alias("hi_b"),
+            F.col("b.dh_lo").alias("lo_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"),
+        )
+        .filter(F.col("hamming") <= hamming_max)
+        .select(
+            "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+        )
     )
 
 
@@ -607,37 +657,9 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
-    bands = phash_bands_of(docs).select(
-        "doc_id", "chunk", "band", "dh_hi", "dh_lo"
-    )  # the 64-char string stays out of the shuffle
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.dh_hi").alias("hi_a"),
-            F.col("a.dh_lo").alias("lo_a"),
-            F.col("b.dh_hi").alias("hi_b"),
-            F.col("b.dh_lo").alias("lo_b"),
-        )
-        .distinct()
-    )
-    return (
-        pairs.withColumn(
-            "hamming",
-            F.expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"),
-        )
-        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
-        .select(
-            "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
-        )
-    )
+    # the 64-char string stays out of the shuffle (banded table carries
+    # only the 16-bit band + two packed BIGINT halves per row)
+    return banded_hamming_pairs(phash_bands_of(docs), PHASH_HAMMING_MAX)
 
 
 def dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -649,9 +671,11 @@ def dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The keep-one-per-cluster step image dedup actually ships: pairs say
     "these two look alike", clusters say "keep the min id of each look".
     O(log² n) contraction rounds, each one groupBy + one join — the
-    shape that survives stringy components at 100 TB. r15 registration
-    candidate (recursive-CTE oracle over the replayable phash pairs);
-    pytest-pinned against a driver-side union-find this round.
+    shape that survives stringy components at 100 TB. Registered r15
+    (r14 verdict #1): the recursive-CTE oracle replays the phash pairs
+    and walks reachability, the exact ``dedup_clusters`` pattern; the
+    union-find pytest stays as the independent pin
+    (tests/test_multimodal.py::test_image_clusters_match_union_find).
     """
     from .dedup import star_components
 
@@ -761,6 +785,47 @@ def image_batch_near_dups(
     )
 
 
+def _phash_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Even-doc corpus phash index for ``sf_dir``, built once per process
+    behind the shared served-artifact latch (sources/artifacts.py) —
+    the image twin of dedup's ``_corpus_index_path``. Every call after
+    the first is pure probe, the posture a standing 100 TB image index
+    has where the build amortizes across every batch that lands."""
+    from ..sources.artifacts import served_artifact
+
+    def _build(path: str) -> None:
+        corpus = load_table(spark, sf_dir, "documents").filter(
+            F.pmod(F.col("doc_id"), F.lit(2)) == 0
+        )
+        build_phash_index(corpus, path)
+        optimize_phash_index(spark, path)  # tight [min,max] band stats
+
+    return served_artifact("phash", sf_dir, _build)
+
+
+def dedup_image_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IMAGE ingestion dedup through the standing phash index
+    (r15, r14 verdict #2) — the ``dedup_incremental_indexed`` recipe
+    pointed at the image modality: the standing corpus (even doc_ids)
+    is hashed ONCE into a ledgered, band-clustered
+    :func:`build_phash_index` artifact; the arriving batch (odd
+    doc_ids) is hashed in one Arrow pass and probed via
+    :func:`image_batch_near_dups` — point-set file skipping on the band
+    stats, band-equijoin, packed-popcount Hamming verify. Returns
+    (doc_a = corpus image, doc_b = batch image, hamming ≤
+    {PHASH_HAMMING_MAX}): exactly the pairs a full recompute finds
+    across the split, which is what the driver's hash proves — the
+    served index loses nothing vs deriving both sides. Cost scales with
+    the batch; the corpus is never re-hashed.
+    """
+    batch = load_table(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(2)) == 1
+    )
+    return image_batch_near_dups(
+        spark, batch, _phash_index_path(spark, sf_dir)
+    )
+
+
 def extract_features(docs_with_ppm: DataFrame) -> DataFrame:
     """Feature extraction over REAL decoded rasters: per-channel means,
     image shape, and raster moments — the fixed-dim vector an embedding
@@ -845,6 +910,59 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(with_payload(load_table(spark, sf_dir, "documents")))
 
 
+def _sql_hamming64(a: str, b: str) -> str:
+    """DuckDB expression: Hamming distance between two 64-char bit strings."""
+    return (
+        f"len(list_filter(range(1, 65), i -> substr({a}, CAST(i AS INTEGER), 1)"
+        f" <> substr({b}, CAST(i AS INTEGER), 1)))"
+    )
+
+
+# Shared phash replay CTEs (dedup_image_phash / _clusters / _incremental):
+# the PPM synthesis arithmetic (ASCII corpus: char codes == raster bytes,
+# raster[k] = codes[k % len + 1] by the cyclic tiling) → integer grayscale
+# → 9×8 nearest-neighbor grid → gradient bits → 4×16 banding.
+_PHASH_CTES = f"""
+    WITH base AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS len,
+             octet_length(encode(text)) % {W_MOD} + {W_MIN} AS w,
+             octet_length(encode(text)) % {H_MOD} + {H_MIN} AS h,
+             list_transform(range(1, length(text) + 1),
+                            i -> ascii(substr(text, i, 1))) AS codes
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ), cells AS (
+      SELECT doc_id, len, w, h, codes, t.b AS b,
+             (t.b // 8) AS gi, (t.b % 8) AS gj
+      FROM base, (SELECT unnest(range(0, 64)) AS b) t
+    ), pos AS (
+      SELECT doc_id, b, len, w, codes,
+             ((gi * h) // 8) AS y,
+             ((gj * w) // 9) AS x1,
+             (((gj + 1) * w) // 9) AS x2
+      FROM cells
+    ), gv AS (
+      SELECT doc_id, b,
+        (codes[CAST((3 * (y * w + x1)) % len AS BIGINT) + 1]
+         + codes[CAST((3 * (y * w + x1) + 1) % len AS BIGINT) + 1]
+         + codes[CAST((3 * (y * w + x1) + 2) % len AS BIGINT) + 1]) // 3 AS g1,
+        (codes[CAST((3 * (y * w + x2)) % len AS BIGINT) + 1]
+         + codes[CAST((3 * (y * w + x2) + 1) % len AS BIGINT) + 1]
+         + codes[CAST((3 * (y * w + x2) + 2) % len AS BIGINT) + 1]) // 3 AS g2
+      FROM pos
+    ), hashes AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN g2 > g1 THEN '1' ELSE '0' END, ''
+                        ORDER BY b) AS dh
+      FROM gv GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, dh, t.c AS c,
+             substr(dh, CAST(t.c * {PHASH_BAND_BITS} + 1 AS INTEGER),
+                    {PHASH_BAND_BITS}) AS band
+      FROM hashes, (SELECT unnest(range(0, {PHASH_BANDS})) AS c) t
+    )"""
+
+
 ORACLES: dict[str, str] = {
     # Replays the WAV synthesis arithmetic for the exact time-domain
     # columns (tiled codepoints scaled to int16 — the multimodal_audio
@@ -887,59 +1005,60 @@ ORACLES: dict[str, str] = {
     # arithmetic (ASCII corpus: char codes == raster bytes, raster[k] =
     # codes[k % len + 1] by the cyclic tiling): integer grayscale,
     # 9×8 nearest-neighbor grid, gradient bits, 4×16 banding, Hamming.
-    "dedup_image_phash": f"""
-    WITH base AS (
-      SELECT doc_id,
-             octet_length(encode(text)) AS len,
-             octet_length(encode(text)) % {W_MOD} + {W_MIN} AS w,
-             octet_length(encode(text)) % {H_MOD} + {H_MIN} AS h,
-             list_transform(range(1, length(text) + 1),
-                            i -> ascii(substr(text, i, 1))) AS codes
-      FROM documents WHERE text IS NOT NULL AND length(text) > 0
-    ), cells AS (
-      SELECT doc_id, len, w, h, codes, t.b AS b,
-             (t.b // 8) AS gi, (t.b % 8) AS gj
-      FROM base, (SELECT unnest(range(0, 64)) AS b) t
-    ), pos AS (
-      SELECT doc_id, b, len, w, codes,
-             ((gi * h) // 8) AS y,
-             ((gj * w) // 9) AS x1,
-             (((gj + 1) * w) // 9) AS x2
-      FROM cells
-    ), gv AS (
-      SELECT doc_id, b,
-        (codes[CAST((3 * (y * w + x1)) % len AS BIGINT) + 1]
-         + codes[CAST((3 * (y * w + x1) + 1) % len AS BIGINT) + 1]
-         + codes[CAST((3 * (y * w + x1) + 2) % len AS BIGINT) + 1]) // 3 AS g1,
-        (codes[CAST((3 * (y * w + x2)) % len AS BIGINT) + 1]
-         + codes[CAST((3 * (y * w + x2) + 1) % len AS BIGINT) + 1]
-         + codes[CAST((3 * (y * w + x2) + 2) % len AS BIGINT) + 1]) // 3 AS g2
-      FROM pos
-    ), hashes AS (
-      SELECT doc_id,
-             string_agg(CASE WHEN g2 > g1 THEN '1' ELSE '0' END, ''
-                        ORDER BY b) AS dh
-      FROM gv GROUP BY doc_id
-    ), bands AS (
-      SELECT doc_id, dh, t.c AS c,
-             substr(dh, CAST(t.c * {PHASH_BAND_BITS} + 1 AS INTEGER),
-                    {PHASH_BAND_BITS}) AS band
-      FROM hashes, (SELECT unnest(range(0, {PHASH_BANDS})) AS c) t
-    ), cpairs AS (
+    "dedup_image_phash": _PHASH_CTES + f"""
+    , cpairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.dh AS dh_a, b.dh AS dh_b
       FROM bands a JOIN bands b
         ON a.c = b.c AND a.band = b.band AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b,
-           CAST(len(list_filter(range(1, 65),
-                i -> substr(dh_a, CAST(i AS INTEGER), 1)
-                  <> substr(dh_b, CAST(i AS INTEGER), 1))) AS BIGINT)
-             AS hamming
+           CAST({_sql_hamming64('dh_a', 'dh_b')} AS BIGINT) AS hamming
     FROM cpairs
-    WHERE len(list_filter(range(1, 65),
-          i -> substr(dh_a, CAST(i AS INTEGER), 1)
-            <> substr(dh_b, CAST(i AS INTEGER), 1))) <= {PHASH_HAMMING_MAX}
+    WHERE {_sql_hamming64('dh_a', 'dh_b')} <= {PHASH_HAMMING_MAX}
+    """,
+    # Same banded pair set, then connected components by recursive reach
+    # (the dedup_clusters oracle pattern): labels = component-min doc_id
+    # over the Hamming-verified phash pair graph.
+    "dedup_image_clusters": _PHASH_CTES.replace(
+        "WITH base", "WITH RECURSIVE base", 1
+    )
+    + f"""
+    , cpairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.dh AS dh_a, b.dh AS dh_b
+      FROM bands a JOIN bands b
+        ON a.c = b.c AND a.band = b.band AND a.doc_id < b.doc_id
+    ), fpairs AS (
+      SELECT doc_a, doc_b FROM cpairs
+      WHERE {_sql_hamming64('dh_a', 'dh_b')} <= {PHASH_HAMMING_MAX}
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM fpairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM fpairs
+    ), reach AS (
+      SELECT src AS doc_id, src AS r FROM edges
+      UNION
+      SELECT e.src AS doc_id, reach.r
+      FROM edges e JOIN reach ON reach.doc_id = e.dst
+    )
+    SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+    """,
+    # The batch-vs-standing-index split replayed in SQL (the
+    # dedup_incremental oracle pattern): corpus = even doc_ids (what the
+    # served index holds), batch = odd; cross pairs only, Hamming-verified.
+    "dedup_image_incremental": _PHASH_CTES + f"""
+    , cpairs AS (
+      SELECT DISTINCT o.doc_id AS doc_a, n.doc_id AS doc_b,
+             o.dh AS dh_a, n.dh AS dh_b
+      FROM bands n JOIN bands o
+        ON n.c = o.c AND n.band = o.band
+      WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+    )
+    SELECT doc_a, doc_b,
+           CAST({_sql_hamming64('dh_a', 'dh_b')} AS BIGINT) AS hamming
+    FROM cpairs
+    WHERE {_sql_hamming64('dh_a', 'dh_b')} <= {PHASH_HAMMING_MAX}
     """,
     "multimodal_frames": """
     WITH b AS (

@@ -284,6 +284,8 @@ def _build() -> None:
         "multimodal_audio",
         "dedup_image_phash",  # r14: perceptual image near-dup dedup
         "audio_spectral",  # r14: FFT features under conservation verdicts
+        "dedup_image_clusters",  # r15: star-contraction over phash pairs
+        "dedup_image_incremental",  # r15: batch probe vs standing phash index
     ])
 
     from .operators import pipeline as _pl

@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import hashlib
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -520,3 +521,36 @@ def test_image_clusters_match_union_find(spark, sf_dir):
         for r in dedup_image_clusters(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_dedup_image_incremental_registered(spark, sf_dir):
+    """The registered incremental probe (r15): pairs equal the full
+    recompute's pairs restricted to corpus(even) × batch(odd), the index
+    artifact is memoized (second call is probe-only), and every pair is
+    oriented (doc_a = corpus image, doc_b = batch image)."""
+    from map_reduce_in_go_spark.operators.multimodal import (
+        dedup_image_incremental,
+        dedup_image_phash,
+    )
+    from map_reduce_in_go_spark.sources.artifacts import memo
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup_image_incremental(spark, sf_dir).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"])
+        if r["doc_a"] % 2 == 0
+        else (r["doc_b"], r["doc_a"]): r["hamming"]
+        for r in dedup_image_phash(spark, sf_dir).collect()
+        if r["doc_a"] % 2 != r["doc_b"] % 2
+    }
+    assert got == want
+    assert all(a % 2 == 0 and b % 2 == 1 for a, b in got)
+    # served artifact: one build per process, keyed by resolved sf_dir
+    assert os.path.realpath(sf_dir) in memo("phash")
+    again = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup_image_incremental(spark, sf_dir).collect()
+    }
+    assert again == got
