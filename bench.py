@@ -87,6 +87,13 @@ HEADLINE = [
     "dedup_image_phash",
     "audio_spectral",
     "events_cube_overlap",
+    # r15 additions: the image cluster capstone (star contraction over
+    # phash pairs), the served phash-index probe (first rep pays the
+    # build + OPTIMIZE; steady state is O(batch)), and the audio
+    # fingerprint twin of the image hash
+    "dedup_image_clusters",
+    "dedup_image_incremental",
+    "dedup_audio_fingerprint",
 ]
 
 

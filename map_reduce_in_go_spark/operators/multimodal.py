@@ -494,6 +494,146 @@ def audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Audio fingerprint shape (r15, r14 verdict #3 — the chromaprint-style
+# bit recipe pointed at the STFT frame grid): 33 frames per clip, per
+# frame the TWO spectral moments that are conservation-exact integers —
+# X₀ (the frame's DC coefficient, = Σxₙ by the DC identity) and the
+# frame's total spectral power Σ|X_k|²/N (= Σxₙ² by Parseval) — then
+# 64 bits = sign of the frame-to-frame delta of each moment sequence
+# (32 energy bits + 32 DC bits). Computing the moments THROUGH the rFFT
+# and rounding to the integers the conservation laws guarantee is what
+# makes the fingerprint fully SQL-replayable while keeping the transform
+# in the hot path: a broken FFT call or mis-unfolded spectrum shifts the
+# rounded integers → flipped bits → the driver's hash catches it.
+AUDIO_FP_FRAMES = 33  # 33 frames → 32 deltas per moment → 64 bits
+AUDIO_FP_HAMMING_MAX = 8  # same verify threshold as the image dHash
+# Anchor window: fingerprint the clip's HEAD (first ≤66 samples → 2-sample
+# frames when full), not a grid relative to the whole clip. A near-dup
+# transcript differs by a few appended chars, which shifts n_samples and
+# would misalign every relative frame boundary; anchoring at the signal
+# start makes shared-prefix clips hash identically — the subfingerprint-
+# anchor trick real audio retrieval uses (match on a fixed-duration
+# window, not the whole variable-length clip).
+AUDIO_FP_WINDOW = 2 * AUDIO_FP_FRAMES
+
+
+def audio_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, dhash: 64-char bit string) spectral-envelope fingerprint
+    per audio doc through the REAL WAV codec: encode → container parse →
+    per-frame rFFT in ONE fused Arrow pass, zero shuffles.
+
+    Per doc the ANCHOR WINDOW (first ``AUDIO_FP_WINDOW`` samples — see
+    the constant's note on why anchoring beats a whole-clip-relative
+    grid) is cut into ``AUDIO_FP_FRAMES`` frames on the integer grid
+    ``b_i = i·n//33``; each frame's rFFT yields its DC
+    coefficient and (via the unfolded Parseval sum) its total power,
+    both rounded to the exact integers the conservation laws equate
+    them to (Σxₙ, Σxₙ² over the frame — float error is ~1e-5 against
+    integer spacing 1, so the round is exact). Frames are batched by
+    length across the Arrow batch (≤ 9 matrix rFFTs per batch — the
+    r14 audio-batching lesson); empty frames (n < 33) contribute
+    (0, 0), matching the oracle's empty-sum convention. Bits: strict
+    frame-to-frame increase of each moment sequence.
+    """
+    import numpy as np
+
+    nf = AUDIO_FP_FRAMES
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids: list[int] = []
+            en = np.zeros((len(pdf), nf), dtype=np.int64)
+            dc = np.zeros((len(pdf), nf), dtype=np.int64)
+            by_len: dict[int, list[tuple[int, int, object]]] = {}
+            for ri, (doc_id, text) in enumerate(
+                zip(pdf["doc_id"], pdf["text"])
+            ):
+                if not text.isascii():  # same contract as multimodal_audio
+                    raise ValueError(
+                        f"audio_fingerprints: doc {int(doc_id)} is "
+                        "non-ASCII; the oracle's codepoint replay matches "
+                        "encode_wav only for ASCII input"
+                    )
+                payload = encode_wav(text.encode("utf-8"))
+                decode_wav(payload)  # genuine container validation
+                x = np.frombuffer(payload[44:], dtype="<i2").astype(np.int64)
+                x = x[:AUDIO_FP_WINDOW]  # anchor window (see constant note)
+                n = len(x)
+                doc_ids.append(int(doc_id))
+                bs = [(i * n) // nf for i in range(nf + 1)]
+                for fi in range(nf):
+                    fr = x[bs[fi] : bs[fi + 1]]
+                    if len(fr):
+                        by_len.setdefault(len(fr), []).append((ri, fi, fr))
+            for flen, items in by_len.items():
+                M = np.stack([fr for _, _, fr in items]).astype(np.float64)
+                X = np.fft.rfft(M, axis=1)
+                mag2 = X.real * X.real + X.imag * X.imag
+                if flen % 2 == 0:
+                    spec = (
+                        mag2[:, 0]
+                        + 2.0 * mag2[:, 1:-1].sum(axis=1)
+                        + mag2[:, -1]
+                    )
+                else:
+                    spec = mag2[:, 0] + 2.0 * mag2[:, 1:].sum(axis=1)
+                e_int = np.rint(spec / flen).astype(np.int64)  # Parseval
+                d_int = np.rint(X[:, 0].real).astype(np.int64)  # DC identity
+                for j, (ri, fi, _) in enumerate(items):
+                    en[ri, fi] = e_int[j]
+                    dc[ri, fi] = d_int[j]
+            ebits = en[:, 1:] > en[:, :-1]
+            dbits = dc[:, 1:] > dc[:, :-1]
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "dhash": [
+                        "".join("1" if b else "0" for b in ebits[ri])
+                        + "".join("1" if b else "0" for b in dbits[ri])
+                        for ri in range(len(doc_ids))
+                    ],
+                }
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .mapInPandas(_fp, schema="doc_id long, dhash string")
+    )
+
+
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs: spectral-envelope fingerprints through the
+    rFFT kernel, 16-bit band collision blocking, packed-popcount Hamming
+    verify (r15, r14 verdict #3) — the audio twin of
+    :func:`dedup_image_phash`, completing the modality's dedup family
+    the way r14's dHash completed images.
+
+    Plan: encode → parse → per-frame rFFT in ONE chained Arrow stage
+    (no shuffle until one 64-bit row per clip exists), then the shared
+    :func:`banded_hamming_pairs` engine — 4×16-bit band explode,
+    (chunk, band) self-equijoin (never all-pairs), exact Hamming ≤
+    ``AUDIO_FP_HAMMING_MAX`` as two XOR popcounts. Pigeonhole: pairs
+    within ≤3 bits cannot escape the 4 bands. The DuckDB oracle replays
+    the ENTIRE pipeline from the WAV synthesis arithmetic — tiled int16
+    samples, frame-boundary prefix sums for the per-frame (Σx, Σx²)
+    moments the FFT's conservation laws pin, delta bits, banding,
+    Hamming — so a flipped bit anywhere lands in the driver's hash.
+    At 100 TB: embarrassingly parallel fingerprint scan (a real
+    chromaprint kernel swaps in for the synthesizer; batch shape,
+    banding and verify identical), shuffle carries only (band, packed
+    hash) tuples.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    return banded_hamming_pairs(
+        bands_of_hashes(audio_fingerprints(docs)), AUDIO_FP_HAMMING_MAX
+    )
+
+
 # Perceptual-hash dedup shape: 64-bit dHash (8×8 horizontal-gradient bits
 # from a 9×8 nearest-neighbor downsample), banded 4×16 for LSH blocking —
 # the same band geometry as dedup_simhash. Threshold 8 matches
@@ -963,6 +1103,60 @@ _PHASH_CTES = f"""
     )"""
 
 
+# Shared audio-fingerprint replay CTEs: the WAV synthesis arithmetic →
+# per-frame boundary prefix sums of (vals, sqs) over the tiled int16
+# signal (P(m) = full-cycle sums + partial-prefix, evaluated at the 34
+# frame boundaries i·n//33) → per-frame moments by differencing → strict
+# frame-to-frame delta bits (32 energy + 32 DC) → 4×16 banding.
+_AUDIO_FP_CTES = f"""
+    WITH base AS (
+      SELECT doc_id, octet_length(encode(text)) AS len,
+             list_transform(range(1, length(text) + 1),
+                            i -> ascii(substr(text, i, 1))) AS codes
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ), sized AS (
+      SELECT doc_id, len, codes,
+             least(len % {S_MOD} + {S_MIN}, {AUDIO_FP_WINDOW}) AS n
+      FROM base
+    ), samp AS (
+      SELECT doc_id, len, n,
+             list_transform(codes, c -> CAST(c * 256 - 16384 AS BIGINT))
+               AS vals,
+             list_transform(codes,
+                            c -> CAST(c * 256 - 16384 AS BIGINT)
+                                 * CAST(c * 256 - 16384 AS BIGINT)) AS sqs
+      FROM sized
+    ), tot AS (
+      SELECT doc_id, len, n, vals, sqs,
+             list_sum(vals) AS tv, list_sum(sqs) AS ts
+      FROM samp
+    ), pref AS (
+      SELECT doc_id,
+             list_transform(range(0, {AUDIO_FP_FRAMES + 1}), i ->
+               ((i * n // {AUDIO_FP_FRAMES}) // len) * tv
+               + coalesce(list_sum(
+                   vals[1:((i * n // {AUDIO_FP_FRAMES}) % len)]), 0)) AS pv,
+             list_transform(range(0, {AUDIO_FP_FRAMES + 1}), i ->
+               ((i * n // {AUDIO_FP_FRAMES}) // len) * ts
+               + coalesce(list_sum(
+                   sqs[1:((i * n // {AUDIO_FP_FRAMES}) % len)]), 0)) AS ps
+      FROM tot
+    ), abits AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN ps[i + 3] - ps[i + 2] > ps[i + 2] - ps[i + 1]
+                             THEN '1' ELSE '0' END, '' ORDER BY i)
+             || string_agg(CASE WHEN pv[i + 3] - pv[i + 2] > pv[i + 2] - pv[i + 1]
+                                THEN '1' ELSE '0' END, '' ORDER BY i) AS dh
+      FROM pref, (SELECT unnest(range(0, {AUDIO_FP_FRAMES - 1})) AS i) t
+      GROUP BY doc_id
+    ), abands AS (
+      SELECT doc_id, dh, t.c AS c,
+             substr(dh, CAST(t.c * {PHASH_BAND_BITS} + 1 AS INTEGER),
+                    {PHASH_BAND_BITS}) AS band
+      FROM abits, (SELECT unnest(range(0, {PHASH_BANDS})) AS c) t
+    )"""
+
+
 ORACLES: dict[str, str] = {
     # Replays the WAV synthesis arithmetic for the exact time-domain
     # columns (tiled codepoints scaled to int16 — the multimodal_audio
@@ -1000,6 +1194,24 @@ ORACLES: dict[str, str] = {
                 + coalesce(list_sum(sqs[1:rem]), 0) AS BIGINT) AS energy,
            TRUE AS fft_ok
     FROM samp
+    """,
+    # Replays the ENTIRE audio-fingerprint pipeline from the WAV synthesis
+    # arithmetic (ASCII corpus: char codes == payload bytes, sample j =
+    # codes[j % len + 1]·256 − 16384 by the cyclic tiling): per-frame
+    # (Σx, Σx²) via boundary prefix sums over the tiled signal — the exact
+    # integers the kernel's rFFT recovers through the DC identity and
+    # Parseval — then delta bits, 4×16 banding, Hamming.
+    "dedup_audio_fingerprint": _AUDIO_FP_CTES + f"""
+    , cpairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.dh AS dh_a, b.dh AS dh_b
+      FROM abands a JOIN abands b
+        ON a.c = b.c AND a.band = b.band AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST({_sql_hamming64('dh_a', 'dh_b')} AS BIGINT) AS hamming
+    FROM cpairs
+    WHERE {_sql_hamming64('dh_a', 'dh_b')} <= {AUDIO_FP_HAMMING_MAX}
     """,
     # Replays the ENTIRE perceptual-hash pipeline from the PPM synthesis
     # arithmetic (ASCII corpus: char codes == raster bytes, raster[k] =

@@ -286,6 +286,7 @@ def _build() -> None:
         "audio_spectral",  # r14: FFT features under conservation verdicts
         "dedup_image_clusters",  # r15: star-contraction over phash pairs
         "dedup_image_incremental",  # r15: batch probe vs standing phash index
+        "dedup_audio_fingerprint",  # r15: spectral-envelope near-dup pairs
     ])
 
     from .operators import pipeline as _pl

@@ -554,3 +554,90 @@ def test_dedup_image_incremental_registered(spark, sf_dir):
         for r in dedup_image_incremental(spark, sf_dir).collect()
     }
     assert again == got
+
+
+def _ref_audio_fp(text: str) -> str:
+    """Independent fingerprint reference: stdlib-wave decode + pure
+    integer TIME-DOMAIN frame moments (no FFT anywhere) — the exact
+    integers the kernel's rFFT must recover through the DC identity and
+    Parseval before taking delta bits."""
+    import io
+    import wave
+
+    from map_reduce_in_go_spark.operators.multimodal import (
+        AUDIO_FP_FRAMES,
+        AUDIO_FP_WINDOW,
+        encode_wav,
+    )
+
+    with wave.open(io.BytesIO(encode_wav(text.encode("utf-8")))) as w:
+        raw = w.readframes(w.getnframes())
+    x = [
+        int.from_bytes(raw[2 * i : 2 * i + 2], "little", signed=True)
+        for i in range(len(raw) // 2)
+    ][:AUDIO_FP_WINDOW]
+    n = len(x)
+    bs = [(i * n) // AUDIO_FP_FRAMES for i in range(AUDIO_FP_FRAMES + 1)]
+    en = [sum(v * v for v in x[bs[i] : bs[i + 1]]) for i in range(AUDIO_FP_FRAMES)]
+    dc = [sum(x[bs[i] : bs[i + 1]]) for i in range(AUDIO_FP_FRAMES)]
+    return "".join(
+        "1" if en[i + 1] > en[i] else "0" for i in range(AUDIO_FP_FRAMES - 1)
+    ) + "".join(
+        "1" if dc[i + 1] > dc[i] else "0" for i in range(AUDIO_FP_FRAMES - 1)
+    )
+
+
+def test_audio_fingerprint_matches_time_domain_reference(spark, sf_dir):
+    """The rFFT-path fingerprints equal a pure time-domain integer
+    reference computed through an independent stdlib-``wave`` decode:
+    the conservation laws (DC identity + Parseval) really do pin every
+    rounded moment, so the float FFT path yields bit-exact fingerprints."""
+    from map_reduce_in_go_spark.operators.multimodal import audio_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    want = {r["doc_id"]: _ref_audio_fp(r["text"]) for r in docs.collect()}
+    got = {
+        r["doc_id"]: r["dhash"]
+        for r in audio_fingerprints(docs.select("doc_id", "text")).collect()
+    }
+    assert got == want
+    assert all(len(h) == 64 and set(h) <= {"0", "1"} for h in got.values())
+
+
+def test_audio_fingerprint_banding_recall(spark, sf_dir):
+    """Banding recall pins for the registered audio fingerprint (r15):
+
+    - every emitted pair is a true pair with the exact Hamming distance;
+    - pairs within Hamming ≤ 3 are caught with recall EXACTLY 1.0
+      (pigeonhole over 4 bands — structural, not statistical);
+    - the fixture corpus genuinely yields near-dup audio pairs (the
+      anchor-window design catches shared-prefix transcripts).
+    """
+    import itertools
+
+    from map_reduce_in_go_spark.operators.multimodal import (
+        AUDIO_FP_HAMMING_MAX,
+        dedup_audio_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    hashes = {r["doc_id"]: _ref_audio_fp(r["text"]) for r in docs.collect()}
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup_audio_fingerprint(spark, sf_dir).collect()
+    }
+    assert banded  # the corpus has near-dup clips
+    banded_pairs = {(a, b) for a, b, _ in banded}
+    true_pairs = {}
+    for a, b in itertools.combinations(sorted(hashes), 2):
+        d = sum(x != y for x, y in zip(hashes[a], hashes[b]))
+        if d <= AUDIO_FP_HAMMING_MAX:
+            true_pairs[(a, b)] = d
+    for a, b, d in banded:
+        assert true_pairs.get((a, b)) == d
+    close = {p for p, d in true_pairs.items() if d <= 3}
+    assert close <= banded_pairs
