@@ -631,9 +631,14 @@ def replicate_catalog(
     # replica's ledger dir on first ship, checked on every later call.
     mode_name = "verbatim" if verbatim else "materializing"
     marker = os.path.join(dst.root, dst.ledger, "replication_mode.json")
-    if os.path.exists(marker):
-        with open(marker) as f:
-            recorded = json.load(f).get("mode")
+
+    def _check_mode() -> None:
+        """Raise if the replica's pinned mode contradicts this pass."""
+        try:
+            with open(marker) as f:
+                recorded = json.load(f).get("mode")
+        except FileNotFoundError:
+            return
         if recorded != mode_name:
             raise ValueError(
                 f"replica at {dst.root} was established with "
@@ -643,6 +648,33 @@ def replicate_catalog(
                 f"shipped delete vector's file-name-scoped pairs). Stand "
                 f"up a new replica to switch modes."
             )
+
+    def _pin_mode() -> None:
+        """Atomically pin the mode (O_EXCL via link) AFTER the first
+        commit lands (r14 advice: a crashed first ship must not pin the
+        mode with zero shipped commits). Exactly one of two racing first
+        passes creates the marker; the loser's next _check_mode raises."""
+        import tempfile
+
+        if os.path.exists(marker):
+            return
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(marker), prefix=".replication_mode-"
+        )
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump({"mode": mode_name}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, marker)
+            except FileExistsError:
+                pass  # a racer pinned it; _check_mode judges next round
+        finally:
+            os.unlink(tmp)
+
+    _check_mode()
     for v, op in hist:
         if op in done:
             continue
@@ -678,10 +710,10 @@ def replicate_catalog(
             payload = (payload or set()) | src.ops_as_of(v)
         if payload is not None:
             dst.publish_gated_ops(op, payload)
-        if not os.path.exists(marker):  # first ship pins the mode
-            os.makedirs(os.path.dirname(marker), exist_ok=True)
-            with open(marker, "w") as f:
-                json.dump({"mode": mode_name}, f)
+        # re-check before EVERY stage (r14 advice): a racing pass in the
+        # other mode that pinned the marker mid-loop must stop this one
+        # before it stages another commit, not after the pass completes
+        _check_mode()
         stage = _stage_commit_verbatim if verbatim else _stage_commit
         stage(
             spark,
@@ -693,6 +725,7 @@ def replicate_catalog(
             max_retries,
             members=members,
         )
+        _pin_mode()  # first COMPLETED ship pins the replica's mode
         applied += 1
         done.add(op)
     return applied

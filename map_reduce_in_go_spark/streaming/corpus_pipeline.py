@@ -49,6 +49,8 @@ old snapshot, so this is the serializable behavior (the
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Row, SparkSession
 
 from ..functions.caching import (
@@ -106,6 +108,84 @@ DELETES = "doc_deletes"  # schema: member string, file string, doc_id long
 # PHASH joins the list (r14): absent on image-gate-less catalogs — every
 # _MOR_MEMBERS iteration must tolerate a missing member.
 _MOR_MEMBERS = (CORPUS, BANDS, PHASH)
+# Per-member stats columns every MOR rewrite must re-record (r14 advice:
+# a fold that passes another member's columns silently drops the stats on
+# the rewritten files — correctness survives, files-without-stats are
+# conservatively kept, but point-probe pruning degrades until the next
+# compact). Must match the append-path stats_cols for the same member.
+_MOR_STATS = {
+    CORPUS: ["doc_id"],
+    BANDS: ["band_hash", "doc_id"],
+    PHASH: ["band", "doc_id"],
+}
+
+# The image admission gate is armed per CATALOG, not per call (r14 advice,
+# low — the mode-mixing hazard: one batch committed un-armed would leave
+# its accepted docs permanently invisible to later armed batches' near-dup
+# probes). The first gated batch links this marker atomically next to the
+# ledger; from then on every corpus_batch_txn call is gated with the
+# armed threshold even if the caller omits the kwarg (sticky arming), and
+# a call naming a DIFFERENT threshold fails loudly. Arming a catalog that
+# already holds un-gated commits BACKFILLS the standing phash index from
+# the live corpus inside the same CAS, so the index is complete from the
+# moment the marker exists.
+_IMAGE_GATE_MARKER = "image_gate.json"
+
+
+def image_gate_threshold(cat: TableCatalog) -> int | None:
+    """The catalog's armed image-gate Hamming threshold, or None."""
+    import json
+
+    try:
+        with open(os.path.join(cat.root, _IMAGE_GATE_MARKER)) as fh:
+            return int(json.load(fh)["hamming"])
+    except FileNotFoundError:
+        return None
+
+
+def _resolve_image_gate(
+    cat: TableCatalog, image_hamming: int | None
+) -> tuple[int | None, bool]:
+    """(effective threshold, arming-now?) for one corpus_batch_txn call."""
+    armed = image_gate_threshold(cat)
+    if armed is not None:
+        if image_hamming is not None and image_hamming != armed:
+            raise ValueError(
+                f"image gate already armed at hamming={armed} for "
+                f"{cat.root}; a batch at {image_hamming} would judge "
+                "near-dups inconsistently across the corpus — pass the "
+                "armed threshold (or omit image_hamming; arming is sticky)"
+            )
+        return armed, False
+    return image_hamming, image_hamming is not None
+
+
+def _arm_image_gate(cat: TableCatalog, hamming: int) -> None:
+    """Persist the arming marker atomically (O_EXCL via link — two racing
+    first arms can never interleave: exactly one creates the marker, the
+    loser re-validates against what actually landed)."""
+    import json
+    import tempfile
+
+    path = os.path.join(cat.root, _IMAGE_GATE_MARKER)
+    os.makedirs(cat.root, exist_ok=True)  # first arm may precede first commit
+    fd, tmp = tempfile.mkstemp(dir=cat.root, prefix="._image_gate-")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"hamming": int(hamming)}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            armed = image_gate_threshold(cat)
+            if armed != hamming:
+                raise ValueError(
+                    f"image gate concurrently armed at hamming={armed} "
+                    f"for {cat.root}; this writer wanted {hamming}"
+                ) from None
+    finally:
+        os.unlink(tmp)
 
 
 def _file_basename_col():
@@ -251,6 +331,13 @@ def corpus_batch_txn(
     transactional as BANDS; retraction covers it in both modes (COW
     anti-join / MOR vector pairs). Docs with no image (NULL/empty text)
     pass un-checked, mirroring ``emb_batch``'s absent-embedding rule.
+    Arming is STICKY per catalog (r14 advice): the first gated batch
+    links an ``image_gate.json`` marker next to the ledger; later calls
+    are gated at the armed threshold even when the kwarg is omitted
+    (intermittent arming cannot punch holes in the standing index), a
+    different threshold fails loudly, and arming a catalog that already
+    holds un-gated commits backfills the phash index from the live
+    corpus inside the same CAS.
 
     ``writer_token`` (from :meth:`~..sources.catalog.TableCatalog.
     acquire_app_id`) verifies this process still holds ``app_id``'s
@@ -277,6 +364,12 @@ def corpus_batch_txn(
     from .heavy import _batch_sketch
     from .quantiles import summaries_for
 
+    # sticky per-catalog arming: an armed catalog gates EVERY batch at
+    # the marker's threshold (caller may omit the kwarg); a different
+    # threshold, or arming races, fail loudly (see _IMAGE_GATE_MARKER)
+    image_hamming, arming_image_gate = _resolve_image_gate(cat, image_hamming)
+    if arming_image_gate:
+        _arm_image_gate(cat, image_hamming)
     op = f"{app_id}-batch-{batch_id}"
     if op in cat.committed_ops():
         return False
@@ -355,6 +448,7 @@ def corpus_batch_txn(
                 )
                 band_surv = band_surv.join(sem_drops, "doc_id", "left_anti")
             batch_ph = None
+            backfill_ph = None
             if image_hamming is not None:
                 from ..operators.multimodal import phash_bands_of
 
@@ -371,6 +465,27 @@ def corpus_batch_txn(
                         "doc_id long, chunk int, band string, "
                         "dh_hi long, dh_lo long",
                     )
+                if arming_image_gate:
+                    # arming an already-populated catalog: hash the live
+                    # corpus docs the standing index is missing (commits
+                    # that pre-date the gate) INSIDE this CAS, so the
+                    # index is complete the moment the marker exists —
+                    # they block this very batch's near-dups too
+                    try:
+                        old_corpus = _txn_live_read(txn, CORPUS)
+                    except KeyError:
+                        pass
+                    else:
+                        missing = old_corpus.select("doc_id", "text").join(
+                            old_ph.select("doc_id").distinct(),
+                            "doc_id",
+                            "left_anti",
+                        )
+                        backfill_ph = scoped_persist(phash_bands_of(missing))
+                        cols = ["doc_id", "chunk", "band", "dh_hi", "dh_lo"]
+                        old_ph = old_ph.select(*cols).unionByName(
+                            backfill_ph.select(*cols)
+                        )
                 ham = F.expr(
                     "bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"
                 )
@@ -511,12 +626,10 @@ def corpus_batch_txn(
                 )
 
             def _phash():
-                txn.append(
-                    PHASH,
-                    batch_ph.join(survivors, "doc_id", "left_semi"),
-                    op=op,
-                    stats_cols=["band", "doc_id"],
-                )
+                rows = batch_ph.join(survivors, "doc_id", "left_semi")
+                if backfill_ph is not None:
+                    rows = rows.unionByName(backfill_ph)
+                txn.append(PHASH, rows, op=op, stats_cols=["band", "doc_id"])
 
             members = [
                 _corpus, _bands, _grams, _tokens, _cms, _quants, _rejects,
@@ -1291,9 +1404,7 @@ def apply_deletes(
                 fl,
                 survivors,
                 op=label,
-                stats_cols=(
-                    ["doc_id"] if name == CORPUS else ["band_hash", "doc_id"]
-                ),
+                stats_cols=_MOR_STATS[name],
             )
             n_rewritten += len(fl)
         # DROP, not overwrite-empty: an absent vector member short-circuits

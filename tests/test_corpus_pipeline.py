@@ -9,6 +9,7 @@ import json
 import time
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from map_reduce_in_go_spark.sources.catalog import TableCatalog
@@ -1890,3 +1891,62 @@ def test_image_admission_gate(spark, tmp_path):
         spark, mk([(9, _IMG_A, "en")]), cat, 5, image_hamming=K
     )
     assert 9 in {r["doc_id"] for r in member(spark, cat, CORPUS).collect()}
+
+
+def test_image_gate_arming_is_sticky_and_backfills(spark, tmp_path):
+    """r14 advice (low): the gate is armed per CATALOG, not per call —
+
+    - a batch committed after arming is gated even when the caller omits
+      image_hamming (sticky marker; intermittent arming can't punch
+      holes in the standing index);
+    - a different threshold on an armed catalog fails loudly;
+    - arming a catalog that already holds UN-gated commits backfills the
+      phash index from the live corpus inside the same CAS, so an image
+      near-dup of a pre-gate doc is rejected.
+    """
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+        PHASH,
+        image_gate_threshold,
+    )
+
+    K = 8
+    mk = lambda rws: spark.createDataFrame(
+        rws, "doc_id long, text string, lang string"
+    )
+    other = (
+        "orbital chestnut lantern silver prairie morning cobalt anchor "
+        "timber fjord harbor velvet cinder maple "
+    ) * 4
+
+    # sticky: arm on batch 0, probe WITHOUT the kwarg on batch 1
+    cat = TableCatalog(str(tmp_path / "sticky_cat"))
+    assert corpus_batch_txn(
+        spark, mk([(1, _IMG_A, "en")]), cat, 0, image_hamming=K
+    )
+    assert image_gate_threshold(cat) == K
+    assert corpus_batch_txn(spark, mk([(3, _IMG_X, "en")]), cat, 1)
+    assert {r["doc_id"] for r in member(spark, cat, CORPUS).collect()} == {1}
+    # a different threshold is mode-mixing → loud
+    with pytest.raises(ValueError, match="already armed"):
+        corpus_batch_txn(
+            spark, mk([(5, other.strip(), "en")]), cat, 2, image_hamming=K + 1
+        )
+
+    # backfill: batch 0 commits UN-gated, arming happens on batch 1 —
+    # the pre-gate doc's image must still block its near-dup
+    cat2 = TableCatalog(str(tmp_path / "backfill_cat"))
+    assert corpus_batch_txn(spark, mk([(1, _IMG_A, "en")]), cat2, 0)
+    assert PHASH not in cat2.snapshot(spark)
+    assert corpus_batch_txn(
+        spark,
+        mk([(3, _IMG_X, "en"), (4, other.strip(), "en")]),
+        cat2,
+        1,
+        image_hamming=K,
+    )
+    live = {r["doc_id"] for r in member(spark, cat2, CORPUS).collect()}
+    assert live == {1, 4}  # 3 rejected against the BACKFILLED index
+    # the backfilled index covers the pre-gate doc too
+    assert {
+        r["doc_id"] for r in member(spark, cat2, PHASH).collect()
+    } == {1, 4}

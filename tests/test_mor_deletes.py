@@ -1029,3 +1029,47 @@ def test_fenced_follower_cannot_fold_on_empty_batch(spark, sf_dir, tmp_path):
     assert not any(
         op.startswith("apply-deletes") for op in cat.committed_ops()
     )
+
+
+def test_fold_keeps_member_keyed_stats_on_image_gated_catalog(
+    spark, sf_dir, tmp_path
+):
+    """r14 advice (low): apply_deletes must re-record each member's OWN
+    stats columns on the files it rewrites — the PHASH member's column
+    is "band", not "band_hash"; passing another member's columns made
+    the fold silently drop band [min,max] stats (correctness safe,
+    point-probe pruning degraded until the next compact)."""
+    import json
+
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+        _MOR_STATS,
+        PHASH,
+    )
+
+    cat = TableCatalog(str(tmp_path / "img_cat"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    assert corpus_batch_txn(
+        spark, docs.limit(30), cat, 0, image_hamming=8
+    )
+    live = {r["doc_id"] for r in member(spark, cat, CORPUS).collect()}
+    victims = sorted(live)[:3]
+    assert retract_docs_mor(spark, cat, victims, op="erase-3")
+    assert apply_deletes(spark, cat, op="fold-3") > 0
+    # every member's rewritten files carry that member's stats columns
+    for name in (CORPUS, BANDS, PHASH):
+        path, v = cat.snapshot(spark)[name]
+        man = json.load(
+            open(os.path.join(cat.root, path, "_manifests", f"v{v}.json"))
+        )
+        assert man["files"], name
+        for f in man["files"]:
+            assert set(man["stats"][f]) == set(_MOR_STATS[name]), (
+                name,
+                f,
+            )
+    # and the folded catalog still serves the right live view
+    assert {
+        r["doc_id"] for r in member(spark, cat, CORPUS).collect()
+    } == live - set(victims)

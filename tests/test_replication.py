@@ -946,3 +946,30 @@ def test_verbatim_truncated_pins_surface_actionable_error(
 
     with pytest.raises(FileNotFoundError, match="pins"):
         replicate_catalog(spark, src, dst, verbatim=True)
+
+
+def test_mode_pinned_only_after_first_shipped_commit(spark, sf_dir, tmp_path):
+    """r14 advice (low): the mode marker lands atomically AFTER the first
+    commit ships — a pass that ships nothing (empty primary, or all ops
+    already current) must NOT pin the replica's lifetime mode, so the
+    replica is still free to be established in either mode by the pass
+    that actually ships its first commit."""
+    import json
+
+    src = TableCatalog(str(tmp_path / "primary"))
+    _feed(spark, sf_dir, src, batches=(0,))
+    dst = TableCatalog(str(tmp_path / "replica"))
+    marker = os.path.join(dst.root, dst.ledger, "replication_mode.json")
+
+    # first ship pins the mode; the marker is the committed-state record
+    assert replicate_catalog(spark, src, dst, verbatim=True) == 1
+    assert json.load(open(marker))["mode"] == "verbatim"
+
+    # a zero-commit pass onto a FRESH replica pins nothing…
+    done = TableCatalog(str(tmp_path / "fresh"))
+    marker2 = os.path.join(done.root, done.ledger, "replication_mode.json")
+    assert replicate_catalog(spark, src, done) == 1
+    assert json.load(open(marker2))["mode"] == "materializing"
+    # …and an already-current same-mode pass ships 0 and changes nothing
+    assert replicate_catalog(spark, src, done) == 0
+    assert json.load(open(marker2))["mode"] == "materializing"
