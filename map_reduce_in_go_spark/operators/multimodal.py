@@ -1058,12 +1058,21 @@ def _sql_hamming64(a: str, b: str) -> str:
     )
 
 
-# Shared phash replay CTEs (dedup_image_phash / _clusters / _incremental):
+# Shared phash replay CTEs (dedup_image_phash / _clusters / _incremental,
+# and — prefixed — the gated-pipeline oracle in streaming/pipeline_read.py):
 # the PPM synthesis arithmetic (ASCII corpus: char codes == raster bytes,
 # raster[k] = codes[k % len + 1] by the cyclic tiling) → integer grayscale
 # → 9×8 nearest-neighbor grid → gradient bits → 4×16 banding.
-_PHASH_CTES = f"""
-    WITH base AS (
+def phash_ctes(prefix: str = "", lead: str = "WITH") -> str:
+    """The phash replay CTE chain with every CTE name ``prefix``ed (so a
+    composite oracle can splice it next to CTEs that already use the
+    bare names) and ``lead`` as the opening keyword (``WITH`` standalone,
+    ``,`` when appended to an existing WITH chain)."""
+    return _PHASH_CTES_TEMPLATE.format(p=prefix, lead=lead)
+
+
+_PHASH_CTES_TEMPLATE = f"""
+    {{lead}} {{p}}base AS (
       SELECT doc_id,
              octet_length(encode(text)) AS len,
              octet_length(encode(text)) % {W_MOD} + {W_MIN} AS w,
@@ -1071,17 +1080,17 @@ _PHASH_CTES = f"""
              list_transform(range(1, length(text) + 1),
                             i -> ascii(substr(text, i, 1))) AS codes
       FROM documents WHERE text IS NOT NULL AND length(text) > 0
-    ), cells AS (
+    ), {{p}}cells AS (
       SELECT doc_id, len, w, h, codes, t.b AS b,
              (t.b // 8) AS gi, (t.b % 8) AS gj
-      FROM base, (SELECT unnest(range(0, 64)) AS b) t
-    ), pos AS (
+      FROM {{p}}base, (SELECT unnest(range(0, 64)) AS b) t
+    ), {{p}}pos AS (
       SELECT doc_id, b, len, w, codes,
              ((gi * h) // 8) AS y,
              ((gj * w) // 9) AS x1,
              (((gj + 1) * w) // 9) AS x2
-      FROM cells
-    ), gv AS (
+      FROM {{p}}cells
+    ), {{p}}gv AS (
       SELECT doc_id, b,
         (codes[CAST((3 * (y * w + x1)) % len AS BIGINT) + 1]
          + codes[CAST((3 * (y * w + x1) + 1) % len AS BIGINT) + 1]
@@ -1089,18 +1098,20 @@ _PHASH_CTES = f"""
         (codes[CAST((3 * (y * w + x2)) % len AS BIGINT) + 1]
          + codes[CAST((3 * (y * w + x2) + 1) % len AS BIGINT) + 1]
          + codes[CAST((3 * (y * w + x2) + 2) % len AS BIGINT) + 1]) // 3 AS g2
-      FROM pos
-    ), hashes AS (
+      FROM {{p}}pos
+    ), {{p}}hashes AS (
       SELECT doc_id,
              string_agg(CASE WHEN g2 > g1 THEN '1' ELSE '0' END, ''
                         ORDER BY b) AS dh
-      FROM gv GROUP BY doc_id
-    ), bands AS (
+      FROM {{p}}gv GROUP BY doc_id
+    ), {{p}}bands AS (
       SELECT doc_id, dh, t.c AS c,
              substr(dh, CAST(t.c * {PHASH_BAND_BITS} + 1 AS INTEGER),
                     {PHASH_BAND_BITS}) AS band
-      FROM hashes, (SELECT unnest(range(0, {PHASH_BANDS})) AS c) t
+      FROM {{p}}hashes, (SELECT unnest(range(0, {PHASH_BANDS})) AS c) t
     )"""
+
+_PHASH_CTES = phash_ctes()
 
 
 # Shared audio-fingerprint replay CTEs: the WAV synthesis arithmetic →

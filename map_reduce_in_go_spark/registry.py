@@ -343,6 +343,7 @@ def _build() -> None:
         "pipeline_trending_mor",
         "pipeline_trending_folded",
         "pipeline_trending_backup",  # r13: verbatim backup fidelity
+        "pipeline_trending_gated",  # r15: image-gated admission chain
         "pipeline_quarantine",
         "pipeline_quantiles_check",
         "pipeline_spans",

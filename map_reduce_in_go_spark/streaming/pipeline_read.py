@@ -158,6 +158,56 @@ def pipeline_trending_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _trending_from_token_counts(spark, _pipeline_catalog(spark, sf_dir))
 
 
+def _pipeline_gated_catalog(spark: SparkSession, sf_dir: str) -> TableCatalog:
+    """An IMAGE-GATED pipeline catalog for ``sf_dir`` (r15): the same
+    three ``doc_id % 3`` batches, with the perceptual-hash admission
+    gate armed on batch 0 ONLY — batches 1 and 2 deliberately omit the
+    kwarg so the driver's hash also covers the sticky-arming marker
+    (an armed catalog must gate every later batch by itself)."""
+    from ..operators.multimodal import PHASH_HAMMING_MAX
+
+    def _build(path: str) -> None:
+        cat = TableCatalog(path)
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text", "lang")
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        )
+        for i in range(PIPELINE_BATCHES):
+            corpus_batch_txn(
+                spark,
+                docs.filter(F.pmod("doc_id", F.lit(PIPELINE_BATCHES)) == i),
+                cat,
+                i,
+                image_hamming=PHASH_HAMMING_MAX if i == 0 else None,
+            )
+
+    return TableCatalog(served_artifact("pipeline_gated", sf_dir, _build))
+
+
+def pipeline_trending_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending tokens of an IMAGE-GATED pipeline's accepted corpus (r15
+    — the r14 #256 machinery under the driver's hash at last).
+
+    The catalog admits each batch through BOTH screens — MinHash text
+    bands, then the perceptual-hash image gate (band collision +
+    packed-popcount Hamming ≤ 8 against the standing ``phash_bands``
+    member and in-batch keep-min) — and the answer is served from the
+    ``token_counts`` member with zero corpus re-scan. The oracle
+    replays the full two-screen, three-batch admission chain in SQL
+    (the ``_KEPT_CTES`` chain extended with the prefixed phash replay
+    CTEs), so a wrong rejection, a missed rejection, a hole punched by
+    intermittent arming, or a member/counts divergence all land in the
+    hash. On this corpus the gate REALLY fires: every sf0.01 phash pair
+    is image-only (no MinHash collision), so the gated accepted set
+    differs from the un-gated pipeline's and the two oracles could
+    never be confused.
+    """
+    return _trending_from_token_counts(
+        spark, _pipeline_gated_catalog(spark, sf_dir)
+    )
+
+
 def _pipeline_replica(spark: SparkSession, sf_dir: str) -> TableCatalog:
     """A serving REPLICA of the pipeline catalog, stood up once per corpus
     behind its own latch: every primary commit shipped through
@@ -871,6 +921,141 @@ HAVING max(pos) + {SUBSTR_K} - min(pos) >= {SUBSTR_MIN_TOKENS}
 """,
 }
 
+def _gated_kept_ctes() -> str:
+    """The two-screen admission chain in SQL: per batch, MinHash text
+    drops (standing accepted band index + in-batch keep-min) then image
+    drops among the text survivors (standing accepted phash index +
+    in-batch keep-min, Hamming-verified) — both indexes growing with the
+    FINALLY-accepted docs only, exactly as ``corpus_batch_txn`` appends
+    them."""
+    from ..operators.multimodal import (
+        PHASH_HAMMING_MAX,
+        _sql_hamming64,
+        phash_ctes,
+    )
+
+    K = PHASH_HAMMING_MAX
+    ham = _sql_hamming64
+    parts = [_MINHASH_CTES + phash_ctes("img_", ",")]
+    parts.append("""
+, gt0 AS (SELECT * FROM bands WHERE doc_id % 3 = 0),
+gt1 AS (SELECT * FROM bands WHERE doc_id % 3 = 1),
+gt2 AS (SELECT * FROM bands WHERE doc_id % 3 = 2),
+gp0 AS (SELECT doc_id, dh, c, band FROM img_bands WHERE doc_id % 3 = 0),
+gp1 AS (SELECT doc_id, dh, c, band FROM img_bands WHERE doc_id % 3 = 1),
+gp2 AS (SELECT doc_id, dh, c, band FROM img_bands WHERE doc_id % 3 = 2),
+gtd0 AS (
+  SELECT DISTINCT b.doc_id FROM gt0 a JOIN gt0 b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+gts0 AS (
+  SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+    AND doc_id NOT IN (SELECT doc_id FROM gtd0)
+),""")
+    parts.append(f"""
+gid0 AS (
+  SELECT DISTINCT b.doc_id FROM gp0 a JOIN gp0 b
+    ON a.c = b.c AND a.band = b.band AND a.doc_id < b.doc_id
+  WHERE a.doc_id IN (SELECT doc_id FROM gts0)
+    AND b.doc_id IN (SELECT doc_id FROM gts0)
+    AND {ham('a.dh', 'b.dh')} <= {K}
+),
+gacc0 AS (
+  SELECT doc_id FROM gts0 WHERE doc_id NOT IN (SELECT doc_id FROM gid0)
+),
+gtidx1 AS (
+  SELECT band_idx, band_hash FROM gt0
+  WHERE doc_id IN (SELECT doc_id FROM gacc0)
+),
+gpidx1 AS (
+  SELECT dh, c, band FROM gp0 WHERE doc_id IN (SELECT doc_id FROM gacc0)
+),
+gtd1 AS (
+  SELECT DISTINCT n.doc_id FROM gt1 n JOIN gtidx1 o
+    ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+  UNION
+  SELECT DISTINCT b.doc_id FROM gt1 a JOIN gt1 b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+gts1 AS (
+  SELECT doc_id FROM documents WHERE doc_id % 3 = 1
+    AND doc_id NOT IN (SELECT doc_id FROM gtd1)
+),
+gid1 AS (
+  SELECT DISTINCT n.doc_id FROM gp1 n JOIN gpidx1 o
+    ON n.c = o.c AND n.band = o.band
+  WHERE n.doc_id IN (SELECT doc_id FROM gts1)
+    AND {ham('n.dh', 'o.dh')} <= {K}
+  UNION
+  SELECT DISTINCT b.doc_id FROM gp1 a JOIN gp1 b
+    ON a.c = b.c AND a.band = b.band AND a.doc_id < b.doc_id
+  WHERE a.doc_id IN (SELECT doc_id FROM gts1)
+    AND b.doc_id IN (SELECT doc_id FROM gts1)
+    AND {ham('a.dh', 'b.dh')} <= {K}
+),
+gacc1 AS (
+  SELECT doc_id FROM gts1 WHERE doc_id NOT IN (SELECT doc_id FROM gid1)
+),
+gtidx2 AS (
+  SELECT band_idx, band_hash FROM gtidx1
+  UNION ALL
+  SELECT band_idx, band_hash FROM gt1
+  WHERE doc_id IN (SELECT doc_id FROM gacc1)
+),
+gpidx2 AS (
+  SELECT dh, c, band FROM gpidx1
+  UNION ALL
+  SELECT dh, c, band FROM gp1 WHERE doc_id IN (SELECT doc_id FROM gacc1)
+),
+gtd2 AS (
+  SELECT DISTINCT n.doc_id FROM gt2 n JOIN gtidx2 o
+    ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+  UNION
+  SELECT DISTINCT b.doc_id FROM gt2 a JOIN gt2 b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+gts2 AS (
+  SELECT doc_id FROM documents WHERE doc_id % 3 = 2
+    AND doc_id NOT IN (SELECT doc_id FROM gtd2)
+),
+gid2 AS (
+  SELECT DISTINCT n.doc_id FROM gp2 n JOIN gpidx2 o
+    ON n.c = o.c AND n.band = o.band
+  WHERE n.doc_id IN (SELECT doc_id FROM gts2)
+    AND {ham('n.dh', 'o.dh')} <= {K}
+  UNION
+  SELECT DISTINCT b.doc_id FROM gp2 a JOIN gp2 b
+    ON a.c = b.c AND a.band = b.band AND a.doc_id < b.doc_id
+  WHERE a.doc_id IN (SELECT doc_id FROM gts2)
+    AND b.doc_id IN (SELECT doc_id FROM gts2)
+    AND {ham('a.dh', 'b.dh')} <= {K}
+),
+gacc2 AS (
+  SELECT doc_id FROM gts2 WHERE doc_id NOT IN (SELECT doc_id FROM gid2)
+),
+gkept AS (
+  SELECT doc_id FROM gacc0
+  UNION ALL SELECT doc_id FROM gacc1
+  UNION ALL SELECT doc_id FROM gacc2
+),
+gdocs AS (
+  SELECT * FROM documents WHERE doc_id IN (SELECT doc_id FROM gkept)
+)
+""")
+    return "".join(parts)
+
+
+ORACLES["pipeline_trending_gated"] = _gated_kept_ctes() + f"""
+, gwords AS (
+  SELECT unnest({{tok}}) AS word FROM gdocs
+), gtot AS (SELECT count(*) AS n FROM gwords)
+SELECT word, count(*) AS cnt FROM gwords GROUP BY word
+HAVING count(*) * {HH_K} > (SELECT n FROM gtot)
+"""
+
 ORACLES["pipeline_trending_asof"] = _KEPT_CTES + f"""
 , k01 AS (
   SELECT doc_id FROM plsurv0
@@ -927,6 +1112,9 @@ ORACLES["pipeline_trending_upsert"] = ORACLES["pipeline_trending_upsert"].replac
     "{tok}", _sql_tokens_k()
 )
 ORACLES["pipeline_trending_mor"] = ORACLES["pipeline_trending_mor"].replace(
+    "{tok}", _sql_tokens_k()
+)
+ORACLES["pipeline_trending_gated"] = ORACLES["pipeline_trending_gated"].replace(
     "{tok}", _sql_tokens_k()
 )
 # the served form answers the SAME question from the token_counts member,

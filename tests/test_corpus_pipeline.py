@@ -1950,3 +1950,45 @@ def test_image_gate_arming_is_sticky_and_backfills(spark, tmp_path):
     assert {
         r["doc_id"] for r in member(spark, cat2, PHASH).collect()
     } == {1, 4}
+
+
+def test_pipeline_trending_gated_catalog_shape(spark, sf_dir):
+    """The registered gated pipeline (r15): the served catalog was armed
+    sticky (marker present, batches 1-2 ran WITHOUT the kwarg), holds
+    the transactional phash member, and accepted strictly fewer docs
+    than the un-gated pipeline (the image gate fires on this corpus)."""
+    import os
+
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+        PHASH,
+        image_gate_threshold,
+    )
+    from map_reduce_in_go_spark.operators.multimodal import PHASH_HAMMING_MAX
+    from map_reduce_in_go_spark.streaming.pipeline_read import (
+        _pipeline_catalog,
+        _pipeline_gated_catalog,
+        pipeline_trending_gated,
+    )
+
+    gated = _pipeline_gated_catalog(spark, sf_dir)
+    assert image_gate_threshold(gated) == PHASH_HAMMING_MAX
+    assert os.path.exists(os.path.join(gated.root, "image_gate.json"))
+    snap = gated.snapshot(spark)
+    assert PHASH in snap
+    g_live = {r["doc_id"] for r in member(spark, gated, CORPUS).collect()}
+    u_live = {
+        r["doc_id"]
+        for r in member(
+            spark, _pipeline_catalog(spark, sf_dir), CORPUS
+        ).collect()
+    }
+    # the gate really changes admission — NOT necessarily a subset: an
+    # image-rejected doc's text bands never enter the index, so a later
+    # text-near-dup of it can survive where the un-gated chain dropped it
+    assert g_live != u_live
+    assert u_live - g_live  # at least one image rejection happened
+    # phash member covers exactly the accepted docs that have an image
+    ph_ids = {r["doc_id"] for r in member(spark, gated, PHASH).collect()}
+    assert ph_ids == g_live
+    # and the registered query serves without error over the gated state
+    assert pipeline_trending_gated(spark, sf_dir).count() > 0

@@ -82,6 +82,7 @@ SCALAR_CROSS_OK = {
     "pipeline_trending_upsert",
     "pipeline_trending_branch",
     "pipeline_trending_rebase",
+    "pipeline_trending_gated",  # same fold served from the gated catalog
 }
 
 # Queries whose plans legitimately contain an UNPARTITIONED sorted Window:
