@@ -35,7 +35,9 @@ steady state; a driver restart is the only sanctioned exception, and
 each occurrence must be logged here with its keys so the lag guarantee
 stays auditable. r13 holds the line: ≤ 4 new registrations. r14 likewise
 registers exactly 4 (dedup_image_phash, events_cube_overlap,
-dedup_containment_indexed, audio_spectral).
+dedup_containment_indexed, audio_spectral). r15 again exactly 4
+(dedup_image_clusters, dedup_image_incremental, dedup_audio_fingerprint,
+pipeline_trending_gated).
 """
 
 from __future__ import annotations
