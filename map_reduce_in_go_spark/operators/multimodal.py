@@ -825,34 +825,35 @@ def dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def build_phash_index(docs: DataFrame, root: str, op: str = "phash-build") -> bool:
-    """Persist a corpus's banded dHash table as a ledgered ManifestTable
-    index — the image family's standing near-dup structure (r14).
+def build_banded_index(bands: DataFrame, root: str, op: str) -> bool:
+    """Persist ANY banded 64-bit hash table (:func:`bands_of_hashes`
+    shape) as a ledgered ManifestTable index — the standing near-dup
+    structure shared by the image dHash and audio fingerprint families.
 
     One commit per ``op`` id, exactly-once across retries/replays (the
-    band-index / substring-index discipline): an arriving image batch
-    appends its bands under its own op and a re-delivered batch is a
-    ledger no-op. ``stats_cols=["band"]`` gives per-file [min,max] on
-    the band string, so a small probing batch can prune index files by
-    point-set (the layout tightens under ``compact(zorder_cols=["band"])``).
+    band-index / substring-index discipline): an arriving batch appends
+    its bands under its own op and a re-delivered batch is a ledger
+    no-op. ``stats_cols=["band"]`` gives per-file [min,max] on the band
+    string, so a small probing batch can prune index files by point-set
+    (the layout tightens under ``compact(zorder_cols=["band"])``).
     Returns False (no recompute) on a replayed op."""
     from ..sources.manifest_table import ManifestTable
 
     tbl = ManifestTable(root, stats_cols=["band"])
     if op in tbl.committed_ops():
         return False
-    tbl.append(phash_bands_of(docs), op=op)
+    tbl.append(bands, op=op)
     return True
 
 
-def optimize_phash_index(
+def optimize_banded_index(
     spark: SparkSession, root: str, num_files: int = 16
 ) -> int:
-    """Re-cluster the phash index on the band string (OPTIMIZE-ZORDER):
-    one atomic CAS rewrite restores tight per-file [min,max] band ranges
-    after a run of incremental appends — same maintenance verb as the
-    anchor-gram and gram-frequency indexes (sources/substring_index.py).
-    Returns the new table version."""
+    """Re-cluster a banded hash index on the band string (OPTIMIZE-
+    ZORDER): one atomic CAS rewrite restores tight per-file [min,max]
+    band ranges after a run of incremental appends — same maintenance
+    verb as the anchor-gram and gram-frequency indexes
+    (sources/substring_index.py). Returns the new table version."""
     from ..sources.manifest_table import ManifestTable
 
     return ManifestTable(root, stats_cols=["band"]).compact(
@@ -860,30 +861,26 @@ def optimize_phash_index(
     )
 
 
-def image_batch_near_dups(
-    spark: SparkSession, batch_docs: DataFrame, root: str
+def banded_index_batch_pairs(
+    spark: SparkSession, batch_bands: DataFrame, root: str, hamming_max: int
 ) -> DataFrame:
-    """A new image batch probed against the standing phash index:
-    (doc_a = index doc, doc_b = batch doc, hamming ≤ threshold).
+    """A new batch's banded hashes probed against a standing banded
+    index: (doc_a = index doc, doc_b = batch doc, hamming ≤ threshold).
 
-    Cost scales with the BATCH: only the batch's hashes are computed
-    (one Arrow pass over the batch), the join is (batch bands) ⋈
-    (indexed bands) on (chunk, band), and candidates are verified by
-    exact Hamming — the ``dedup_batch_against_index`` shape pointed at
-    the image modality. The batch's band strings are collected as probe
-    keys and the index is read through point-set file skipping
-    (``files_pruned_in`` on the per-file band [min,max] stats the build
-    records and OPTIMIZE tightens), falling back to the full snapshot
-    past ``MAX_PROBE_KEYS`` — the ``dedup_batch_against_stats_index``
-    path (r14 advice, low: the docstring promised pruning the read
-    never did). At 100 TB the standing index is the persisted artifact
-    daily ingest appends to; no corpus re-hash ever happens."""
+    The storage-agnostic core under :func:`image_batch_near_dups` and
+    :func:`audio_batch_near_dups`: the batch's band strings are
+    collected as probe keys and the index is read through point-set
+    file skipping (``files_pruned_in`` on the per-file band [min,max]
+    stats the build records and OPTIMIZE tightens), falling back to the
+    full snapshot past ``MAX_PROBE_KEYS``; then band-equijoin + packed-
+    popcount Hamming verify. Cost scales with the BATCH — the standing
+    corpus is never re-hashed."""
     from ..sources.manifest_table import ManifestTable
     from .dedup import MAX_PROBE_KEYS, scoped_persist
 
     tbl = ManifestTable(root, stats_cols=["band"])
     nb = scoped_persist(
-        phash_bands_of(batch_docs).select(
+        batch_bands.select(
             F.col("doc_id").alias("doc_b"),
             "chunk",
             "band",
@@ -897,15 +894,12 @@ def image_batch_near_dups(
         snap = tbl.read_pruned_in(spark, "band", probes)
     else:
         snap = tbl.read(spark)
-    idx = (
-        snap
-        .select(
-            F.col("doc_id").alias("doc_a"),
-            "chunk",
-            "band",
-            F.col("dh_hi").alias("hi_a"),
-            F.col("dh_lo").alias("lo_a"),
-        )
+    idx = snap.select(
+        F.col("doc_id").alias("doc_a"),
+        "chunk",
+        "band",
+        F.col("dh_hi").alias("hi_a"),
+        F.col("dh_lo").alias("lo_a"),
     )
     cand = (
         nb.join(idx, ["chunk", "band"])
@@ -918,10 +912,90 @@ def image_batch_near_dups(
             "hamming",
             F.expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"),
         )
-        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .filter(F.col("hamming") <= hamming_max)
         .select(
             "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
         )
+    )
+
+
+def build_phash_index(docs: DataFrame, root: str, op: str = "phash-build") -> bool:
+    """The image instance of :func:`build_banded_index` (r14): persist a
+    corpus's banded dHash table as the standing image near-dup index."""
+    return build_banded_index(phash_bands_of(docs), root, op)
+
+
+def optimize_phash_index(
+    spark: SparkSession, root: str, num_files: int = 16
+) -> int:
+    """OPTIMIZE-ZORDER for the image phash index (r14); see
+    :func:`optimize_banded_index`."""
+    return optimize_banded_index(spark, root, num_files)
+
+
+def image_batch_near_dups(
+    spark: SparkSession, batch_docs: DataFrame, root: str
+) -> DataFrame:
+    """A new image batch probed against the standing phash index:
+    (doc_a = index doc, doc_b = batch doc, hamming ≤ threshold).
+
+    Cost scales with the BATCH: only the batch's hashes are computed
+    (one Arrow pass over the batch), then the shared
+    :func:`banded_index_batch_pairs` probe — point-set file skipping on
+    the band stats (r14 advice, low: the docstring promised pruning the
+    read never did), band-equijoin, packed-popcount Hamming verify.
+    At 100 TB the standing index is the persisted artifact daily ingest
+    appends to; no corpus re-hash ever happens."""
+    return banded_index_batch_pairs(
+        spark, phash_bands_of(batch_docs), root, PHASH_HAMMING_MAX
+    )
+
+
+def audio_fp_bands_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk, band, dhash, dh_hi, dh_lo) banded audio
+    fingerprints straight from a (doc_id, text) frame — the audio
+    analogue of :func:`phash_bands_of`, one chained Arrow stage."""
+    return bands_of_hashes(audio_fingerprints(docs))
+
+
+def build_audio_fp_index(
+    docs: DataFrame, root: str, op: str = "audiofp-build"
+) -> bool:
+    """The audio instance of :func:`build_banded_index` (r15): persist a
+    corpus's banded spectral fingerprints as the standing audio
+    near-dup index — exactly the lifecycle the image index has (ledgered
+    exactly-once appends, band stats, OPTIMIZE via
+    :func:`optimize_banded_index`)."""
+    return build_banded_index(audio_fp_bands_of(docs), root, op)
+
+
+def audio_batch_near_dups(
+    spark: SparkSession, batch_docs: DataFrame, root: str
+) -> DataFrame:
+    """A new audio batch probed against the standing fingerprint index:
+    (doc_a = index clip, doc_b = batch clip, hamming ≤ threshold) via
+    the shared :func:`banded_index_batch_pairs` probe. r16 registration
+    candidate (the ``dedup_image_incremental`` two-sided recipe at the
+    audio modality; the oracle is the parity-split form of the
+    ``dedup_audio_fingerprint`` replay)."""
+    return banded_index_batch_pairs(
+        spark, audio_fp_bands_of(batch_docs), root, AUDIO_FP_HAMMING_MAX
+    )
+
+
+def dedup_audio_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup CLUSTERS: connected components over the
+    :func:`dedup_audio_fingerprint` pair graph through the shared
+    star-contraction engine (``star_components``, operators/dedup.py),
+    labels = component-minimum doc_id — the keep-one-per-cluster step,
+    same as :func:`dedup_image_clusters` for images. r16 registration
+    candidate (recursive-CTE oracle over the replayable fingerprint
+    pairs — the #48/#255 pattern on the audio CTEs)."""
+    from .dedup import star_components
+
+    pairs = dedup_audio_fingerprint(spark, sf_dir)
+    return star_components(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     )
 
 

@@ -641,3 +641,81 @@ def test_audio_fingerprint_banding_recall(spark, sf_dir):
         assert true_pairs.get((a, b)) == d
     close = {p for p, d in true_pairs.items() if d <= 3}
     assert close <= banded_pairs
+
+
+def test_audio_fp_index_incremental_probe(spark, sf_dir, tmp_path):
+    """Standing audio-fingerprint index (r15): the generic banded-index
+    lifecycle at the audio modality — batch probe finds exactly the
+    cross pairs of the full in-flight query, appends are exactly-once
+    per op, OPTIMIZE changes no probe answer."""
+    from map_reduce_in_go_spark.operators.multimodal import (
+        audio_batch_near_dups,
+        build_audio_fp_index,
+        dedup_audio_fingerprint,
+        optimize_banded_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    batch = docs.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    root = str(tmp_path / "audiofp_idx")
+
+    assert build_audio_fp_index(corpus, root) is True
+    assert build_audio_fp_index(corpus, root) is False  # replay no-op
+
+    got = {
+        frozenset((r["doc_a"], r["doc_b"])): r["hamming"]
+        for r in audio_batch_near_dups(spark, batch, root).collect()
+    }
+    full = {
+        frozenset((r["doc_a"], r["doc_b"])): r["hamming"]
+        for r in dedup_audio_fingerprint(spark, sf_dir).collect()
+    }
+    c_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    b_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    want = {
+        p: h
+        for p, h in full.items()
+        if len(p & c_ids) == 1 and len(p & b_ids) == 1
+    }
+    assert got == want
+
+    optimize_banded_index(spark, root, num_files=4)
+    got2 = {
+        frozenset((r["doc_a"], r["doc_b"])): r["hamming"]
+        for r in audio_batch_near_dups(spark, batch, root).collect()
+    }
+    assert got2 == got
+
+
+def test_audio_clusters_match_union_find(spark, sf_dir):
+    """Star-contraction clusters over the audio fingerprint pair graph
+    equal a driver-side union-find (labels = component min)."""
+    from map_reduce_in_go_spark.operators.multimodal import (
+        dedup_audio_clusters,
+        dedup_audio_fingerprint,
+    )
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_audio_fingerprint(spark, sf_dir).collect()
+    ]
+    assert pairs  # the fixture corpus has near-dup clips
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_audio_clusters(spark, sf_dir).collect()
+    }
+    assert got == want
