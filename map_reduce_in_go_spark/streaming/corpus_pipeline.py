@@ -75,6 +75,10 @@ QUAR = "quarantine"
 # of BANDS. Row-level and doc-keyed, so it rides the MOR delete vector and
 # the COW retraction exactly like BANDS.
 PHASH = "phash_bands"
+# standing audio-fingerprint index (r15): the audio twin of PHASH — the
+# banded spectral-envelope fingerprints of every ACCEPTED doc, appended
+# in the same CAS when the audio admission gate is armed (audio_hamming=)
+AUDIOFP = "audio_fp_bands"
 # batch-input WAL, written ONLY on branch timelines (r12): (op, doc_id)
 # rows recording each branch batch's INPUT id set in the same CAS as the
 # batch itself, so rebase_merge_branch can replay the experiment's batches
@@ -105,9 +109,10 @@ DELETES = "doc_deletes"  # schema: member string, file string, doc_id long
 # the row-level members the vector defers; every other member's retraction
 # algebra is already O(delta) (negative additive rows / summary rebuild /
 # tiny audit COW), so deferral would buy nothing and cost read complexity.
-# PHASH joins the list (r14): absent on image-gate-less catalogs — every
-# _MOR_MEMBERS iteration must tolerate a missing member.
-_MOR_MEMBERS = (CORPUS, BANDS, PHASH)
+# PHASH joins the list (r14) and AUDIOFP (r15): absent on catalogs whose
+# gate was never armed — every _MOR_MEMBERS iteration must tolerate a
+# missing member.
+_MOR_MEMBERS = (CORPUS, BANDS, PHASH, AUDIOFP)
 # Per-member stats columns every MOR rewrite must re-record (r14 advice:
 # a fold that passes another member's columns silently drops the stats on
 # the rewritten files — correctness survives, files-without-stats are
@@ -117,7 +122,12 @@ _MOR_STATS = {
     CORPUS: ["doc_id"],
     BANDS: ["band_hash", "doc_id"],
     PHASH: ["band", "doc_id"],
+    AUDIOFP: ["band", "doc_id"],
 }
+# The banded-media gate members (one standing 64-bit-hash index each,
+# operators/multimodal.py bands_of_hashes shape); retraction, MOR
+# vectors, upsert re-hash, and compaction treat them uniformly.
+_BANDED_MEDIA = (PHASH, AUDIOFP)
 
 # The image admission gate is armed per CATALOG, not per call (r14 advice,
 # low — the mode-mixing hazard: one batch committed un-armed would leave
@@ -130,46 +140,57 @@ _MOR_STATS = {
 # the live corpus inside the same CAS, so the index is complete from the
 # moment the marker exists.
 _IMAGE_GATE_MARKER = "image_gate.json"
+_AUDIO_GATE_MARKER = "audio_gate.json"  # r15: the audio gate's marker
 
 
-def image_gate_threshold(cat: TableCatalog) -> int | None:
-    """The catalog's armed image-gate Hamming threshold, or None."""
+def _media_gate_threshold(cat: TableCatalog, marker: str) -> int | None:
+    """The catalog's armed Hamming threshold for one media gate, or None."""
     import json
 
     try:
-        with open(os.path.join(cat.root, _IMAGE_GATE_MARKER)) as fh:
+        with open(os.path.join(cat.root, marker)) as fh:
             return int(json.load(fh)["hamming"])
     except FileNotFoundError:
         return None
 
 
-def _resolve_image_gate(
-    cat: TableCatalog, image_hamming: int | None
+def image_gate_threshold(cat: TableCatalog) -> int | None:
+    """The catalog's armed image-gate Hamming threshold, or None."""
+    return _media_gate_threshold(cat, _IMAGE_GATE_MARKER)
+
+
+def audio_gate_threshold(cat: TableCatalog) -> int | None:
+    """The catalog's armed audio-gate Hamming threshold, or None."""
+    return _media_gate_threshold(cat, _AUDIO_GATE_MARKER)
+
+
+def _resolve_media_gate(
+    cat: TableCatalog, marker: str, kind: str, hamming: int | None
 ) -> tuple[int | None, bool]:
     """(effective threshold, arming-now?) for one corpus_batch_txn call."""
-    armed = image_gate_threshold(cat)
+    armed = _media_gate_threshold(cat, marker)
     if armed is not None:
-        if image_hamming is not None and image_hamming != armed:
+        if hamming is not None and hamming != armed:
             raise ValueError(
-                f"image gate already armed at hamming={armed} for "
-                f"{cat.root}; a batch at {image_hamming} would judge "
+                f"{kind} gate already armed at hamming={armed} for "
+                f"{cat.root}; a batch at {hamming} would judge "
                 "near-dups inconsistently across the corpus — pass the "
-                "armed threshold (or omit image_hamming; arming is sticky)"
+                f"armed threshold (or omit {kind}_hamming; arming is sticky)"
             )
         return armed, False
-    return image_hamming, image_hamming is not None
+    return hamming, hamming is not None
 
 
-def _arm_image_gate(cat: TableCatalog, hamming: int) -> None:
-    """Persist the arming marker atomically (O_EXCL via link — two racing
-    first arms can never interleave: exactly one creates the marker, the
-    loser re-validates against what actually landed)."""
+def _arm_media_gate(cat: TableCatalog, marker: str, hamming: int) -> None:
+    """Persist one gate's arming marker atomically (O_EXCL via link — two
+    racing first arms can never interleave: exactly one creates the
+    marker, the loser re-validates against what actually landed)."""
     import json
     import tempfile
 
-    path = os.path.join(cat.root, _IMAGE_GATE_MARKER)
+    path = os.path.join(cat.root, marker)
     os.makedirs(cat.root, exist_ok=True)  # first arm may precede first commit
-    fd, tmp = tempfile.mkstemp(dir=cat.root, prefix="._image_gate-")
+    fd, tmp = tempfile.mkstemp(dir=cat.root, prefix=f"._{marker}-")
     try:
         with os.fdopen(fd, "w") as fh:
             json.dump({"hamming": int(hamming)}, fh)
@@ -178,14 +199,103 @@ def _arm_image_gate(cat: TableCatalog, hamming: int) -> None:
         try:
             os.link(tmp, path)
         except FileExistsError:
-            armed = image_gate_threshold(cat)
+            armed = _media_gate_threshold(cat, marker)
             if armed != hamming:
                 raise ValueError(
-                    f"image gate concurrently armed at hamming={armed} "
-                    f"for {cat.root}; this writer wanted {hamming}"
+                    f"media gate {marker} concurrently armed at "
+                    f"hamming={armed} for {cat.root}; this writer "
+                    f"wanted {hamming}"
                 ) from None
     finally:
         os.unlink(tmp)
+
+
+def _media_gate_screen(
+    spark: SparkSession,
+    txn,
+    member_name: str,
+    bands_of_fn,
+    src_df: DataFrame,
+    band_surv: DataFrame,
+    hamming_max: int,
+    arming: bool,
+):
+    """Run ONE banded-media admission screen inside a batch transaction.
+
+    Hashes the batch's surviving docs with ``bands_of_fn`` (one Arrow
+    pass — phash_bands_of for images, audio_fp_bands_of for audio),
+    probes the standing ``member_name`` index (LIVE view: MOR-retracted
+    blockers do not block) and the in-batch keep-min pairs, both
+    verified at packed-popcount Hamming ≤ ``hamming_max``. When
+    ``arming`` (first gated batch of this catalog), the live corpus
+    docs missing from the index are hashed INSIDE this CAS so the index
+    is complete the moment the marker exists — and they block this very
+    batch's near-dups too. Returns ``(batch_bands, drop_ids,
+    backfill_bands-or-None)``; the caller anti-joins the drops and
+    appends ``batch_bands ∩ final-survivors (+ backfill)`` to the
+    member."""
+    from pyspark.sql import functions as F
+
+    from ..functions.caching import scoped_persist
+
+    batch_mb = scoped_persist(
+        bands_of_fn(src_df).join(band_surv, "doc_id", "left_semi")
+    )
+    try:
+        old_mb = _txn_live_read(txn, member_name)
+    except KeyError:  # first armed batch: no standing index yet
+        old_mb = spark.createDataFrame(
+            [],
+            "doc_id long, chunk int, band string, dh_hi long, dh_lo long",
+        )
+    backfill = None
+    if arming:
+        try:
+            old_corpus = _txn_live_read(txn, CORPUS)
+        except KeyError:
+            pass
+        else:
+            missing = old_corpus.select("doc_id", "text").join(
+                old_mb.select("doc_id").distinct(), "doc_id", "left_anti"
+            )
+            backfill = scoped_persist(bands_of_fn(missing))
+            cols = ["doc_id", "chunk", "band", "dh_hi", "dh_lo"]
+            old_mb = old_mb.select(*cols).unionByName(backfill.select(*cols))
+    ham = F.expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)")
+    drop_old = (
+        batch_mb.select(
+            "doc_id", "chunk", "band",
+            F.col("dh_hi").alias("hi_b"),
+            F.col("dh_lo").alias("lo_b"),
+        )
+        .join(
+            old_mb.select(
+                "chunk", "band",
+                F.col("dh_hi").alias("hi_a"),
+                F.col("dh_lo").alias("lo_a"),
+            ),
+            ["chunk", "band"],
+        )
+        .filter(ham <= hamming_max)
+        .select("doc_id")
+    )
+    pa, pb = batch_mb.alias("a"), batch_mb.alias("b")
+    drop_new = (
+        pa.join(
+            pb,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(
+            F.expr(
+                "bit_count(a.dh_hi ^ b.dh_hi) + bit_count(a.dh_lo ^ b.dh_lo)"
+            )
+            <= hamming_max
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+    )
+    return batch_mb, drop_old.union(drop_new).distinct(), backfill
 
 
 def _file_basename_col():
@@ -292,6 +402,7 @@ def corpus_batch_txn(
     semantic_threshold: float | None = None,
     expectations: list[tuple[str, str]] | None = None,
     image_hamming: int | None = None,
+    audio_hamming: int | None = None,
 ) -> bool:
     """Process one (doc_id, text, lang) micro-batch; False on replay.
 
@@ -339,6 +450,16 @@ def corpus_batch_txn(
     holds un-gated commits backfills the phash index from the live
     corpus inside the same CAS.
 
+    ``audio_hamming`` arms the AUDIO admission gate (r15) — the same
+    screen at the audio modality: surviving docs' spectral-envelope
+    fingerprints (operators/multimodal.py ``audio_fp_bands_of``) probe
+    the standing :data:`AUDIOFP` member + in-batch keep-min at packed-
+    popcount Hamming ≤ threshold, accepted docs' bands land in the SAME
+    CAS, retraction/compaction/upsert re-hash cover the member exactly
+    like PHASH, and arming is sticky via ``audio_gate.json`` with the
+    same backfill discipline. The audio screen runs AFTER the image
+    screen (each gate filters the previous survivors).
+
     ``writer_token`` (from :meth:`~..sources.catalog.TableCatalog.
     acquire_app_id`) verifies this process still holds ``app_id``'s
     op-label lease before every commit attempt — without it, two writer
@@ -367,9 +488,16 @@ def corpus_batch_txn(
     # sticky per-catalog arming: an armed catalog gates EVERY batch at
     # the marker's threshold (caller may omit the kwarg); a different
     # threshold, or arming races, fail loudly (see _IMAGE_GATE_MARKER)
-    image_hamming, arming_image_gate = _resolve_image_gate(cat, image_hamming)
+    image_hamming, arming_image_gate = _resolve_media_gate(
+        cat, _IMAGE_GATE_MARKER, "image", image_hamming
+    )
     if arming_image_gate:
-        _arm_image_gate(cat, image_hamming)
+        _arm_media_gate(cat, _IMAGE_GATE_MARKER, image_hamming)
+    audio_hamming, arming_audio_gate = _resolve_media_gate(
+        cat, _AUDIO_GATE_MARKER, "audio", audio_hamming
+    )
+    if arming_audio_gate:
+        _arm_media_gate(cat, _AUDIO_GATE_MARKER, audio_hamming)
     op = f"{app_id}-batch-{batch_id}"
     if op in cat.committed_ops():
         return False
@@ -447,87 +575,24 @@ def corpus_batch_txn(
                     catalog_version=txn.base_version,
                 )
                 band_surv = band_surv.join(sem_drops, "doc_id", "left_anti")
-            batch_ph = None
-            backfill_ph = None
+            batch_ph = backfill_ph = None
             if image_hamming is not None:
                 from ..operators.multimodal import phash_bands_of
 
-                batch_ph = scoped_persist(
-                    phash_bands_of(src_df).join(
-                        band_surv, "doc_id", "left_semi"
-                    )
+                batch_ph, drops_img, backfill_ph = _media_gate_screen(
+                    spark, txn, PHASH, phash_bands_of, src_df, band_surv,
+                    image_hamming, arming_image_gate,
                 )
-                try:
-                    old_ph = _txn_live_read(txn, PHASH)
-                except KeyError:  # first armed batch: no standing index yet
-                    old_ph = spark.createDataFrame(
-                        [],
-                        "doc_id long, chunk int, band string, "
-                        "dh_hi long, dh_lo long",
-                    )
-                if arming_image_gate:
-                    # arming an already-populated catalog: hash the live
-                    # corpus docs the standing index is missing (commits
-                    # that pre-date the gate) INSIDE this CAS, so the
-                    # index is complete the moment the marker exists —
-                    # they block this very batch's near-dups too
-                    try:
-                        old_corpus = _txn_live_read(txn, CORPUS)
-                    except KeyError:
-                        pass
-                    else:
-                        missing = old_corpus.select("doc_id", "text").join(
-                            old_ph.select("doc_id").distinct(),
-                            "doc_id",
-                            "left_anti",
-                        )
-                        backfill_ph = scoped_persist(phash_bands_of(missing))
-                        cols = ["doc_id", "chunk", "band", "dh_hi", "dh_lo"]
-                        old_ph = old_ph.select(*cols).unionByName(
-                            backfill_ph.select(*cols)
-                        )
-                ham = F.expr(
-                    "bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"
+                band_surv = band_surv.join(drops_img, "doc_id", "left_anti")
+            batch_afp = backfill_afp = None
+            if audio_hamming is not None:
+                from ..operators.multimodal import audio_fp_bands_of
+
+                batch_afp, drops_afp, backfill_afp = _media_gate_screen(
+                    spark, txn, AUDIOFP, audio_fp_bands_of, src_df,
+                    band_surv, audio_hamming, arming_audio_gate,
                 )
-                drop_old_img = (
-                    batch_ph.select(
-                        "doc_id", "chunk", "band",
-                        F.col("dh_hi").alias("hi_b"),
-                        F.col("dh_lo").alias("lo_b"),
-                    )
-                    .join(
-                        old_ph.select(
-                            "chunk", "band",
-                            F.col("dh_hi").alias("hi_a"),
-                            F.col("dh_lo").alias("lo_a"),
-                        ),
-                        ["chunk", "band"],
-                    )
-                    .filter(ham <= image_hamming)
-                    .select("doc_id")
-                )
-                pa, pb = batch_ph.alias("a"), batch_ph.alias("b")
-                drop_new_img = (
-                    pa.join(
-                        pb,
-                        (F.col("a.chunk") == F.col("b.chunk"))
-                        & (F.col("a.band") == F.col("b.band"))
-                        & (F.col("a.doc_id") < F.col("b.doc_id")),
-                    )
-                    .filter(
-                        F.expr(
-                            "bit_count(a.dh_hi ^ b.dh_hi) "
-                            "+ bit_count(a.dh_lo ^ b.dh_lo)"
-                        )
-                        <= image_hamming
-                    )
-                    .select(F.col("b.doc_id").alias("doc_id"))
-                )
-                band_surv = band_surv.join(
-                    drop_old_img.union(drop_new_img).distinct(),
-                    "doc_id",
-                    "left_anti",
-                )
+                band_surv = band_surv.join(drops_afp, "doc_id", "left_anti")
             survivors = band_surv.localCheckpoint(eager=True)
             kept = src_df.join(survivors, "doc_id", "left_semi").localCheckpoint(
                 eager=True
@@ -629,13 +694,23 @@ def corpus_batch_txn(
                 rows = batch_ph.join(survivors, "doc_id", "left_semi")
                 if backfill_ph is not None:
                     rows = rows.unionByName(backfill_ph)
-                txn.append(PHASH, rows, op=op, stats_cols=["band", "doc_id"])
+                txn.append(PHASH, rows, op=op, stats_cols=_MOR_STATS[PHASH])
+
+            def _audiofp():
+                rows = batch_afp.join(survivors, "doc_id", "left_semi")
+                if backfill_afp is not None:
+                    rows = rows.unionByName(backfill_afp)
+                txn.append(
+                    AUDIOFP, rows, op=op, stats_cols=_MOR_STATS[AUDIOFP]
+                )
 
             members = [
                 _corpus, _bands, _grams, _tokens, _cms, _quants, _rejects,
             ]
             if batch_ph is not None:
                 members.append(_phash)
+            if batch_afp is not None:
+                members.append(_audiofp)
             if quar_rows is not None:
                 members.append(_quar)
             if cat.ledger != "_catalog":
@@ -1134,8 +1209,9 @@ def retract_docs(
                     )
 
                 vec = _vector_rows(CORPUS).unionByName(_vector_rows(BANDS))
-                if PHASH in names:
-                    vec = vec.unionByName(_vector_rows(PHASH))
+                for media in _BANDED_MEDIA:
+                    if media in names:
+                        vec = vec.unionByName(_vector_rows(media))
                 txn.append(
                     DELETES,
                     vec,
@@ -1171,16 +1247,17 @@ def retract_docs(
                     stats_cols=["band_hash", "doc_id"],
                     extra_probe=("band_hash", gone_hashes),
                 )
-                if PHASH in names:
-                    _remove_ids_cow(
-                        spark,
-                        txn,
-                        PHASH,
-                        ids,
-                        id_vals,
-                        op,
-                        stats_cols=["band", "doc_id"],
-                    )
+                for media in _BANDED_MEDIA:
+                    if media in names:
+                        _remove_ids_cow(
+                            spark,
+                            txn,
+                            media,
+                            ids,
+                            id_vals,
+                            op,
+                            stats_cols=_MOR_STATS[media],
+                        )
             # read-your-writes: the staged post-removal corpus (live —
             # other docs' pending MOR deletes must stay invisible too)
             remaining = _txn_live_read(txn, CORPUS, merge_schema=True)
@@ -1857,20 +1934,26 @@ def update_docs(
                 op=op,
                 stats_cols=["band_hash", "doc_id"],
             )
-            if PHASH in names:
-                # image-gated catalogs: the correction replaces the docs'
-                # phash bands too, or a later image probe would judge
-                # against the superseded version's image
-                from ..operators.multimodal import phash_bands_of
+            for media in _BANDED_MEDIA:
+                if media not in names:
+                    continue
+                # media-gated catalogs: the correction replaces the docs'
+                # banded hashes too, or a later probe would judge against
+                # the superseded version's image/audio
+                from ..operators.multimodal import (
+                    audio_fp_bands_of,
+                    phash_bands_of,
+                )
 
-                _rm(PHASH, ["band", "doc_id"])
+                bands_of = (
+                    phash_bands_of if media == PHASH else audio_fp_bands_of
+                )
+                _rm(media, _MOR_STATS[media])
                 txn.append(
-                    PHASH,
-                    phash_bands_of(kept).join(
-                        survivors, "doc_id", "left_semi"
-                    ),
+                    media,
+                    bands_of(kept).join(survivors, "doc_id", "left_semi"),
                     op=op,
-                    stats_cols=["band", "doc_id"],
+                    stats_cols=_MOR_STATS[media],
                 )
             # additive members: negative (old) and positive (new) rows in
             # one append each — the fold is the state, rows are the delta
@@ -2113,17 +2196,19 @@ def compact_pipeline(
                 zorder_layout(toks, ["word"], num_files),
                 stats_cols=["word"],
             )
-        if PHASH in names:
-            # image-gate member: live read folds any pending MOR deletes,
+        for media in _BANDED_MEDIA:
+            if media not in names:
+                continue
+            # media-gate member: live read folds any pending MOR deletes,
             # band clustering restores probe pruning (same story as BANDS)
             txn.overwrite(
-                PHASH,
+                media,
                 zorder_layout(
-                    _txn_live_read(txn, PHASH, merge_schema=True),
+                    _txn_live_read(txn, media, merge_schema=True),
                     ["band"],
                     num_files,
                 ),
-                stats_cols=["band", "doc_id"],
+                stats_cols=_MOR_STATS[media],
             )
         if REJECTS in names:
             txn.overwrite(

@@ -1992,3 +1992,107 @@ def test_pipeline_trending_gated_catalog_shape(spark, sf_dir):
     assert ph_ids == g_live
     # and the registered query serves without error over the gated state
     assert pipeline_trending_gated(spark, sf_dir).count() > 0
+
+
+_AUD_P = (
+    "silver lantern harbor quiet meadow ember stone bridge winter falcon "
+    "crest "
+)
+_AUD_A = _AUD_P + ("granite oak mosaic thunder velvet prism cascade nimbus " * 5).strip()
+_AUD_X = _AUD_P + ("zephyr quartz bazaar igloo saffron tundra walnut echo " * 5).strip()
+
+
+def test_audio_admission_gate(spark, tmp_path):
+    """r15: the audio admission gate end-to-end — a doc whose synthesized
+    CLIP is a near-dup of a committed doc's (shared anchor window) is
+    rejected even though its TEXT passes the MinHash screen; accepted
+    docs' fingerprint bands land in the AUDIOFP member in the same CAS;
+    arming is sticky; a MOR retraction of the blocker admits a later
+    near-dup; compaction folds the member."""
+    from map_reduce_in_go_spark.operators.dedup import bands_of_docs
+    from map_reduce_in_go_spark.operators.multimodal import (
+        audio_fingerprints,
+    )
+    from map_reduce_in_go_spark.streaming.corpus_pipeline import (
+        AUDIOFP,
+        audio_gate_threshold,
+        compact_pipeline,
+        retract_docs,
+    )
+
+    K = 8
+    other = (
+        "orbital chestnut lantern cobalt anchor timber fjord velvet "
+        "cinder maple morning prairie "
+    ) * 4
+    mk = lambda rws: spark.createDataFrame(
+        rws, "doc_id long, text string, lang string"
+    )
+
+    # preconditions against the PRODUCTION kernels: identical fingerprint
+    # (the gate must fire) but zero MinHash band collisions (the text
+    # screen must NOT fire)
+    pre = mk([(1, _AUD_A, "en"), (3, _AUD_X, "en")])
+    fps = {
+        r["doc_id"]: r["dhash"] for r in audio_fingerprints(pre).collect()
+    }
+    assert fps[1] == fps[3]
+    b = bands_of_docs(pre)
+    a, c = b.alias("a"), b.alias("c")
+    assert (
+        a.join(
+            c,
+            (F.col("a.band_idx") == F.col("c.band_idx"))
+            & (F.col("a.band_hash") == F.col("c.band_hash"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        ).count()
+        == 0
+    )
+
+    cat = TableCatalog(str(tmp_path / "aud_cat"))
+    assert corpus_batch_txn(
+        spark, mk([(1, _AUD_A, "en"), (2, other.strip(), "en")]), cat, 0,
+        audio_hamming=K,
+    )
+    assert audio_gate_threshold(cat) == K
+    assert AUDIOFP in cat.snapshot(spark)
+    assert {
+        r["doc_id"] for r in member(spark, cat, AUDIOFP).collect()
+    } == {1, 2}
+
+    # batch 1: X audio-dups doc 1 (rejected by the AUDIO gate), doc 4 is
+    # distinct on both axes (admitted) — and the kwarg is OMITTED, so
+    # sticky arming must gate the batch by itself
+    fresh = "granary plateau sundial meridian copper kestrel " * 6
+    assert corpus_batch_txn(
+        spark, mk([(3, _AUD_X, "en"), (4, fresh.strip(), "en")]), cat, 1
+    )
+    assert {
+        r["doc_id"] for r in member(spark, cat, CORPUS).collect()
+    } == {1, 2, 4}
+    assert {
+        r["doc_id"] for r in member(spark, cat, AUDIOFP).collect()
+    } == {1, 2, 4}
+    # replay no-op
+    assert (
+        corpus_batch_txn(spark, mk([(3, _AUD_X, "en")]), cat, 1) is False
+    )
+
+    # MOR-retract the blocker: a resubmitted audio near-dup is admitted
+    assert retract_docs(spark, cat, [1], op="erase-1", mode="mor")
+    assert corpus_batch_txn(spark, mk([(3, _AUD_X, "en")]), cat, 2)
+    assert {
+        r["doc_id"] for r in member(spark, cat, CORPUS).collect()
+    } == {2, 3, 4}
+
+    # compaction folds the vector and re-clusters the member; admission
+    # answers are unchanged after the fold
+    compact_pipeline(spark, cat, num_files=2)
+    assert {
+        r["doc_id"] for r in member(spark, cat, AUDIOFP).collect()
+    } == {2, 3, 4}
+    assert corpus_batch_txn(spark, mk([(5, _AUD_A, "en")]), cat, 3)
+    # doc 5 collides with doc 3's fingerprint (1 was erased, 3 readmitted)
+    assert 5 not in {
+        r["doc_id"] for r in member(spark, cat, CORPUS).collect()
+    }
