@@ -519,15 +519,21 @@ def star_components(pair_edges: DataFrame) -> DataFrame:
         return attach_nbrs.union(attach_self).distinct()
 
     edges = pair_edges.select("u", "v").localCheckpoint(eager=True)
+    # carry the count across rounds: edges.count() each round re-counted
+    # the frame the previous round already counted — one whole Spark job
+    # per round for a number we had (r15, guide §1.2 per-task work)
+    n_edges = edges.count()
     for _ in range(CLUSTER_MAX_ITERS):
         new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         # both sides are duplicate-free by construction, so equal counts +
         # one empty one-sided diff ⇒ equal sets (count shortcut saves a job)
         changed = 1
-        if new_edges.count() == edges.count():
+        n_new = new_edges.count()
+        if n_new == n_edges:
             changed = new_edges.exceptAll(edges).limit(1).count()
         free_local_checkpoint(edges)
         edges = new_edges
+        n_edges = n_new
         if changed == 0:
             break
     else:

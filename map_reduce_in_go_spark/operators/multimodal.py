@@ -244,7 +244,14 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     or join just to content-address rows (the payload digest is pinned
     separately in tests/test_multimodal.py). Zero-byte/NULL docs are
     excluded by :func:`with_ppm_payload` on both sides."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        # spread the encode/decode kernel across cores: the single-file
+        # testdata scan is one split (r15, guide §2.5); drops out on a
+        # multi-split production layout
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     payloads = with_ppm_payload(docs)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -297,6 +304,9 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        # spread the WAV encode + container-walk kernel across cores
+        # (single-split testdata scan; r15, guide §2.5)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
 
     def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -471,6 +481,12 @@ def audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        # single-file testdata = one input split: spread the FFT kernel
+        # across cores (r15 — this query was the SCALE_r15 4.86× tail,
+        # a single task running every FFT; guide §2.5 input skew). On a
+        # production multi-split layout the scan parallelizes itself and
+        # this shuffle (a few KB/doc of text) is the first thing to drop.
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     feat = audio_spectral_features(docs)
     parseval = (
@@ -742,8 +758,18 @@ def banded_hamming_pairs(bands: DataFrame, hamming_max: int) -> DataFrame:
     pair engine shared by :func:`dedup_image_phash` and
     :func:`dedup_audio_fingerprint`; at 100 TB the shuffle carries only
     (band, packed-hash) tuples and bucket sizes are bounded by the
-    16-bit band space."""
-    b_ = bands.select("doc_id", "chunk", "band", "dh_hi", "dh_lo")
+    16-bit band space.
+
+    The banded table is scope-persisted before the self-join: without it
+    both join sides re-run the entire upstream fingerprint chain (encode
+    → container parse → numpy hash, the expensive Python stages) — the
+    r15 before-plan showed the MapInPandas pipeline duplicated under
+    each side of the join (guide §2.4: share one computation instead of
+    two subtrees). The cached frame is ~30 bytes/doc·band at any scale.
+    """
+    from ..functions.caching import scoped_persist
+
+    b_ = scoped_persist(bands.select("doc_id", "chunk", "band", "dh_hi", "dh_lo"))
     a, b = b_.alias("a"), b_.alias("b")
     pairs = (
         a.join(
@@ -1242,8 +1268,12 @@ def _phash_index_path(spark: SparkSession, sf_dir: str) -> str:
     from ..sources.artifacts import served_artifact
 
     def _build(path: str) -> None:
-        corpus = load_table(spark, sf_dir, "documents").filter(
-            F.pmod(F.col("doc_id"), F.lit(2)) == 0
+        corpus = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+            # spread the corpus hash pass of the one-time build across
+            # cores (single-split testdata scan; r15, guide §2.5)
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         )
         build_phash_index(corpus, path)
         optimize_phash_index(spark, path)  # tight [min,max] band stats
@@ -1266,8 +1296,12 @@ def dedup_image_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     served index loses nothing vs deriving both sides. Cost scales with
     the batch; the corpus is never re-hashed.
     """
-    batch = load_table(spark, sf_dir, "documents").filter(
-        F.pmod(F.col("doc_id"), F.lit(2)) == 1
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+        # spread the batch hash pass across cores (single-split testdata
+        # scan; r15, guide §2.5)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     return image_batch_near_dups(
         spark, batch, _phash_index_path(spark, sf_dir)
@@ -1355,7 +1389,15 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic corpus is pure ASCII (octet_length == length at every sf —
     a non-ASCII corpus would need a BLOB-slicing oracle instead).
     """
-    return sample_frames(with_payload(load_table(spark, sf_dir, "documents")))
+    return sample_frames(
+        with_payload(
+            # spread the frame-slicing kernel (single-split testdata
+            # scan; r15, guide §2.5)
+            load_table(spark, sf_dir, "documents").repartition(
+                spark.sparkContext.defaultParallelism, "doc_id"
+            )
+        )
+    )
 
 
 def _sql_hamming64(a: str, b: str) -> str:
