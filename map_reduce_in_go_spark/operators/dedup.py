@@ -382,6 +382,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- clustering
 
 CLUSTER_MAX_ITERS = 25
+# star_components: edge sets at or below this size are solved with one
+# bounded driver pass (union-find) instead of distributed contraction
+# rounds — ~16 bytes/edge ⇒ ≤ ~16 MB of driver transfer at the default,
+# the same order as broadcast relations this engine already builds. At
+# 100 TB near-dup pair graphs exceed this and take the distributed path.
+LOCAL_CC_MAX_EDGES = int(os.environ.get("SPARK_GRAFT_LOCAL_CC_MAX_EDGES", str(1 << 20)))
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -497,11 +503,15 @@ def star_components(pair_edges: DataFrame) -> DataFrame:
             .agg(F.min("v").alias("mn"))
             .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
         )
+        # no distinct here (r15): duplicate edges cannot change the
+        # min-aggregates or filters of the small-star round that always
+        # follows, and its trailing distinct dedups the round's output —
+        # dropping this one removes a whole shuffle per contraction round
+        # (guide §2.4) for a bit of duplicate volume inside one round.
         return (
             sym.join(m, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
         )
 
     def _small_star(e: DataFrame) -> DataFrame:
@@ -523,6 +533,47 @@ def star_components(pair_edges: DataFrame) -> DataFrame:
     # the frame the previous round already counted — one whole Spark job
     # per round for a number we had (r15, guide §1.2 per-task work)
     n_edges = edges.count()
+    # Size-gated local solve (r15): a contraction ROUND costs a fixed
+    # handful of shuffle stages + one checkpoint job, so on a small edge
+    # set the loop is pure scheduling overhead (measured 4.4-9.4 s for a
+    # 2,866-edge graph at sf0.1 — vs ~0.1 s of actual union-find work).
+    # Below the bound the edges come to the driver ONCE (≤ ~16 MB at the
+    # 2^20 default — the same order as broadcast relations already used)
+    # and path-compressed union-find produces the identical
+    # component-minimum labeling; past it the distributed contraction
+    # runs exactly as before. The bound is conf-able for deployments
+    # (SPARK_GRAFT_LOCAL_CC_MAX_EDGES); correctness is pinned by the
+    # union-find pytest twins and the recursive-CTE oracles either way.
+    if n_edges <= LOCAL_CC_MAX_EDGES:
+        parent: dict[int, int] = {}
+
+        def _find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        # one collect, not toLocalIterator: the iterator schedules one
+        # sequential mini-job per partition (measured +1.4 s on a
+        # 64-partition frame); the bound caps the transfer either way
+        for u, v in edges.collect():
+            if u not in parent:
+                parent[u] = u
+            if v not in parent:
+                parent[v] = v
+            ru, rv = _find(u), _find(v)
+            if ru != rv:
+                # union by min so the root IS the component minimum
+                if ru < rv:
+                    parent[rv] = ru
+                else:
+                    parent[ru] = rv
+        spark = pair_edges.sparkSession
+        labels = [(x, _find(x)) for x in parent]
+        free_local_checkpoint(edges)
+        return spark.createDataFrame(labels, schema="doc_id long, cluster_id long")
     for _ in range(CLUSTER_MAX_ITERS):
         new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         # both sides are duplicate-free by construction, so equal counts +

@@ -442,3 +442,39 @@ def test_containment_indexed_serves_without_reexplode(spark, sf_dir):
     )
     assert "posexplode" not in pi.lower()
     assert "posexplode" in pe.lower()  # the twin still pays it in-flight
+
+
+def test_star_components_local_and_distributed_paths_agree(spark, monkeypatch):
+    """r15: star_components gained a size-gated driver union-find fast path.
+    Pin that both paths produce the identical component-minimum labeling on
+    a graph with chains, duplicate edges, reversed edges and singletons-in-
+    pairs, by forcing the distributed contraction with a zero threshold."""
+    edges = spark.createDataFrame(
+        [
+            # a 5-chain (stringy component: worst case for propagation)
+            (1, 2), (2, 3), (3, 4), (4, 5),
+            # duplicate + reversed duplicates of one edge
+            (10, 11), (11, 10), (10, 11),
+            # triangle touching the chain's max
+            (5, 20), (20, 21), (21, 5),
+            # isolated pair with large ids
+            (1_000_000_007, 1_000_000_009),
+        ],
+        schema="u long, v long",
+    )
+    expected = {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 20: 1, 21: 1,
+        10: 10, 11: 10,
+        1_000_000_007: 1_000_000_007, 1_000_000_009: 1_000_000_007,
+    }
+
+    local = {
+        r["doc_id"]: r["cluster_id"] for r in dedup.star_components(edges).collect()
+    }
+    assert local == expected
+
+    monkeypatch.setattr(dedup, "LOCAL_CC_MAX_EDGES", 0)
+    dist = {
+        r["doc_id"]: r["cluster_id"] for r in dedup.star_components(edges).collect()
+    }
+    assert dist == expected
