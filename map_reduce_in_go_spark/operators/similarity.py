@@ -223,9 +223,12 @@ def _with_buckets(
 
 
 def _query_probes(
-    vecs: DataFrame, all_vectors: bool = False, bits: int = LSH_BITS
+    vecs: DataFrame,
+    all_vectors: bool = False,
+    bits: int = LSH_BITS,
+    with_vec: bool = False,
 ) -> DataFrame:
-    """(query_id, tbl, bucket) multiprobe rows for the query subset.
+    """(query_id, tbl, bucket[, e]) multiprobe rows for the query subset.
 
     Per query per table: the base sign bucket plus ``MULTIPROBE`` buckets
     with one bit flipped — the bits whose hyperplane dot is nearest zero
@@ -233,6 +236,14 @@ def _query_probes(
     Boundary ranking uses |dot| rounded half-away at 6dp with the bit index
     as tie-break, so the DuckDB oracle replays the exact probe set: a rank
     flip would need two |dot|s within float error of the same 6dp boundary.
+
+    ``with_vec`` emits each QUERY once — vector plus its probe set as a
+    nested (tbl, bucket) array the caller explodes JVM-side — so callers
+    that need (probe, vector) rows (knn_graph) skip a whole re-attach
+    shuffle join of the probe frame against the corpus without paying to
+    serialize the vector once per probe across the Arrow boundary (the
+    flat-with-vector variant measured ~1 s slower than the join it
+    replaced; this shape beats both — r15, guide §2.4/§4.1).
     """
     import pandas as pd
 
@@ -248,6 +259,26 @@ def _query_probes(
             dots = mat @ planes.T  # m×(L·bits)
             signs = (dots >= 0).astype(np.uint8)
             absr = _duck_round6_np(np.abs(dots))  # shared round6 recipe
+            if with_vec:
+                out_p = []
+                for i in range(m):
+                    probes = []
+                    for t in range(LSH_TABLES):
+                        sl = slice(t * bits, (t + 1) * bits)
+                        s = signs[i, sl]
+                        probes.append((t, "".join("1" if x else "0" for x in s)))
+                        order = np.lexsort((np.arange(bits), absr[i, sl]))
+                        for k in order[:MULTIPROBE]:
+                            fl = s.copy()
+                            fl[k] ^= 1
+                            probes.append(
+                                (t, "".join("1" if x else "0" for x in fl))
+                            )
+                    out_p.append(probes)
+                yield pd.DataFrame(
+                    {"query_id": ids, "e": pdf["e"], "probes": out_p}
+                )
+                continue
             out_q, out_t, out_b = [], [], []
             for i in range(m):
                 for t in range(LSH_TABLES):
@@ -276,6 +307,15 @@ def _query_probes(
         q = q.filter(F.col("vec_id") % QUERY_MOD == 0)
     q = q.select("vec_id", "e")
     q = q.repartition(q.sparkSession.sparkContext.defaultParallelism)
+    if with_vec:
+        nested = q.mapInPandas(
+            gen,
+            schema="query_id long, e array<double>, "
+            "probes array<struct<tbl:int,bucket:string>>",
+        )
+        return nested.select(
+            "query_id", "e", F.explode("probes").alias("p")
+        ).select("query_id", F.col("p.tbl").alias("tbl"), F.col("p.bucket").alias("bucket"), "e")
     return q.mapInPandas(gen, schema="query_id long, tbl int, bucket string")
 
 
@@ -902,13 +942,13 @@ def knn_graph(spark: SparkSession, sf_dir: str, bits: int = LSH_BITS) -> DataFra
     members = _with_buckets(vecs, with_vec=True, bits=bits).withColumn(
         "is_probe", F.lit(0)
     )
-    probes = (
-        _query_probes(vecs, all_vectors=True, bits=bits)
-        .join(vecs.select(F.col("vec_id").alias("query_id"), "e"), "query_id")
-        .select(
-            F.col("query_id").alias("vec_id"), "tbl", "bucket", "e",
-            F.lit(1).alias("is_probe"),
-        )
+    # with_vec=True: the probe kernel emits each probe row with its query
+    # vector attached — the former re-attach join shuffled the 24n-row
+    # probe frame AND the corpus by query_id just to recover a column the
+    # kernel already held (r15, guide §2.4: one less Exchange pair)
+    probes = _query_probes(vecs, all_vectors=True, bits=bits, with_vec=True).select(
+        F.col("query_id").alias("vec_id"), "tbl", "bucket", "e",
+        F.lit(1).alias("is_probe"),
     )
     tagged = members.unionByName(probes)
 
