@@ -537,37 +537,42 @@ def langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_documents_parallel(spark, sf_dir).select(
         "doc_id", "lang", F.lower(F.col("text")).alias("t")
     )
-    model = scoped_persist(
+    # ONE vocab-sized collect serves vocabulary size, per-language totals
+    # AND the 9dp log terms (r15: this was three driver jobs — a distinct
+    # count, a totals collect and the s-term collect — over the same tiny
+    # folded model; totals/vocab are exact integer folds of the collected
+    # rows, and the log terms stay rounded BY THE JVM exactly as the
+    # decimal plan did, so no libm-vs-JVM ulp can sneak in)
+    model_rows = (
         # fold base + incremental appends: counts are additive rows
         ManifestTable(_langid_model_path(spark, sf_dir))
         .read(spark)
         .groupBy("lang", "g")
         .agg(F.sum("c").alias("c"))
+        .select(
+            "g",
+            "lang",
+            "c",
+            (
+                F.round(F.log(F.col("c") + F.lit(1.0)), 9).cast("decimal(18,9)")
+                * F.lit(1_000_000_000)
+            )
+            .cast("long")
+            .alias("s"),
+        )
+        .collect()
     )
-    vocab = model.select("g").distinct().count()  # vocab-sized scalar
-    totals = {
-        r["lang"]: r["t"]
-        for r in model.groupBy("lang").agg(F.sum("c").alias("t")).collect()
-    }
+    vocab = len({r["g"] for r in model_rows})  # vocab-sized scalar
+    totals: dict[str, int] = {}
+    for r in model_rows:
+        totals[r["lang"]] = totals.get(r["lang"], 0) + int(r["c"])
     langs = sorted(totals)
     lang_idx = {lang: i for i, lang in enumerate(langs)}
-    # per-(gram, lang) nano-scaled 9dp log terms, rounded BY THE JVM
-    # exactly as the decimal plan did (decimal × 10^9 → long is exact)
-    s1_rows = model.select(
-        "g",
-        "lang",
-        (
-            F.round(F.log(F.col("c") + F.lit(1.0)), 9).cast("decimal(18,9)")
-            * F.lit(1_000_000_000)
-        )
-        .cast("long")
-        .alias("s"),
-    ).collect()
     import numpy as np
 
     lut: dict[str, np.ndarray] = {}
     zero = np.zeros(len(langs), dtype=np.int64)
-    for r in s1_rows:
+    for r in model_rows:
         vec = lut.get(r["g"])
         if vec is None:
             vec = lut[r["g"]] = zero.copy()
