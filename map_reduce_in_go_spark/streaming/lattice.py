@@ -550,6 +550,26 @@ class RollupLattice:
         overlap arbitrarily. Negative inclusion-exclusion results clamp
         to 0 (a pure noise regime the bound already flags).
         """
+        return self.distinct_overlap_many(
+            spark, measure, key_col, [(group_a, group_b)], version=version
+        )[0]
+
+    def distinct_overlap_many(
+        self,
+        spark: SparkSession,
+        measure: str,
+        key_col: str,
+        pairs,
+        version: int | None = None,
+    ) -> list[dict]:
+        """Batched :meth:`distinct_overlap`: ALL pair estimates from ONE
+        apex scan (r15, guide §1.2/§2.4). A dashboard asking P overlap
+        questions previously paid P catalog reads + P scan jobs for
+        register folds over the same snapshot; here the conditional
+        register-unions for every pair stack into one aggregate over one
+        (version-pinned, so also mutually consistent) apex read. Returns
+        one result dict per input ``(group_a, group_b)`` pair, estimates
+        identical to the per-pair calls."""
         if measure not in self.distinct_cols:
             raise KeyError(
                 f"{measure!r} is not a maintained HLL distinct measure "
@@ -560,40 +580,50 @@ class RollupLattice:
                 f"key_col {key_col!r} must be an apex key column "
                 f"{list(self.apex_keys)}"
             )
-        a_vals = group_a if isinstance(group_a, (list, tuple)) else [group_a]
-        b_vals = group_b if isinstance(group_b, (list, tuple)) else [group_b]
         apex = self.cat.read(
             spark, _level_member(self.apex_keys), version=version
         )
-        # one scan, three conditional register-unions (sketches for keys
-        # in A, in B, in A∪B), estimates taken at the very end
-        in_a = F.col(key_col).isin(list(a_vals))
-        in_b = F.col(key_col).isin(list(b_vals))
-        row = apex.agg(
-            F.hll_sketch_estimate(
-                F.hll_union_agg(F.when(in_a, F.col(measure)))
-            ).alias("a"),
-            F.hll_sketch_estimate(
-                F.hll_union_agg(F.when(in_b, F.col(measure)))
-            ).alias("b"),
-            F.hll_sketch_estimate(
-                F.hll_union_agg(F.when(in_a | in_b, F.col(measure)))
-            ).alias("u"),
-        ).first()
-        est_a = int(row["a"] or 0)
-        est_b = int(row["b"] or 0)
-        est_u = int(row["u"] or 0)
-        inter = max(0, est_a + est_b - est_u)
+        # one scan, three conditional register-unions PER PAIR (sketches
+        # for keys in A, in B, in A∪B), estimates taken at the very end
+        aggs = []
+        for i, (group_a, group_b) in enumerate(pairs):
+            a_vals = group_a if isinstance(group_a, (list, tuple)) else [group_a]
+            b_vals = group_b if isinstance(group_b, (list, tuple)) else [group_b]
+            in_a = F.col(key_col).isin(list(a_vals))
+            in_b = F.col(key_col).isin(list(b_vals))
+            aggs.extend(
+                [
+                    F.hll_sketch_estimate(
+                        F.hll_union_agg(F.when(in_a, F.col(measure)))
+                    ).alias(f"a{i}"),
+                    F.hll_sketch_estimate(
+                        F.hll_union_agg(F.when(in_b, F.col(measure)))
+                    ).alias(f"b{i}"),
+                    F.hll_sketch_estimate(
+                        F.hll_union_agg(F.when(in_a | in_b, F.col(measure)))
+                    ).alias(f"u{i}"),
+                ]
+            )
+        row = apex.agg(*aggs).first()
         rsd3 = 3 * 0.016  # Datasketches HLL default lgK=12: rsd ≈ 1.6%
-        return {
-            "distinct_a": est_a,
-            "distinct_b": est_b,
-            "distinct_union": est_u,
-            "distinct_intersection": inter,
-            "rel_err_bound": round(
-                rsd3 * (est_a + est_b + est_u) / max(inter, 1), 4
-            ),
-        }
+        out = []
+        for i in range(len(pairs)):
+            est_a = int(row[f"a{i}"] or 0)
+            est_b = int(row[f"b{i}"] or 0)
+            est_u = int(row[f"u{i}"] or 0)
+            inter = max(0, est_a + est_b - est_u)
+            out.append(
+                {
+                    "distinct_a": est_a,
+                    "distinct_b": est_b,
+                    "distinct_union": est_u,
+                    "distinct_intersection": inter,
+                    "rel_err_bound": round(
+                        rsd3 * (est_a + est_b + est_u) / max(inter, 1), 4
+                    ),
+                }
+            )
+        return out
 
     def start_stream(
         self,
@@ -967,15 +997,19 @@ def events_cube_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import load_table
 
     lat = _events_cube(spark, sf_dir)
+    # one batched apex scan for every pair (r15): the per-pair loop paid
+    # one catalog read + one fold job per pair for the same snapshot
+    overlaps = lat.distinct_overlap_many(
+        spark,
+        "users_hll",
+        "day",
+        [
+            (date.fromisoformat(a), date.fromisoformat(b))
+            for a, b in OVERLAP_DAY_PAIRS
+        ],
+    )
     est_rows = []
-    for a, b in OVERLAP_DAY_PAIRS:
-        o = lat.distinct_overlap(
-            spark,
-            "users_hll",
-            "day",
-            date.fromisoformat(a),
-            date.fromisoformat(b),
-        )
+    for (a, b), o in zip(OVERLAP_DAY_PAIRS, overlaps):
         bound = o["rel_err_bound"] * max(o["distinct_intersection"], 1)
         est_rows.append((a, b, o["distinct_intersection"], float(bound)))
     est = spark.createDataFrame(

@@ -777,6 +777,20 @@ def test_lattice_distinct_overlap(spark, sf_dir, tmp_path):
         lat.distinct_overlap(spark, "users", "value", "click", "view")
 
 
+def test_distinct_overlap_many_matches_single_calls(spark, sf_dir, tmp_path):
+    """r15: the batched one-scan overlap API returns, pair for pair, the
+    identical dicts the per-pair calls produce (same snapshot, same
+    conditional register-unions — only the job count changes)."""
+    lat, _ev = _feed_mm(spark, sf_dir, tmp_path)
+    pairs = [("click", "purchase"), ("view", "click"), (["click"], ["click"])]
+    batched = lat.distinct_overlap_many(spark, "users", "event_type", pairs)
+    singles = [
+        lat.distinct_overlap(spark, "users", "event_type", a, b)
+        for a, b in pairs
+    ]
+    assert batched == singles
+
+
 def test_events_cube_overlap_registered_shape(spark, sf_dir):
     """The registered overlap query (r14): three day-pair rows, exact
     counts internally consistent (inclusion-exclusion), and every
