@@ -175,21 +175,22 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("toks") >= CONTAM_N)
         .select("doc_id", F.explode(grams).alias("g"))
     )
-    per_doc = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        corpus.join(F.broadcast(bench), "g", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+    # ONE corpus pass (r15, guide §1.2): the former shape computed
+    # per-doc totals and bench hits as two independent aggregates over
+    # the same exploded frame — re-tokenizing and re-exploding the whole
+    # corpus, shuffling it twice, then joining the two per-doc frames.
+    # A broadcast LEFT join against the (distinct, so at most one match
+    # per gram) bench set marks hits in-stream; one doc_id-keyed
+    # aggregate folds both counts. Same rows, same values.
+    marked = corpus.join(
+        F.broadcast(bench.withColumn("hit", F.lit(1))), "g", "left"
     )
-    return (
-        per_doc.join(hits, "doc_id", "left")
-        .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)).cast("int"))
-        .select(
-            "doc_id",
-            F.col("n_grams").cast("int").alias("n_grams"),
-            "n_hit",
-            F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("contam_ratio"),
-        )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_grams"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("n_hit"),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1)), 6
+        ).alias("contam_ratio"),
     )
 
 
