@@ -211,26 +211,30 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("toks") >= 3)
     )
 
-    def top_share(col: Column, name: str) -> DataFrame:
-        per = docs.select("doc_id", F.explode(col).alias("g")).groupBy(
-            "doc_id", "g"
-        ).agg(F.count(F.lit(1)).alias("c"))
-        return per.groupBy("doc_id").agg(
-            F.max("c").alias(f"{name}_max"),
-            F.sum("c").alias(f"{name}_n"),
-        )
-
-    uni = top_share(F.col("toks"), "uni")
-    bi = top_share(_ngrams(F.col("toks"), 2), "bi")
-    tri = (
-        docs.select("doc_id", F.explode(_ngrams(F.col("toks"), 3)).alias("g"))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("tri_n"),
-            F.countDistinct("g").alias("tri_d"),
-        )
+    # ONE corpus pass for all three metrics (r15, guide §1.2): the former
+    # shape exploded the corpus three times (tokens, bigrams, trigrams),
+    # shuffled each to (doc, gram) grain independently, then joined three
+    # per-doc frames. Tagging each gram with its kind lets one explode +
+    # two doc-keyed aggregate levels serve every metric — same gram rows
+    # in total, 1 corpus scan instead of 3 and 2 exchanges instead of 6.
+    kinds = F.concat(
+        F.transform(F.col("toks"), lambda g: F.struct(F.lit(0).alias("k"), g.alias("g"))),
+        F.transform(_ngrams(F.col("toks"), 2), lambda g: F.struct(F.lit(1).alias("k"), g.alias("g"))),
+        F.transform(_ngrams(F.col("toks"), 3), lambda g: F.struct(F.lit(2).alias("k"), g.alias("g"))),
     )
-    out = uni.join(bi, "doc_id").join(tri, "doc_id")
+    per_gram = (
+        docs.select("doc_id", F.explode(kinds).alias("kg"))
+        .groupBy("doc_id", F.col("kg.k").alias("k"), F.col("kg.g").alias("g"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    out = per_gram.groupBy("doc_id").agg(
+        F.max(F.when(F.col("k") == 0, F.col("c"))).alias("uni_max"),
+        F.sum(F.when(F.col("k") == 0, F.col("c"))).alias("uni_n"),
+        F.max(F.when(F.col("k") == 1, F.col("c"))).alias("bi_max"),
+        F.sum(F.when(F.col("k") == 1, F.col("c"))).alias("bi_n"),
+        F.sum(F.when(F.col("k") == 2, F.col("c"))).alias("tri_n"),
+        F.count(F.when(F.col("k") == 2, F.lit(1))).alias("tri_d"),
+    )
     top1 = F.round(F.col("uni_max") / F.col("uni_n"), 6)
     topbi = F.round(F.col("bi_max") / F.col("bi_n"), 6)
     duptri = F.round((F.col("tri_n") - F.col("tri_d")) / F.col("tri_n"), 6)
