@@ -279,7 +279,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard over 3-gram shingle sets for the MinHash candidates."""
     docs = load_documents_parallel(spark, sf_dir)
-    shd = (
+    # the shingle-set frame is referenced four times below (both join
+    # sides + both size attaches); without a persist each reference
+    # re-scans the corpus and re-pays the explode + distinct exchange —
+    # 4 corpus passes for one query (r15, guide §5: reuse > recompute)
+    shd = scoped_persist(
         docs.select("doc_id", F.explode(shingles(F.col("text"), SHINGLE_N)).alias("sh"))
         .distinct()
     )
@@ -349,7 +353,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     one equijoin on (pair, shingle), integer counts, two exact divisions.
     """
     docs = load_documents_parallel(spark, sf_dir)
-    shd = (
+    # the shingle-set frame is referenced four times below (both join
+    # sides + both size attaches); without a persist each reference
+    # re-scans the corpus and re-pays the explode + distinct exchange —
+    # 4 corpus passes for one query (r15, guide §5: reuse > recompute)
+    shd = scoped_persist(
         docs.select("doc_id", F.explode(shingles(F.col("text"), SHINGLE_N)).alias("sh"))
         .distinct()
     )
