@@ -990,30 +990,40 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = F.transform(grams, lambda g: _dsir_bucket(g))
 
     def score(batches):
-        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
         lam = bc.value
-        for pdf in batches:
-            ids, n_feats, lw = [], [], []
-            for doc_id, bs in zip(pdf["doc_id"], pdf["bs"]):
-                if len(bs) == 0:
-                    continue  # gram-free docs are absent (oracle parity)
-                ids.append(doc_id)
-                n_feats.append(len(bs))
-                lw.append(
-                    float(int(lam[np.asarray(bs, dtype=np.int64)].sum())) / 1e9
-                )
-            yield pd.DataFrame(
-                {
-                    "doc_id": np.array(ids, dtype=np.int64),
-                    "n_feats": np.array(n_feats, dtype=np.int64),
-                    "log_weight": np.array(lw, dtype=np.float64),
-                }
+        for batch in batches:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            bs = batch.column("bs")
+            # r15 (guide §4.2): one vectorized segment-sum over the batch's
+            # flattened bucket lists replaces the former per-doc Python loop
+            # — identical integer arithmetic (Σ over occurrences ≡ Σ tf·λ),
+            # so the exact-decimal score is bit-identical.
+            lens = np.asarray(
+                pc.fill_null(pc.list_value_length(bs), 0)
+            ).astype(np.int64)
+            flat = np.asarray(bs.flatten()).astype(np.int64)
+            seg = np.concatenate(
+                ([0], np.cumsum(lam[flat], dtype=np.int64))
+            )
+            ends = np.cumsum(lens)
+            sums = seg[ends] - seg[ends - lens]
+            keep = lens > 0  # gram-free docs are absent (oracle parity)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids[keep], type=pa.int64()),
+                    pa.array(lens[keep], type=pa.int64()),
+                    # float(int)/1e9 per doc ≡ vectorized int64→f64 divide
+                    pa.array(sums[keep].astype(np.float64) / 1e9),
+                ],
+                names=["doc_id", "n_feats", "log_weight"],
             )
 
     return (
         docs.select("doc_id", buckets.alias("bs"))
-        .mapInPandas(score, schema="doc_id long, n_feats long, log_weight double")
+        .mapInArrow(score, schema="doc_id long, n_feats long, log_weight double")
         .withColumn("selected", F.col("log_weight") > 0)
     )
 

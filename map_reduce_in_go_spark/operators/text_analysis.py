@@ -570,13 +570,25 @@ def langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang_idx = {lang: i for i, lang in enumerate(langs)}
     import numpy as np
 
-    lut: dict[str, np.ndarray] = {}
-    zero = np.zeros(len(langs), dtype=np.int64)
+    # r15 (guide §4.2): the model broadcasts as a SORTED codepoint-code
+    # array + an aligned (gram × lang) int64 score matrix, so the scoring
+    # kernel is one vectorized searchsorted per batch instead of a per-doc
+    # Python Counter loop. A trigram's code packs its 3 codepoints (≤ 21
+    # bits each) into one int64 — character-based like the oracle's
+    # substr(), NOT bytes, so non-ASCII text cannot diverge.
+    def _gram_codes(grams: list[str]) -> np.ndarray:
+        flat = np.frombuffer(
+            "".join(grams).encode("utf-32-le"), dtype="<u4"
+        ).astype(np.int64).reshape(-1, LANGID_N)
+        return (flat[:, 0] << 42) | (flat[:, 1] << 21) | flat[:, 2]
+
+    uniq_grams = sorted({r["g"] for r in model_rows})
+    order = np.argsort(_gram_codes(uniq_grams), kind="stable")
+    codes_sorted = _gram_codes(uniq_grams)[order]
+    gram_pos = {uniq_grams[int(o)]: i for i, o in enumerate(order)}
+    smat = np.zeros((len(uniq_grams), len(langs)), dtype=np.int64)
     for r in model_rows:
-        vec = lut.get(r["g"])
-        if vec is None:
-            vec = lut[r["g"]] = zero.copy()
-        vec[lang_idx[r["lang"]]] = r["s"]
+        smat[gram_pos[r["g"]], lang_idx[r["lang"]]] = r["s"]
     # round half away from zero at 9dp, like Spark/DuckDB round()
     ln_x = np.array(
         [
@@ -585,50 +597,71 @@ def langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         dtype=np.int64,
     )
-    bc = spark.sparkContext.broadcast((langs, lut, ln_x))
+    bc = spark.sparkContext.broadcast((langs, codes_sorted, smat, ln_x))
 
     def score(batches):
-        import pandas as pd
-        from collections import Counter
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        b_langs, b_lut, b_lnx = bc.value
+        b_langs, b_codes, b_smat, b_lnx = bc.value
         arr_langs = np.array(b_langs)
-        for pdf in batches:
-            out_id, out_lang, out_pred, out_margin = [], [], [], []
-            for doc_id, lang, t in zip(pdf["doc_id"], pdf["lang"], pdf["t"]):
-                if t is None:
-                    continue  # null text: no grams (explode-drop parity)
-                n = len(t) - (LANGID_N - 1)
-                if n <= 0:
-                    continue  # gram-free docs are absent (oracle parity)
-                acc = np.zeros(len(b_langs), dtype=np.int64)
-                counts = Counter(t[i : i + LANGID_N] for i in range(n))
-                for g, c in counts.items():
-                    vec = b_lut.get(g)
-                    if vec is not None:
-                        acc += c * vec
-                scores = acc - np.int64(n) * b_lnx
-                order = np.lexsort((arr_langs, -scores))
-                best = order[0]
-                margin = (
-                    float(int(scores[best] - scores[order[1]])) / 1e9
-                    if len(order) > 1
-                    else 0.0
+        n_model = len(b_codes)
+        for batch in batches:
+            t_col = pc.fill_null(batch.column("t"), "")
+            lens = np.asarray(pc.utf8_length(t_col)).astype(np.int64)
+            ndocs = len(lens)
+            # every doc's codepoints, one encode for the whole batch
+            cp = np.frombuffer(
+                "".join(t_col.to_pylist()).encode("utf-32-le"), dtype="<u4"
+            ).astype(np.int64)
+            nw = np.maximum(lens - (LANGID_N - 1), 0)  # grams per doc
+            total = int(nw.sum())
+            if total == 0:
+                continue
+            # window start offsets into the concatenated codepoint array:
+            # doc start + within-doc position (boundary-crossing windows
+            # never enter — each doc contributes exactly nw windows)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            nw_excl = np.concatenate(([0], np.cumsum(nw)[:-1]))
+            doc_of_win = np.repeat(np.arange(ndocs, dtype=np.int64), nw)
+            pos = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(nw_excl, nw)
+                + np.repeat(starts, nw)
+            )
+            codes = (cp[pos] << 42) | (cp[pos + 1] << 21) | cp[pos + 2]
+            idx = np.searchsorted(b_codes, codes)
+            np.clip(idx, 0, n_model - 1, out=idx)
+            matched = b_codes[idx] == codes
+            acc = np.zeros((ndocs, len(b_langs)), dtype=np.int64)
+            if matched.any():
+                key = doc_of_win[matched] * np.int64(n_model) + idx[matched]
+                uk, cnt = np.unique(key, return_counts=True)
+                np.add.at(
+                    acc,
+                    uk // n_model,
+                    cnt[:, None] * b_smat[uk % n_model],
                 )
-                out_id.append(doc_id)
-                out_lang.append(lang)
-                out_pred.append(b_langs[best])
-                out_margin.append(margin)
-            yield pd.DataFrame(
-                {
-                    "doc_id": np.array(out_id, dtype=np.int64),
-                    "lang": out_lang,
-                    "pred_lang": out_pred,
-                    "margin": np.array(out_margin, dtype=np.float64),
-                }
+            scores = acc - nw[:, None] * b_lnx
+            best = np.argmax(scores, axis=1)  # ties → lowest idx = lang asc
+            if len(b_langs) > 1:
+                srt = np.sort(scores, axis=1)
+                margin = (srt[:, -1] - srt[:, -2]).astype(np.float64) / 1e9
+            else:
+                margin = np.zeros(ndocs, dtype=np.float64)
+            keep = nw > 0  # gram-free docs are absent (oracle parity)
+            keep_pa = pa.array(keep)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id").filter(keep_pa),
+                    batch.column("lang").filter(keep_pa),
+                    pa.array(arr_langs[best[keep]]),
+                    pa.array(margin[keep]),
+                ],
+                names=["doc_id", "lang", "pred_lang", "margin"],
             )
 
-    return docs.mapInPandas(
+    return docs.mapInArrow(
         score, schema="doc_id long, lang string, pred_lang string, margin double"
     ).select(
         "doc_id",
