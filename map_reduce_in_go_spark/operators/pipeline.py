@@ -185,41 +185,49 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness discipline: token counts are integers; mean quality is an
     exact DECIMAL sum of the 6dp-rounded score divided once; the p50 is
     the exact interpolated percentile (the events_quantiles recipe); the
-    dup rate is an integer ratio rounded once. One corpus scan, one
-    group-level aggregate, one md5-grain self-semi-join for dup exposure
-    — every shuffle is (lang, source)- or digest-keyed.
+    dup rate is an integer ratio rounded once.
+
+    r15 (guide §2.4/§1.2): ONE corpus scan. Quality derives inline from
+    the same tokenization as n_tok (text_quality's exact column exprs),
+    and dup exposure is a count() window over the digest — the former
+    shape re-scanned the corpus for quality and joined two corpus-sized
+    frames back by doc_id (two full-corpus shuffles at scale); now the
+    only wide exchange is digest-keyed and carries no text.
     """
     from ..functions.text import tokens
+    from .text_analysis import quality_columns
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "text"
     )
-    base = docs.withColumn("n_tok", F.size(tokens(F.col("text")))).withColumn(
-        "digest", F.md5("text")
-    )
-    dup_digests = (
-        base.groupBy("digest")
-        .agg(F.count("*").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("digest")
-    )
-    flagged = base.join(
-        F.broadcast(dup_digests), "digest", "left_semi"
-    ).select("doc_id")
+    qual = quality_columns()
     # quality in integer micros: the mean of 6dp values over a small group
     # lands exactly on 7th-decimal half-boundaries (n=2 → ~50% of groups),
     # where Spark rounds the shortest decimal repr HALF_UP but DuckDB rounds
     # the binary double — 1-ulp oracle flips. Exact integer arithmetic
     # (round-half-up of a/n as (2a+n) div 2n) is engine-agnostic.
-    q = text_quality(spark, sf_dir).select(
-        "doc_id",
-        (F.col("quality").cast("decimal(10,6)") * 1000000)
-        .cast("long")
-        .alias("q_micro"),
+    base = (
+        docs.withColumn("toks", tokens(F.col("text")))
+        .select(
+            "lang",
+            "source",
+            F.size("toks").alias("n_tok"),
+            F.md5("text").alias("digest"),
+            F.when(
+                F.size("toks") > 0,
+                (qual["quality"].cast("decimal(10,6)") * 1000000).cast("long"),
+            ).alias("q_micro"),
+        )
     )
-    enriched = base.join(
-        flagged.withColumn("is_dup", F.lit(1)), "doc_id", "left"
-    ).join(q, "doc_id", "left")
+    # nulls group together in a window partition but never match a SQL
+    # equi-join — guard so a null digest stays not-dup like the oracle's
+    enriched = base.withColumn(
+        "is_dup",
+        (
+            (F.count("*").over(Window.partitionBy("digest")) > 1)
+            & F.col("digest").isNotNull()
+        ).cast("int"),
+    )
     return (
         enriched.groupBy("lang", "source")
         .agg(
