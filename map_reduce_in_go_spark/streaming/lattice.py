@@ -1018,10 +1018,12 @@ def events_cube_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = spark.createDataFrame(
         list(OVERLAP_DAY_PAIRS), "day_a string, day_b string"
     )
-    ud = (
-        load_table(spark, sf_dir, "events")
-        .select(F.to_date("ts").alias("d"), "user_id")
-        .distinct()
+    # r15 (guide §2.4): the former (d, user_id) .distinct() shuffled the
+    # WHOLE events table before the 6-day probe; countDistinct dedups on
+    # its own, so the probe joins raw day rows and the only wide exchange
+    # carries the matched days' partial aggregates.
+    ud = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
     )
     # equijoin form: each pair contributes its two day rows, so the
     # probe is a broadcast HASH join on d (an OR-of-equalities join
