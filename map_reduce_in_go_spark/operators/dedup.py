@@ -761,13 +761,16 @@ def dedup_batch_against_stats_index(
         signatures_of(batch_docs.withColumn("toks", tokens(F.col("text"))))
     )
     new_bands = scoped_persist(_bands(batch_sigs))
-    n_probe = new_bands.count()
-    if n_probe <= MAX_PROBE_KEYS:
-        probes = [
-            r["band_hash"]
-            for r in new_bands.select("band_hash").distinct().collect()
-        ]
-        old = tbl.read_pruned_in(spark, "band_hash", probes)
+    # one bounded driver job (r15, guide §5): the former count() + collect
+    # pair charged two full passes for one probe-key set; limit(K+1) caps
+    # driver memory and the length test replaces the count
+    probe_rows = (
+        new_bands.select("band_hash").distinct().limit(MAX_PROBE_KEYS + 1).collect()
+    )
+    if len(probe_rows) <= MAX_PROBE_KEYS:
+        old = tbl.read_pruned_in(
+            spark, "band_hash", [r["band_hash"] for r in probe_rows]
+        )
     else:
         old = tbl.read(spark)
     drop_old = new_bands.join(

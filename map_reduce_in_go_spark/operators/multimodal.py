@@ -79,11 +79,16 @@ def decode_ppm(payload: bytes) -> dict:
         raise ValueError(
             f"decode_ppm: raster is {len(raster)} bytes, expected {w * h * 3}"
         )
+    import numpy as np
+
     return {
         "width": w,
         "height": h,
         "maxval": maxval,
-        "pixel_sum": sum(raster),
+        # vectorized byte sum (r15, guide §4.2) — same integer as sum(raster)
+        "pixel_sum": int(
+            np.frombuffer(raster, dtype=np.uint8).sum(dtype=np.int64)
+        ),
     }
 
 
@@ -914,10 +919,13 @@ def banded_index_batch_pairs(
             F.col("dh_lo").alias("lo_b"),
         )
     )
-    n_probe = nb.count()
-    if n_probe <= MAX_PROBE_KEYS:
-        probes = [r["band"] for r in nb.select("band").distinct().collect()]
-        snap = tbl.read_pruned_in(spark, "band", probes)
+    # one bounded driver job (r15): limit(K+1) both replaces the count()
+    # gate and caps what the driver ever materializes
+    probe_rows = (
+        nb.select("band").distinct().limit(MAX_PROBE_KEYS + 1).collect()
+    )
+    if len(probe_rows) <= MAX_PROBE_KEYS:
+        snap = tbl.read_pruned_in(spark, "band", [r["band"] for r in probe_rows])
     else:
         snap = tbl.read(spark)
     idx = snap.select(

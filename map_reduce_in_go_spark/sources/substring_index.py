@@ -223,10 +223,11 @@ def batch_duplicated_spans(
         grams.groupBy("g").agg(F.count("*").alias("bn"))
     )
     tbl = ManifestTable(root, stats_cols=["g"])
-    n_probe = batch_counts.count()
-    if n_probe <= MAX_PROBE_KEYS:
-        probes = [r["g"] for r in batch_counts.select("g").collect()]
-        idx = tbl.read_pruned_in(spark, "g", probes)
+    # one bounded driver job (r15): batch_counts is already g-unique, so
+    # limit(K+1) both replaces the count() gate and caps driver memory
+    probe_rows = batch_counts.select("g").limit(MAX_PROBE_KEYS + 1).collect()
+    if len(probe_rows) <= MAX_PROBE_KEYS:
+        idx = tbl.read_pruned_in(spark, "g", [r["g"] for r in probe_rows])
     else:
         idx = tbl.read(spark)
     idx_counts = idx.groupBy("g").agg(F.sum("n").alias("inn"))
