@@ -69,31 +69,46 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """view → click → purchase funnel (strictly ordered per user)."""
-    ev = load_table(spark, sf_dir, "events")
-    views = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("vt"))
+    """view → click → purchase funnel (strictly ordered per user).
+
+    r15 (guide §2.4): ONE events scan. The former staged shape re-read
+    the log under every stage's subtree (6 scans, 13 exchanges) and
+    joined per-user anchors back into it; the three anchors are
+    per-user scalars, so three chained whole-partition windows over ONE
+    user-keyed exchange compute them in place (each window reuses the
+    same hash partitioning — no extra shuffle), then a user-grain
+    aggregate dedups and one global row counts non-null anchors.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    base = ev.withColumn(
+        "vt", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
     )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .join(views, "user_id")
-        .filter(F.col("ts") > F.col("vt"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("ct"))
+    base = base.withColumn(
+        "ct",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("vt")),
+                F.col("ts"),
+            )
+        ).over(w),
     )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(clicks, "user_id")
-        .filter(F.col("ts") > F.col("ct"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("pt"))
+    base = base.withColumn(
+        "pt",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("ct")),
+                F.col("ts"),
+            )
+        ).over(w),
     )
-    return (
-        views.agg(F.count("*").alias("n_view"))
-        .crossJoin(clicks.agg(F.count("*").alias("n_click")))
-        .crossJoin(purchases.agg(F.count("*").alias("n_purchase")))
+    per_user = base.groupBy("user_id").agg(
+        F.min("vt").alias("vt"), F.min("ct").alias("ct"), F.min("pt").alias("pt")
+    )
+    return per_user.agg(
+        F.count("vt").alias("n_view"),
+        F.count("ct").alias("n_click"),
+        F.count("pt").alias("n_purchase"),
     )
 
 
@@ -867,45 +882,59 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     only converts if it lands within 24 h of the user's FIRST view, and a
     purchase within 24 h of that converting click.
 
-    Plan: per-user anchor times by staged conditional-min aggregation —
-    t_view = min(view ts); t_click = min(click ts in [t_view, t_view+W])
-    via one user-keyed join; t_purchase likewise off t_click. Three
-    user-grain aggregates and two user-keyed equijoins (each shuffles the
-    per-user anchor frame, not the event log twice), then a single global
-    roll-up row. No inequality self-join, no per-user windows over the
-    whole log.
+    Plan (r15, guide §2.4): ONE events scan, the events_funnel recipe —
+    the per-user anchors t_view / t_click / t_purchase are per-user
+    scalars, so three chained whole-partition windows over one
+    user-keyed exchange compute them in place (the former staged shape
+    re-read the log under every stage and shuffled anchor joins back
+    into it: 6 scans, 11 exchanges), then a user-grain aggregate dedups
+    and one global row counts non-null anchors. A null t_view nulls
+    t_click's BETWEEN (and so on down the chain), reproducing the
+    staged joins' conversion gating exactly. No inequality self-join,
+    no ordered windows over the whole log.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts_us"
     )
     w = FUNNEL_WINDOW_US
-    t_view = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t_view"))
+    uw = Window.partitionBy("user_id")
+    base = ev.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(uw),
     )
-    t_click = (
-        ev.filter(F.col("event_type") == "click")
-        .join(t_view, "user_id")
-        .filter(F.col("ts_us").between(F.col("t_view"), F.col("t_view") + w))
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t_click"))
+    base = base.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & F.col("ts_us").between(
+                    F.col("t_view"), F.col("t_view") + w
+                ),
+                F.col("ts_us"),
+            )
+        ).over(uw),
     )
-    t_purchase = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(t_click, "user_id")
-        .filter(F.col("ts_us").between(F.col("t_click"), F.col("t_click") + w))
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t_purchase"))
+    base = base.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("ts_us").between(
+                    F.col("t_click"), F.col("t_click") + w
+                ),
+                F.col("ts_us"),
+            )
+        ).over(uw),
     )
-    return (
-        t_view.join(t_click.select("user_id", F.lit(1).alias("c")), "user_id", "left")
-        .join(t_purchase.select("user_id", F.lit(1).alias("p")), "user_id", "left")
-        .agg(
-            F.count("*").alias("n_view_users"),
-            F.sum(F.coalesce(F.col("c"), F.lit(0))).alias("n_click_conv"),
-            F.sum(F.coalesce(F.col("p"), F.lit(0))).alias("n_purchase_conv"),
-        )
+    per_user = base.groupBy("user_id").agg(
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("t_view").alias("n_view_users"),
+        F.count("t_click").alias("n_click_conv"),
+        F.count("t_purchase").alias("n_purchase_conv"),
     )
 
 
