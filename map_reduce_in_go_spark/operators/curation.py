@@ -297,10 +297,16 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain, then a 1-row global aggregate broadcast back — no second pass over
     the data.
     """
+    from ..functions.caching import scoped_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    g = docs.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"),
+    # persist the domain-grain aggregate (r15, guide §5): the global
+    # roll-up reference re-scanned and re-tokenized the corpus — 2 → 1
+    g = scoped_persist(
+        docs.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"),
+        )
     )
     tot = g.agg(
         F.sum("n_docs").alias("tot_docs"),
@@ -775,10 +781,17 @@ def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates exactly in any partition order; the final q and q/p are
     single divides rounded at 6dp.
     """
+    from ..functions.caching import scoped_persist
+
     docs = load_documents_parallel(spark, sf_dir)
-    g = docs.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens"),
+    # persist the ≤|langs|-row aggregate (r15, guide §5): its three
+    # references (shares, normalizer, output) each re-scanned and
+    # re-tokenized the corpus — 4 scans → 1
+    g = scoped_persist(
+        docs.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens"),
+        )
     )
     tot = g.agg(F.sum("n_tokens").alias("tot_tokens"))
     p = F.col("n_tokens") / F.col("tot_tokens")
