@@ -345,7 +345,13 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
         .distinct()
     )
-    qv = vecs.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    # broadcast only the query subset's vectors (r15): every probe
+    # query_id is % QUERY_MOD == 0 by construction, so filtering qv the
+    # same way is a semantic no-op that ships QUERY_MOD× fewer bytes
+    qv = (
+        vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    )
     cands = _exact_pair_scores(
         pair_ids.join(F.broadcast(qv), "query_id").join(
             vecs.select("vec_id", "e"), "vec_id"
@@ -446,7 +452,12 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
         .distinct()
     )
-    qv = vecs.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    # broadcast only the query subset's vectors (r15): probe query_ids
+    # are % QUERY_MOD == 0 by construction — QUERY_MOD× fewer bytes
+    qv = (
+        vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    )
     scored = _exact_pair_scores(
         cand.join(F.broadcast(qv), "query_id").join(
             vecs.select("vec_id", "e"), "vec_id"
@@ -613,7 +624,12 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
         .distinct()
     )
-    qv = vecs.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    # broadcast only the query subset's vectors (r15): probe query_ids
+    # are % QUERY_MOD == 0 by construction — QUERY_MOD× fewer bytes
+    qv = (
+        vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    )
     scored = _exact_pair_scores(
         cand.join(F.broadcast(qv), "query_id").join(
             vecs.select("vec_id", "e"), "vec_id"
