@@ -122,28 +122,37 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Classic local document fingerprinting (Schleimer et al., MOSS): the set
     of windowed minima is position-robust; we emit its size and overall min
     per doc as a stable summary.
+
+    r15 (guide §2.4): the windowed minima are a PER-DOC computation, so
+    the former explode → doc_id shuffle → sort → window → two-phase agg
+    is replaced by array HOFs evaluated in place — the only exchange
+    left is the single-split spread repartition inside
+    ``load_documents_parallel``. The md5-per-shingle cost (the kernel's
+    floor) is unchanged; what disappears is materializing ~n rows per
+    doc through a shuffle and sorting them to rediscover adjacency the
+    array already has.
     """
     docs = load_documents_parallel(spark, sf_dir).withColumn("toks", _toks())
-    sh = docs.select(
-        "doc_id",
-        F.posexplode(
+    fp = (
+        docs.filter(F.expr("size(toks) >= 3"))
+        .withColumn(
+            "hs",
             F.expr(
-                "transform(sequence(1, greatest(size(toks) - 2, 1)), "
+                "transform(sequence(1, size(toks) - 2), "
                 "i -> md5(array_join(slice(toks, i, 3), ' ')))"
-            )
-        ).alias("pos", "h"),
-    ).filter(F.expr("size(toks) >= 3"))
-    from pyspark.sql import Window
-
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(0, 3)
+            ),
+        )
+        .withColumn(
+            "mins",
+            F.expr(
+                "transform(sequence(1, size(hs)), i -> array_min(slice(hs, i, 4)))"
+            ),
+        )
     )
-    fp = sh.withColumn("winmin", F.min("h").over(w))
-    return fp.groupBy("doc_id").agg(
-        F.countDistinct("winmin").alias("n_fp"),
-        F.min("winmin").alias("min_fp"),
+    return fp.select(
+        "doc_id",
+        F.size(F.array_distinct("mins")).cast("long").alias("n_fp"),
+        F.array_min("mins").alias("min_fp"),
     )
 
 
