@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread_partitions
 
 EOW = "</w>"  # end-of-word marker (merges can't cross word boundaries)
 
@@ -29,7 +29,7 @@ EOW = "</w>"  # end-of-word marker (merges can't cross word boundaries)
 def word_frequencies(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     """(word → count) over the corpus: the trainer's only distributed pass."""
     docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+        spread_partitions(spark, sf_dir, "documents"), "doc_id"
     )
     rows = (
         docs.select(F.explode(tokens(F.col("text"))).alias("w"))
@@ -137,7 +137,7 @@ def bpe_encode(
             )
 
     docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+        spread_partitions(spark, sf_dir, "documents"), "doc_id"
     )
     return docs.select("doc_id", tokens(F.col("text")).alias("toks")).mapInPandas(
         enc, schema="doc_id long, n_words long, n_units long, units_md5 string"

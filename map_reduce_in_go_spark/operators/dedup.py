@@ -33,7 +33,7 @@ from ..functions.hashing import sql_minhash_signature
 from ..functions.text import shingles, sql_shingles, sql_tokens, tokens
 from ..functions.vectors import sql_cosine, sql_double_array
 from .similarity import CENTROID_MOD, CENTROID_OFF
-from ..sources.tables import load_documents_parallel, load_table
+from ..sources.tables import load_documents_parallel, load_table, spread_partitions
 
 NUM_PERM = 32
 N_BANDS = 8
@@ -96,12 +96,7 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, seed, shingle) rows → min(md5) per (doc, seed) → ordered array.
     The result is persisted because the LSH pipeline reuses it three times.
     """
-    # the test corpus is a single parquet file → one input split; spread the
-    # CPU-heavy shingling across cores (a real 100 TB table has many splits
-    # and would not need this)
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_documents_parallel(spark, sf_dir, full_width=True)
     return scoped_persist(signatures_of(docs.withColumn("toks", tokens(F.col("text")))))
 
 
@@ -199,9 +194,7 @@ _BITS64_EXPR = (
 
 
 def _simhashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_documents_parallel(spark, sf_dir, full_width=True)
     words = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("word")
     ).distinct()
@@ -1104,9 +1097,7 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     the wire). The run merge shuffles only duplicated positions, keyed by
     doc. Nothing is ever all-pairs, and no driver materialization exists.
     """
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_documents_parallel(spark, sf_dir)
     return substring_spans(docs)
 
 
@@ -1192,9 +1183,7 @@ def dedup_substring_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.substring_index import duplicated_grams
 
     root = _gram_index_path(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_documents_parallel(spark, sf_dir)
     return substring_spans(docs, dup_grams=duplicated_grams(spark, root))
 
 
@@ -1213,9 +1202,7 @@ def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     token array — no token-level explosion, no shuffle beyond the one
     doc_id join (span side ≪ corpus side).
     """
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_documents_parallel(spark, sf_dir)
     spans = substring_spans(docs)
     per_doc = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("sp")
@@ -1270,7 +1257,7 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = spark.sparkContext.broadcast(_centroids(spark, sf_dir))
     assigned = (
         vecs.select("vec_id", "e")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spread_partitions(spark, sf_dir, "embeddings"))
         .mapInPandas(
             lambda it: _assign_cells(it, bc, top_n=1),
             schema="vec_id long, rank int, cid long",
@@ -1451,7 +1438,9 @@ def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _vectors, _with_buckets
 
     vecs = _vectors(spark, sf_dir)
-    vt = _with_buckets(vecs, with_vec=True)
+    vt = _with_buckets(
+        vecs, with_vec=True, n_spread=spread_partitions(spark, sf_dir, "embeddings")
+    )
 
     def _cell(pdf: pd.DataFrame) -> pd.DataFrame:
         m = len(pdf)
@@ -1911,9 +1900,7 @@ def _signatures_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the portable md5 family instead of an oracle — use it when
     throughput matters more than cross-engine replay.
     """
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_documents_parallel(spark, sf_dir, full_width=True)
     sh = docs.select(
         "doc_id", F.explode(shingles(F.col("text"), SHINGLE_N)).alias("shingle")
     )
@@ -2052,7 +2039,7 @@ def dedup_containment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     is replaced by O(1)-per-candidate offset comparison.
     """
     A = CONTAIN_MIN_CHARS
-    docs = load_documents_parallel(spark, sf_dir).select("doc_id", "text")
+    docs = load_documents_parallel(spark, sf_dir, full_width=True).select("doc_id", "text")
     anchors = docs.filter(F.length("text") >= A).select(
         F.col("doc_id").alias("doc_a"),
         F.col("text").alias("ta"),
@@ -2138,7 +2125,7 @@ def dedup_containment_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .read(spark)
         .select(F.col("doc_id").alias("doc_b"), "pos", "h")
     )
-    docs = load_documents_parallel(spark, sf_dir).select("doc_id", "text")
+    docs = load_documents_parallel(spark, sf_dir, full_width=True).select("doc_id", "text")
     anchors = docs.filter(F.length("text") >= A).select(
         F.col("doc_id").alias("doc_a"),
         F.col("text").alias("ta"),

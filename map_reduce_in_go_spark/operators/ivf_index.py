@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import CommitConflict, TableCatalog
+from ..sources.tables import spread_partitions
 from ..sources.manifest_table import ManifestTable
 from .similarity import (
     NPROBE,
@@ -100,7 +101,7 @@ class EvolvableIvfIndex:
         c_ids, c_mat, _, _ = bc.value
         vecs = _vectors(spark, sf_dir).select("vec_id", "e")
         assign = (
-            vecs.repartition(spark.sparkContext.defaultParallelism)
+            vecs.repartition(spread_partitions(spark, sf_dir, "embeddings"))
             .mapInPandas(
                 lambda it: _assign_cells(it, bc, 1),
                 schema="vec_id long, rank int, cid long",
@@ -191,7 +192,7 @@ class EvolvableIvfIndex:
         queries = (
             vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
             .select("vec_id", "e")
-            .repartition(spark.sparkContext.defaultParallelism)
+            .repartition(spread_partitions(spark, sf_dir, "embeddings"))
         )
         probes = queries.mapInPandas(
             lambda it: _assign_cells(it, bc, nprobe),

@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread_partitions
 
 FEATURE_DIM = 8
 FEATURE_SCHEMA = "doc_id long, n_bytes long, features array<double>"
@@ -255,7 +255,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         # spread the encode/decode kernel across cores: the single-file
         # testdata scan is one split (r15, guide §2.5); drops out on a
         # multi-split production layout
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .repartition(spread_partitions(spark, sf_dir, "documents"), "doc_id")
     )
     payloads = with_ppm_payload(docs)
 
@@ -311,7 +311,7 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("text").isNotNull() & (F.length("text") > 0))
         # spread the WAV encode + container-walk kernel across cores
         # (single-split testdata scan; r15, guide §2.5)
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .repartition(spread_partitions(spark, sf_dir, "documents"), "doc_id")
     )
 
     def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -491,7 +491,7 @@ def audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a single task running every FFT; guide §2.5 input skew). On a
         # production multi-split layout the scan parallelizes itself and
         # this shuffle (a few KB/doc of text) is the first thing to drop.
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .repartition(spread_partitions(spark, sf_dir, "documents"), "doc_id")
     )
     feat = audio_spectral_features(docs)
     parseval = (
@@ -648,7 +648,7 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .repartition(spread_partitions(spark, sf_dir, "documents"), "doc_id")
     )
     return banded_hamming_pairs(
         bands_of_hashes(audio_fingerprints(docs)), AUDIO_FP_HAMMING_MAX
@@ -826,7 +826,7 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .repartition(spread_partitions(spark, sf_dir, "documents"), "doc_id")
     )
     # the 64-char string stays out of the shuffle (banded table carries
     # only the 16-bit band + two packed BIGINT halves per row)
@@ -1226,7 +1226,7 @@ def dedup_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .repartition(spread_partitions(spark, sf_dir, "documents"), "doc_id")
     )
     return banded_hamming_pairs(video_fp_bands_of(docs), VID_FP_HAMMING_MAX)
 
@@ -1281,7 +1281,7 @@ def _phash_index_path(spark: SparkSession, sf_dir: str) -> str:
             .filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
             # spread the corpus hash pass of the one-time build across
             # cores (single-split testdata scan; r15, guide §2.5)
-            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+            .repartition(spread_partitions(spark, sf_dir, "documents"), "doc_id")
         )
         build_phash_index(corpus, path)
         optimize_phash_index(spark, path)  # tight [min,max] band stats
@@ -1309,7 +1309,7 @@ def dedup_image_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
         # spread the batch hash pass across cores (single-split testdata
         # scan; r15, guide §2.5)
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .repartition(spread_partitions(spark, sf_dir, "documents"), "doc_id")
     )
     return image_batch_near_dups(
         spark, batch, _phash_index_path(spark, sf_dir)
@@ -1402,7 +1402,7 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             # spread the frame-slicing kernel (single-split testdata
             # scan; r15, guide §2.5)
             load_table(spark, sf_dir, "documents").repartition(
-                spark.sparkContext.defaultParallelism, "doc_id"
+                spread_partitions(spark, sf_dir, "documents"), "doc_id"
             )
         )
     )

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread_partitions
 from .dedup import NUM_PERM
 from .dedup import ORACLES as _DEDUP_ORACLES
 from .dedup import dedup_minhash
@@ -101,7 +101,7 @@ def corpus_clean_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = scoped_persist(
         load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .repartition(spread_partitions(spark, sf_dir, "documents"), "doc_id")
         .withColumn("toks", tokens(F.col("text")))
         .filter(F.size("toks") > 0)
     )

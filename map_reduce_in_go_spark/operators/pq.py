@@ -34,6 +34,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..sources.tables import spread_partitions
 from .similarity import (
     QUERY_MOD,
     TOP_K,
@@ -141,7 +142,7 @@ def encode(spark: SparkSession, sf_dir: str, books: np.ndarray) -> DataFrame:
     return (
         _vectors(spark, sf_dir)
         .select("vec_id", "e")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spread_partitions(spark, sf_dir, "embeddings"))
         .mapInPandas(enc, schema="vec_id long, codes array<int>")
     )
 
@@ -205,7 +206,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     cand = scoped_persist(
-        codes.repartition(spark.sparkContext.defaultParallelism)
+        codes.repartition(spread_partitions(spark, sf_dir, "embeddings"))
         .mapInPandas(adc, schema="query_id long, vec_id long")
         .distinct()
     )
@@ -278,7 +279,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str, nprobe: int | None = None) -> D
     vecs = _vectors(spark, sf_dir)
     assign = (
         vecs.select("vec_id", "e")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spread_partitions(spark, sf_dir, "embeddings"))
         .mapInPandas(
             lambda it: _assign_cells(it, bc_cent, 1),
             schema="vec_id long, rank int, cid long",
@@ -304,7 +305,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str, nprobe: int | None = None) -> D
             [(int(q), list(map(float, q_mat[i]))) for i, q in enumerate(q_ids)],
             "vec_id long, e array<double>",
         )
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spread_partitions(spark, sf_dir, "embeddings"))
         .mapInPandas(
             lambda it: _assign_cells(it, bc_cent, nprobe),
             schema="vec_id long, rank int, cid long",

@@ -38,6 +38,8 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..sources.tables import spread_partitions
+
 from ..sources.catalog import TableCatalog
 from ..sources.manifest_table import ManifestTable
 from .pq import (
@@ -96,7 +98,7 @@ class PqIvfIndex:
             assign = (
                 _vectors(spark, sf_dir)
                 .select("vec_id", "e")
-                .repartition(spark.sparkContext.defaultParallelism)
+                .repartition(spread_partitions(spark, sf_dir, "embeddings"))
                 .mapInPandas(
                     lambda it: _assign_cells(it, bc_cent, 1),
                     schema="vec_id long, rank int, cid long",
@@ -217,7 +219,7 @@ class PqIvfIndex:
                 [(int(q), list(map(float, q_mat[i]))) for i, q in enumerate(q_ids)],
                 "vec_id long, e array<double>",
             )
-            .repartition(spark.sparkContext.defaultParallelism)
+            .repartition(spread_partitions(spark, sf_dir, "embeddings"))
             .mapInPandas(
                 lambda it: _assign_cells(it, bc_cent, nprobe),
                 schema="vec_id long, rank int, cid long",

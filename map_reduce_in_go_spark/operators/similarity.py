@@ -27,7 +27,7 @@ from ..functions.vectors import (
     sql_l2_norm,
     to_double_array,
 )
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread_partitions
 
 TOP_K = 10
 QUERY_MOD = 100  # vec_id % 100 == 0 → the query subset
@@ -135,7 +135,7 @@ def _bruteforce_topk(
     # single-file test corpus → single split; spread the GEMM blocks
     cands = (
         vecs.select("vec_id", "e", "label")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spread_partitions(spark, sf_dir, "embeddings"))
         .mapInPandas(_block, schema="query_id long, vec_id long, cos double")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -175,7 +175,10 @@ def _hyperplanes(bits: int = LSH_BITS) -> list[list[float]]:
 
 
 def _with_buckets(
-    vecs: DataFrame, with_vec: bool = False, bits: int = LSH_BITS
+    vecs: DataFrame,
+    with_vec: bool = False,
+    bits: int = LSH_BITS,
+    n_spread: int | None = None,
 ) -> DataFrame:
     """Explode each vector into (vec_id[, e], tbl, bucket) rows.
 
@@ -215,9 +218,11 @@ def _with_buckets(
         ", e array<double>" if with_vec else ""
     )
     # single-file test corpus → single split; spread the GEMM batches (a
-    # production multi-split table parallelizes at the scan and skips this)
+    # production multi-split table parallelizes at the scan and skips
+    # this). Callers size n_spread by row count (spread_partitions) so a
+    # tiny corpus does not pay full-width Python-worker fan-out.
     spread = vecs.select("vec_id", "e").repartition(
-        vecs.sparkSession.sparkContext.defaultParallelism
+        n_spread or vecs.sparkSession.sparkContext.defaultParallelism
     )
     return spread.mapInPandas(gen, schema=schema)
 
@@ -227,6 +232,7 @@ def _query_probes(
     all_vectors: bool = False,
     bits: int = LSH_BITS,
     with_vec: bool = False,
+    n_spread: int | None = None,
 ) -> DataFrame:
     """(query_id, tbl, bucket[, e]) multiprobe rows for the query subset.
 
@@ -306,7 +312,7 @@ def _query_probes(
     if not all_vectors:
         q = q.filter(F.col("vec_id") % QUERY_MOD == 0)
     q = q.select("vec_id", "e")
-    q = q.repartition(q.sparkSession.sparkContext.defaultParallelism)
+    q = q.repartition(n_spread or q.sparkSession.sparkContext.defaultParallelism)
     if with_vec:
         nested = q.mapInPandas(
             gen,
@@ -334,8 +340,9 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     reported neighbor bit-for-bit.
     """
     vecs = _vectors(spark, sf_dir)
-    vt = _with_buckets(vecs).select("vec_id", "tbl", "bucket")
-    probes = _query_probes(vecs)
+    n_spread = spread_partitions(spark, sf_dir, "embeddings")
+    vt = _with_buckets(vecs, n_spread=n_spread).select("vec_id", "tbl", "bucket")
+    probes = _query_probes(vecs, n_spread=n_spread)
     # dedup collisions on the (query, candidate) id pair BEFORE re-attaching
     # vectors — distinct over rows carrying two 64-float arrays is needless
     # shuffle weight
@@ -432,7 +439,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assignment is the rank-1 slice, query probes the rank<=NPROBE slice —
     # no second scan of the corpus
     part = vecs.select("vec_id", "e").repartition(
-        spark.sparkContext.defaultParallelism
+        spread_partitions(spark, sf_dir, "embeddings")
     )
     from ..functions.caching import scoped_persist
 
@@ -521,7 +528,7 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
     """
     bc = spark.sparkContext.broadcast(_centroids(spark, sf_dir))
     part = _vectors(spark, sf_dir).select("vec_id", "e").repartition(
-        spark.sparkContext.defaultParallelism
+        spread_partitions(spark, sf_dir, "embeddings")
     )
     assign = part.mapInPandas(
         lambda it: _assign_cells(it, bc, 1), schema="vec_id long, rank int, cid long"
@@ -603,7 +610,7 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = spark.sparkContext.broadcast(_centroids(spark, sf_dir))
     vecs = _vectors(spark, sf_dir)
     queries = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select("vec_id", "e")
-    queries = queries.repartition(spark.sparkContext.defaultParallelism)
+    queries = queries.repartition(spread_partitions(spark, sf_dir, "embeddings"))
     probes = (
         queries.mapInPandas(
             lambda it: _assign_cells(it, bc, NPROBE),
@@ -662,7 +669,7 @@ def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vectors(spark, sf_dir)
     bc = spark.sparkContext.broadcast(_centroids(spark, sf_dir))
     part = vecs.select("vec_id", "e").repartition(
-        spark.sparkContext.defaultParallelism
+        spread_partitions(spark, sf_dir, "embeddings")
     )
     from ..functions.caching import scoped_persist
 
@@ -955,14 +962,17 @@ def knn_graph(spark: SparkSession, sf_dir: str, bits: int = LSH_BITS) -> DataFra
     import pandas as pd
 
     vecs = _vectors(spark, sf_dir)
-    members = _with_buckets(vecs, with_vec=True, bits=bits).withColumn(
+    n_spread = spread_partitions(spark, sf_dir, "embeddings")
+    members = _with_buckets(vecs, with_vec=True, bits=bits, n_spread=n_spread).withColumn(
         "is_probe", F.lit(0)
     )
     # with_vec=True: the probe kernel emits each probe row with its query
     # vector attached — the former re-attach join shuffled the 24n-row
     # probe frame AND the corpus by query_id just to recover a column the
     # kernel already held (r15, guide §2.4: one less Exchange pair)
-    probes = _query_probes(vecs, all_vectors=True, bits=bits, with_vec=True).select(
+    probes = _query_probes(
+        vecs, all_vectors=True, bits=bits, with_vec=True, n_spread=n_spread
+    ).select(
         F.col("query_id").alias("vec_id"), "tbl", "bucket", "e",
         F.lit(1).alias("is_probe"),
     )
@@ -1135,7 +1145,7 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         vecs.select("vec_id", "e")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spread_partitions(spark, sf_dir, "embeddings"))
         .mapInPandas(quant, schema="vec_id long, scale double, dims int, quant_ok boolean")
     )
 

@@ -132,7 +132,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc through a shuffle and sorting them to rediscover adjacency the
     array already has.
     """
-    docs = load_documents_parallel(spark, sf_dir).withColumn("toks", _toks())
+    docs = load_documents_parallel(spark, sf_dir, full_width=True).withColumn("toks", _toks())
     fp = (
         docs.filter(F.expr("size(toks) >= 3"))
         .withColumn(
@@ -172,7 +172,7 @@ def winnow_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintain incrementally, and each test batch probes it — the same index
     shape as the dedup band index.
     """
-    docs = load_documents_parallel(spark, sf_dir).withColumn("toks", _toks())
+    docs = load_documents_parallel(spark, sf_dir, full_width=True).withColumn("toks", _toks())
     sh = docs.select(
         "doc_id",
         F.posexplode(

@@ -377,7 +377,7 @@ def train_kn_model(spark: SparkSession, sf_dir: str, root: str) -> None:
     driver array.
     """
     from ..sources.manifest_table import ManifestTable
-    from ..sources.tables import load_table
+    from ..sources.tables import load_table, spread_partitions
 
     docs = load_table(spark, sf_dir, "documents")
     cvw = _doc_bigrams(docs).groupBy("v", "w").agg(
@@ -474,11 +474,11 @@ def ngram_lm_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = −ln P_KN rounded at 9dp → DECIMAL(18,9), per-doc Σ tf·s exact,
     final mean one divide rounded at 6dp (the doc_surprisal discipline).
     """
-    from ..sources.tables import load_table
+    from ..sources.tables import load_table, spread_partitions
 
     model = _kn_scores(spark, _kn_model_path(spark, sf_dir))
     docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+        spread_partitions(spark, sf_dir, "documents"), "doc_id"
     )
     per_doc = _doc_bigrams(docs).groupBy("doc_id", "v", "w").agg(
         F.count(F.lit(1)).alias("tf")

@@ -21,14 +21,14 @@ from pyspark.sql import functions as F
 
 from ..engine import WordCountMapper, WordCountReducer, run_mapreduce
 from ..functions.text import sql_shingles, sql_tokens, tokens
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread_partitions
 
 
 def _doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file corpus → single input split; spread tokenization across
     # cores (a real multi-split table would not need the repartition)
     docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+        spread_partitions(spark, sf_dir, "documents"), "doc_id"
     )
     return docs.select(
         "doc_id", "source", F.explode(tokens(F.col("text"))).alias("word")
@@ -148,7 +148,7 @@ def cooccurrence_topk(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFram
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+        spread_partitions(spark, sf_dir, "documents"), "doc_id"
     )
     words = docs.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "word")

@@ -51,7 +51,7 @@ from ..operators.dedup import (
 )
 from ..sources.artifacts import served_artifact
 from ..sources.catalog import TableCatalog
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread_partitions
 from .corpus_pipeline import (
     CMS,
     CORPUS,
@@ -79,7 +79,7 @@ def _pipeline_catalog(spark: SparkSession, sf_dir: str) -> TableCatalog:
         docs = (
             load_table(spark, sf_dir, "documents")
             .select("doc_id", "text", "lang")
-            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+            .repartition(spread_partitions(spark, sf_dir, "documents"), "doc_id")
         )
         for i in range(PIPELINE_BATCHES):
             corpus_batch_txn(
@@ -92,7 +92,9 @@ def _pipeline_catalog(spark: SparkSession, sf_dir: str) -> TableCatalog:
     return TableCatalog(served_artifact("pipeline", sf_dir, _build))
 
 
-def _trending_from_cms(spark: SparkSession, cat: TableCatalog) -> DataFrame:
+def _trending_from_cms(
+    spark: SparkSession, cat: TableCatalog, sf_dir: str
+) -> DataFrame:
     """CMS screen + exact corpus recount: the ``heavy_hitters_cms`` plan
     served from a pipeline catalog's at-rest state (one bounded driver
     fold of ~128 KB sketch rows, one corpus-member scan)."""
@@ -106,7 +108,7 @@ def _trending_from_cms(spark: SparkSession, cat: TableCatalog) -> DataFrame:
     for r in rows:
         agg += np.asarray(r["sketch"], dtype=np.int64)
     corpus = member(spark, cat, CORPUS).repartition(
-        spark.sparkContext.defaultParallelism
+        spread_partitions(spark, sf_dir, "documents")
     )
     return trending_from_state(spark, total, agg.reshape(CMS_D, CMS_W), corpus)
 
@@ -119,7 +121,7 @@ def pipeline_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-recount against the ``corpus`` member in one scan: the
     ``heavy_hitters_cms`` plan served from the pipeline's at-rest state.
     """
-    return _trending_from_cms(spark, _pipeline_catalog(spark, sf_dir))
+    return _trending_from_cms(spark, _pipeline_catalog(spark, sf_dir), sf_dir)
 
 
 def _trending_from_token_counts(
@@ -171,7 +173,7 @@ def _pipeline_gated_catalog(spark: SparkSession, sf_dir: str) -> TableCatalog:
         docs = (
             load_table(spark, sf_dir, "documents")
             .select("doc_id", "text", "lang")
-            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+            .repartition(spread_partitions(spark, sf_dir, "documents"), "doc_id")
         )
         for i in range(PIPELINE_BATCHES):
             corpus_batch_txn(
@@ -288,7 +290,7 @@ def _pipeline_upsert_catalog(spark: SparkSession, sf_dir: str) -> TableCatalog:
             .select("doc_id", "text", "lang")
             .filter(F.pmod("doc_id", F.lit(UPSERT_MOD)) == UPSERT_RES)
             .withColumn("text", F.concat("text", F.lit(UPSERT_TAIL)))
-            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+            .repartition(spread_partitions(spark, sf_dir, "documents"), "doc_id")
         )
         update_docs(spark, dst, new_docs, op="upsert-corrigendum")
 
@@ -345,7 +347,7 @@ def pipeline_trending_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-inserted id) all hash-mismatch against the oracle, which replays
     the 3-batch admission chain minus the retracted ids.
     """
-    return _trending_from_cms(spark, _pipeline_mor_catalog(spark, sf_dir))
+    return _trending_from_cms(spark, _pipeline_mor_catalog(spark, sf_dir), sf_dir)
 
 
 def _pipeline_folded_catalog(spark: SparkSession, sf_dir: str) -> TableCatalog:
@@ -386,7 +388,7 @@ def pipeline_trending_folded(spark: SparkSession, sf_dir: str) -> DataFrame:
     resurrects a hidden row, or mis-handles an inert entry
     hash-mismatches here.
     """
-    return _trending_from_cms(spark, _pipeline_folded_catalog(spark, sf_dir))
+    return _trending_from_cms(spark, _pipeline_folded_catalog(spark, sf_dir), sf_dir)
 
 
 def _pipeline_backup_catalog(spark: SparkSession, sf_dir: str) -> TableCatalog:
@@ -421,7 +423,7 @@ def pipeline_trending_backup(spark: SparkSession, sf_dir: str) -> DataFrame:
     replication-fidelity coverage: logical replica, physical backup, and
     fold all under the same oracle family.
     """
-    return _trending_from_cms(spark, _pipeline_backup_catalog(spark, sf_dir))
+    return _trending_from_cms(spark, _pipeline_backup_catalog(spark, sf_dir), sf_dir)
 
 
 def _forked_pipeline_build(spark: SparkSession, sf_dir: str, path: str):
@@ -435,7 +437,7 @@ def _forked_pipeline_build(spark: SparkSession, sf_dir: str, path: str):
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text", "lang")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .repartition(spread_partitions(spark, sf_dir, "documents"), "doc_id")
     )
     for i in range(PIPELINE_BATCHES - 1):
         corpus_batch_txn(
@@ -575,7 +577,7 @@ def _pipeline_expect_catalog(spark: SparkSession, sf_dir: str) -> TableCatalog:
         docs = (
             load_table(spark, sf_dir, "documents")
             .select("doc_id", "text", "lang")
-            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+            .repartition(spread_partitions(spark, sf_dir, "documents"), "doc_id")
         )
         for i in range(PIPELINE_BATCHES):
             corpus_batch_txn(
@@ -708,7 +710,7 @@ def pipeline_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query's only super-linear term.)
     grams = scoped_persist(
         member(spark, cat, REJECTS).repartition(
-            spark.sparkContext.defaultParallelism, "doc_id"
+            spread_partitions(spark, sf_dir, "documents"), "doc_id"
         )
     )
     idx_counts = member(spark, cat, GRAMS).groupBy("g").agg(
