@@ -87,13 +87,20 @@ def install_signal_handlers(spark, owned: bool) -> None:
     import signal
 
     def _drain(signum, frame):  # noqa: ARG001 — signal handler signature
-        for q in list(spark.streams.active):
-            try:
-                q.stop()
-            except Exception:  # noqa: BLE001 — already-stopped races are fine
-                pass
-        if owned:
-            spark.stop()
+        # the JVM gateway may already be dead when the signal lands (the
+        # r15 driver killed it mid-suite and the drain itself raised a
+        # Py4JNetworkError from spark.streams) — a drain must never be
+        # the thing that crashes shutdown
+        try:
+            for q in list(spark.streams.active):
+                try:
+                    q.stop()
+                except Exception:  # noqa: BLE001 — already-stopped races are fine
+                    pass
+            if owned:
+                spark.stop()
+        except Exception:  # noqa: BLE001 — dead gateway: nothing left to drain
+            pass
         raise SystemExit(128 + signum)
 
     try:

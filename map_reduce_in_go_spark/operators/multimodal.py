@@ -565,10 +565,13 @@ def audio_fingerprints(docs: DataFrame) -> DataFrame:
             doc_ids: list[int] = []
             en = np.zeros((len(pdf), nf), dtype=np.int64)
             dc = np.zeros((len(pdf), nf), dtype=np.int64)
-            by_len: dict[int, list[tuple[int, int, object]]] = {}
-            for ri, (doc_id, text) in enumerate(
-                zip(pdf["doc_id"], pdf["text"])
-            ):
+            # per-doc container work (encode + parse) stays a loop — cheap
+            # byte ops; everything after is vectorized across the batch
+            # (r16, guide §4.2 — the old shape appended one Python tuple
+            # per (doc, frame): 33 appends/doc plus a per-item scatter
+            # loop, ~60% of the kernel's CPU at sf0.1)
+            xs: list[np.ndarray] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if not text.isascii():  # same contract as multimodal_audio
                     raise ValueError(
                         f"audio_fingerprints: doc {int(doc_id)} is "
@@ -577,17 +580,28 @@ def audio_fingerprints(docs: DataFrame) -> DataFrame:
                     )
                 payload = encode_wav(text.encode("utf-8"))
                 decode_wav(payload)  # genuine container validation
-                x = np.frombuffer(payload[44:], dtype="<i2").astype(np.int64)
-                x = x[:AUDIO_FP_WINDOW]  # anchor window (see constant note)
-                n = len(x)
+                x = np.frombuffer(payload[44:], dtype="<i2")
+                xs.append(x[:AUDIO_FP_WINDOW])  # anchor window (see note)
                 doc_ids.append(int(doc_id))
-                bs = [(i * n) // nf for i in range(nf + 1)]
-                for fi in range(nf):
-                    fr = x[bs[fi] : bs[fi + 1]]
-                    if len(fr):
-                        by_len.setdefault(len(fr), []).append((ri, fi, fr))
-            for flen, items in by_len.items():
-                M = np.stack([fr for _, _, fr in items]).astype(np.float64)
+            if not xs:
+                yield pd.DataFrame({"doc_id": [], "dhash": []}).astype(
+                    {"doc_id": "int64", "dhash": "object"}
+                )
+                continue
+            ns = np.array([len(x) for x in xs], dtype=np.int64)
+            offs = np.concatenate(([0], np.cumsum(ns)[:-1]))
+            xcat = np.concatenate(xs).astype(np.int64)
+            # frame boundaries b_i = (i·n)//nf for every doc at once
+            bounds = (np.arange(nf + 1, dtype=np.int64)[None, :] * ns[:, None]) // nf
+            flens = bounds[:, 1:] - bounds[:, :-1]  # (ndocs, nf) ∈ {0, 1, 2}
+            for flen in np.unique(flens):
+                if flen == 0:
+                    continue  # empty frames contribute (0, 0) — pre-zeroed
+                ri, fi = np.nonzero(flens == flen)
+                starts = offs[ri] + bounds[ri, fi]
+                M = xcat[
+                    starts[:, None] + np.arange(flen, dtype=np.int64)[None, :]
+                ].astype(np.float64)
                 X = np.fft.rfft(M, axis=1)
                 mag2 = X.real * X.real + X.imag * X.imag
                 if flen % 2 == 0:
@@ -598,11 +612,8 @@ def audio_fingerprints(docs: DataFrame) -> DataFrame:
                     )
                 else:
                     spec = mag2[:, 0] + 2.0 * mag2[:, 1:].sum(axis=1)
-                e_int = np.rint(spec / flen).astype(np.int64)  # Parseval
-                d_int = np.rint(X[:, 0].real).astype(np.int64)  # DC identity
-                for j, (ri, fi, _) in enumerate(items):
-                    en[ri, fi] = e_int[j]
-                    dc[ri, fi] = d_int[j]
+                en[ri, fi] = np.rint(spec / flen).astype(np.int64)  # Parseval
+                dc[ri, fi] = np.rint(X[:, 0].real).astype(np.int64)  # DC identity
             ebits = en[:, 1:] > en[:, :-1]
             dbits = dc[:, 1:] > dc[:, :-1]
             yield pd.DataFrame(
@@ -1110,6 +1121,8 @@ def decode_y4m(payload: bytes) -> dict:
         raise ValueError("decode_y4m: missing W/H/F header tokens")
     if csp != b"444":
         raise ValueError(f"decode_y4m: only C444 supported, got C{csp.decode()}")
+    import numpy as np
+
     frame_bytes = 3 * w * h
     off = hdr_end + 1
     n_frames = 0
@@ -1127,7 +1140,12 @@ def decode_y4m(payload: bytes) -> dict:
                 f"decode_y4m: frame {n_frames} is {len(body)} bytes, "
                 f"expected {frame_bytes}"
             )
-        luma_sum += sum(body[: w * h])  # Y plane leads in planar 444
+        # vectorized byte sum (r16, guide §4.2 — the same fix decode_ppm
+        # got in r15): identical integer to sum(body[: w * h]).
+        # Y plane leads in planar 444.
+        luma_sum += int(
+            np.frombuffer(body, dtype=np.uint8, count=w * h).sum(dtype=np.int64)
+        )
         n_frames += 1
         off = fhdr_end + 1 + frame_bytes
     if n_frames == 0:
@@ -1181,13 +1199,15 @@ def video_fingerprints(docs: DataFrame) -> DataFrame:
                 w, h = meta["width"], meta["height"]
                 frame_bytes = 3 * w * h
                 hdr = payload.index(b"\n") + 1
-                cs = np.zeros((nfp, VID_FP_CELLS), dtype=np.int64)
-                for k in range(nfp):
-                    base = hdr + k * (6 + frame_bytes) + 6
-                    head = np.frombuffer(
-                        payload[base : base + anchor], dtype=np.uint8
-                    ).astype(np.int64)
-                    cs[k] = head.reshape(VID_FP_CELLS, VID_FP_CELL_W).sum(axis=1)
+                # one gather for all nfp anchor regions (r16, guide §4.2 —
+                # was nfp frombuffer+reshape+sum calls per doc)
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                bases = hdr + np.arange(nfp, dtype=np.int64) * (6 + frame_bytes) + 6
+                cs = (
+                    arr[bases[:, None] + np.arange(anchor, dtype=np.int64)]
+                    .reshape(nfp, VID_FP_CELLS, VID_FP_CELL_W)
+                    .sum(axis=2, dtype=np.int64)
+                )
                 bits = (cs[1:] > cs[:-1]).ravel()
                 rows.append(
                     {

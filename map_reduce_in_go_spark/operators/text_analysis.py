@@ -639,9 +639,16 @@ def langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + np.repeat(starts, nw)
             )
             codes = (cp[pos] << 42) | (cp[pos + 1] << 21) | cp[pos + 2]
-            idx = np.searchsorted(b_codes, codes)
-            np.clip(idx, 0, n_model - 1, out=idx)
-            matched = b_codes[idx] == codes
+            if n_model:
+                idx = np.searchsorted(b_codes, codes)
+                np.clip(idx, 0, n_model - 1, out=idx)
+                matched = b_codes[idx] == codes
+            else:
+                # empty model (r15 advice): clip-to-[0,-1] would index
+                # b_codes[-1] on an empty array; degrade to zero scores
+                # like the old per-gram lut.get() path did
+                idx = np.zeros(total, dtype=np.int64)
+                matched = np.zeros(total, dtype=bool)
             acc = np.zeros((ndocs, len(b_langs)), dtype=np.int64)
             if matched.any():
                 key = doc_of_win[matched] * np.int64(n_model) + idx[matched]

@@ -103,10 +103,17 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).over(w),
     )
     per_user = base.groupBy("user_id").agg(
-        F.min("vt").alias("vt"), F.min("ct").alias("ct"), F.min("pt").alias("pt")
+        F.min("vt").alias("vt"),
+        F.min("ct").alias("ct"),
+        F.min("pt").alias("pt"),
+        # stage-1 membership is "has a view ROW" (the oracle's count(*)
+        # over the per-user view group), not "has a non-null view ts" —
+        # they differ only when every view of a user has NULL ts
+        # (r15 advice, low)
+        F.max(F.col("event_type") == "view").alias("saw_view"),
     )
     return per_user.agg(
-        F.count("vt").alias("n_view"),
+        F.count(F.when(F.col("saw_view"), F.lit(1))).alias("n_view"),
         F.count("ct").alias("n_click"),
         F.count("pt").alias("n_purchase"),
     )
@@ -930,9 +937,12 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("t_view").alias("t_view"),
         F.min("t_click").alias("t_click"),
         F.min("t_purchase").alias("t_purchase"),
+        # same stage-1 row-membership semantics as events_funnel (r15
+        # advice): count view USERS, not users with non-null view ts
+        F.max(F.col("event_type") == "view").alias("saw_view"),
     )
     return per_user.agg(
-        F.count("t_view").alias("n_view_users"),
+        F.count(F.when(F.col("saw_view"), F.lit(1))).alias("n_view_users"),
         F.count("t_click").alias("n_click_conv"),
         F.count("t_purchase").alias("n_purchase_conv"),
     )
