@@ -374,6 +374,20 @@ _CHANGED_SINCE_VERIFIED: set[str] = {
     # values are pinned identical but the serving plan changed, so the
     # r13 driver row validates a plan that no longer runs
     "corpus_clean",
+    # r15 rewrote these plans but none landed in the r15 driver sample
+    # (r15 verdict #6): their last driver rows validate plans that no
+    # longer run. Values pinned identical by the local full gate; front
+    # the window until a fresh hash-green row lands.
+    "events_funnel",
+    "events_funnel_windowed",
+    "corpus_report",
+    "quality_repetition",
+    "contamination_ngram",
+    "events_cube_overlap",
+    "pagerank_docs",
+    "domain_mix",
+    "audio_spectral",
+    "dedup_image_phash",
 }
 # (r13's events_cube_nav entry cleared: a fresh hash-green r13 driver row
 # landed, validating the widened four-measure-family artifact.)
