@@ -101,7 +101,11 @@ def corpus_clean_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = scoped_persist(
         load_table(spark, sf_dir, "documents")
-        .repartition(spread_partitions(spark, sf_dir, "documents"), "doc_id")
+        # full width, not the row-adaptive spread: this frame feeds
+        # signatures_of — the md5-per-shingle kernel whose per-row CPU
+        # dwarfs task overhead even on a tiny corpus (the same measured
+        # reason _signatures uses full_width; r16)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .withColumn("toks", tokens(F.col("text")))
         .filter(F.size("toks") > 0)
     )

@@ -33,6 +33,7 @@ def _corpus_ids(spark, cat):
     return {r["doc_id"] for r in member(spark, cat, CORPUS).select("doc_id").collect()}
 
 
+@pytest.mark.slow
 def test_branch_isolation_and_fast_forward(spark, sf_dir, tmp_path):
     docs = _docs(spark, sf_dir)
     cat = TableCatalog(str(tmp_path / "cat"))
@@ -84,6 +85,7 @@ def test_branch_isolation_and_fast_forward(spark, sf_dir, tmp_path):
     assert any(op.startswith("merge-exp-") for _v, op in cat.history())
 
 
+@pytest.mark.slow
 def test_branch_divergence_refusal_and_gc(spark, sf_dir, tmp_path):
     docs = _docs(spark, sf_dir)
     cat = TableCatalog(str(tmp_path / "cat"))
@@ -330,6 +332,7 @@ def test_fork_witness_disagreement_is_loud(spark, sf_dir, tmp_path):
         merge_branch(spark, cat, "exp")
 
 
+@pytest.mark.slow
 def test_rebase_merge_replays_onto_moved_main(spark, sf_dir, tmp_path):
     """merge-as-replay (r12): when main moved past the fork, the branch's
     batches replay through ORDINARY admission from the batch-input WAL —
@@ -368,6 +371,7 @@ def test_rebase_merge_replays_onto_moved_main(spark, sf_dir, tmp_path):
     assert _corpus_ids(spark, cat) == n
 
 
+@pytest.mark.slow
 def test_rebase_refusals_and_fast_forward_delegation(spark, sf_dir, tmp_path):
     """Rebase refuses non-replayable branch commits (corrections carry
     semantics a batch replay would misstate) and delegates to the plain
@@ -431,6 +435,7 @@ def test_retraction_purges_branch_wal(spark, sf_dir, tmp_path):
     assert wal_after == wal_ids - {victim}
 
 
+@pytest.mark.slow
 def test_branch_model_random_interleaving(spark, sf_dir, tmp_path):
     """Model test (the replace_files random-op discipline applied to
     timelines): a seeded random interleaving of main batches, branch
@@ -502,6 +507,7 @@ def test_branch_model_random_interleaving(spark, sf_dir, tmp_path):
         assert not corpus_batch_txn(spark, batches[bid], cat, bid)
 
 
+@pytest.mark.slow
 def test_two_branch_rebase_convergence(spark, sf_dir, tmp_path):
     """Two experiments diverge CONCURRENTLY from the same fork; the first
     merges fast-forward, the second (now behind) rebases — main converges
@@ -561,6 +567,7 @@ def test_vacuum_reclaims_stale_merge_sidecars(spark, sf_dir, tmp_path):
     assert "corpus-batch-1" in cat.committed_ops()  # merged state intact
 
 
+@pytest.mark.slow
 def test_rebase_survives_branch_ledger_checkpoint(spark, sf_dir, tmp_path):
     """Long experiments outlive their own ledger: after the branch ledger
     checkpoints (per-version manifests truncated, op labels consolidated),
@@ -782,6 +789,7 @@ def test_introspection_and_racing_mergers(spark, sf_dir, tmp_path):
     assert _corpus_ids(spark, cat) == _corpus_ids(spark, br)
 
 
+@pytest.mark.slow
 def test_racing_rebasers_converge_exactly_once(spark, sf_dir, tmp_path):
     """Two concurrent rebase_merge_branch calls on the same branch: both
     complete (replays are ledger-idempotent, CAS conflicts retry), the
@@ -815,6 +823,7 @@ def test_racing_rebasers_converge_exactly_once(spark, sf_dir, tmp_path):
     assert not corpus_batch_txn(spark, b[1], cat, 1)
 
 
+@pytest.mark.slow
 def test_branch_content_divergence_fingerprint(spark, sf_dir, tmp_path):
     """`catalog_divergence` works main-vs-branch out of the box (both are
     TableCatalogs over the same member tables): the row-level "what did

@@ -37,6 +37,7 @@ def _feed(spark, sf_dir, cat, n_batches=3):
     return docs
 
 
+@pytest.mark.slow
 def test_cross_artifact_consistency(spark, sf_dir, tmp_path):
     """Every artifact describes EXACTLY the accepted corpus — no member
     can drift ahead of or behind another."""
@@ -190,6 +191,7 @@ def test_stream_end_to_end(spark, tmp_path):
     assert langs == {"en", "de"}
 
 
+@pytest.mark.slow
 def test_pq_member_in_pipeline_txn(spark, sf_dir, tmp_path):
     """r11 (a): the embeddings side-channel commits IVF-PQ codes in the
     SAME transaction as the other five members. Pins: (1) codes exist for
@@ -246,6 +248,7 @@ def test_pq_member_in_pipeline_txn(spark, sf_dir, tmp_path):
     assert cat.snapshot(spark) == before
 
 
+@pytest.mark.slow
 def test_compact_pipeline(spark, sf_dir, tmp_path):
     """One maintenance transaction compacts EVERY member: answers
     unchanged (gram/CMS folds identical, corpus rows identical, quantile
@@ -350,6 +353,7 @@ def test_compact_pipeline(spark, sf_dir, tmp_path):
     assert member(spark, cat, CORPUS).count() == len(before_corpus) + 1
 
 
+@pytest.mark.slow
 def test_bootstrap_then_stream_equals_full_stream(spark, sf_dir, tmp_path):
     """r11 (c): seeding the catalog from a static prefix and streaming
     the rest lands member-identical state to streaming everything."""
@@ -412,6 +416,7 @@ def test_bootstrap_then_stream_equals_full_stream(spark, sf_dir, tmp_path):
         bootstrap_pipeline(spark, live, docs, app_id="other")
 
 
+@pytest.mark.slow
 def test_bootstrap_adopts_precomputed_artifacts(spark, sf_dir, tmp_path):
     """The adoption path takes an existing deduped corpus + its band and
     gram artifacts VERBATIM — no signature recompute (spy-pinned) — and
@@ -468,6 +473,7 @@ def test_bootstrap_adopts_precomputed_artifacts(spark, sf_dir, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_pipeline_ann_probe(spark, sf_dir, tmp_path):
     """r11 (b): ANN served FROM the pipeline's PQ cells. The probe's
     candidates can only be accepted documents (the cells hold exactly
@@ -514,6 +520,7 @@ def test_pipeline_ann_probe(spark, sf_dir, tmp_path):
     assert after == before
 
 
+@pytest.mark.slow
 def test_pipeline_vacuum_after_compaction(spark, sf_dir, tmp_path):
     """r11 (a): after a catalog-wide compaction, the catalog-coordinated
     vacuum reclaims the superseded member files while the published
@@ -616,6 +623,7 @@ def test_pipeline_schema_evolution(spark, sf_dir, tmp_path):
     assert after == rows
 
 
+@pytest.mark.slow
 def test_retract_docs(spark, sf_dir, tmp_path):
     """r11 (c): retraction removes a document's contributions from EVERY
     member in one transaction. For a collision-free document (it caused
@@ -770,6 +778,7 @@ def test_retract_docs(spark, sf_dir, tmp_path):
         retract_docs(spark, cat_w, [999_999_999], op="erase-nothing")
 
 
+@pytest.mark.slow
 def test_time_travel_member_reads(spark, sf_dir, tmp_path):
     """r12 (a): `member(..., version=v)` serves state AS OF one catalog
     commit — cross-member consistent at every historical version — and
@@ -1036,6 +1045,7 @@ def test_pipeline_trending_replica_equals_served(spark, sf_dir, tmp_path):
     assert replica == served and served
 
 
+@pytest.mark.slow
 def test_update_docs_single_cas_upsert(spark, sf_dir, tmp_path):
     """r10 verdict #3: update_docs composes retraction + admission in ONE
     catalog CAS. End state equals the retract-then-ingest twin fold-for-
@@ -1221,6 +1231,7 @@ def test_writer_lease_guards_batch_commits(spark, sf_dir, tmp_path):
     assert "crawl-a-batch-1" not in cat.committed_ops()
 
 
+@pytest.mark.slow
 def test_semantic_admission_gate(spark, sf_dir, tmp_path):
     """r10 verdict #6: the optional SemDeDup-at-ingest gate. A doc whose
     TEXT passes the MinHash screen but whose EMBEDDING matches an
@@ -1297,6 +1308,7 @@ def test_semantic_admission_gate(spark, sf_dir, tmp_path):
     assert 51_000_000 in got2
 
 
+@pytest.mark.slow
 def test_ingest_expectations_quarantine(spark, sf_dir, tmp_path):
     """Constraint-armed batches divert violating rows to the quarantine
     member BEFORE admission: audit rows match a per-rule re-evaluation,
@@ -1359,6 +1371,7 @@ def test_ingest_expectations_quarantine(spark, sf_dir, tmp_path):
         pass
 
 
+@pytest.mark.slow
 def test_file_granular_corrections(spark, sf_dir, tmp_path, monkeypatch):
     """retract_docs / update_docs rewrite ONLY the corpus/bands files whose
     doc_id stats admit the affected ids: after a sort-layout compaction,
@@ -1483,6 +1496,7 @@ def test_replace_files_primitive(spark, tmp_path):
         tbl.replace_files(["nope.parquet"], None)
 
 
+@pytest.mark.slow
 def test_update_docs_expectations(spark, sf_dir, tmp_path):
     """Constraint parity for the MERGE verb: a violating revision is
     quarantined while the OLD version stays; a fixed revision of a
@@ -1561,6 +1575,7 @@ def test_update_docs_expectations(spark, sf_dir, tmp_path):
         assert only_q[0] not in left
 
 
+@pytest.mark.slow
 def test_bootstrap_expectations_parity(spark, sf_dir, tmp_path):
     """Constraint-armed bootstrap + constrained streaming is member-
     identical to streaming everything constrained (quarantine included,
@@ -1623,6 +1638,7 @@ def test_bootstrap_expectations_parity(spark, sf_dir, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_cow_retraction_preserves_time_travel(spark, sf_dir, tmp_path):
     """A copy-on-write retraction must not break history: the files it
     removes from the NEW snapshot are still pinned by older catalog
@@ -1685,6 +1701,7 @@ def test_cow_retraction_preserves_time_travel(spark, sf_dir, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_batch_races_update_docs(spark, sf_dir, tmp_path):
     """Cross-VERB race: a new micro-batch and a single-CAS upsert race on
     the same catalog from two threads. Exactly one loses the CAS and
@@ -1780,6 +1797,7 @@ _IMG_X = (
 )
 
 
+@pytest.mark.slow
 def test_image_admission_gate(spark, tmp_path):
     """r14: the image phash admission gate end-to-end — a doc whose
     synthesized image is a near-dup of a committed doc's is rejected even
@@ -1893,6 +1911,7 @@ def test_image_admission_gate(spark, tmp_path):
     assert 9 in {r["doc_id"] for r in member(spark, cat, CORPUS).collect()}
 
 
+@pytest.mark.slow
 def test_image_gate_arming_is_sticky_and_backfills(spark, tmp_path):
     """r14 advice (low): the gate is armed per CATALOG, not per call —
 
@@ -2002,6 +2021,7 @@ _AUD_A = _AUD_P + ("granite oak mosaic thunder velvet prism cascade nimbus " * 5
 _AUD_X = _AUD_P + ("zephyr quartz bazaar igloo saffron tundra walnut echo " * 5).strip()
 
 
+@pytest.mark.slow
 def test_audio_admission_gate(spark, tmp_path):
     """r15: the audio admission gate end-to-end — a doc whose synthesized
     CLIP is a near-dup of a committed doc's (shared anchor window) is

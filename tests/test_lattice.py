@@ -263,6 +263,7 @@ def test_lattice_stream_equals_batch(spark, sf_dir, tmp_path):
     assert s == b
 
 
+@pytest.mark.slow
 def test_lattice_retract_batch(spark, sf_dir, tmp_path):
     """Batch retraction = negative partials on every level: answers
     equal a lattice that never saw the batch, replays no-op, retracting

@@ -7,6 +7,8 @@ and content-preserving compaction — plus the dedup wiring on top.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import Row
@@ -270,6 +272,7 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert tbl.read(spark).select("doc_id").count() == 3
 
 
+@pytest.mark.slow
 def test_replace_files_random_op_sequences(spark, tmp_path):
     """Model-based check of the copy-on-write primitive: 30 seeded-random
     commits mixing appends, subset replaces (filtered rewrites), and pure

@@ -74,6 +74,7 @@ def _raw_member(spark, cat, name):
     ).read(spark, pinned)
 
 
+@pytest.mark.slow
 def test_mor_equals_cow_and_fold_restores_physical(spark, sf_dir, tmp_path):
     """The logical state after a MOR retraction is member-identical to the
     COW retraction of the same ids; apply_deletes then makes the PHYSICAL
@@ -121,6 +122,7 @@ def test_mor_equals_cow_and_fold_restores_physical(spark, sf_dir, tmp_path):
     assert _folds(spark, mor) == cow_state  # logical reads unchanged
 
 
+@pytest.mark.slow
 def test_mor_unblocks_admission_like_cow(spark, tmp_path):
     """A near-duplicate rejected because a MOR-retracted doc got there
     first is admitted on re-submission — the band probe reads the live
@@ -155,6 +157,7 @@ def test_mor_unblocks_admission_like_cow(spark, tmp_path):
     assert member(spark, cat, CORPUS).filter(F.col("doc_id") == 3).count() == 1
 
 
+@pytest.mark.slow
 def test_mor_reinsert_same_id_is_file_scoped(spark, tmp_path):
     """The vector hides (file, doc_id) PAIRS, not keys: an id re-inserted
     after its MOR retraction lands in a newer file and serves normally;
@@ -207,6 +210,7 @@ def test_mor_reinsert_same_id_is_file_scoped(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_compaction_folds_vector(spark, sf_dir, tmp_path):
     """compact_pipeline reads the live view and truncates the vector in
     the same CAS — post-compaction physical state carries no deleted row."""
@@ -273,6 +277,7 @@ def test_retract_where_predicate_erasure(spark, sf_dir, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_large_upsert_does_not_resurrect_mor_hidden_rows(
     spark, tmp_path, monkeypatch
 ):
@@ -339,6 +344,7 @@ def test_large_upsert_does_not_resurrect_mor_hidden_rows(
     )
 
 
+@pytest.mark.slow
 def test_streaming_erasure_follower(spark, sf_dir, tmp_path):
     """Erasure requests as a stream: each micro-batch is one MOR
     retraction transaction, exactly-once across a checkpoint wipe, and a
@@ -448,6 +454,7 @@ def test_deletes_status_report(spark, sf_dir, tmp_path):
     assert deletes_status(spark, cat) == {}
 
 
+@pytest.mark.slow
 def test_gdpr_lifecycle_fold_then_vacuum_erases_history(
     spark, sf_dir, tmp_path
 ):
@@ -518,6 +525,7 @@ def test_mor_on_branch_stays_isolated_until_merge(spark, sf_dir, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_replication_materializes_live_view_of_mor(spark, sf_dir, tmp_path):
     """A shipped delete vector would be inert under the replica's fresh
     file names — so replication never ships it: the walker applies each
@@ -555,6 +563,7 @@ def test_replication_materializes_live_view_of_mor(spark, sf_dir, tmp_path):
     assert catalog_divergence(spark, cat, dst) == {}
 
 
+@pytest.mark.slow
 def test_replication_walk_order_with_reinsert(spark, tmp_path):
     """Retract → re-insert (upsert) → retract again, then replicate the
     whole ledger: pair application at walk order reproduces each logical
@@ -609,6 +618,7 @@ def test_replication_walk_order_with_reinsert(spark, tmp_path):
     assert catalog_divergence(spark, cat, dst) == {}
 
 
+@pytest.mark.slow
 def test_clone_materializes_live_view_of_mor(spark, sf_dir, tmp_path):
     """A PITR clone of a catalog with a pending vector ships the live
     view and no vector member — physically folded, logically identical."""
@@ -693,6 +703,7 @@ def test_replication_of_consolidated_merge_keeps_reinserted_doc(
     assert catalog_divergence(spark, cat, dst) == {}
 
 
+@pytest.mark.slow
 def test_replication_of_consolidated_merge_plain_batch_reinsert(
     spark, tmp_path
 ):
@@ -760,6 +771,7 @@ def test_replication_of_consolidated_merge_plain_batch_reinsert(
     assert catalog_divergence(spark, cat, dst) == {}
 
 
+@pytest.mark.slow
 def test_mor_model_randomized_interleaving(spark, tmp_path):
     """Seeded random program over the verb algebra — ingest / retract
     (BOTH modes) / upsert / fold / compact — checked after every step
@@ -871,6 +883,7 @@ def test_mor_model_randomized_interleaving(spark, tmp_path):
     assert raw == model
 
 
+@pytest.mark.slow
 def test_maintain_deletes_policy_and_follower_bound(spark, sf_dir, tmp_path):
     """Erasure-SLA maintenance (r13, r12 verdict #5): maintain_deletes
     folds only when a threshold trips (pairs / rewrite files / streak
@@ -957,6 +970,7 @@ def test_maintain_deletes_policy_and_follower_bound(spark, sf_dir, tmp_path):
     assert len(folds) >= 2  # one per follower batch, plus the manual ones
 
 
+@pytest.mark.slow
 def test_vector_age_crosses_truncation_horizon(spark, sf_dir, tmp_path):
     """A delete-vector streak older than the ledger's checkpoint horizon
     must read as 'older than any finite threshold' (so an age SLA TRIPS),

@@ -21,8 +21,19 @@ def con(sf_dir):
 
 ALL_KEYS = sorted(entry_mod.oracle_sql())
 
+# the two keys whose oracle compare alone exceeds the slow threshold
+# (catalog-artifact first-build cost); they stay oracle-checked by the
+# driver's own gate and the round's full tools/check_correctness run
+_SLOW_KEYS = {"pipeline_trending_gated", "pipeline_trending_rebase"}
 
-@pytest.mark.parametrize("key", ALL_KEYS)
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        pytest.param(k, marks=pytest.mark.slow) if k in _SLOW_KEYS else k
+        for k in ALL_KEYS
+    ],
+)
 def test_oracle_match(spark, sf_dir, con, key):
     sdf = entry_mod.queries()[key](spark, sf_dir).toPandas()
     odf = con.execute(entry_mod.oracle_sql()[key]).df()
@@ -46,6 +57,7 @@ def test_entry_smoke(spark):
     assert df.columns == ["word", "cnt"]
 
 
+@pytest.mark.slow
 def test_no_registered_query_is_degenerate(spark, sf_dir):
     """Every query must produce rows — an accidentally-empty result would
     sail through the oracle compare (0 == 0) while testing nothing."""

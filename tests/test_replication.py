@@ -73,6 +73,7 @@ def test_replica_matches_primary_and_reruns_noop(spark, sf_dir, tmp_path):
     assert dst.snapshot(spark) == before
 
 
+@pytest.mark.slow
 def test_incremental_ship_moves_only_new_commits(spark, sf_dir, tmp_path):
     src = TableCatalog(str(tmp_path / "primary"))
     docs = _feed(spark, sf_dir, src)
@@ -108,6 +109,7 @@ def test_incremental_ship_moves_only_new_commits(spark, sf_dir, tmp_path):
     assert _state(spark, dst) == _state(spark, src)
 
 
+@pytest.mark.slow
 def test_replication_follows_compaction_and_keeps_pruning(
     spark, sf_dir, tmp_path
 ):
@@ -130,6 +132,7 @@ def test_replication_follows_compaction_and_keeps_pruning(
     assert len(gtbl.files_pruned_in("g", [probe], version=gver)) < len(files_all)
 
 
+@pytest.mark.slow
 def test_base_sync_across_truncated_history(spark, sf_dir, tmp_path):
     """After the primary's catalog checkpoints (per-version manifests
     below the horizon truncated), a FRESH replica still converges: the
@@ -172,6 +175,7 @@ def test_duplicate_op_labels_refused(spark, tmp_path):
         replicate_catalog(spark, src, dst)
 
 
+@pytest.mark.slow
 def test_chaining_and_divergence_detector(spark, sf_dir, tmp_path):
     """r12 (b): a replica's ledger carries the primary's op labels
     verbatim, so it is itself a valid primary (replica-of-replica
@@ -221,6 +225,7 @@ def test_chaining_and_divergence_detector(spark, sf_dir, tmp_path):
     assert list(catalog_divergence(spark, src, r1)) == [TOKENS]
 
 
+@pytest.mark.slow
 def test_streaming_follower_tails_ledger(spark, sf_dir, tmp_path):
     """r12 (c): the foreachBatch follower converges the replica, and its
     correctness never depends on the stream checkpoint — a follower
@@ -277,6 +282,7 @@ def test_streaming_follower_tails_ledger(spark, sf_dir, tmp_path):
     assert dst.snapshot(spark) == before
 
 
+@pytest.mark.slow
 def test_clone_catalog_pitr(spark, sf_dir, tmp_path):
     """r12 (b): clone_catalog materializes one historical catalog version
     into a new catalog — restore-to-before-a-bad-batch — equal to the
@@ -496,6 +502,7 @@ def test_replication_random_transaction_sequences(spark, tmp_path):
     assert replicate_catalog(spark, src, live) == 0
 
 
+@pytest.mark.slow
 def test_member_log_truncation_falls_back_to_base_sync(spark, sf_dir, tmp_path):
     """r10 advice (high): when a member-log checkpoint on the primary has
     truncated the PREDECESSOR manifest a delta diff needs, _stage_commit
@@ -521,6 +528,7 @@ def test_member_log_truncation_falls_back_to_base_sync(spark, sf_dir, tmp_path):
     assert catalog_divergence(spark, src, dst) == {}
 
 
+@pytest.mark.slow
 def test_overwrite_replay_preserves_evolved_columns(spark, sf_dir, tmp_path):
     """r10 advice (medium/low): a member whose LAST append pinned a
     narrower schema than earlier batches (additive evolution, then a
@@ -594,6 +602,7 @@ def test_replication_ships_merge_sidecars(spark, sf_dir, tmp_path):
     assert _state(spark, dst) == n
 
 
+@pytest.mark.slow
 def test_clone_carries_ledger_and_promotes_to_follower(spark, sf_dir, tmp_path):
     """A PITR clone carries the op-label view AS OF its version (r12):
     pre-restore batches re-delivered by an at-least-once source no-op,
@@ -749,6 +758,7 @@ def test_ops_as_of_refuses_consolidated_horizon(spark, sf_dir, tmp_path):
     assert "corpus-batch-2" in src.ops_as_of(src.version())
 
 
+@pytest.mark.slow
 def test_verbatim_backup_preserves_mor_vector_and_folds_identically(
     spark, sf_dir, tmp_path
 ):
@@ -803,6 +813,7 @@ def test_verbatim_backup_preserves_mor_vector_and_folds_identically(
     assert _state(spark, dst) == _state(spark, src)
 
 
+@pytest.mark.slow
 def test_verbatim_ships_incremental_commits_and_detects_vector_drift(
     spark, sf_dir, tmp_path
 ):
@@ -843,6 +854,7 @@ def test_verbatim_ships_incremental_commits_and_detects_vector_drift(
     assert DELETES in div and "delete-vector mismatch" in div[DELETES]
 
 
+@pytest.mark.slow
 def test_verbatim_backup_promotes_to_primary(spark, sf_dir, tmp_path):
     """The DR drill (r13): after the primary dies, the verbatim backup
     IS the primary — its ledger carries the shipped op labels, so a

@@ -85,6 +85,7 @@ def test_stream_static_enrich(spark, drop_dir):
         q.stop()
 
 
+@pytest.mark.slow
 def test_stateful_sessionize_stream(spark, drop_dir):
     stream = read_event_stream(spark, drop_dir)
     q = run_to_memory(sessionize_stateful(stream), "sess_test")
